@@ -1,0 +1,666 @@
+"""Query registry: every implemented operator as a (spark_fn, oracle_sql) pair.
+
+Keys follow SURVEY.md §2's operator IDs. Spark callables take
+(spark, sf_dir) and return a DataFrame; oracle SQL is DuckDB dialect over the
+driver's pre-registered parquet views, with the derived headline model
+prefixed as CTEs (see model.py). Column names and value arithmetic are
+mirrored exactly so the driver's order-insensitive value-hash matches.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import model
+from .model import TODAY, URL_PREFIX, with_model_ctes
+from .operators import analytics, gold, relational
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, SparkQuery] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --- shared oracle CTE fragments over the derived model ---------------------
+
+GOLD_S_CTE = """
+gold_s AS (
+  SELECT CAST(processed_timestamp AS DATE) AS analysis_date,
+         COUNT(CASE WHEN sentiment = 'Positiva' THEN 1 END) AS positive_headlines,
+         COUNT(CASE WHEN sentiment = 'Negativa' THEN 1 END) AS negative_headlines,
+         COUNT(CASE WHEN sentiment = 'Neutra' THEN 1 END) AS neutral_headlines,
+         COUNT(headline_link) AS total_headlines
+  FROM stg GROUP BY 1
+)
+""".strip()
+
+GOLD_C_CTE = """
+gold_c AS (
+  SELECT analysis_date, category, category_count,
+         category_count / CAST(SUM(category_count) OVER (PARTITION BY analysis_date) AS BIGINT)
+           AS category_percentage
+  FROM (
+    SELECT CAST(processed_timestamp AS DATE) AS analysis_date, category,
+           COUNT(headline_link) AS category_count
+    FROM stg WHERE category IS NOT NULL GROUP BY 1, 2
+  )
+)
+""".strip()
+
+RANGE_START, RANGE_END = "2025-08-02", "2025-08-07"
+
+
+def _gold_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold.daily_sentiment_analysis(
+        model.stg_enriched_headlines(model.silver_enriched(spark, sf_dir))
+    )
+
+
+def _gold_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold.daily_category_analysis(
+        model.stg_enriched_headlines(model.silver_enriched(spark, sf_dir))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / filters
+# ---------------------------------------------------------------------------
+
+@register(
+    "p1_staging_projection",
+    with_model_ctes("SELECT * FROM stg", stg=True),
+)
+def p1(spark, sf_dir):
+    return model.stg_enriched_headlines(model.silver_enriched(spark, sf_dir))
+
+
+@register(
+    "p2_p3_clean_links",
+    with_model_ctes(
+        f"""
+        SELECT title, link, source, scraped_at FROM (
+          SELECT title,
+                 CASE WHEN link LIKE '/%' THEN '{URL_PREFIX}' || link
+                      WHEN link LIKE 'http%' THEN link END AS link,
+                 source, scraped_at
+          FROM bronze WHERE length(title) >= 15
+        ) WHERE link IS NOT NULL
+        """,
+        bronze=True,
+    ),
+)
+def p2_p3(spark, sf_dir):
+    df = relational.filter_min_title_length(model.bronze_headlines(spark, sf_dir))
+    return relational.normalize_links(df).drop("doc_id")
+
+
+@register(
+    "p5_p6_today_ok_rows",
+    with_model_ctes(
+        f"""
+        SELECT id, title, sentiment, category, confidence_score, processed_at
+        FROM silver
+        WHERE CAST(processed_at AS DATE) = DATE '{TODAY}' AND sentiment <> 'Erro'
+        """,
+        silver=True,
+    ),
+)
+def p5_p6(spark, sf_dir):
+    silver = model.silver_enriched(spark, sf_dir)
+    df = relational.today_filter(silver, "processed_at", TODAY).filter(
+        F.col("sentiment") != "Erro"
+    )
+    return df.select("id", "title", "sentiment", "category", "confidence_score", "processed_at")
+
+
+@register(
+    "p7_date_range_filter",
+    with_model_ctes(
+        f"SELECT * FROM gold_s WHERE analysis_date BETWEEN DATE '{RANGE_START}' AND DATE '{RANGE_END}'",
+        stg=True,
+        extra=[GOLD_S_CTE],
+    ),
+)
+def p7(spark, sf_dir):
+    return analytics.date_range_filter(_gold_sentiment(spark, sf_dir), RANGE_START, RANGE_END)
+
+
+@register(
+    "p9_top5_membership_filter",
+    with_model_ctes(
+        """
+        SELECT g.* FROM gold_c g
+        WHERE g.category IN (
+          SELECT category FROM (
+            SELECT category, SUM(category_count) AS total_count
+            FROM gold_c GROUP BY 1
+            ORDER BY total_count DESC, category LIMIT 5
+          )
+        )
+        """,
+        stg=True,
+        extra=[GOLD_C_CTE],
+    ),
+)
+def p9(spark, sf_dir):
+    return analytics.filter_to_top_categories(_gold_category(spark, sf_dir), 5)
+
+
+_DIRTY_CTE = f"""
+dirty AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 19 = 0 THEN 'muito bom' ELSE {model._sentiment_sql('doc_id')} END AS sentiment,
+         CASE WHEN doc_id % 19 = 0 THEN 'Esporte' ELSE {model._category_sql('doc_id')} END AS category,
+         CASE WHEN doc_id % 29 = 0 THEN 1.5
+              WHEN doc_id % 31 = 0 THEN -0.25
+              WHEN doc_id % 17 = 0 THEN 0.0
+              ELSE 0.5 + (doc_id % 50) / 100.0 END AS confidence_score
+  FROM documents
+)
+""".strip()
+
+
+@register(
+    "p10_validate_domains",
+    "WITH "
+    + _DIRTY_CTE
+    + """
+    SELECT doc_id,
+           CASE WHEN sentiment IN ('Positiva','Negativa','Neutra') THEN sentiment ELSE 'Erro' END AS sentiment,
+           CASE WHEN category IN ('Política','Economia','Esportes','Tecnologia','Cultura','Saúde',
+                                  'Internacional','Justiça','Educação','Meio Ambiente','Segurança','Outros')
+                THEN category ELSE 'Erro' END AS category,
+           CASE WHEN confidence_score >= 0.0 AND confidence_score <= 1.0 THEN confidence_score ELSE 0.0 END
+             AS confidence_score
+    FROM dirty
+    """,
+)
+def p10(spark, sf_dir):
+    from .io import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    key = F.col("doc_id")
+    dirty = d.select(
+        key.alias("doc_id"),
+        F.when(key % 19 == 0, F.lit("muito bom")).otherwise(model._sentiment_expr(key)).alias(
+            "sentiment"
+        ),
+        F.when(key % 19 == 0, F.lit("Esporte")).otherwise(model._category_expr(key)).alias(
+            "category"
+        ),
+        F.when(key % 29 == 0, F.lit(1.5))
+        .when(key % 31 == 0, F.lit(-0.25))
+        .when(key % 17 == 0, F.lit(0.0))
+        .otherwise(F.lit(0.5) + (key % 50) / F.lit(100.0))
+        .alias("confidence_score"),
+    )
+    return relational.validate_domains(dirty)
+
+
+# ---------------------------------------------------------------------------
+# §2.8 dedup / §2.7 set ops
+# ---------------------------------------------------------------------------
+
+@register(
+    "d1_d2_dedup_headlines",
+    with_model_ctes("SELECT * FROM bronze_clean", bronze_clean=True),
+)
+def d1_d2(spark, sf_dir):
+    return relational.clean_headlines(model.bronze_headlines(spark, sf_dir))
+
+
+@register(
+    "u1_union_dedup",
+    with_model_ctes(
+        """
+        SELECT doc_id, title, link, source, scraped_at FROM (
+          SELECT *, row_number() OVER (PARTITION BY link ORDER BY doc_id) AS rn FROM (
+            SELECT * FROM bronze WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT * FROM bronze WHERE doc_id % 3 = 0
+          )
+        ) WHERE rn = 1
+        """,
+        bronze=True,
+    ),
+)
+def u1(spark, sf_dir):
+    b = model.bronze_headlines(spark, sf_dir)
+    return relational.union_dedup(
+        [b.filter(F.col("doc_id") % 2 == 0), b.filter(F.col("doc_id") % 3 == 0)],
+        "link",
+        "doc_id",
+    )
+
+
+@register(
+    "d4_distinct_dates",
+    with_model_ctes(
+        "SELECT DISTINCT analysis_date FROM gold_s", stg=True, extra=[GOLD_S_CTE]
+    ),
+)
+def d4(spark, sf_dir):
+    return analytics.distinct_dates(_gold_sentiment(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+_PENDING_SQL = """
+SELECT b.doc_id, b.title, b.link, b.source, b.scraped_at
+FROM bronze_clean b
+WHERE NOT EXISTS (SELECT 1 FROM silver s WHERE s.raw_link = b.link)
+""".strip()
+
+
+@register("j1_pending_antijoin", with_model_ctes(_PENDING_SQL, bronze_clean=True, silver=True))
+def j1(spark, sf_dir):
+    bronze_clean = relational.clean_headlines(model.bronze_headlines(spark, sf_dir))
+    silver = model.silver_enriched(spark, sf_dir)
+    return relational.pending_headlines(bronze_clean, silver).select(
+        "doc_id", "title", "link", "source", "scraped_at"
+    )
+
+
+@register(
+    "j2_pending_count",
+    with_model_ctes(
+        f"SELECT COUNT(*) AS pending_count FROM ({_PENDING_SQL})",
+        bronze_clean=True,
+        silver=True,
+    ),
+)
+def j2(spark, sf_dir):
+    bronze_clean = relational.clean_headlines(model.bronze_headlines(spark, sf_dir))
+    silver = model.silver_enriched(spark, sf_dir)
+    return relational.pending_count(bronze_clean, silver)
+
+
+@register(
+    "j3_pending_arithmetic",
+    with_model_ctes(
+        """
+        SELECT (SELECT COUNT(*) FROM bronze_clean) AS total_raw,
+               (SELECT COUNT(*) FROM silver) AS total_processed,
+               (SELECT COUNT(*) FROM bronze_clean) - (SELECT COUNT(*) FROM silver) AS pending
+        """,
+        bronze_clean=True,
+        silver=True,
+    ),
+)
+def j3(spark, sf_dir):
+    bronze_clean = relational.clean_headlines(model.bronze_headlines(spark, sf_dir))
+    silver = model.silver_enriched(spark, sf_dir)
+    return relational.pending_arithmetic(bronze_clean, silver)
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations — Gold models first
+# ---------------------------------------------------------------------------
+
+@register(
+    "a1_daily_sentiment_gold",
+    with_model_ctes("SELECT * FROM gold_s", stg=True, extra=[GOLD_S_CTE]),
+)
+def a1(spark, sf_dir):
+    return _gold_sentiment(spark, sf_dir)
+
+
+@register(
+    "a2_w1_daily_category_gold",
+    with_model_ctes("SELECT * FROM gold_c", stg=True, extra=[GOLD_C_CTE]),
+)
+def a2(spark, sf_dir):
+    return _gold_category(spark, sf_dir)
+
+
+@register(
+    "a3_sentiment_today",
+    with_model_ctes(
+        f"""
+        SELECT sentiment, COUNT(*) AS n FROM silver
+        WHERE CAST(processed_at AS DATE) = DATE '{TODAY}' GROUP BY 1
+        """,
+        silver=True,
+    ),
+)
+def a3(spark, sf_dir):
+    return gold.sentiment_distribution_today(model.silver_enriched(spark, sf_dir), TODAY)
+
+
+@register(
+    "a4_top_categories_today",
+    with_model_ctes(
+        f"""
+        SELECT category, COUNT(*) AS n FROM silver
+        WHERE CAST(processed_at AS DATE) = DATE '{TODAY}'
+          AND category IS NOT NULL AND category <> 'Erro'
+        GROUP BY 1 ORDER BY n DESC, category LIMIT 5
+        """,
+        silver=True,
+    ),
+)
+def a4(spark, sf_dir):
+    return gold.top_categories_today(model.silver_enriched(spark, sf_dir), TODAY, 5)
+
+
+@register(
+    "a5_scalar_counts",
+    with_model_ctes(
+        f"""
+        SELECT (SELECT COUNT(*) FROM bronze_clean) AS total_raw,
+               (SELECT COUNT(*) FROM silver) AS total_processed,
+               (SELECT COUNT(*) FROM silver WHERE CAST(processed_at AS DATE) = DATE '{TODAY}')
+                 AS processed_today
+        """,
+        bronze_clean=True,
+        silver=True,
+    ),
+)
+def a5(spark, sf_dir):
+    bronze_clean = relational.clean_headlines(model.bronze_headlines(spark, sf_dir))
+    return gold.scalar_counts(bronze_clean, model.silver_enriched(spark, sf_dir), TODAY)
+
+
+_EXACT_AVG = "CAST(SUM(CAST({col} AS DECIMAL(28,6))) AS DOUBLE) / COUNT({col})"
+
+
+@register(
+    "a6_avg_confidence_today",
+    with_model_ctes(
+        f"""
+        SELECT {_EXACT_AVG.format(col='confidence_score')} AS avg_confidence
+        FROM silver
+        WHERE CAST(processed_at AS DATE) = DATE '{TODAY}' AND sentiment <> 'Erro'
+        """,
+        silver=True,
+    ),
+)
+def a6(spark, sf_dir):
+    return gold.avg_confidence_today(model.silver_enriched(spark, sf_dir), TODAY)
+
+
+@register(
+    "a7_avg_processing_time_today",
+    with_model_ctes(
+        f"""
+        SELECT {_EXACT_AVG.format(col='processing_time_seconds')} AS avg_processing_time
+        FROM silver WHERE CAST(processed_at AS DATE) = DATE '{TODAY}'
+        """,
+        silver=True,
+    ),
+)
+def a7(spark, sf_dir):
+    return gold.avg_processing_time_today(model.silver_enriched(spark, sf_dir), TODAY)
+
+
+@register(
+    "a8_confidence_by_date_sentiment",
+    with_model_ctes(
+        f"""
+        SELECT CAST(processed_at AS DATE) AS date, sentiment,
+               {_EXACT_AVG.format(col='confidence_score')} AS avg_confidence,
+               MIN(confidence_score) AS min_confidence,
+               MAX(confidence_score) AS max_confidence
+        FROM silver WHERE sentiment <> 'Erro' GROUP BY 1, 2
+        """,
+        silver=True,
+    ),
+)
+def a8(spark, sf_dir):
+    return gold.confidence_by_date_sentiment(model.silver_enriched(spark, sf_dir))
+
+
+@register(
+    "a9_sentiment_distribution_pct",
+    with_model_ctes(
+        """
+        SELECT sentiment, n, n / CAST(SUM(n) OVER () AS BIGINT) * 100.0 AS pct
+        FROM (SELECT sentiment, COUNT(*) AS n FROM silver GROUP BY 1)
+        """,
+        silver=True,
+    ),
+)
+def a9(spark, sf_dir):
+    return analytics.sentiment_distribution_pct(model.silver_enriched(spark, sf_dir))
+
+
+@register(
+    "a10_period_kpis",
+    with_model_ctes(
+        f"""
+        SELECT total, positive, negative, neutral,
+               positive / total * 100.0 AS positive_pct,
+               negative / total * 100.0 AS negative_pct,
+               neutral / total * 100.0 AS neutral_pct
+        FROM (
+          SELECT CAST(SUM(total_headlines) AS BIGINT) AS total,
+                 CAST(SUM(positive_headlines) AS BIGINT) AS positive,
+                 CAST(SUM(negative_headlines) AS BIGINT) AS negative,
+                 CAST(SUM(neutral_headlines) AS BIGINT) AS neutral
+          FROM gold_s
+          WHERE analysis_date BETWEEN DATE '{RANGE_START}' AND DATE '{RANGE_END}'
+        )
+        """,
+        stg=True,
+        extra=[GOLD_S_CTE],
+    ),
+)
+def a10(spark, sf_dir):
+    filtered = analytics.date_range_filter(_gold_sentiment(spark, sf_dir), RANGE_START, RANGE_END)
+    return analytics.period_kpis(filtered)
+
+
+@register(
+    "a11_category_totals",
+    with_model_ctes(
+        """
+        SELECT category, CAST(SUM(category_count) AS BIGINT) AS total_count
+        FROM gold_c GROUP BY 1
+        """,
+        stg=True,
+        extra=[GOLD_C_CTE],
+    ),
+)
+def a11(spark, sf_dir):
+    return analytics.category_totals(_gold_category(spark, sf_dir))
+
+
+_PIVOT_COLS = ",\n".join(
+    f"CAST(COALESCE(SUM(CASE WHEN category = '{c}' THEN category_count END), 0) AS BIGINT) AS \"{c}\""
+    for c in model.CATEGORIES
+)
+
+
+@register(
+    "a12_pivot_date_category",
+    with_model_ctes(
+        f"SELECT analysis_date, {_PIVOT_COLS} FROM gold_c GROUP BY 1",
+        stg=True,
+        extra=[GOLD_C_CTE],
+    ),
+)
+def a12(spark, sf_dir):
+    return analytics.pivot_date_category(_gold_category(spark, sf_dir))
+
+
+@register(
+    "a13_unpivot_sentiment_long",
+    with_model_ctes(
+        """
+        SELECT analysis_date, 'Positivas' AS sentiment_type, positive_headlines AS headline_count FROM gold_s
+        UNION ALL
+        SELECT analysis_date, 'Negativas', negative_headlines FROM gold_s
+        UNION ALL
+        SELECT analysis_date, 'Neutras', neutral_headlines FROM gold_s
+        """,
+        stg=True,
+        extra=[GOLD_S_CTE],
+    ),
+)
+def a13(spark, sf_dir):
+    return analytics.unpivot_sentiment_long(_gold_sentiment(spark, sf_dir))
+
+
+@register(
+    "a14_collect_confidences",
+    with_model_ctes(
+        """
+        SELECT sentiment,
+               array_to_string(list_sort(list(CAST(round(confidence_score * 100) AS BIGINT))), ',')
+                 AS confidence_cents
+        FROM silver WHERE sentiment <> 'Erro' GROUP BY 1
+        """,
+        silver=True,
+    ),
+)
+def a14(spark, sf_dir):
+    return analytics.collect_confidences(model.silver_enriched(spark, sf_dir))
+
+
+@register(
+    "a15_histogram_bins",
+    with_model_ctes(
+        """
+        SELECT sentiment, CAST(floor(confidence_score / 0.05) AS INT) AS bin, COUNT(*) AS n
+        FROM silver WHERE sentiment <> 'Erro' GROUP BY 1, 2
+        """,
+        silver=True,
+    ),
+)
+def a15(spark, sf_dir):
+    return analytics.histogram_bins(model.silver_enriched(spark, sf_dir))
+
+
+@register(
+    "a16_avg_headlines_per_day",
+    with_model_ctes(
+        "SELECT AVG(total_headlines) AS avg_headlines_per_day FROM gold_s",
+        stg=True,
+        extra=[GOLD_S_CTE],
+    ),
+)
+def a16(spark, sf_dir):
+    return analytics.avg_headlines_per_day(_gold_sentiment(spark, sf_dir))
+
+
+@register(
+    "a17_trend_split_halves",
+    with_model_ctes(
+        """
+        SELECT f.share AS first_half_pct, s.share AS second_half_pct,
+               s.share - f.share AS trend_delta_pp
+        FROM (
+          SELECT half, pos / tot * 100.0 AS share FROM (
+            SELECT half, CAST(SUM(positive_headlines) AS BIGINT) AS pos,
+                   CAST(SUM(total_headlines) AS BIGINT) AS tot
+            FROM (SELECT *, ntile(2) OVER (ORDER BY analysis_date) AS half FROM gold_s)
+            GROUP BY 1
+          )
+        ) f, (
+          SELECT half, pos / tot * 100.0 AS share FROM (
+            SELECT half, CAST(SUM(positive_headlines) AS BIGINT) AS pos,
+                   CAST(SUM(total_headlines) AS BIGINT) AS tot
+            FROM (SELECT *, ntile(2) OVER (ORDER BY analysis_date) AS half FROM gold_s)
+            GROUP BY 1
+          )
+        ) s
+        WHERE f.half = 1 AND s.half = 2
+        """,
+        stg=True,
+        extra=[GOLD_S_CTE],
+    ),
+)
+def a17(spark, sf_dir):
+    return analytics.trend_split_halves(_gold_sentiment(spark, sf_dir))
+
+
+@register(
+    "a18_peak_days",
+    with_model_ctes(
+        """
+        SELECT * FROM
+          (SELECT analysis_date AS peak_positive_date, positive_headlines AS peak_positive_count
+           FROM gold_s ORDER BY positive_headlines DESC, analysis_date LIMIT 1),
+          (SELECT analysis_date AS peak_negative_date, negative_headlines AS peak_negative_count
+           FROM gold_s ORDER BY negative_headlines DESC, analysis_date LIMIT 1)
+        """,
+        stg=True,
+        extra=[GOLD_S_CTE],
+    ),
+)
+def a18(spark, sf_dir):
+    return analytics.peak_days(_gold_sentiment(spark, sf_dir))
+
+
+@register(
+    "a19_column_maxes",
+    with_model_ctes(
+        """
+        SELECT MAX(positive_headlines) AS max_positive, MAX(negative_headlines) AS max_negative,
+               MAX(neutral_headlines) AS max_neutral, MAX(total_headlines) AS max_total
+        FROM gold_s
+        """,
+        stg=True,
+        extra=[GOLD_S_CTE],
+    ),
+)
+def a19(spark, sf_dir):
+    return analytics.column_maxes(_gold_sentiment(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# §2.6 sorts / top-k, §2.12 quality gates
+# ---------------------------------------------------------------------------
+
+@register(
+    "t3_recent_headlines_topk",
+    with_model_ctes(
+        """
+        SELECT id, title, sentiment, category, processed_at FROM silver
+        ORDER BY processed_at DESC, id DESC LIMIT 20
+        """,
+        silver=True,
+    ),
+)
+def t3(spark, sf_dir):
+    return analytics.recent_headlines(model.silver_enriched(spark, sf_dir), 20)
+
+
+@register(
+    "q_validation_gates",
+    with_model_ctes(
+        f"""
+        SELECT total_today, errors_today, avg_confidence_today,
+               CAST(errors_today AS DOUBLE) > 0.10 * CAST(total_today AS DOUBLE) AS warn_error_rate,
+               avg_confidence_today < 0.7 AS warn_low_confidence
+        FROM (
+          SELECT COUNT(CASE WHEN CAST(processed_at AS DATE) = DATE '{TODAY}' THEN 1 END) AS total_today,
+                 COUNT(CASE WHEN CAST(processed_at AS DATE) = DATE '{TODAY}'
+                             AND (sentiment = 'Erro' OR category = 'Erro') THEN 1 END) AS errors_today,
+                 CAST(SUM(CASE WHEN CAST(processed_at AS DATE) = DATE '{TODAY}' AND sentiment <> 'Erro'
+                               THEN CAST(confidence_score AS DECIMAL(28,6)) END) AS DOUBLE)
+                   / COUNT(CASE WHEN CAST(processed_at AS DATE) = DATE '{TODAY}' AND sentiment <> 'Erro'
+                                THEN confidence_score END) AS avg_confidence_today
+          FROM silver
+        )
+        """,
+        silver=True,
+    ),
+)
+def qgates(spark, sf_dir):
+    return gold.validation_gates(model.silver_enriched(spark, sf_dir), TODAY)

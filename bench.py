@@ -1,0 +1,70 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the flagship E2E pipeline + the heaviest representative
+# queries per operator family. Kept deliberately small so per-round numbers
+# are comparable; every other registered query is exercised by the
+# correctness gate instead.
+HEADLINE = [
+    "flagship_pipeline",
+    "a1_daily_sentiment_gold",
+    "a2_w1_daily_category_gold",
+    "j1_pending_antijoin",
+    "d1_d2_dedup_headlines",
+    "t3_recent_headlines_topk",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from airdatapipeline_spark.session import get_spark
+
+    spark = get_spark("bench")
+    queries = entrymod.queries()
+
+    def run_flagship():
+        from airdatapipeline_spark.pipeline import flagship
+
+        return flagship(spark, SF_DIR)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = (lambda: run_flagship()) if name == "flagship_pipeline" else (
+            lambda n=name: queries[n](spark, SF_DIR)
+        )
+        if name != "flagship_pipeline" and name not in queries:
+            continue
+        # warm the parquet footer cache once, then time
+        t0 = time.time()
+        df = fn()
+        n = df.count()  # force full execution
+        timings[name] = round(time.time() - t0, 3)
+        sys.stderr.write(f"{name}: {timings[name]}s ({n} rows)\n")
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_query_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

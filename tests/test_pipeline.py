@@ -1,0 +1,114 @@
+"""E2E + operator semantics tests (reference behaviors from SURVEY.md)."""
+
+import pyspark.sql.functions as F
+
+from airdatapipeline_spark import model, pipeline
+from airdatapipeline_spark.operators import enrichment, gold, relational
+
+from conftest import SF_SMALL
+
+
+def test_clean_headlines_invariants(spark):
+    clean = relational.clean_headlines(model.bronze_headlines(spark, SF_SMALL))
+    pdf = clean.toPandas()
+    # P2: no short titles survive
+    assert (pdf.title.str.len() >= 15).all()
+    # P3: every link is absolute http(s)
+    assert pdf.link.str.startswith("http").all()
+    # D1/D2: links and titles unique
+    assert pdf.link.is_unique and pdf.title.is_unique
+
+
+def test_anti_join_disjoint_from_silver(spark):
+    bronze_clean = relational.clean_headlines(model.bronze_headlines(spark, SF_SMALL))
+    silver = model.silver_enriched(spark, SF_SMALL)
+    pending = relational.pending_headlines(bronze_clean, silver)
+    # pending ∩ silver = ∅ and pending ∪ matched = bronze_clean
+    joined = pending.join(silver, pending.link == silver.raw_link, "inner")
+    assert joined.count() == 0
+    matched = bronze_clean.join(silver, bronze_clean.link == silver.raw_link, "left_semi")
+    assert pending.count() + matched.count() == bronze_clean.count()
+
+
+def test_gold_erro_rows_count_in_total_only(spark):
+    """SURVEY §1.4: 'Erro' rows appear in total_headlines but no sentiment col."""
+    stg = model.stg_enriched_headlines(model.silver_enriched(spark, SF_SMALL))
+    g = gold.daily_sentiment_analysis(stg).toPandas()
+    assert (
+        g.positive_headlines + g.negative_headlines + g.neutral_headlines <= g.total_headlines
+    ).all()
+    # Erro rows exist in the derived silver, so at least one day is strict
+    assert (
+        g.positive_headlines + g.negative_headlines + g.neutral_headlines < g.total_headlines
+    ).any()
+
+
+def test_category_percentage_sums_to_one(spark):
+    stg = model.stg_enriched_headlines(model.silver_enriched(spark, SF_SMALL))
+    g = gold.daily_category_analysis(stg)
+    sums = g.groupBy("analysis_date").agg(F.sum("category_percentage").alias("s")).toPandas()
+    assert ((sums.s - 1.0).abs() < 1e-9).all()
+
+
+def test_enrich_deterministic_under_repartition(spark):
+    """SURVEY §7.4: classifier output must be invariant to partitioning."""
+    bronze_clean = relational.clean_headlines(model.bronze_headlines(spark, SF_SMALL))
+    a = enrichment.enrich(bronze_clean.repartition(1), enrichment.MockClassifier())
+    b = enrichment.enrich(bronze_clean.repartition(13), enrichment.MockClassifier())
+    cols = ["doc_id", "sentiment", "category", "confidence_score"]
+    pa = a.select(cols).toPandas().sort_values("doc_id").reset_index(drop=True)
+    pb = b.select(cols).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert pa.equals(pb)
+
+
+def test_enrich_error_sentinel_never_drops_rows(spark):
+    class Exploding:
+        def classify(self, titles, keys):
+            raise RuntimeError("boom")
+
+    bronze_clean = relational.clean_headlines(model.bronze_headlines(spark, SF_SMALL))
+    out = enrichment.enrich(bronze_clean, Exploding())
+    pdf = out.toPandas()
+    assert len(pdf) == bronze_clean.count()  # never lose a headline
+    assert (pdf.sentiment == "Erro").all() and (pdf.confidence_score == 0.0).all()
+
+
+def test_idempotent_append(spark):
+    """SNK2: re-running the pipeline must not duplicate rows."""
+    once = pipeline.run_enrichment(spark, SF_SMALL)
+    again = enrichment.idempotent_append(
+        once.filter(F.col("model_used") == model.MODEL_TAG), once, key="raw_link"
+    )
+    assert again.count() == once.count()
+    assert once.select("raw_link").distinct().count() == once.count()
+
+
+def test_flagship_entry(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    pdf = df.toPandas()
+    assert len(pdf) > 0
+    assert list(pdf.columns) == [
+        "analysis_date",
+        "positive_headlines",
+        "negative_headlines",
+        "neutral_headlines",
+        "total_headlines",
+    ]
+
+
+def test_validate_domains_clamps(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(sentiment="Positiva", category="Economia", confidence_score=0.9),
+            Row(sentiment="bogus", category="Esporte", confidence_score=1.5),
+            Row(sentiment=None, category=None, confidence_score=-0.1),
+        ]
+    )
+    out = relational.validate_domains(df).toPandas()
+    assert list(out.sentiment) == ["Positiva", "Erro", "Erro"]
+    assert list(out.category) == ["Economia", "Erro", "Erro"]
+    assert list(out.confidence_score) == [0.9, 0.0, 0.0]
