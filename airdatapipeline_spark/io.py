@@ -38,8 +38,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # expose as TIMESTAMP_NTZ to match the other tables' semantics.
         from pyspark.sql import functions as F
 
+        # integer division: epoch-nanos (~1.7e18) exceeds double's 2^53
+        # exact-integer range, so a float divide would be off by ~1μs
         df = df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000))).cast("timestamp_ntz")
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
         )
     return df
 

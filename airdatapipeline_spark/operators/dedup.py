@@ -1,0 +1,203 @@
+"""Deduplication operator family for training-data pipelines.
+
+Four tiers, each with a different cost/recall point — all expressed as
+compositions of built-in DataFrame ops (no Python UDFs anywhere):
+
+- exact:      hash-groupBy on md5(text). One shuffle, linear. The 100 TB
+              default first pass.
+- MinHash+LSH: shingle → k minhash values → band buckets → candidate pairs
+              via EQUI-join on (band, bucket). Linear in corpus + candidate
+              pairs; never enumerates the quadratic pair space. The scale
+              path for near-dup detection.
+- SimHash:    60-bit signature from token hashes; Hamming-distance pairs on
+              a sampled subset (pairwise verification is quadratic, so at
+              scale it runs per-LSH-bucket or on audit samples).
+- n-gram Jaccard: exact shingle-overlap similarity via shared-shingle
+              self-join — the quadratic verifier used on samples or as the
+              LSH post-filter.
+
+Hashes are md5 (identical across Spark/DuckDB, unlike engine-native hash()),
+so every operator here is oracle-checkable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from .text import tokens_col
+
+N_MINHASH = 8  # minhash functions; banded 2 per band → 4 LSH buckets
+
+
+def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5(title) groups with more than one member, over the
+    derived bronze headlines (which carry engineered duplicates — D1/D2).
+    One hash-aggregate shuffle; at 100 TB identical shape."""
+    from ..model import bronze_headlines
+
+    d = bronze_headlines(spark, sf_dir)
+    return (
+        d.groupBy(F.md5("title").alias("text_hash"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def _shingles(df: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams per document."""
+    toks = df.select("doc_id", tokens_col().alias("t"))
+    sh = F.when(
+        F.size("t") >= n,
+        F.expr(
+            "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        toks.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, top_n: int = 20, sample_mod: int = 20
+) -> DataFrame:
+    """Top-N most-similar pairs by exact n-gram Jaccard over a deterministic
+    sample (doc_id % sample_mod == 0). Shared-shingle self-join →
+    intersection counts → |∩| / (|A| + |B| − |∩|). Quadratic in the
+    candidate space, so at 100 TB this runs on samples / inside LSH
+    buckets, never globally. (Top-N rather than a fixed threshold so the
+    operator is informative on corpora with no true near-dups.)"""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % sample_mod == 0)
+    sh = _shingles(d)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_inter") / (F.col("sa.n") + F.col("sb.n") - F.col("n_inter"))
+    return (
+        inter.join(sa, F.col("id_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("id_b") == F.col("sb.doc_id"))
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .orderBy(F.desc("jaccard"), F.asc("id_a"), F.asc("id_b"))
+        .limit(top_n)
+    )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=8 minhash values per doc: h_j = min over shingles of md5('j:'‖s).
+    (Min over lexicographic md5 hex ≡ a universal-ish hash family for
+    set-resemblance; md5 keeps it engine-portable.) Docs with <3 tokens
+    have no shingles and drop out (nothing to near-dup on)."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"h{j}")
+        for j in range(N_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding (4 bands × 2 rows): docs sharing any band bucket are
+    candidate near-dup pairs. The pair search is an equi-join on
+    (band, bucket) — shuffle-partitioned by bucket, never quadratic."""
+    sig = minhash_signatures(spark, sf_dir)
+    bands = None
+    for band in range(N_MINHASH // 2):
+        b = sig.select(
+            "doc_id",
+            F.lit(band).alias("band"),
+            F.md5(F.concat(F.col(f"h{2*band}"), F.col(f"h{2*band+1}"))).alias("bucket"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    x = bands.alias("x")
+    y = bands.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 → fits signed 64-bit in both engines
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash over tokens: per-bit majority vote of token hashes.
+    token_hash = first 15 hex chars of md5(token) parsed as int; bit b of
+    the signature is 1 iff more than half the tokens have bit b set.
+    Entirely built-in expressions (explode → conditional counts → bit OR)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_col()).alias("tok"))
+    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    per_bit = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"),
+        *[
+            F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1))).alias(f"b{b}")
+            for b in range(SIMHASH_BITS)
+        ],
+    )
+    sig = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{b}") * 2 > F.col("n_tok"), F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ) * F.lit(2**b).cast("long")
+        sig = term if sig is None else (sig + term)
+    return per_bit.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 8, sample_mod: int = 20
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance on a deterministic sample
+    (pairwise XOR+popcount; at scale this runs banded like MinHash)."""
+    sig = simhash_signatures(spark, sf_dir).filter(F.col("doc_id") % sample_mod == 0)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dup_pairs(
+    spark: SparkSession, sf_dir: str, top_n: int = 20, sample_mod: int = 10
+) -> DataFrame:
+    """Top-N closest embedding pairs by exact cosine on a deterministic
+    sample (the audit/verifier tier; the scale tier is the LSH bucket join
+    in operators/similarity.py)."""
+    from .similarity import cosine_expr, with_norm
+
+    e = with_norm(
+        load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % sample_mod == 0)
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cosine_expr("a", "b").alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("id_a"), F.asc("id_b"))
+        .limit(top_n)
+    )

@@ -1,0 +1,124 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The pattern for image/audio/video at 100 TB: store the raw bytes as a
+`binary` column (or a reference into object storage) next to typed metadata,
+and run decode / feature-extraction / resize / frame-sampling as Arrow-
+batched pandas functions over `mapInPandas` — one Python crossing per batch,
+decode parallelism = partitions, no driver involvement.
+
+The container has no image/audio libraries, so the real decoders are STUBS
+behind a clearly marked NotImplementedError; the `FakeDecoder` is a
+deterministic stand-in (md5-derived dimensions) that keeps the Spark-side
+plumbing — schema, partitioning, UDF signature, Arrow batch shape — real,
+tested, and even oracle-checkable (md5 is reproducible in SQL).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from dataclasses import dataclass
+from typing import Protocol
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+DECODE_SCHEMA = (
+    "doc_id long, n_bytes long, width int, height int, n_frames int, n_pixels long"
+)
+
+
+class Decoder(Protocol):
+    def decode(self, payload: bytes) -> tuple[int, int, int]:
+        """→ (width, height, n_frames)."""
+        ...
+
+
+@dataclass
+class FakeDecoder:
+    """Deterministic fake: dimensions derived from the payload's md5 — the
+    same integers `CAST(concat('0x', substr(md5(text), ...)) AS INT)`
+    produces in SQL, so the whole mapInPandas path is oracle-verified."""
+
+    def decode(self, payload: bytes) -> tuple[int, int, int]:
+        h = hashlib.md5(payload).hexdigest()
+        width = 16 * (1 + int(h[0:2], 16) % 64)
+        height = 16 * (1 + int(h[2:4], 16) % 64)
+        n_frames = 1 + int(h[4:6], 16) % 8
+        return width, height, n_frames
+
+
+@dataclass
+class ImageLibDecoder:
+    """Real decoder stub — requires PIL/ffmpeg, not present in this
+    container. The Spark-side contract is identical to FakeDecoder."""
+
+    def decode(self, payload: bytes) -> tuple[int, int, int]:
+        raise NotImplementedError(
+            "STUB: real image/video decode needs PIL/ffmpeg; plug in via "
+            "Decoder protocol (see FakeDecoder for the tested plumbing)"
+        )
+
+
+def binary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with an opaque binary payload column (utf-8 bytes of text
+    stand in for image bytes) + byte-level metadata."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.md5(F.encode("text", "UTF-8")).alias("payload_md5"),
+    )
+
+
+def binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-side byte-level features of the binary column (no Python)."""
+    return binary_documents(spark, sf_dir).select("doc_id", "n_bytes", "payload_md5")
+
+
+def decode_features(
+    spark: SparkSession, sf_dir: str, decoder: Decoder | None = None
+) -> DataFrame:
+    """The decode/feature-extract operator: mapInPandas over the binary
+    column. Output is flat typed metadata; the heavy bytes never leave the
+    executor. Partition count = decode parallelism."""
+    decoder = decoder or FakeDecoder()
+    src = binary_documents(spark, sf_dir).select("doc_id", "payload", "n_bytes")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [decoder.decode(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_bytes": pdf["n_bytes"].values,
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "n_frames": [d[2] for d in dims],
+                }
+            )
+            out["n_pixels"] = out["width"].astype("int64") * out["height"].astype("int64")
+            yield out
+
+    return src.mapInPandas(run, schema=DECODE_SCHEMA)
+
+
+def frame_sample_plan(
+    spark: SparkSession, sf_dir: str, every_nth: int = 2, decoder: Decoder | None = None
+) -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled frame index —
+    the row-expansion shape a video pipeline needs (explode AFTER decode
+    metadata, so the binary is decoded once per doc, not per frame)."""
+    feats = decode_features(spark, sf_dir, decoder)
+    return feats.select(
+        "doc_id",
+        "n_frames",
+        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_nth))).alias(
+            "frame_idx"
+        ),
+    )

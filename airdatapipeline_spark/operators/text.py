@@ -1,0 +1,134 @@
+"""Text-analysis operators for a large-scale training-data pipeline.
+
+Everything here is pure `pyspark.sql.functions` — tokenization, language ID,
+quality scoring, token counting and fingerprinting all stay inside
+whole-stage codegen (no Python UDFs), so they scan-scale linearly: at 100 TB
+these are single-pass map-only plans (plus one small shuffle for the final
+aggregates), and every expression is mirrored 1:1 in the DuckDB oracle.
+
+All arithmetic follows the repo's determinism rules (see gold.exact_avg):
+integer counts, single-division ratios, no floating accumulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+# tiny public stopword samples per language (for the n-gram/stopword
+# language-ID heuristic; real deployments would plug fastText/CLD3 in via a
+# pandas UDF, but the heuristic keeps the operator JVM-side and oracle-able)
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "es": ["el", "la", "los", "de", "y", "que", "en", "un", "es", "por"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"],
+    "zh": ["的", "是", "在", "了", "有", "和", "人", "这", "中", "大"],
+}
+LANG_PRIORITY = ["en", "de", "es", "fr", "zh"]  # deterministic tie-break order
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens_col(text_col: str = "text") -> Column:
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def _stop_hits(tokens: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+
+def token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts, aggregated per source."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source",
+        F.size(tokens_col()).alias("ws_tokens"),
+        F.regexp_count("text", F.lit(BPE_ISH_PATTERN)).alias("bpe_tokens"),
+        F.length("text").alias("chars"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("ws_tokens").cast("long")).alias("total_ws_tokens"),
+        F.sum(F.col("bpe_tokens").cast("long")).alias("total_bpe_tokens"),
+        F.avg(F.col("ws_tokens").cast("long")).alias("avg_ws_tokens"),
+        F.sum(F.col("chars").cast("long")).alias("total_chars"),
+    )
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + composite score (length, stopword
+    density, word shape) — the length/punct/stopword-ratio heuristic family
+    used to filter web corpora."""
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens_col()
+    df = d.select(
+        "doc_id",
+        "source",
+        # counts as long to match the oracle's BIGINT (duckdb len()/length())
+        F.size(t).cast("long").alias("word_count"),
+        F.length("text").cast("long").alias("char_count"),
+        _stop_hits(t, LANG_STOPWORDS["en"]).cast("long").alias("stop_hits"),
+        F.length(F.regexp_replace("text", r"[^.,!?;:]", "")).cast("long").alias("punct_count"),
+    )
+    wc = F.col("word_count")
+    return df.select(
+        "doc_id",
+        "source",
+        "word_count",
+        "char_count",
+        "punct_count",
+        (F.col("stop_hits") / wc).alias("stopword_ratio"),
+        (F.col("char_count") / wc).alias("avg_word_len"),
+        (
+            F.least(wc / F.lit(100.0), F.lit(1.0)) * F.lit(0.4)
+            + (F.col("stop_hits") / wc) * F.lit(0.4)
+            + F.least((F.col("char_count") / wc) / F.lit(8.0), F.lit(1.0)) * F.lit(0.2)
+        ).alias("quality_score"),
+    )
+
+
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID vs the labeled lang column → confusion
+    counts. Prediction = argmax of per-language hits with a fixed priority
+    tie-break (>= chain), so it is deterministic and SQL-expressible."""
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens_col()
+    hits = {lang: _stop_hits(t, words) for lang, words in LANG_STOPWORDS.items()}
+    df = d.select("lang", *[hits[lg].alias(f"hits_{lg}") for lg in LANG_PRIORITY])
+
+    predicted = None
+    for i, lg in enumerate(LANG_PRIORITY):
+        cond = None
+        for other in LANG_PRIORITY[i + 1 :]:
+            c = F.col(f"hits_{lg}") >= F.col(f"hits_{other}")
+            cond = c if cond is None else (cond & c)
+        branch = F.lit(lg)
+        if predicted is None:
+            predicted = F.when(cond, branch)
+        elif cond is not None:
+            predicted = predicted.when(cond, branch)
+        else:
+            predicted = predicted.otherwise(branch)
+    return (
+        df.select("lang", predicted.alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of the sorted distinct token bag (a
+    word-order-insensitive content fingerprint). Groups with >1 doc are
+    near-dup clusters; keeper = min doc_id. One shuffle on the fingerprint."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.array_join(F.sort_array(F.array_distinct(tokens_col())), " "))
+    return (
+        d.select(fp.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_id"))
+        .filter(F.col("n_docs") > 1)
+    )

@@ -1,0 +1,223 @@
+"""TPC-H-style relational analytics over the driver's star schema.
+
+These exercise the engine surface the reference delegates wholesale to
+Postgres — multi-table joins, grouped/rollup/distinct aggregation, window
+functions, top-k — expressed so Catalyst picks the right physical plan:
+
+- Dimension joins (region/nation/supplier/customer) are broadcast-hash: the
+  small side is marked with ``F.broadcast`` where Catalyst's own threshold
+  might not see it (after filters it always would, but explicit is free).
+- Fact-fact joins (orders ⋈ lineitem) shuffle on the join key; at 100 TB
+  both sides would be bucketed by orderkey at write time to co-locate.
+- Money aggregation is decimal-exact (see gold.exact_avg): floating sums are
+  partition-order-dependent, which is both nondeterministic at scale and
+  un-matchable against a SQL oracle.
+
+Filters are written directly against the scan columns so they push down to
+parquet (verified via .explain: PushedFilters on l_shipdate/o_orderdate/
+c_mktsegment).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+DEC = "decimal(28,6)"
+
+
+def _dec_sum(col) -> F.Column:
+    return F.sum(col.cast(DEC)).cast("double")
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str, ship_cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1: pricing summary report. Single scan → partial agg →
+    4-way shuffle on (returnflag, linestatus); the shuffle carries ~8 rows
+    per partition after map-side combine."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit(ship_cutoff).cast("timestamp_ntz")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dec_sum(disc_price).alias("sum_disc_price"),
+            _dec_sum(charge).alias("sum_charge"),
+            (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count("l_quantity")).alias(
+                "avg_qty"
+            ),
+            (
+                F.sum(F.col("l_extendedprice").cast(DEC)).cast("double")
+                / F.count("l_extendedprice")
+            ).alias("avg_price"),
+            (F.sum(F.col("l_discount").cast(DEC)).cast("double") / F.count("l_discount")).alias(
+                "avg_disc"
+            ),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str, cutoff: str = "1998-06-30") -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customers ⋈ orders ⋈ lineitem,
+    revenue per order, top 10. Customer side is broadcast after the
+    segment filter; orders⋈lineitem shuffles on orderkey. Top-k plans as
+    TakeOrderedAndProject (no global sort)."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(cutoff).cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(cutoff).cast("timestamp_ntz")
+    )
+    joined = li.join(
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "inner",
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.groupBy("l_orderkey", F.to_date("o_orderdate").alias("orderdate"), "o_orderpriority")
+        .agg(_dec_sum(revenue).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_regional_revenue(spark: SparkSession, sf_dir: str, region: str = "ASIA") -> DataFrame:
+    """TPC-H Q5 shape: region → nation → customer → orders → lineitem with
+    the 'local supplier' condition (s_nationkey = c_nationkey). All
+    dimension hops broadcast; the single big shuffle is orders ⋈ lineitem."""
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == region)
+    nat = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    dims = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey, "inner")
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey, "inner")
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey, "inner")
+        .join(
+            F.broadcast(sup),
+            (li.l_suppkey == sup.s_suppkey) & (dims.c_nationkey == sup.s_nationkey),
+            "inner",
+        )
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy("n_name").agg(_dec_sum(revenue).alias("revenue"))
+
+
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate (subtotals + grand total) — integer-exact metrics."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+
+
+def distinct_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — expands to a two-phase aggregate in Spark."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def topk_customers_per_nation(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Top-k per group via ranked window — the canonical OLAP pattern the
+    reference's top-5-categories query approximates globally."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("c_nationkey", "c_custkey", "c_name", "c_acctbal", "rank")
+    )
+
+
+def running_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily order totals with a running cumulative sum (framed window).
+    Decimal accumulation keeps the prefix sums exact and deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("daily_dec"),
+        F.count("*").alias("n_orders"),
+    )
+    w = Window.orderBy("order_date").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "order_date",
+        "n_orders",
+        F.col("daily_dec").cast("double").alias("daily_revenue"),
+        F.sum("daily_dec").over(w).cast("double").alias("running_revenue"),
+    )
+
+
+def events_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event rollup — the streaming table's batch twin (tumbling
+    1-day window ≡ group by date)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count("*").alias("n"),
+        _dec_sum(F.col("value")).alias("total_value"),
+        (F.sum(F.col("value").cast(DEC)).cast("double") / F.count("value")).alias("avg_value"),
+    )
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction from the props column (get_json_object →
+    JVM-side Jackson; no Python boundary)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization: lag(ts) per user → new-session flag on
+    gap > threshold → cumulative-sum session ids → per-user session stats.
+    Two windows over the same (user_id, ts) partitioning — Spark reuses the
+    sort, one shuffle total. At 100 TB this is exactly the batch shape;
+    the streaming twin is session_window() in streaming/events.py."""
+    ev = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact gap (NTZ wall time → epoch micros under the UTC
+    # session); second-truncated diffs are ambiguous at boundaries
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gapped = ev.withColumn("gap_us", us - F.lag(us).over(by_user)).withColumn(
+        "new_session",
+        F.when(
+            F.col("gap_us").isNull() | (F.col("gap_us") > gap_minutes * 60 * 1_000_000), 1
+        ).otherwise(0),
+    )
+    sessions = gapped.withColumn("session_id", F.sum("new_session").over(by_user))
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("events_in_session")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.max("events_in_session").alias("max_session_events"),
+        F.sum("events_in_session").alias("total_events"),
+    )

@@ -664,3 +664,506 @@ def t3(spark, sf_dir):
 )
 def qgates(spark, sf_dir):
     return gold.validation_gates(model.silver_enriched(spark, sf_dir), TODAY)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style extensions (SURVEY.md §7.2 M5) — operators/tpch.py
+# ---------------------------------------------------------------------------
+
+from .operators import tpch  # noqa: E402
+
+_DECSUM = "CAST(SUM(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE)"
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           {_DECSUM.format(expr='l_extendedprice')} AS sum_base_price,
+           {_DECSUM.format(expr='l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {_DECSUM.format(expr='l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {_DECSUM.format(expr='l_quantity')} / COUNT(l_quantity) AS avg_qty,
+           {_DECSUM.format(expr='l_extendedprice')} / COUNT(l_extendedprice) AS avg_price,
+           {_DECSUM.format(expr='l_discount')} / COUNT(l_discount) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q1(spark, sf_dir):
+    return tpch.q1_pricing_summary(spark, sf_dir)
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    f"""
+    SELECT l_orderkey, CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority,
+           {_DECSUM.format(expr='l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem, orders, customer
+    WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def tpch_q3(spark, sf_dir):
+    return tpch.q3_shipping_priority(spark, sf_dir)
+
+
+@register(
+    "tpch_q5_regional_revenue",
+    f"""
+    SELECT n_name, {_DECSUM.format(expr='l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem, orders, customer, nation, region, supplier
+    WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey AND c_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    GROUP BY 1
+    """,
+)
+def tpch_q5(spark, sf_dir):
+    return tpch.q5_regional_revenue(spark, sf_dir)
+
+
+@register(
+    "agg_rollup_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    return tpch.rollup_lineitem(spark, sf_dir)
+
+
+@register(
+    "agg_distinct_customers_per_segment",
+    """
+    SELECT c_mktsegment, COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders
+    FROM orders, customer WHERE o_custkey = c_custkey GROUP BY 1
+    """,
+)
+def agg_distinct(spark, sf_dir):
+    return tpch.distinct_customers_per_segment(spark, sf_dir)
+
+
+@register(
+    "w_topk_customers_per_nation",
+    """
+    SELECT c_nationkey, c_custkey, c_name, c_acctbal, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rank
+      FROM customer
+    ) WHERE rank <= 3
+    """,
+)
+def w_topk(spark, sf_dir):
+    return tpch.topk_customers_per_nation(spark, sf_dir)
+
+
+@register(
+    "w_running_daily_revenue",
+    """
+    SELECT order_date, n_orders, CAST(daily_dec AS DOUBLE) AS daily_revenue,
+           CAST(SUM(daily_dec) OVER (ORDER BY order_date
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_revenue
+    FROM (
+      SELECT CAST(o_orderdate AS DATE) AS order_date,
+             SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS daily_dec, COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    """,
+)
+def w_running(spark, sf_dir):
+    return tpch.running_daily_revenue(spark, sf_dir)
+
+
+@register(
+    "events_daily_by_type",
+    f"""
+    SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n,
+           {_DECSUM.format(expr='value')} AS total_value,
+           {_DECSUM.format(expr='value')} / COUNT(value) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ev_daily(spark, sf_dir):
+    return tpch.events_daily_by_type(spark, sf_dir)
+
+
+@register(
+    "events_json_extract",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY 1
+    """,
+)
+def ev_json(spark, sf_dir):
+    return tpch.events_json_extract(spark, sf_dir)
+
+
+@register(
+    "events_sessionization",
+    """
+    WITH gapped AS (
+      SELECT user_id, event_id, ts,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS gap_us
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000 THEN 1 ELSE 0 END AS new_session
+      FROM gapped
+    ), sess AS (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+      FROM flagged
+    ), per_session AS (
+      SELECT user_id, session_id, COUNT(*) AS events_in_session FROM sess GROUP BY 1, 2
+    )
+    SELECT user_id, COUNT(*) AS n_sessions, MAX(events_in_session) AS max_session_events,
+           CAST(SUM(events_in_session) AS BIGINT) AS total_events
+    FROM per_session GROUP BY 1
+    """,
+)
+def ev_sessions(spark, sf_dir):
+    return tpch.sessionize_events(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline extensions: text analysis, dedup, similarity search
+# ---------------------------------------------------------------------------
+
+from .operators import dedup, similarity, text  # noqa: E402
+
+_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+_SQL_LIST = lambda words: "[" + ",".join(f"'{w}'" for w in words) + "]"  # noqa: E731
+
+
+@register(
+    "text_token_stats_by_source",
+    f"""
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(len({_TOKS})) AS BIGINT) AS total_ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{text.BPE_ISH_PATTERN}'))) AS BIGINT)
+             AS total_bpe_tokens,
+           AVG(len({_TOKS})) AS avg_ws_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def t_tokstats(spark, sf_dir):
+    return text.token_stats_by_source(spark, sf_dir)
+
+
+@register(
+    "text_quality_scores",
+    f"""
+    SELECT doc_id, source, word_count, char_count, punct_count,
+           stop_hits / word_count AS stopword_ratio,
+           char_count / word_count AS avg_word_len,
+           least(word_count / 100.0, 1.0) * 0.4 + (stop_hits / word_count) * 0.4
+             + least((char_count / word_count) / 8.0, 1.0) * 0.2 AS quality_score
+    FROM (
+      SELECT doc_id, source, len(t) AS word_count, length(text) AS char_count,
+             len(list_filter(t, x -> list_contains({_SQL_LIST(text.LANG_STOPWORDS['en'])}, x)))
+               AS stop_hits,
+             length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS punct_count
+      FROM (SELECT doc_id, source, text, {_TOKS} AS t FROM documents)
+    )
+    """,
+)
+def t_quality(spark, sf_dir):
+    return text.quality_scores(spark, sf_dir)
+
+
+def _langid_case() -> str:
+    langs = text.LANG_PRIORITY
+    whens = []
+    for i, lg in enumerate(langs[:-1]):
+        conds = " AND ".join(f"hits_{lg} >= hits_{o}" for o in langs[i + 1 :])
+        whens.append(f"WHEN {conds} THEN '{lg}'")
+    return "CASE " + " ".join(whens) + f" ELSE '{langs[-1]}' END"
+
+
+@register(
+    "text_langid_confusion",
+    f"""
+    SELECT lang, {_langid_case()} AS predicted_lang, COUNT(*) AS n
+    FROM (
+      SELECT lang,
+             {", ".join(
+                 f"len(list_filter(t, x -> list_contains({_SQL_LIST(text.LANG_STOPWORDS[lg])}, x))) AS hits_{lg}"
+                 for lg in text.LANG_PRIORITY
+             )}
+      FROM (SELECT lang, {_TOKS} AS t FROM documents)
+    ) GROUP BY 1, 2
+    """,
+)
+def t_langid(spark, sf_dir):
+    return text.langid_confusion(spark, sf_dir)
+
+
+@register(
+    "text_fingerprint_clusters",
+    f"""
+    SELECT md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fingerprint,
+           COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
+    FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+)
+def t_fingerprint(spark, sf_dir):
+    return text.fingerprint_clusters(spark, sf_dir)
+
+
+@register(
+    "dedup_exact_groups",
+    with_model_ctes(
+        """
+        SELECT md5(title) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper_id
+        FROM bronze GROUP BY 1 HAVING COUNT(*) > 1
+        """,
+        bronze=True,
+    ),
+)
+def dd_exact(spark, sf_dir):
+    return dedup.exact_dup_groups(spark, sf_dir)
+
+
+_SHINGLES_CTE = f"""
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(t) >= 3
+                THEN list_transform(generate_series(1, len(t) - 2),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                ELSE []::VARCHAR[] END)) AS shingle
+  FROM (SELECT doc_id, {_TOKS} AS t FROM {{src}})
+)
+""".strip()
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    f"""
+    WITH {_SHINGLES_CTE.format(src="(SELECT * FROM documents WHERE doc_id % 20 = 0)")},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_inter / (sa.n + sb.n - n_inter) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+    ORDER BY jaccard DESC, id_a, id_b LIMIT 20
+    """,
+)
+def dd_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(spark, sf_dir)
+
+
+_MINHASH_AGGS = ", ".join(
+    f"MIN(md5('{j}:' || shingle)) AS h{j}" for j in range(dedup.N_MINHASH)
+)
+_BAND_SELECTS = "\n      UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, md5(h{2*b} || h{2*b+1}) AS bucket FROM sig"
+    for b in range(dedup.N_MINHASH // 2)
+)
+
+
+@register(
+    "dedup_minhash_lsh_candidates",
+    f"""
+    WITH {_SHINGLES_CTE.format(src="documents")},
+    sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY 1),
+    bands AS (
+      {_BAND_SELECTS}
+    )
+    SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+    FROM bands x JOIN bands y
+      ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+    """,
+)
+def dd_minhash(spark, sf_dir):
+    return dedup.minhash_lsh_candidates(spark, sf_dir)
+
+
+_SIMHASH_BITSUMS = ", ".join(
+    f"SUM((h >> {b}) & 1) AS b{b}" for b in range(dedup.SIMHASH_BITS)
+)
+_SIMHASH_VALUE = " + ".join(
+    f"CAST(CASE WHEN b{b} * 2 > n_tok THEN 1 ELSE 0 END AS BIGINT) * CAST({2**b} AS BIGINT)"
+    for b in range(dedup.SIMHASH_BITS)
+)
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    hashed AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tok),
+    perbit AS (SELECT doc_id, COUNT(*) AS n_tok, {_SIMHASH_BITSUMS} FROM hashed GROUP BY 1),
+    sig AS (SELECT doc_id, {_SIMHASH_VALUE} AS simhash FROM perbit WHERE doc_id % 20 = 0)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    """,
+)
+def dd_simhash(spark, sf_dir):
+    return dedup.simhash_near_pairs(spark, sf_dir)
+
+
+_EMB_CTE = """
+e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+  FROM embeddings
+)
+""".strip()
+
+
+@register(
+    "dedup_embedding_cosine_pairs",
+    f"""
+    WITH {_EMB_CTE}
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_dot_product(a.emb, b.emb) / (a.norm * b.norm) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 = 0
+    ORDER BY cosine DESC, id_a, id_b LIMIT 20
+    """,
+)
+def dd_embcos(spark, sf_dir):
+    return dedup.embedding_near_dup_pairs(spark, sf_dir)
+
+
+@register(
+    "simsearch_bruteforce_topk",
+    f"""
+    WITH {_EMB_CTE}
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.emb, c.emb) / (q.norm * c.norm) AS cosine,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_dot_product(q.emb, c.emb) / (q.norm * c.norm) DESC, c.vec_id
+             ) AS rank
+      FROM e c, (SELECT * FROM e WHERE vec_id < 10) q
+      WHERE c.vec_id <> q.vec_id
+    ) WHERE rank <= 10
+    """,
+)
+def ss_brute(spark, sf_dir):
+    return similarity.brute_force_topk(spark, sf_dir)
+
+
+_BUCKET_SQL = "concat(" + ", ".join(
+    f"CASE WHEN list_dot_product(embedding::DOUBLE[], {similarity.lsh_plane_sql(p)}) > 0 "
+    "THEN '1' ELSE '0' END"
+    for p in similarity.PLANES
+) + ")"
+
+
+@register(
+    "simsearch_lsh_topk",
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm,
+             {_BUCKET_SQL} AS bucket
+      FROM embeddings
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.emb, c.emb) / (q.norm * c.norm) AS cosine,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_dot_product(q.emb, c.emb) / (q.norm * c.norm) DESC, c.vec_id
+             ) AS rank
+      FROM e c JOIN (SELECT * FROM e WHERE vec_id < 10) q
+        ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+    ) WHERE rank <= 5
+    """,
+)
+def ss_lsh(spark, sf_dir):
+    return similarity.lsh_bucketed_topk(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing + Structured Streaming replay
+# ---------------------------------------------------------------------------
+
+from .operators import multimodal  # noqa: E402
+from .streaming import events as streaming_events  # noqa: E402
+
+
+@register(
+    "mm_binary_features",
+    """
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def mm_features(spark, sf_dir):
+    return multimodal.binary_features(spark, sf_dir)
+
+
+@register(
+    "mm_decode_features",
+    """
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+           CAST(16 * (1 + CAST(concat('0x', substr(md5(text), 1, 2)) AS INT) % 64) AS INTEGER) AS width,
+           CAST(16 * (1 + CAST(concat('0x', substr(md5(text), 3, 2)) AS INT) % 64) AS INTEGER) AS height,
+           CAST(1 + CAST(concat('0x', substr(md5(text), 5, 2)) AS INT) % 8 AS INTEGER) AS n_frames,
+           CAST(16 * (1 + CAST(concat('0x', substr(md5(text), 1, 2)) AS INT) % 64) AS BIGINT)
+             * CAST(16 * (1 + CAST(concat('0x', substr(md5(text), 3, 2)) AS INT) % 64) AS BIGINT)
+             AS n_pixels
+    FROM documents
+    """,
+)
+def mm_decode(spark, sf_dir):
+    return multimodal.decode_features(spark, sf_dir)
+
+
+@register(
+    "stream_tumbling_counts",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def st_tumbling(spark, sf_dir):
+    return streaming_events.tumbling_counts(spark, sf_dir)
+
+
+@register(
+    "stream_session_counts",
+    """
+    WITH gapped AS (
+      SELECT user_id, event_id, ts,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS gap_us
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN gap_us IS NULL OR gap_us >= 1800 * 1000000 THEN 1 ELSE 0 END AS new_session
+      FROM gapped
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def st_sessions(spark, sf_dir):
+    return streaming_events.session_counts(spark, sf_dir)

@@ -1,0 +1,103 @@
+"""Structured Streaming over the events table.
+
+The reference is purely scheduled batch (SURVEY.md §2.11) — its
+incremental-by-set-difference pattern is exactly what Structured Streaming's
+file source replaces. These operators replay the events parquet as a stream
+with `availableNow`-style synchronous processing (processAllAvailable), so
+each returns a plain DataFrame the driver/oracle can check:
+
+- tumbling_counts: watermark + 1-hour tumbling window aggregate,
+  `complete` output (all finalized windows; batch-equivalent, so the DuckDB
+  oracle is just date_trunc('hour')).
+- session_counts: session_window(gap) stateful aggregation — the streaming
+  twin of operators/tpch.sessionize_events.
+
+On a real cluster the same code points readStream at an arriving-files
+directory (or Kafka) and swaps the memory sink for foreachBatch+MERGE; the
+plan and state management are identical.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_STAGED: dict[str, str] = {}
+
+
+def _landing_dir(sf_dir: str) -> str:
+    """The file stream source consumes a DIRECTORY of arriving files; stage
+    the events parquet into one (cached per sf_dir). In production this is
+    the landing zone new files drop into."""
+    if sf_dir not in _STAGED:
+        d = tempfile.mkdtemp(prefix="events_stream_")
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), d)
+        _STAGED[sf_dir] = d
+    return _STAGED[sf_dir]
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # schema must be pinned for readStream; reuse the batch reader's schema
+    # (ts arrives as epoch-nanos long under the nanosAsLong conf — convert
+    # exactly like io.load_table does)
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = spark.readStream.schema(batch.schema).parquet(_landing_dir(sf_dir))
+    # watermarks require TIMESTAMP (not NTZ); under the UTC session the wall
+    # times are identical — outputs are cast back to NTZ after aggregation
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_table(agg: DataFrame, mode: str) -> DataFrame:
+    name = f"stream_out_{uuid.uuid4().hex[:12]}"
+    q = agg.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = agg.sparkSession
+    # materialize before the in-memory sink table goes away
+    return spark.createDataFrame(spark.table(name).collect(), schema=spark.table(name).schema)
+
+
+def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling-window counts/sums per event_type with a 10-minute
+    watermark. Decimal-exact value sums (deterministic under any trigger
+    cadence / partitioning — the property that matters for exactly-once)."""
+    ev = _event_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("dec_value"),
+        )
+    )
+    out = _run_to_table(agg, "complete")
+    return out.select(
+        F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n",
+        F.col("dec_value").cast("double").alias("total_value"),
+    )
+
+
+def session_counts(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") -> DataFrame:
+    """Stateful session-window aggregation per user (gap-merged sessions).
+    Streaming twin of the batch lag/cumsum sessionization."""
+    ev = _event_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = _run_to_table(agg, "complete")
+    return out.select(
+        "user_id",
+        F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+        "n_events",
+    )

@@ -26,6 +26,13 @@ HEADLINE = [
     "j1_pending_antijoin",
     "d1_d2_dedup_headlines",
     "t3_recent_headlines_topk",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_regional_revenue",
+    "events_sessionization",
+    "dedup_minhash_lsh_candidates",
+    "simsearch_bruteforce_topk",
+    "simsearch_lsh_topk",
 ]
 
 
