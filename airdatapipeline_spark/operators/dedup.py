@@ -30,6 +30,13 @@ from .text import tokens_col
 
 N_MINHASH = 8  # minhash functions; banded 2 per band → 4 LSH buckets
 
+# Fixed affine-permutation constants for the minhash family
+# g_j(h) = (A[j] * (h mod 2^30) + B[j]) mod P — independent orderings per j,
+# overflow-safe in signed 64-bit in both engines (A < 2^31, h' < 2^30).
+MINHASH_P = 2147483647  # 2^31 − 1 (Mersenne prime)
+MINHASH_A = [1103515245, 1588635695, 1117695901, 213190001, 741103597, 887987685, 1431655765, 1540483477]
+MINHASH_B = [12345, 98761, 55555, 777001, 31337, 271829, 918273, 424243]
+
 
 def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: md5(title) groups with more than one member, over the
@@ -91,14 +98,21 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k=8 minhash values per doc: h_j = min over shingles of md5('j:'‖s).
-    (Min over lexicographic md5 hex ≡ a universal-ish hash family for
-    set-resemblance; md5 keeps it engine-portable.) Docs with <3 tokens
-    have no shingles and drop out (nothing to near-dup on)."""
+    """k=8 minhash values per doc: ONE md5 per shingle reduced to a 30-bit
+    int, then 8 independent affine permutations g_j = (A_j·h + B_j) mod P —
+    one string hash total, integer min-aggregation/shuffles, and (unlike
+    naive h1 + j·h2 double hashing) per-j orderings that are actually
+    independent, so band buckets don't correlate. Docs with <3 tokens have
+    no shingles and drop out (nothing to near-dup on)."""
     d = load_table(spark, sf_dir, "documents")
     sh = _shingles(d)
+    h = F.conv(F.substring(F.md5("shingle"), 1, 14), 16, 10).cast("long") % F.lit(
+        1073741824
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"h{j}")
+        F.min((F.lit(MINHASH_A[j]) * h + F.lit(MINHASH_B[j])) % F.lit(MINHASH_P)).alias(
+            f"h{j}"
+        )
         for j in range(N_MINHASH)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -114,7 +128,8 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         b = sig.select(
             "doc_id",
             F.lit(band).alias("band"),
-            F.md5(F.concat(F.col(f"h{2*band}"), F.col(f"h{2*band+1}"))).alias("bucket"),
+            F.col(f"h{2*band}").alias("bx"),
+            F.col(f"h{2*band+1}").alias("by"),
         )
         bands = b if bands is None else bands.unionByName(b)
     x = bands.alias("x")
@@ -123,7 +138,8 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         x.join(
             y,
             (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.bx") == F.col("y.bx"))
+            & (F.col("x.by") == F.col("y.by"))
             & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
         .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))

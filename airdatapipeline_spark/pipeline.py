@@ -21,6 +21,21 @@ from . import model
 from .operators import enrichment, gold, relational
 
 
+def run_scrape_job(
+    spark: SparkSession, landing_dir: str, warehouse: str, run_id: str = "r0", scraper=None
+) -> DataFrame:
+    """DAG-1 replay (SURVEY §3.1): scrape → clean → CSV landing partition →
+    explicit-schema read-back → Bronze overwrite. Returns the loaded Bronze."""
+    from .sources import csv_io, scrape
+
+    raw = scrape.scrape_to_dataframe(spark, scraper)
+    clean = relational.clean_headlines(raw)
+    path = csv_io.write_headlines_csv(clean, landing_dir, run_id)
+    loaded = csv_io.read_headlines_csv(spark, csv_io.latest_run_dir(landing_dir))
+    csv_io.overwrite_bronze(loaded, warehouse)
+    return spark.read.parquet(f"{warehouse}/bronze/raw_headlines")
+
+
 def run_enrichment(spark: SparkSession, sf_dir: str, batch: int | None = None) -> DataFrame:
     """The enrichment job: returns the post-run silver table (existing rows
     plus newly classified pending rows)."""

@@ -969,10 +969,11 @@ def dd_jaccard(spark, sf_dir):
 
 
 _MINHASH_AGGS = ", ".join(
-    f"MIN(md5('{j}:' || shingle)) AS h{j}" for j in range(dedup.N_MINHASH)
+    f"MIN(({dedup.MINHASH_A[j]} * h + {dedup.MINHASH_B[j]}) % {dedup.MINHASH_P}) AS h{j}"
+    for j in range(dedup.N_MINHASH)
 )
 _BAND_SELECTS = "\n      UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band, md5(h{2*b} || h{2*b+1}) AS bucket FROM sig"
+    f"SELECT doc_id, {b} AS band, h{2*b} AS bx, h{2*b+1} AS by FROM sig"
     for b in range(dedup.N_MINHASH // 2)
 )
 
@@ -981,13 +982,18 @@ _BAND_SELECTS = "\n      UNION ALL ".join(
     "dedup_minhash_lsh_candidates",
     f"""
     WITH {_SHINGLES_CTE.format(src="documents")},
-    sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM sh GROUP BY 1),
+    hashed AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(shingle), 1, 14)) AS BIGINT) % 1073741824 AS h
+      FROM sh
+    ),
+    sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM hashed GROUP BY 1),
     bands AS (
       {_BAND_SELECTS}
     )
     SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
     FROM bands x JOIN bands y
-      ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+      ON x.band = y.band AND x.bx = y.bx AND x.by = y.by AND x.doc_id < y.doc_id
     """,
 )
 def dd_minhash(spark, sf_dir):
@@ -1167,3 +1173,102 @@ def st_tumbling(spark, sf_dir):
 )
 def st_sessions(spark, sf_dir):
     return streaming_events.session_counts(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Sources / sinks (§2.1): scrape source, CSV round-trip, partitioned silver
+# ---------------------------------------------------------------------------
+
+import tempfile  # noqa: E402
+
+from .sources import csv_io, scrape  # noqa: E402
+
+_FAKE_SCRAPE_CTE = """
+fake AS (
+  SELECT i AS doc_id,
+         CASE WHEN i % 13 = 0 THEN 'curta ' || CAST(i AS VARCHAR)
+              ELSE 'Notícia de teste número ' || CAST(i AS VARCHAR)
+                   || ' com título suficientemente longo' END AS title,
+         CASE WHEN i % 11 = 0 THEN 'ftp://invalid.example/' || CAST(lid AS VARCHAR)
+              WHEN i % 7 = 0 THEN '/noticia/' || CAST(lid AS VARCHAR)
+              ELSE 'https://g1.globo.com/noticia/' || CAST(lid AS VARCHAR) END AS link,
+         'G1' AS source,
+         TIMESTAMP '2025-08-01 08:00:00' + (i % 10) * INTERVAL 1 DAY AS scraped_at
+  FROM (SELECT i, CASE WHEN i % 10 = 9 THEN i - 1 ELSE i END AS lid
+        FROM generate_series(0, 99) t(i))
+)
+""".strip()
+
+
+@register(
+    "src1_scrape_clean",
+    "WITH "
+    + _FAKE_SCRAPE_CTE
+    + f"""
+    SELECT doc_id, title, link, source, scraped_at FROM (
+      SELECT *, row_number() OVER (PARTITION BY title ORDER BY doc_id) AS rn_t FROM (
+        SELECT *, row_number() OVER (PARTITION BY link ORDER BY doc_id) AS rn_l FROM (
+          SELECT doc_id, title,
+                 CASE WHEN link LIKE '/%' THEN '{URL_PREFIX}' || link
+                      WHEN link LIKE 'http%' THEN link END AS link,
+                 source, scraped_at
+          FROM fake WHERE length(title) >= 15
+        ) WHERE link IS NOT NULL
+      ) WHERE rn_l = 1
+    ) WHERE rn_t = 1
+    """,
+)
+def src1(spark, sf_dir):
+    raw = scrape.scrape_to_dataframe(spark, scrape.FakeScraper(n_rows=100))
+    return relational.clean_headlines(raw)
+
+
+@register(
+    "src_csv_roundtrip",
+    with_model_ctes(
+        """
+        SELECT source, COUNT(*) AS n, MIN(scraped_at) AS first_scraped,
+               MAX(scraped_at) AS last_scraped
+        FROM bronze_clean GROUP BY 1
+        """,
+        bronze_clean=True,
+    ),
+)
+def src_csv(spark, sf_dir):
+    """Lossless CSV round-trip: clean bronze → CSV landing dir (explicit
+    NTZ format) → schema-pinned read-back → aggregate. The oracle aggregates
+    the pre-roundtrip frame, so a match proves no type/precision loss."""
+    bronze_clean = relational.clean_headlines(model.bronze_headlines(spark, sf_dir))
+    land = tempfile.mkdtemp(prefix="csv_landing_")
+    csv_io.write_headlines_csv(bronze_clean, land, "bench")
+    back = csv_io.read_headlines_csv(spark, csv_io.latest_run_dir(land))
+    return back.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.min("scraped_at").alias("first_scraped"),
+        F.max("scraped_at").alias("last_scraped"),
+    )
+
+
+@register(
+    "snk_silver_partitioned_prune",
+    with_model_ctes(
+        f"""
+        SELECT sentiment, COUNT(*) AS n FROM silver
+        WHERE CAST(processed_at AS DATE) = DATE '{TODAY}' GROUP BY 1
+        """,
+        silver=True,
+    ),
+)
+def snk_silver(spark, sf_dir):
+    """Date-partitioned silver write → read-back → today filter: the filter
+    hits the partition column, so the scan prunes to one directory (the
+    Spark replacement for the reference's processed_at index)."""
+    silver = model.silver_enriched(spark, sf_dir)
+    wh = tempfile.mkdtemp(prefix="warehouse_")
+    path = csv_io.write_silver_partitioned(silver, wh)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("processed_date") == F.lit(TODAY).cast("date"))
+        .groupBy("sentiment")
+        .agg(F.count("*").alias("n"))
+    )

@@ -43,6 +43,17 @@ def main() -> None:
     spark = get_spark("bench")
     queries = entrymod.queries()
 
+    # Warm-up: JVM codegen, parquet footers, and the Python worker pool —
+    # so timings measure steady-state engine throughput, not process spin-up
+    # (a long-lived cluster is always warm).
+    spark.range(1000).selectExpr("sum(id)").collect()
+    for t in ("lineitem", "orders", "customer", "documents", "embeddings", "events"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").limit(1).collect()
+    spark.range(64).mapInPandas(
+        lambda it: (pdf for pdf in it), schema="id long"
+    ).count()
+    entrymod.entry(spark).count()  # full pipeline shape at sf0.001
+
     def run_flagship():
         from airdatapipeline_spark.pipeline import flagship
 
