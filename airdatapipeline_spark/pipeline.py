@@ -77,10 +77,16 @@ def write_gold(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
     replacement for the reference's Postgres indexes: partition pruning on
     analysis_date serves every today/date-range predicate."""
     silver_after = run_enrichment(spark, sf_dir)
-    stg = model.stg_enriched_headlines(silver_after)
-    gold.daily_sentiment_analysis(stg).write.mode("overwrite").partitionBy(
-        "analysis_date"
-    ).parquet(f"{out_dir}/daily_sentiment_analysis")
-    gold.daily_category_analysis(stg).write.mode("overwrite").partitionBy(
-        "analysis_date"
-    ).parquet(f"{out_dir}/daily_category_analysis")
+    # SNK4 — cache the staging frame: both Gold models read it, and dbt's
+    # view materialization recomputes it per model (SURVEY §4); one cached
+    # pass here serves both writes.
+    stg = model.stg_enriched_headlines(silver_after).cache()
+    try:
+        gold.daily_sentiment_analysis(stg).write.mode("overwrite").partitionBy(
+            "analysis_date"
+        ).parquet(f"{out_dir}/daily_sentiment_analysis")
+        gold.daily_category_analysis(stg).write.mode("overwrite").partitionBy(
+            "analysis_date"
+        ).parquet(f"{out_dir}/daily_category_analysis")
+    finally:
+        stg.unpersist()

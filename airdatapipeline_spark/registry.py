@@ -1272,3 +1272,149 @@ def snk_silver(spark, sf_dir):
         .groupBy("sentiment")
         .agg(F.count("*").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Coverage completions: P8, T1/T2, T4/T5, scalar display functions, quantiles
+# ---------------------------------------------------------------------------
+
+@register(
+    "p8_nulldrop_metric",
+    with_model_ctes(
+        """
+        SELECT source, COUNT(*) AS n
+        FROM silver WHERE category IS NOT NULL AND confidence_score IS NOT NULL
+        GROUP BY 1
+        """,
+        silver=True,
+    ),
+)
+def p8(spark, sf_dir):
+    """P8 — na.drop on metric columns (streamlit_app/dashboard.py:465,506)."""
+    silver = model.silver_enriched(spark, sf_dir)
+    return (
+        silver.na.drop(subset=["category", "confidence_score"])
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "t1_t2_gold_ordered",
+    with_model_ctes(
+        """
+        SELECT * FROM gold_c
+        ORDER BY analysis_date DESC, category_count DESC, category
+        """,
+        stg=True,
+        extra=[GOLD_C_CTE],
+    ),
+)
+def t1_t2(spark, sf_dir):
+    """T1/T2 — multi-key presentation sort of the Gold output
+    (dbt_project/models/gold/daily_category_analysis.sql:28-30). Spark
+    tables don't persist order; the sort is the query's output order."""
+    return _gold_category(spark, sf_dir).orderBy(
+        F.desc("analysis_date"), F.desc("category_count"), F.asc("category")
+    )
+
+
+@register(
+    "t4_t5_batch_limit",
+    with_model_ctes(
+        "SELECT id, title, sentiment, category FROM silver ORDER BY id LIMIT 50",
+        silver=True,
+    ),
+)
+def t4_t5(spark, sf_dir):
+    """T4/T5 — stable-id sort + batch LIMIT (the enricher's batch_size=50
+    fetch, scripts/llm_enricher.py:102; id sort scripts/llm_test_enricher.py:347)."""
+    return (
+        model.silver_enriched(spark, sf_dir)
+        .orderBy("id")
+        .limit(50)
+        .select("id", "title", "sentiment", "category")
+    )
+
+
+@register(
+    "q_scalar_display_functions",
+    with_model_ctes(
+        """
+        SELECT id,
+               strftime(processed_at, '%d/%m/%Y %H:%M') AS display_ts,
+               printf('%.1f%%', confidence_score * 100) AS confidence_pct,
+               substr(title, 1, 30) AS title_short,
+               upper(trim(source)) AS source_norm
+        FROM silver WHERE sentiment <> 'Erro'
+        """,
+        silver=True,
+    ),
+)
+def q_scalar(spark, sf_dir):
+    """§2.10 scalar-function surface: display timestamp format
+    (dashboard.py:547), percent formatting (dashboard.py:561), truncation
+    (llm_enricher.py:224), trim (scraper.py:102). confidence*100 is always
+    integer-valued, so printf rounding (Java HALF_UP vs C half-even) can't
+    diverge."""
+    silver = model.silver_enriched(spark, sf_dir)
+    return silver.filter(F.col("sentiment") != "Erro").select(
+        "id",
+        F.date_format("processed_at", "dd/MM/yyyy HH:mm").alias("display_ts"),
+        F.format_string("%.1f%%", F.col("confidence_score") * 100).alias("confidence_pct"),
+        F.substring("title", 1, 30).alias("title_short"),
+        F.upper(F.trim("source")).alias("source_norm"),
+    )
+
+
+@register(
+    "agg_quantiles_quantity",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_quantity, 0.95) AS p95_qty,
+           MAX(l_quantity) AS max_qty
+    FROM lineitem GROUP BY 1
+    """,
+)
+def agg_quantiles(spark, sf_dir):
+    """Exact linear-interpolation quantiles (both engines sort-exact; the
+    integral quantity domain keeps interpolation arithmetic identical)."""
+    from .io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
+        F.percentile("l_quantity", F.lit(0.95)).alias("p95_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+@register(
+    "tpch_q10_returned_revenue",
+    f"""
+    SELECT c_custkey, c_name,
+           {_DECSUM.format(expr='l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer, orders, lineitem
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_returnflag = 'R'
+    GROUP BY 1, 2
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def tpch_q10(spark, sf_dir):
+    """TPC-H Q10 shape: revenue lost to returned items per customer, top 20.
+    lineitem filtered on returnflag at the scan; customer broadcast."""
+    from .io import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(revenue.cast("decimal(28,6)")).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
