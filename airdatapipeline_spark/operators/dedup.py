@@ -123,15 +123,19 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate near-dup pairs. The pair search is an equi-join on
     (band, bucket) — shuffle-partitioned by bucket, never quadratic."""
     sig = minhash_signatures(spark, sf_dir)
-    bands = None
-    for band in range(N_MINHASH // 2):
-        b = sig.select(
-            "doc_id",
-            F.lit(band).alias("band"),
-            F.col(f"h{2*band}").alias("bx"),
-            F.col(f"h{2*band+1}").alias("by"),
-        )
-        bands = b if bands is None else bands.unionByName(b)
+    # one posexplode pass, NOT a 4-way union of selects (a union would make
+    # Catalyst recompute the signature aggregation once per band)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.col(f"h{2*b}").alias("bx"), F.col(f"h{2*b+1}").alias("by")
+            )
+            for b in range(N_MINHASH // 2)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.posexplode(band_structs).alias("band", "bs")
+    ).select("doc_id", "band", F.col("bs.bx").alias("bx"), F.col("bs.by").alias("by"))
     x = bands.alias("x")
     y = bands.alias("y")
     return (

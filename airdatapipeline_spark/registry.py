@@ -1418,3 +1418,52 @@ def tpch_q10(spark, sf_dir):
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 Python DataSource + applyInPandas grouped-map
+# ---------------------------------------------------------------------------
+
+from .operators import grouped  # noqa: E402
+
+_FAKE_SCRAPE_200_CTE = _FAKE_SCRAPE_CTE.replace("generate_series(0, 99)", "generate_series(0, 199)")
+
+
+@register(
+    "src1_datasource_scrape",
+    "WITH " + _FAKE_SCRAPE_200_CTE + """
+    SELECT doc_id, title, link, source, scraped_at FROM fake
+    """,
+)
+def src1_ds(spark, sf_dir):
+    """SRC1 scale path: executor-side scraping via a registered Python
+    DataSource (each partition scrapes its shard)."""
+    from .sources.scrape_datasource import HeadlineScrapeDataSource
+
+    try:
+        spark.dataSource.register(HeadlineScrapeDataSource)
+    except Exception:
+        pass  # already registered in this session
+    return (
+        spark.read.format("headline_scrape")
+        .option("n_rows", 200)
+        .option("n_partitions", 4)
+        .load()
+    )
+
+
+@register(
+    "w_user_gap_median",
+    """
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS gap_us
+      FROM events
+    )
+    SELECT user_id, COUNT(gap_us) AS n_gaps, quantile_cont(gap_us, 0.5) AS median_gap_us
+    FROM g WHERE gap_us IS NOT NULL GROUP BY 1
+    """,
+)
+def w_gap_median(spark, sf_dir):
+    return grouped.user_gap_median(spark, sf_dir)

@@ -84,3 +84,38 @@ def test_rollup_grand_total(spark):
     grand = out[out.l_returnflag.isna() & out.l_linestatus.isna()]
     assert len(grand) == 1
     assert grand.n.iloc[0] == load_table(spark, SF_SMALL, "lineitem").count()
+
+
+def test_python_datasource_matches_driver_side_scraper(spark):
+    """The executor-side DataSource shard union must equal the driver-side
+    FakeScraper rows (same pure function of i)."""
+    from airdatapipeline_spark.sources import scrape
+    from airdatapipeline_spark.sources.scrape_datasource import HeadlineScrapeDataSource
+
+    try:
+        spark.dataSource.register(HeadlineScrapeDataSource)
+    except Exception:
+        pass
+    ds = (
+        spark.read.format("headline_scrape")
+        .option("n_rows", 100)
+        .option("n_partitions", 7)
+        .load()
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    drv = scrape.scrape_to_dataframe(spark, scrape.FakeScraper(n_rows=100)).orderBy(
+        "doc_id"
+    ).toPandas()
+    assert ds.equals(drv)
+
+
+def test_user_gap_median_excludes_single_event_users(spark):
+    from airdatapipeline_spark.io import load_table
+    from airdatapipeline_spark.operators import grouped
+
+    out = grouped.user_gap_median(spark, SF_SMALL).toPandas()
+    ev = load_table(spark, SF_SMALL, "events").groupBy("user_id").count().toPandas()
+    multi = set(ev[ev["count"] >= 2].user_id)
+    assert set(out.user_id) == multi
+    assert (out.n_gaps >= 1).all() and out.median_gap_us.notna().all()
