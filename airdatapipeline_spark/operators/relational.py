@@ -122,3 +122,21 @@ def union_dedup(dfs: list[DataFrame], key: str, order: str) -> DataFrame:
     from functools import reduce
 
     return dedup_first_by(reduce(DataFrame.unionByName, dfs), key, order)
+
+
+def salted_join(
+    big: DataFrame, small: DataFrame, key: str, n_salts: int = 8
+) -> DataFrame:
+    """Skew-mitigation pattern: explode the small side n_salts ways and salt
+    the big side's key, so one hot key spreads over n_salts shuffle
+    partitions. AQE's skew-join handles most cases automatically; this is
+    the manual tool for extreme single-key skew (e.g. a null-ish default
+    key holding 10% of 100 TB). Inner equi-join semantics preserved."""
+    from pyspark.sql import functions as F
+
+    salted_big = big.withColumn("__salt", (F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts))))
+    salted_small = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = salted_big.join(salted_small, on=[key, "__salt"], how="inner")
+    return out.drop("__salt")

@@ -1467,3 +1467,52 @@ def src1_ds(spark, sf_dir):
 )
 def w_gap_median(spark, sf_dir):
     return grouped.user_gap_median(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Join-shape completions: EXISTS (semi), LEFT OUTER distribution, HAVING
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q4_order_priority_exists",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+    GROUP BY 1
+    """,
+)
+def tpch_q4(spark, sf_dir):
+    return tpch.q4_order_priority_exists(spark, sf_dir)
+
+
+@register(
+    "tpch_q13_custdist",
+    """
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      GROUP BY 1
+    ) GROUP BY 1
+    """,
+)
+def tpch_q13(spark, sf_dir):
+    return tpch.q13_customer_order_distribution(spark, sf_dir)
+
+
+@register(
+    "tpch_q18_large_volume",
+    """
+    SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+           o_totalprice, total_qty
+    FROM orders
+    JOIN (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+          FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 300) big
+      ON o_orderkey = big.l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def tpch_q18(spark, sf_dir):
+    return tpch.q18_large_volume_orders(spark, sf_dir)

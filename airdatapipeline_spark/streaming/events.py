@@ -101,3 +101,58 @@ def session_counts(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") ->
         F.col("w.start").cast("timestamp_ntz").alias("session_start"),
         "n_events",
     )
+
+
+def streaming_enrichment_job(
+    spark: SparkSession, landing_dir: str, silver_path: str, checkpoint_dir: str
+) -> None:
+    """The reference's daily incremental batch as a continuous stream:
+    bronze files arrive in `landing_dir` → each micro-batch is cleaned,
+    anti-joined against current silver (only NEW links), mock-classified,
+    and idempotently appended — `foreachBatch` + anti-join is the
+    plain-parquet stand-in for `MERGE WHEN NOT MATCHED` (exactly-once via
+    the checkpoint + idempotent writes). Runs with availableNow (drain
+    what's there, then stop) — the 1:1 replacement for the daily cron."""
+    import os
+
+    from ..operators import enrichment, relational
+    from ..schemas import BRONZE_SCHEMA
+
+    stream = (
+        spark.readStream.schema(BRONZE_SCHEMA)
+        .option("header", True)
+        .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .csv(landing_dir)
+    )
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        clean = relational.clean_headlines(batch_df)
+        if os.path.exists(silver_path):
+            existing_keys = batch_df.sparkSession.read.parquet(silver_path).select(
+                F.col("raw_link").alias("link")
+            )
+            clean = clean.join(existing_keys, on="link", how="left_anti")
+        enriched = relational.validate_domains(enrichment.enrich(clean))
+        rows = enriched.select(
+            F.col("doc_id").alias("id"),
+            F.col("link").alias("raw_link"),
+            "title",
+            "link",
+            "source",
+            "scraped_at",
+            "sentiment",
+            "category",
+            "confidence_score",
+            "processing_time_seconds",
+            F.col("scraped_at").alias("processed_at"),
+            "model_used",
+        )
+        rows.write.mode("append").parquet(silver_path)
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -75,3 +75,52 @@ def test_partitioned_silver_prunes(spark):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "processed_date" in plan
     assert pruned.count() == silver.filter(F.to_date("processed_at") == model.TODAY).count()
+
+
+def test_streaming_enrichment_job_incremental(spark):
+    """foreachBatch streaming enrichment: files arriving in two waves are
+    classified exactly once; re-delivered rows are skipped (idempotent)."""
+    from airdatapipeline_spark.operators import relational
+    from airdatapipeline_spark.sources import scrape
+    from airdatapipeline_spark.streaming.events import streaming_enrichment_job
+
+    land = tempfile.mkdtemp(prefix="stream_land_")
+    silver = tempfile.mkdtemp(prefix="stream_silver_") + "/silver"
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+
+    # wave 1: 60 headlines land as CSV
+    wave1 = scrape.scrape_to_dataframe(spark, scrape.FakeScraper(n_rows=60))
+    csv_io.write_headlines_csv(wave1, land, "w1")
+    streaming_enrichment_job(spark, land + "/run_id=w1", silver, ckpt)
+    n1 = spark.read.parquet(silver).count()
+    expected1 = relational.clean_headlines(wave1).count()
+    assert n1 == expected1
+
+    # wave 2: 100 headlines (the first 60 re-delivered + 40 new) → only the
+    # genuinely new links are appended
+    wave2 = scrape.scrape_to_dataframe(spark, scrape.FakeScraper(n_rows=100))
+    csv_io.write_headlines_csv(wave2, land, "w2")
+    ckpt2 = tempfile.mkdtemp(prefix="stream_ckpt2_")
+    streaming_enrichment_job(spark, land + "/run_id=w2", silver, ckpt2)
+    out = spark.read.parquet(silver)
+    assert out.count() == relational.clean_headlines(wave2).count()
+    assert out.select("raw_link").distinct().count() == out.count()
+    assert set(out.select("sentiment").toPandas().sentiment) <= {
+        "Positiva", "Negativa", "Neutra", "Erro",
+    }
+
+
+def test_salted_join_preserves_inner_semantics(spark):
+    from airdatapipeline_spark.io import load_table
+    from airdatapipeline_spark.operators.relational import salted_join
+
+    orders = load_table(spark, SF_SMALL, "orders").select("o_custkey", "o_orderkey")
+    cust = load_table(spark, SF_SMALL, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    plain = orders.join(cust, on="o_custkey", how="inner")
+    salted = salted_join(orders, cust, key="o_custkey", n_salts=8)
+    assert salted.count() == plain.count()
+    a = plain.orderBy("o_orderkey").toPandas().reset_index(drop=True)
+    b = salted.select(plain.columns).orderBy("o_orderkey").toPandas().reset_index(drop=True)
+    assert a.equals(b)
