@@ -1,0 +1,100 @@
+"""Physical-plan assertions: the optimizations DESIGN.md claims must be
+visible in the executed plans (pushdown, pruning, broadcast, top-k,
+codegen). These guard against regressions that correctness tests can't see
+— a plan that silently stops broadcasting or pushing filters still returns
+right answers, just 100× slower at scale."""
+
+import pyspark.sql.functions as F
+
+from airdatapipeline_spark import model
+from airdatapipeline_spark.operators import analytics, gold, relational, similarity, tpch
+
+from conftest import SF_SMALL
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _explain(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q1_filter_pushdown_and_column_pruning(spark):
+    ex = _explain(tpch.q1_pricing_summary(spark, SF_SMALL))
+    assert "PushedFilters" in ex and "l_shipdate" in ex.split("PushedFilters")[1][:200]
+    # 16-column table, 7-column read
+    read_schema = ex.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_q3_broadcasts_filtered_customer(spark):
+    plan = _plan(tpch.q3_shipping_priority(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    # the segment filter must reach the customer scan
+    ex = _explain(tpch.q3_shipping_priority(spark, SF_SMALL))
+    assert "c_mktsegment" in ex and "BUILDING" in ex
+
+
+def test_q5_dimension_joins_broadcast(spark):
+    plan = _plan(tpch.q5_regional_revenue(spark, SF_SMALL))
+    assert plan.count("BroadcastHashJoin") >= 2  # dims + supplier hops
+
+
+def test_topk_plans_as_take_ordered(spark):
+    silver = model.silver_enriched(spark, SF_SMALL)
+    plan = _plan(analytics.recent_headlines(silver, 20))
+    assert "TakeOrderedAndProject" in plan  # true top-k, no global sort
+
+
+def test_anti_join_is_hash_not_nested_loop(spark):
+    bronze_clean = relational.clean_headlines(model.bronze_headlines(spark, SF_SMALL))
+    silver = model.silver_enriched(spark, SF_SMALL)
+    plan = _plan(relational.pending_headlines(bronze_clean, silver))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gold_single_agg_exchange(spark):
+    stg = model.stg_enriched_headlines(model.silver_enriched(spark, SF_SMALL))
+    plan = _plan(gold.daily_sentiment_analysis(stg))
+    # partial + final HashAggregate around exactly one exchange
+    assert plan.count("Exchange") == 1
+    assert "HashAggregate" in plan
+
+
+def test_membership_filter_broadcast_semi(spark):
+    g = gold.daily_category_analysis(
+        model.stg_enriched_headlines(model.silver_enriched(spark, SF_SMALL))
+    )
+    plan = _plan(analytics.filter_to_top_categories(g, 5))
+    assert "LeftSemi" in plan and "Broadcast" in plan
+
+
+def test_lsh_candidates_equi_join_not_cross(spark):
+    plan = _plan(similarity.lsh_bucketed_topk(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan  # bucket equi-join, never a cross join
+
+
+def test_text_ops_are_jvm_side(spark):
+    """Text analysis must stay in whole-stage codegen — no Python eval."""
+    from airdatapipeline_spark.operators import text
+
+    for df in (
+        text.quality_scores(spark, SF_SMALL),
+        text.langid_confusion(spark, SF_SMALL),
+        text.fingerprint_clusters(spark, SF_SMALL),
+    ):
+        plan = _plan(df)
+        # no Python boundary of any kind — all expressions evaluate in the JVM
+        assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_enrich_is_arrow_batched(spark):
+    from airdatapipeline_spark.operators import enrichment
+
+    bronze_clean = relational.clean_headlines(model.bronze_headlines(spark, SF_SMALL))
+    plan = _plan(enrichment.enrich(bronze_clean))
+    assert "MapInPandas" in plan  # Arrow-batched, not row-at-a-time PythonUDF
