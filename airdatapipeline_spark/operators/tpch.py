@@ -272,3 +272,173 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str, min_qty: int = 300
         .select("c_custkey", "c_name", "o_orderkey", F.to_date("o_orderdate").alias("orderdate"),
                 "o_totalprice", "total_qty")
     )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: scan-only conjunctive filter + single agg — every predicate
+    pushes to parquet (row-group min/max skipping at scale)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount").between(0.03, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        _dec_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between supplier-nation and
+    customer-nation pairs per year. Two independent nation broadcasts with
+    disambiguating aliases; the fact join shuffles once on orderkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    n1 = nat.select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
+    n2 = nat.select(F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation"))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"))
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str, nation: str = "NATION_3") -> DataFrame:
+    """TPC-H Q8 shape: a nation's supplier share of yearly revenue —
+    conditional-sum ratio over the same decimal-exact aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    per_year = j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(F.when(F.col("n_name") == nation, vol)).alias("nation_dec"),
+        F.sum(vol).alias("total_dec"),
+    )
+    return per_year.select(
+        "o_year",
+        F.coalesce(F.col("nation_dec").cast("double"), F.lit(0.0)).alias("nation_volume"),
+        F.col("total_dec").cast("double").alias("total_volume"),
+        (
+            F.coalesce(F.col("nation_dec").cast("double"), F.lit(0.0))
+            / F.col("total_dec").cast("double")
+        ).alias("mkt_share"),
+    )
+
+
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 core pattern (two-bucket conditional counts per group),
+    adapted to available columns: per linestatus, count critical
+    (1-URGENT/2-HIGH) vs other-priority orders with 1997 shipments."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(crit, 1)).alias("high_line_count"),
+            F.count(F.when(~crit, 1)).alias("low_line_count"),
+        )
+    )
+
+
+def q14_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share — conditional/total ratio with the
+    part dimension broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp_ntz"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    agg = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", vol)).alias("promo_dec"),
+        F.sum(vol).alias("total_dec"),
+    )
+    return agg.select(
+        (
+            F.lit(100.0)
+            * F.coalesce(F.col("promo_dec").cast("double"), F.lit(0.0))
+            / F.col("total_dec").cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str, brand: str = "Brand#3") -> DataFrame:
+    """TPC-H Q17: lineitems below 20% of their part's average quantity —
+    the correlated subquery becomes a per-part aggregate joined back
+    (broadcast: #parts rows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == brand)
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count("l_quantity")).alias(
+            "avg_qty"
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(avg_qty), li.l_partkey == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (_dec_sum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: disjunction of bracketed (brand, size, quantity)
+    predicates — Catalyst pushes the OR of conjunctions into the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15)) & (F.col("l_quantity").between(1, 21)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(1, 30)) & (F.col("l_quantity").between(10, 30)))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 50)) & (F.col("l_quantity").between(20, 40)))
+    )
+    return j.filter(cond).agg(
+        _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no FINALIZED
+    ('F') orders — scalar-subquery average (tiny cross join) + anti-join.
+    (Every synthetic customer has some order, so the anti-join target is
+    the filtered F-status subset to keep the result non-trivial.)"""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count("c_acctbal")).alias(
+            "avg_bal"
+        )
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    idle = rich.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), on="c_custkey", how="left_anti"
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count("*").alias("numcust"),
+        _dec_sum(F.col("c_acctbal")).alias("totacctbal"),
+    )

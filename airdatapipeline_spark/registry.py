@@ -1516,3 +1516,152 @@ def tpch_q13(spark, sf_dir):
 )
 def tpch_q18(spark, sf_dir):
     return tpch.q18_large_volume_orders(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Extended TPC-H coverage: q6/q7/q8/q12/q14/q17/q19/q22 shapes
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q6_forecast_revenue",
+    f"""
+    SELECT {_DECSUM.format(expr='l_extendedprice * l_discount')} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark, sf_dir):
+    return tpch.q6_forecast_revenue(spark, sf_dir)
+
+
+@register(
+    "tpch_q7_nation_volume",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS l_year,
+           {_DECSUM.format(expr='l_extendedprice * (1 - l_discount)')} AS volume
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE n1.n_name <> n2.n_name
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q7(spark, sf_dir):
+    return tpch.q7_nation_volume(spark, sf_dir)
+
+
+@register(
+    "tpch_q8_market_share",
+    """
+    SELECT o_year,
+           COALESCE(CAST(nation_dec AS DOUBLE), 0.0) AS nation_volume,
+           CAST(total_dec AS DOUBLE) AS total_volume,
+           COALESCE(CAST(nation_dec AS DOUBLE), 0.0) / CAST(total_dec AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             SUM(CASE WHEN n_name = 'NATION_3'
+                      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)) END) AS nation_dec,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS total_dec
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY 1
+    )
+    """,
+)
+def tpch_q8(spark, sf_dir):
+    return tpch.q8_market_share(spark, sf_dir)
+
+
+@register(
+    "tpch_q12_priority_shipping",
+    """
+    SELECT l_linestatus,
+           COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
+           COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def tpch_q12(spark, sf_dir):
+    return tpch.q12_priority_shipping(spark, sf_dir)
+
+
+@register(
+    "tpch_q14_promo_revenue_pct",
+    """
+    SELECT 100.0 * COALESCE(CAST(promo_dec AS DOUBLE), 0.0) / CAST(total_dec AS DOUBLE)
+             AS promo_revenue_pct
+    FROM (
+      SELECT SUM(CASE WHEN p_type = 'PROMO'
+                      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)) END) AS promo_dec,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS total_dec
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+    )
+    """,
+)
+def tpch_q14(spark, sf_dir):
+    return tpch.q14_promo_revenue_pct(spark, sf_dir)
+
+
+@register(
+    "tpch_q17_small_quantity",
+    f"""
+    SELECT {_DECSUM.format(expr='l_extendedprice')} / 7.0 AS avg_yearly, COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#3'
+    JOIN (
+      SELECT l_partkey AS ap_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY 1
+    ) a ON l_partkey = ap_partkey
+    WHERE l_quantity < 0.2 * avg_qty
+    """,
+)
+def tpch_q17(spark, sf_dir):
+    return tpch.q17_small_quantity_revenue(spark, sf_dir)
+
+
+@register(
+    "tpch_q19_bracketed_revenue",
+    f"""
+    SELECT {_DECSUM.format(expr='l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def tpch_q19(spark, sf_dir):
+    return tpch.q19_bracketed_revenue(spark, sf_dir)
+
+
+@register(
+    "tpch_q22_idle_customers",
+    f"""
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           {_DECSUM.format(expr='c_acctbal')} AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) / COUNT(c_acctbal)
+        FROM customer WHERE c_acctbal > 0.0
+      )
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    GROUP BY 1
+    """,
+)
+def tpch_q22(spark, sf_dir):
+    return tpch.q22_idle_customers(spark, sf_dir)
