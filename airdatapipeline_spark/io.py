@@ -30,19 +30,29 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; one of {TABLES}")
+    if name == "events":
+        # The driver may hand us a session built without our configs, so pin
+        # the two that correctness depends on at the one place that needs
+        # them: (a) events.parquet stores TIMESTAMP(NANOS), which the reader
+        # rejects unless nanosAsLong is set; (b) the nanos→NTZ conversion
+        # below round-trips through an instant, so the session TZ must be
+        # UTC for wall times to match the UTC-naive oracle.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in the parquet footer; with
-        # spark.sql.legacy.parquet.nanosAsLong it arrives as epoch-nanos.
-        # Truncate to micros (same as DuckDB's nanos→TIMESTAMP read) and
-        # expose as TIMESTAMP_NTZ to match the other tables' semantics.
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        # integer division: epoch-nanos (~1.7e18) exceeds double's 2^53
-        # exact-integer range, so a float divide would be off by ~1μs
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        )
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            # epoch-nanos long → micros → NTZ. Integer division: epoch-nanos
+            # (~1.7e18) exceeds double's 2^53 exact range, so a float divide
+            # would be off by ~1μs.
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            )
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
 
 
