@@ -1665,3 +1665,14 @@ def tpch_q19(spark, sf_dir):
 )
 def tpch_q22(spark, sf_dir):
     return tpch.q22_idle_customers(spark, sf_dir)
+
+
+@register(
+    "stream_stateful_user_counts",
+    """
+    SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1
+    """,
+)
+def st_stateful(spark, sf_dir):
+    """applyInPandasWithState running counter; final state ≡ batch count."""
+    return streaming_events.stateful_user_counts(spark, sf_dir)

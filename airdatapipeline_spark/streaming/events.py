@@ -156,3 +156,48 @@ def streaming_enrichment_job(
         .start()
     )
     q.awaitTermination()
+
+
+def stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState: a
+    per-user running event counter held in explicit group state. With the
+    replay source drained in one pass the emitted totals equal the batch
+    group-by — which is exactly the invariant the oracle checks. At scale
+    state lives in the state store (RocksDB), partitioned by user_id, and
+    watermarks would bound it for unbounded keys."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _event_stream(spark, sf_dir)
+
+    def update(key, pdfs, state: GroupState):
+        n = sum(len(pdf) for pdf in pdfs)
+        total = (state.get[0] if state.exists else 0) + n
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+    out_stream = ev.select("user_id", "event_id").groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long",
+        stateStructType="total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"stream_state_{uuid.uuid4().hex[:12]}"
+    q = out_stream.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # last emitted row per user = final running total
+    from pyspark.sql import Window
+    snap = spark.createDataFrame(
+        spark.table(name).collect(), schema=spark.table(name).schema
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        snap.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_events")
+    )
