@@ -124,3 +124,24 @@ def test_salted_join_preserves_inner_semantics(spark):
     a = plain.orderBy("o_orderkey").toPandas().reset_index(drop=True)
     b = salted.select(plain.columns).orderBy("o_orderkey").toPandas().reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_jobs_cli_validate_and_report(spark):
+    """The operational CLI's query-only jobs run in-process and emit JSON."""
+    import json
+
+    from airdatapipeline_spark import jobs
+
+    import io as _io
+    import contextlib
+
+    for argv in (
+        ["validate", "--sf-dir", SF_SMALL],
+        ["report", "--sf-dir", SF_SMALL],
+    ):
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = jobs.main(argv)
+        assert rc == 0
+        out = json.loads(buf.getvalue())
+        assert out["job"] == argv[0]
