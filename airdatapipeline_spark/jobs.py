@@ -32,60 +32,92 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--landing", required=True)
     s.add_argument("--warehouse", required=True)
     s.add_argument("--run-id", default="manual")
+    s.add_argument(
+        "--scraper",
+        choices=["fake", "playwright"],
+        default="fake",
+        help="'fake' emits deterministic SYNTHETIC rows (and overwrites the "
+        "warehouse Bronze with them) — only 'playwright' scrapes for real",
+    )
 
     e = sub.add_parser("enrich")
     e.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     e.add_argument("--batch", type=int, default=None)
+    e.add_argument(
+        "--out", default=None, help="warehouse dir to persist the post-run silver table into"
+    )
 
     g = sub.add_parser("gold")
     g.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     g.add_argument("--out", required=True)
 
+    from .model import TODAY as _TODAY
+
     v = sub.add_parser("validate")
     v.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    v.add_argument("--today", default=_TODAY, help="gate date (default: the pinned test date)")
 
     r = sub.add_parser("report")
     r.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    r.add_argument("--today", default=_TODAY, help="report date (default: the pinned test date)")
 
     args = p.parse_args(argv)
 
     from . import model, pipeline
-    from .model import TODAY
     from .operators import gold as gold_ops
     from .session import get_spark
 
     spark = get_spark(f"job-{args.job}")
 
     if args.job == "scrape":
-        bronze = pipeline.run_scrape_job(spark, args.landing, args.warehouse, args.run_id)
+        from .sources import scrape as scrape_mod
+
+        scraper = (
+            scrape_mod.PlaywrightScraper() if args.scraper == "playwright" else None
+        )
+        bronze = pipeline.run_scrape_job(
+            spark, args.landing, args.warehouse, args.run_id, scraper=scraper
+        )
         print(json.dumps({"job": "scrape", "bronze_rows": bronze.count()}))
     elif args.job == "enrich":
+        from .sources import csv_io
+
         silver = pipeline.run_enrichment(spark, args.sf_dir, batch=args.batch)
-        print(json.dumps({"job": "enrich", "silver_rows": silver.count()}))
+        out = {"job": "enrich", "silver_rows": silver.count()}
+        if args.out:
+            out["path"] = csv_io.write_silver_partitioned(silver, args.out)
+        print(json.dumps(out))
     elif args.job == "gold":
         pipeline.write_gold(spark, args.sf_dir, args.out)
         n = spark.read.parquet(f"{args.out}/daily_sentiment_analysis").count()
         print(json.dumps({"job": "gold", "sentiment_days": n, "out": args.out}))
     elif args.job == "validate":
-        row = gold_ops.validation_gates(model.silver_enriched(spark, args.sf_dir), TODAY).collect()[0]
-        out = {"job": "validate", **row.asDict()}
-        print(json.dumps(out, default=str))
+        row = gold_ops.validation_gates(
+            model.silver_enriched(spark, args.sf_dir), args.today
+        ).collect()[0]
         # reference semantics: warnings, not failures (dags/g1_enrichement_dag.py:176-193)
-        return 0
+        print(json.dumps({"job": "validate", **row.asDict()}, default=str))
     elif args.job == "report":
         from .operators import relational
 
-        silver = model.silver_enriched(spark, args.sf_dir)
-        bronze_clean = relational.clean_headlines(model.bronze_headlines(spark, args.sf_dir))
-        totals = gold_ops.scalar_counts(bronze_clean, silver, TODAY).collect()[0]
-        top = [
-            r.asDict()
-            for r in gold_ops.top_categories_today(silver, TODAY, 5).collect()
-        ]
-        avg_t = gold_ops.avg_processing_time_today(silver, TODAY).collect()[0][0]
+        silver = model.silver_enriched(spark, args.sf_dir).cache()
+        try:
+            bronze_clean = relational.clean_headlines(
+                model.bronze_headlines(spark, args.sf_dir)
+            )
+            totals = gold_ops.scalar_counts(bronze_clean, silver, args.today).collect()[0]
+            top = [
+                r.asDict()
+                for r in gold_ops.top_categories_today(silver, args.today, 5).collect()
+            ]
+            avg_t = gold_ops.avg_processing_time_today(silver, args.today).collect()[0][0]
+        finally:
+            silver.unpersist()
+        out = totals.asDict()
+        out["pending"] = out["total_raw"] - out["total_processed"]
         print(
             json.dumps(
-                {"job": "report", **totals.asDict(), "avg_processing_time": avg_t, "top_categories": top},
+                {"job": "report", **out, "avg_processing_time": avg_t, "top_categories": top},
                 default=str,
             )
         )

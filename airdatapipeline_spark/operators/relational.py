@@ -98,7 +98,8 @@ def pending_headlines(bronze_clean: DataFrame, silver: DataFrame, batch: int | N
     out = bronze_clean.join(
         silver.select(F.col("raw_link").alias("link")), on="link", how="left_anti"
     )
-    return out.limit(batch) if batch else out
+    # `is not None`, not truthiness: batch=0 must mean zero rows, not no limit
+    return out.limit(batch) if batch is not None else out
 
 
 def pending_count(bronze_clean: DataFrame, silver: DataFrame) -> DataFrame:

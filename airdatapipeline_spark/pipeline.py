@@ -31,7 +31,10 @@ def run_scrape_job(
     raw = scrape.scrape_to_dataframe(spark, scraper)
     clean = relational.clean_headlines(raw)
     path = csv_io.write_headlines_csv(clean, landing_dir, run_id)
-    loaded = csv_io.read_headlines_csv(spark, csv_io.latest_run_dir(landing_dir))
+    # read back the partition THIS run wrote — latest_run_dir() is for
+    # consumers discovering new data, not for the producer, whose free-form
+    # run_id need not sort last
+    loaded = csv_io.read_headlines_csv(spark, path)
     csv_io.overwrite_bronze(loaded, warehouse)
     return spark.read.parquet(f"{warehouse}/bronze/raw_headlines")
 
