@@ -9,9 +9,10 @@ compositions of built-in DataFrame ops (no Python UDFs anywhere):
               via EQUI-join on (band, bucket). Linear in corpus + candidate
               pairs; never enumerates the quadratic pair space. The scale
               path for near-dup detection.
-- SimHash:    60-bit signature from token hashes; Hamming-distance pairs on
-              a sampled subset (pairwise verification is quadratic, so at
-              scale it runs per-LSH-bucket or on audit samples).
+- SimHash:    60-bit signature from token hashes; banded (4×15-bit)
+              equi-join candidates with a pigeonhole guarantee for
+              Hamming ≤ 3 (the scale path), plus a sampled exhaustive
+              pair search as the audit tier.
 - n-gram Jaccard: exact shingle-overlap similarity via shared-shingle
               self-join — the quadratic verifier used on samples or as the
               LSH post-filter.
@@ -221,3 +222,43 @@ def embedding_near_dup_pairs(
         .orderBy(F.desc("cosine"), F.asc("id_a"), F.asc("id_b"))
         .limit(top_n)
     )
+
+
+def simhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash at scale: split the 60-bit signature into 4 contiguous
+    15-bit bands and equi-join on (band, band_value). Any pair within
+    Hamming distance 3 differs in at most 3 bands, so by pigeonhole it
+    shares at least one intact band → guaranteed candidate. Same
+    linear-cost shape as MinHash banding; the quadratic Hamming check then
+    runs only inside candidate groups."""
+    sig = simhash_signatures(spark, sf_dir)
+    n_bands, band_bits = 4, 15
+    mask = (1 << band_bits) - 1
+    band_structs = F.array(
+        *[
+            F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(F.lit(mask))
+            for b in range(n_bands)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", "simhash", F.posexplode(band_structs).alias("band", "bv")
+    )
+    x = bands.alias("x")
+    y = bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bv") == F.col("y.bv"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= 3)

@@ -1676,3 +1676,25 @@ def tpch_q22(spark, sf_dir):
 def st_stateful(spark, sf_dir):
     """applyInPandasWithState running counter; final state ≡ batch count."""
     return streaming_events.stateful_user_counts(spark, sf_dir)
+
+
+@register(
+    "dedup_simhash_lsh_candidates",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    hashed AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tok),
+    perbit AS (SELECT doc_id, COUNT(*) AS n_tok, {_SIMHASH_BITSUMS} FROM hashed GROUP BY 1),
+    sig AS (SELECT doc_id, {_SIMHASH_VALUE} AS simhash FROM perbit),
+    bands AS (
+      SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS bv
+      FROM sig, (SELECT unnest([0,1,2,3]) AS band)
+    )
+    SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+           CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+    FROM bands x JOIN bands y
+      ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+    """,
+)
+def dd_simhash_lsh(spark, sf_dir):
+    return dedup.simhash_lsh_candidates(spark, sf_dir)

@@ -78,3 +78,38 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def spark_global(spark):
     return spark
+
+
+def test_partition_invariance_of_aggregates(spark_global):
+    """The determinism policy's end-to-end claim: repartitioning the input
+    must not change ANY output bit — floating aggregates included."""
+    import pyspark.sql.functions as F
+
+    from airdatapipeline_spark.io import load_table
+    from airdatapipeline_spark.operators import tpch
+
+    spark = spark_global
+    base = tpch.q1_pricing_summary(spark, "/root/testdata/sf0.001").toPandas()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for parts in ("3", "64"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            again = tpch.q1_pricing_summary(spark, "/root/testdata/sf0.001").toPandas()
+            assert base.equals(again), f"q1 output changed with {parts} shuffle partitions"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_simhash_banding_catches_all_close_pairs(spark_global):
+    """Pigeonhole guarantee: every pair with Hamming ≤ 3 found by the
+    exhaustive sampled search must appear among the banded candidates."""
+    from airdatapipeline_spark.operators import dedup
+
+    spark = spark_global
+    exhaustive = dedup.simhash_near_pairs(
+        spark, "/root/testdata/sf0.001", max_hamming=3, sample_mod=1
+    ).toPandas()
+    banded = dedup.simhash_lsh_candidates(spark, "/root/testdata/sf0.001").toPandas()
+    ex = set(zip(exhaustive.id_a, exhaustive.id_b))
+    bd = set(zip(banded.id_a, banded.id_b))
+    assert ex <= bd and bd == ex  # identical sets (banding is exact for h<=3)
