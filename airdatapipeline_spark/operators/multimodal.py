@@ -122,3 +122,40 @@ def frame_sample_plan(
             "frame_idx"
         ),
     )
+
+
+RESIZE_SCHEMA = "doc_id long, width int, height int, payload binary"
+
+
+def resize_images(
+    spark: SparkSession, sf_dir: str, target: tuple[int, int] = (224, 224), decoder: Decoder | None = None
+) -> DataFrame:
+    """Resize plumbing: binary in → binary out, metadata updated. The fake
+    'resize' is a deterministic truncation/pad of the payload to
+    target-area bytes (a real one calls PIL inside the same batch loop);
+    what is real and tested here is the binary-in/binary-out mapInPandas
+    shape — the bytes never hit the driver, and output partitioning
+    follows input partitioning (no shuffle)."""
+    decoder = decoder or FakeDecoder()
+    w, h = target
+    src = binary_documents(spark, sf_dir).select("doc_id", "payload")
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_payloads = []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                n = (w * h) // 64  # stand-in for the resized byte budget
+                out_payloads.append((b * (n // max(len(b), 1) + 1))[:n])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": [w] * len(pdf),
+                    "height": [h] * len(pdf),
+                    "payload": out_payloads,
+                }
+            )
+
+    return src.mapInPandas(run, schema=RESIZE_SCHEMA)

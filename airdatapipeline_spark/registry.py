@@ -1698,3 +1698,54 @@ def st_stateful(spark, sf_dir):
 )
 def dd_simhash_lsh(spark, sf_dir):
     return dedup.simhash_lsh_candidates(spark, sf_dir)
+
+
+@register(
+    "mm_resize_roundtrip",
+    """
+    SELECT doc_id, 224 AS width, 224 AS height, CAST((224 * 224) // 64 AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) AS BIGINT) AS src_bytes
+    FROM documents
+    """,
+)
+def mm_resize(spark, sf_dir):
+    """Binary-in/binary-out resize plumbing; oracle checks the metadata
+    contract (fixed target dims + deterministic output size)."""
+    from .operators import multimodal
+
+    out = multimodal.resize_images(spark, sf_dir)
+    src = multimodal.binary_documents(spark, sf_dir).select(
+        "doc_id", F.col("n_bytes").alias("src_bytes")
+    )
+    return (
+        out.join(src, on="doc_id")
+        .select(
+            "doc_id",
+            F.col("width").cast("int").alias("width"),
+            F.col("height").cast("int").alias("height"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+            "src_bytes",
+        )
+    )
+
+
+@register(
+    "sql_api_daily_sentiment",
+    with_model_ctes("SELECT * FROM gold_s", stg=True, extra=[GOLD_S_CTE]),
+)
+def sql_api_a1(spark, sf_dir):
+    """A1 expressed through the spark.sql() surface over temp views —
+    Catalyst produces the same plan as the DataFrame build (same oracle)."""
+    model.stg_enriched_headlines(model.silver_enriched(spark, sf_dir)).createOrReplaceTempView(
+        "stg_enriched_headlines_v"
+    )
+    return spark.sql(
+        """
+        SELECT CAST(processed_timestamp AS DATE) AS analysis_date,
+               COUNT(CASE WHEN sentiment = 'Positiva' THEN 1 END) AS positive_headlines,
+               COUNT(CASE WHEN sentiment = 'Negativa' THEN 1 END) AS negative_headlines,
+               COUNT(CASE WHEN sentiment = 'Neutra' THEN 1 END) AS neutral_headlines,
+               COUNT(headline_link) AS total_headlines
+        FROM stg_enriched_headlines_v GROUP BY 1
+        """
+    )
