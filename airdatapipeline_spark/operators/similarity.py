@@ -51,10 +51,7 @@ def with_norm(embeddings: DataFrame) -> DataFrame:
 
 
 def cosine_expr(a_alias: str, b_alias: str) -> Column:
-    dot = F.expr(
-        f"aggregate(zip_with({a_alias}.emb, {b_alias}.emb, (x, y) -> x * y), "
-        "cast(0.0 as double), (acc, v) -> acc + v)"
-    )
+    dot = _dot(f"{a_alias}.emb", f"{b_alias}.emb")
     return dot / (F.col(f"{a_alias}.norm") * F.col(f"{b_alias}.norm"))
 
 
@@ -114,9 +111,7 @@ def lsh_bucketed_topk(
     cand = corpus.join(q, on="bucket", how="inner").filter(
         F.col("vec_id") != F.col("query_id")
     )
-    dot = F.expr(
-        "aggregate(zip_with(q_emb, emb, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"
-    )
+    dot = _dot("q_emb", "emb")
     scored = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),

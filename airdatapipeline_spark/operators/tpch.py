@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from .gold import exact_avg
 
 DEC = "decimal(28,6)"
 
@@ -48,16 +49,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str, ship_cutoff: str = "199
             _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
             _dec_sum(disc_price).alias("sum_disc_price"),
             _dec_sum(charge).alias("sum_charge"),
-            (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count("l_quantity")).alias(
-                "avg_qty"
-            ),
-            (
-                F.sum(F.col("l_extendedprice").cast(DEC)).cast("double")
-                / F.count("l_extendedprice")
-            ).alias("avg_price"),
-            (F.sum(F.col("l_discount").cast(DEC)).cast("double") / F.count("l_discount")).alias(
-                "avg_disc"
-            ),
+            exact_avg("l_quantity").alias("avg_qty"),
+            exact_avg("l_extendedprice").alias("avg_price"),
+            exact_avg("l_discount").alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -390,9 +384,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str, brand: str = "B
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == brand)
     avg_qty = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
-        (F.sum(F.col("l_quantity").cast(DEC)).cast("double") / F.count("l_quantity")).alias(
-            "avg_qty"
-        )
+        exact_avg("l_quantity").alias("avg_qty")
     )
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
@@ -430,9 +422,7 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
-        (F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count("c_acctbal")).alias(
-            "avg_bal"
-        )
+        exact_avg("c_acctbal").alias("avg_bal")
     )
     rich = cust.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("avg_bal"))
     idle = rich.join(

@@ -13,7 +13,7 @@ container); a real deployment swaps the per-partition row generator.
 
 from __future__ import annotations
 
-from datetime import datetime, timedelta
+
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
@@ -51,20 +51,17 @@ class HeadlineScrapeReader(DataSourceReader):
 
     def read(self, partition):
         # Each partition scrapes its shard: rows where i % n_partitions == p.
-        # Pure function of i — identical to sources.scrape.FakeScraper.
-        base = datetime.fromisoformat("2025-08-01T08:00:00")
+        # Row construction delegates to FakeScraper so the formula lives in
+        # exactly one Python place (the SQL oracle mirrors it separately).
+        from .scrape import FakeScraper
+
         p = partition.value
-        for i in range(p, self.n_rows, self.n_partitions):
-            link_id = i - 1 if i % 10 == 9 else i
-            if i % 11 == 0:
-                link = f"ftp://invalid.example/{link_id}"
-            elif i % 7 == 0:
-                link = f"/noticia/{link_id}"
-            else:
-                link = f"https://g1.globo.com/noticia/{link_id}"
-            title = (
-                f"curta {i}"
-                if i % 13 == 0
-                else f"Notícia de teste número {i} com título suficientemente longo"
-            )
-            yield (i, title, link, "G1", base + timedelta(days=i % 10))
+        for row in FakeScraper(n_rows=self.n_rows).scrape():
+            if row["doc_id"] % self.n_partitions == p:
+                yield (
+                    row["doc_id"],
+                    row["title"],
+                    row["link"],
+                    row["source"],
+                    row["scraped_at"],
+                )
