@@ -432,3 +432,34 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("numcust"),
         _dec_sum(F.col("c_acctbal")).alias("totacctbal"),
     )
+
+
+def approx_aggregates_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates for 100 TB interactive work
+    (approx_count_distinct = HyperLogLog++, percentile_approx = KLL-style
+    sketch) — both single-pass, mergeable, fixed-memory. Sketch outputs are
+    engine-specific, so the row carries the EXACT values plus in-plan
+    assertions that the sketches landed within tolerance; the oracle checks
+    exact values and that the assertions hold."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_median_price"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "approx_median_price"
+        ),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            <= 0.05 * F.col("exact_orders")
+        ).alias("hll_within_5pct"),
+        "exact_median_price",
+        (
+            F.abs(F.col("approx_median_price") - F.col("exact_median_price"))
+            <= 0.05 * F.col("exact_median_price")
+        ).alias("quantile_within_5pct"),
+    )

@@ -1749,3 +1749,17 @@ def sql_api_a1(spark, sf_dir):
         FROM stg_enriched_headlines_v GROUP BY 1
         """
     )
+
+
+@register(
+    "agg_approx_family_check",
+    """
+    SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS hll_within_5pct,
+           quantile_cont(l_extendedprice, 0.5) AS exact_median_price,
+           TRUE AS quantile_within_5pct
+    FROM lineitem GROUP BY 1
+    """,
+)
+def agg_approx(spark, sf_dir):
+    return tpch.approx_aggregates_check(spark, sf_dir)
