@@ -128,3 +128,70 @@ def lsh_bucketed_topk(
 def lsh_plane_sql(plane: list[int]) -> str:
     """The same hyperplane as a DuckDB DOUBLE[] literal (for oracle SQL)."""
     return "[" + ",".join(str(s) for s in plane) + "]::DOUBLE[]"
+
+
+# --- IVF (inverted-file) tier -------------------------------------------------
+
+N_CENTROIDS = 8
+CENTROID_ID_LO = 100  # deterministic coarse centroids: vec_ids [100, 108)
+N_PROBE = 2
+
+
+def _ivf_assign(corpus: DataFrame, centroids: DataFrame, n_keep: int) -> DataFrame:
+    """Score every vector against the broadcast centroid set and keep the
+    `n_keep` nearest lists (1 for corpus assignment, N_PROBE for queries).
+    O(N·K) dot products, no shuffle until the downstream bucket join."""
+    c = corpus.alias("v")
+    k = F.broadcast(centroids).alias("k")
+    scored = c.join(k, F.lit(True)).select(
+        F.col("v.vec_id").alias("vec_id"),
+        F.col("v.emb").alias("emb"),
+        F.col("v.norm").alias("norm"),
+        F.col("k.centroid_id").alias("centroid_id"),
+        cosine_expr("v", "k").alias("c_cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= n_keep)
+        .drop("c_cos", "crank")
+    )
+
+
+def ivf_topk(
+    spark: SparkSession, sf_dir: str, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """IVF-Flat ANN: corpus vectors are inverted-listed under their nearest
+    coarse centroid; queries probe their N_PROBE nearest lists and re-rank
+    exactly inside them. The candidate step is an EQUI-join on centroid_id
+    (shuffle by list — the 100 TB shape; each list is ~N/K vectors, and
+    skewed lists fall to AQE). Centroids here are a deterministic corpus
+    subset (vec_ids 100..107) so the DuckDB oracle can reproduce them; at
+    scale they'd come from an offline k-means (pyspark.ml KMeans) — only
+    the centroid table changes, not this plan."""
+    corpus = with_norm(load_table(spark, sf_dir, "embeddings")).select("vec_id", "emb", "norm")
+    centroids = corpus.filter(
+        (F.col("vec_id") >= CENTROID_ID_LO) & (F.col("vec_id") < CENTROID_ID_LO + N_CENTROIDS)
+    ).select(F.col("vec_id").alias("centroid_id"), "emb", "norm")
+
+    assigned = _ivf_assign(corpus, centroids, 1)
+    probes = _ivf_assign(corpus.filter(F.col("vec_id") < n_queries), centroids, N_PROBE).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        "centroid_id",
+    )
+    cand = assigned.join(F.broadcast(probes), on="centroid_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (_dot("q_emb", "emb") / (F.col("q_norm") * F.col("norm"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )

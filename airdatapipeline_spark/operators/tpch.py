@@ -463,3 +463,83 @@ def approx_aggregates_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_median_price")
         ).alias("quantile_within_5pct"),
     )
+
+
+def q10_returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: customers ranked by revenue lost to returned items
+    in one quarter. lineitem('R') ⋈ orders(quarter) shuffles on orderkey;
+    customer join shuffles on custkey; nation is broadcast. Top 20 plans as
+    TakeOrderedAndProject. Parity target: the reference delegates all
+    multi-way joins to Postgres (SURVEY §2.3)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_dec_sum(revenue).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue —
+    grouped agg, then an equality join against the broadcast scalar max
+    (the view + subquery of the original). The max-side is one row, so the
+    'self-join on an aggregate' costs one broadcast, not a second shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q21_sole_returned_supplier(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """TPC-H Q21 shape (adapted: the synthetic lineitem has no commit/receipt
+    dates, so 'late delivery' becomes returnflag='R'): for multi-supplier
+    finalized orders where EXACTLY ONE supplier has returned lines, charge
+    that supplier. The original's EXISTS(l2)/NOT EXISTS(l3) correlated pair
+    is rewritten as per-order distinct-supplier counts — one shuffle on
+    orderkey instead of two self-joins of the fact table, the rewrite that
+    survives 100 TB. Oracle states the EXISTS/NOT EXISTS form to prove
+    equivalence."""
+    li = load_table(spark, sf_dir, "lineitem")
+    r_sup = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey").distinct()
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("nsup"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("nret"),
+    )
+    sole = per_order.filter((F.col("nsup") > 1) & (F.col("nret") == 1)).select("l_orderkey")
+    orders_f = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        r_sup.join(sole, "l_orderkey")
+        .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(k)
+    )

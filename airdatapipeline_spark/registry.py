@@ -1763,3 +1763,158 @@ def sql_api_a1(spark, sf_dir):
 )
 def agg_approx(spark, sf_dir):
     return tpch.approx_aggregates_check(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Extended TPC-H shapes (q10/q15/q21) + temporal joins + IVF similarity
+# ---------------------------------------------------------------------------
+
+from .operators import temporal  # noqa: E402
+
+_REV_DECSUM = _DECSUM.format(expr="l_extendedprice * (1 - l_discount)")
+
+
+@register(
+    "tpch_q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name, c_acctbal, n_name, revenue FROM (
+      SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+             {_REV_DECSUM} AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE l.l_returnflag = 'R'
+        AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o.o_orderdate < TIMESTAMP '1997-04-01'
+      GROUP BY 1, 2, 3, 4
+    ) ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q10(spark, sf_dir):
+    return tpch.q10_returned_item_ranking(spark, sf_dir)
+
+
+@register(
+    "tpch_q15_top_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey, {_REV_DECSUM} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def q15(spark, sf_dir):
+    return tpch.q15_top_supplier(spark, sf_dir)
+
+
+@register(
+    "tpch_q21_sole_returned_supplier",
+    """
+    SELECT s_name, numwait FROM (
+      SELECT s.s_name, COUNT(*) AS numwait
+      FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R') l1
+      JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+      JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+      WHERE EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_returnflag = 'R')
+      GROUP BY 1
+    ) ORDER BY numwait DESC, s_name LIMIT 10
+    """,
+)
+def q21(spark, sf_dir):
+    return tpch.q21_sole_returned_supplier(spark, sf_dir)
+
+
+@register(
+    "ev_asof_last_purchase",
+    """
+    WITH t AS (
+      SELECT event_id, user_id, ts, event_type,
+             CASE WHEN event_type = 'purchase'
+                  THEN struct_pack(pts := ts, pval := value) END AS p
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), w AS (
+      SELECT *, last_value(p IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY ts, CASE event_type WHEN 'purchase' THEN 0 ELSE 1 END, event_id
+               ROWS UNBOUNDED PRECEDING) AS lp
+      FROM t
+    )
+    SELECT event_id, user_id, ts AS click_ts,
+           lp.pts AS last_purchase_ts, lp.pval AS last_purchase_value
+    FROM w WHERE event_type = 'click'
+    """,
+)
+def ev_asof(spark, sf_dir):
+    return temporal.asof_last_purchase_before_click(spark, sf_dir)
+
+
+@register(
+    "ev_range_errors_near_clicks",
+    """
+    SELECT c.event_id, c.user_id, COUNT(e.ts) AS n_errors_5min
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON c.user_id = e.user_id
+      AND abs(CAST(floor(epoch(e.ts)) AS BIGINT)
+              - CAST(floor(epoch(c.ts)) AS BIGINT)) <= 300
+    GROUP BY 1, 2
+    """,
+)
+def ev_range(spark, sf_dir):
+    return temporal.range_join_errors_near_clicks(spark, sf_dir)
+
+
+_IVF_ASSIGN_SQL = """
+  SELECT vec_id, emb, norm, centroid_id FROM (
+    SELECT v.vec_id, v.emb, v.norm, k.centroid_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_dot_product(v.emb, k.emb) / (v.norm * k.norm) DESC,
+                      k.centroid_id
+           ) AS crank
+    FROM {src} v CROSS JOIN cent k
+  ) WHERE crank <= {n}
+"""
+
+
+@register(
+    "simsearch_ivf_topk",
+    f"""
+    WITH {_EMB_CTE},
+    cent AS (
+      SELECT vec_id AS centroid_id, emb, norm FROM e
+      WHERE vec_id >= {similarity.CENTROID_ID_LO}
+        AND vec_id < {similarity.CENTROID_ID_LO + similarity.N_CENTROIDS}
+    ),
+    assigned AS ({_IVF_ASSIGN_SQL.format(src="e", n=1)}),
+    probes AS (
+      SELECT vec_id AS query_id, emb AS q_emb, norm AS q_norm, centroid_id
+      FROM ({_IVF_ASSIGN_SQL.format(src="(SELECT * FROM e WHERE vec_id < 10)", n=similarity.N_PROBE)})
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             list_dot_product(p.q_emb, a.emb) / (p.q_norm * a.norm) AS cosine,
+             row_number() OVER (
+               PARTITION BY p.query_id
+               ORDER BY list_dot_product(p.q_emb, a.emb) / (p.q_norm * a.norm) DESC,
+                        a.vec_id
+             ) AS rank
+      FROM assigned a
+      JOIN probes p ON a.centroid_id = p.centroid_id AND a.vec_id <> p.query_id
+    ) WHERE rank <= 5
+    """,
+)
+def ss_ivf(spark, sf_dir):
+    return similarity.ivf_topk(spark, sf_dir)
