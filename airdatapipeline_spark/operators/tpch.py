@@ -543,3 +543,110 @@ def q21_sole_returned_supplier(spark: SparkSession, sf_dir: str, k: int = 10) ->
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(k)
     )
+
+
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str, part_word: str = "widget") -> DataFrame:
+    """TPC-H Q9 shape (adapted: the synthetic schema has no partsupp, so
+    profit = discounted revenue without the supplycost term): nation ×
+    order-year profit for parts whose name contains `part_word`. The part
+    filter prunes the build side before the fact join; supplier→nation are
+    broadcast; lineitem ⋈ orders shuffles on orderkey."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains(part_word))
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(_dec_sum(profit).alias("sum_profit"))
+    )
+
+
+def q16_supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: no partsupp — the part↔supplier relation
+    comes from observed lineitem pairs; the 'complaint supplier' NOT IN
+    becomes an anti-join on negative-balance suppliers): distinct supplier
+    count per (p_brand, p_type). distinct (partkey, suppkey) collapses the
+    fact table before any dimension join — shrink early, join late."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    part = load_table(spark, sf_dir, "part")
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0.0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), on="l_suppkey", how="left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def daily_revenue_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day revenue deltas: lag/lead over the date-ordered daily
+    aggregate. The window input is one row per date (~2.4k rows at any SF),
+    so the single-partition window after the shuffle-reduced aggregate is
+    benign even at 100 TB — the heavy lifting happened in the groupBy."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_dec")
+    )
+    w = Window.orderBy("order_date")
+    rev = F.col("rev_dec").cast("double")
+    prev = F.lag("rev_dec", 1).over(w)
+    nxt = F.lead("rev_dec", 1).over(w)
+    return daily.select(
+        "order_date",
+        rev.alias("revenue"),
+        (F.col("rev_dec") - prev).cast("double").alias("delta_prev"),
+        (nxt - F.col("rev_dec")).cast("double").alias("delta_next"),
+        # delta is decimal-exact; the ratio is taken in double (decimal
+        # division scale rules differ across engines, double '/' does not)
+        F.when(
+            prev.isNotNull() & (prev != 0),
+            (F.col("rev_dec") - prev).cast("double") / prev.cast("double") * 100,
+        ).alias("pct_change"),
+    )
+
+
+def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregate — all 4 grouping combinations of (status, priority)
+    in one pass (Spark expands to a single Expand + hash aggregate, not 4
+    scans)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        _dec_sum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: hourly buckets aggregated
+    from raw events, daily buckets aggregated FROM THE HOURLY ROLLUP (sums
+    and counts re-aggregate losslessly — the continuous-aggregate pattern),
+    unioned with a resolution tag. Raw data is scanned exactly once."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket_start"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast(DEC)).alias("val_dec"),
+    )
+    daily = hourly.groupBy(
+        F.date_trunc("day", F.col("bucket_start")).alias("bucket_start"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("val_dec").alias("val_dec"))
+    out_cols = [
+        "resolution",
+        F.col("bucket_start").cast("timestamp_ntz").alias("bucket_start"),
+        "event_type",
+        "n",
+        F.col("val_dec").cast("double").alias("total_value"),
+    ]
+    return (
+        hourly.withColumn("resolution", F.lit("1h")).select(*out_cols)
+        .unionByName(daily.withColumn("resolution", F.lit("1d")).select(*out_cols))
+    )

@@ -1918,3 +1918,91 @@ _IVF_ASSIGN_SQL = """
 )
 def ss_ivf(spark, sf_dir):
     return similarity.ivf_topk(spark, sf_dir)
+
+
+@register(
+    "tpch_q9_profit_by_nation_year",
+    f"""
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           {_REV_DECSUM} AS sum_profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def q9(spark, sf_dir):
+    return tpch.q9_profit_by_nation_year(spark, sf_dir)
+
+
+@register(
+    "tpch_q16_supplier_count",
+    """
+    SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) li
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY 1, 2
+    """,
+)
+def q16(spark, sf_dir):
+    return tpch.q16_supplier_count_by_part_attrs(spark, sf_dir)
+
+
+@register(
+    "w_daily_revenue_deltas",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS order_date,
+             SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS rev_dec
+      FROM orders GROUP BY 1
+    )
+    SELECT order_date,
+           CAST(rev_dec AS DOUBLE) AS revenue,
+           CAST(rev_dec - lag(rev_dec) OVER w AS DOUBLE) AS delta_prev,
+           CAST(lead(rev_dec) OVER w - rev_dec AS DOUBLE) AS delta_next,
+           CASE WHEN lag(rev_dec) OVER w IS NOT NULL AND lag(rev_dec) OVER w <> 0
+                THEN CAST(rev_dec - lag(rev_dec) OVER w AS DOUBLE)
+                     / CAST(lag(rev_dec) OVER w AS DOUBLE) * 100
+           END AS pct_change
+    FROM daily WINDOW w AS (ORDER BY order_date)
+    """,
+)
+def w_deltas(spark, sf_dir):
+    return tpch.daily_revenue_deltas(spark, sf_dir)
+
+
+@register(
+    "agg_cube_orders",
+    f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           {_DECSUM.format(expr='o_totalprice')} AS total_price
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    return tpch.cube_orders_status_priority(spark, sf_dir)
+
+
+@register(
+    "events_multires_rollup",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket_start, event_type, COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(28,6))) AS val_dec
+      FROM events GROUP BY 1, 2
+    )
+    SELECT '1h' AS resolution, bucket_start, event_type, n,
+           CAST(val_dec AS DOUBLE) AS total_value
+    FROM hourly
+    UNION ALL
+    SELECT '1d', date_trunc('day', bucket_start), event_type,
+           CAST(SUM(n) AS BIGINT), CAST(SUM(val_dec) AS DOUBLE)
+    FROM hourly GROUP BY 1, 2, 3
+    """,
+)
+def ev_multires(spark, sf_dir):
+    return tpch.events_multires_rollup(spark, sf_dir)
