@@ -627,8 +627,11 @@ def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style multi-resolution rollup: hourly buckets aggregated
     from raw events, daily buckets aggregated FROM THE HOURLY ROLLUP (sums
-    and counts re-aggregate losslessly — the continuous-aggregate pattern),
-    unioned with a resolution tag. Raw data is scanned exactly once."""
+    and counts re-aggregate losslessly — the continuous-aggregate pattern).
+    As a single lazy query the union's two branches each scan raw (visible
+    in PLANS.md); in production the hourly rollup is a materialized table
+    (one raw scan at ingest) and the daily tier reads it — the dataflow
+    here is exactly that shape, minus the persistence boundary."""
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("bucket_start"), "event_type"

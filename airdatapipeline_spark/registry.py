@@ -2006,3 +2006,19 @@ def agg_cube(spark, sf_dir):
 )
 def ev_multires(spark, sf_dir):
     return tpch.events_multires_rollup(spark, sf_dir)
+
+
+from .operators import bucketed  # noqa: E402
+
+
+@register(
+    "bucketed_order_revenue",
+    f"""
+    SELECT o_orderpriority, COUNT(DISTINCT o_orderkey) AS n_orders,
+           {_REV_DECSUM} AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def bkt_join(spark, sf_dir):
+    return bucketed.bucketed_order_revenue(spark, sf_dir)

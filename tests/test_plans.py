@@ -98,3 +98,25 @@ def test_enrich_is_arrow_batched(spark):
     bronze_clean = relational.clean_headlines(model.bronze_headlines(spark, SF_SMALL))
     plan = _plan(enrichment.enrich(bronze_clean))
     assert "MapInPandas" in plan  # Arrow-batched, not row-at-a-time PythonUDF
+
+
+def test_bucketed_join_has_no_shuffle_before_join(spark):
+    from airdatapipeline_spark.operators import bucketed
+
+    # at sf0.001 Catalyst correctly broadcasts the tiny orders side; the
+    # property that matters at 100 TB is what happens when NEITHER side can
+    # broadcast — simulate by disabling auto-broadcast
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = bucketed.bucketed_order_revenue(spark, SF_SMALL)
+        plan = _plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    # co-located, pre-sorted bucketed scans: no Exchange and no Sort feed
+    # the join — the only Exchange left is the final tiny aggregation
+    join_part = plan.split("SortMergeJoin")[1]
+    assert "Exchange" not in join_part
+    assert plan.count("Exchange") <= 1
