@@ -262,3 +262,47 @@ def simhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return cand.filter(F.col("hamming") <= 3)
+
+
+def cluster_assignments(spark: SparkSession, sf_dir: str, max_iter: int = 20) -> DataFrame:
+    """Connected components over the MinHash-LSH candidate graph — the step
+    that turns near-dup PAIRS into dedup DECISIONS (every doc in a
+    component keeps/points-to the component's min doc_id).
+
+    Iterative HashMin label propagation: each round, every node takes the
+    min label among itself and its neighbors; converges in O(component
+    diameter) rounds (near-dup components are dense, so diameter is tiny —
+    2-3 rounds in practice). Each round is one shuffle-join + one
+    aggregate, all JVM-side; rounds early-exit on a converged fixpoint. At
+    extreme graph sizes the same loop upgrades to alternating large/small-
+    star (O(log n) rounds) — the per-round dataflow is identical.
+
+    Non-iterable SQL cannot express this; the DuckDB oracle uses a
+    recursive CTE (min reachable id ≡ HashMin fixpoint)."""
+    pairs = minhash_lsh_candidates(spark, sf_dir)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select("src").distinct().select(F.col("src").alias("node"), F.col("src").alias("label"))
+    ).persist()
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges["dst"] == labels["node"]).select(
+            edges["src"].alias("node"), "label"
+        )
+        new_labels = (
+            labels.unionByName(prop).groupBy("node").agg(F.min("label").alias("label"))
+        ).persist()
+        changed = (
+            new_labels.join(
+                labels.select("node", F.col("label").alias("old_label")), "node"
+            )
+            .filter(F.col("label") < F.col("old_label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -2046,3 +2046,38 @@ def bkt_join(spark, sf_dir):
 )
 def st_sliding(spark, sf_dir):
     return streaming_events.sliding_counts(spark, sf_dir)
+
+
+@register(
+    "dedup_cluster_assignments",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CTE.format(src="documents")},
+    hashed AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(shingle), 1, 14)) AS BIGINT) % 1073741824 AS h
+      FROM sh
+    ),
+    sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM hashed GROUP BY 1),
+    bands AS (
+      {_BAND_SELECTS}
+    ),
+    pairs AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.bx = y.bx AND x.by = y.by AND x.doc_id < y.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, node) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src
+    )
+    SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY 1
+    """,
+)
+def dd_clusters(spark, sf_dir):
+    return dedup.cluster_assignments(spark, sf_dir)
