@@ -653,3 +653,23 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         hourly.withColumn("resolution", F.lit("1h")).select(*out_cols)
         .unionByName(daily.withColumn("resolution", F.lit("1d")).select(*out_cols))
     )
+
+
+def trailing_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day revenue via a RANGE-framed window (6 preceding days
+    .. current) over the daily aggregate, keyed on integer days-since-epoch
+    so the frame is value-based, not row-based — days missing from the data
+    are genuinely absent from the trailing sum. Window input is one row per
+    date (shuffle-reduced), so the single-partition window is benign."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_dec")
+    )
+    days = F.datediff(F.col("order_date"), F.lit("1970-01-01").cast("date"))
+    w = Window.orderBy(days).rangeBetween(-6, 0)
+    return daily.select(
+        "order_date",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.sum("rev_dec").over(w).cast("double").alias("trailing_7d_revenue"),
+        F.count("*").over(w).cast("int").alias("days_present_7d"),
+    )

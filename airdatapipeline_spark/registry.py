@@ -2081,3 +2081,24 @@ def st_sliding(spark, sf_dir):
 )
 def dd_clusters(spark, sf_dir):
     return dedup.cluster_assignments(spark, sf_dir)
+
+
+@register(
+    "w_trailing_week_revenue",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS order_date,
+             SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS rev_dec
+      FROM orders GROUP BY 1
+    )
+    SELECT order_date,
+           CAST(rev_dec AS DOUBLE) AS revenue,
+           CAST(SUM(rev_dec) OVER w AS DOUBLE) AS trailing_7d_revenue,
+           CAST(COUNT(*) OVER w AS INTEGER) AS days_present_7d
+    FROM daily
+    WINDOW w AS (ORDER BY date_diff('day', DATE '1970-01-01', order_date)
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w_trailing(spark, sf_dir):
+    return tpch.trailing_week_revenue(spark, sf_dir)
