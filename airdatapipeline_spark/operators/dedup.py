@@ -278,21 +278,33 @@ def cluster_assignments(spark: SparkSession, sf_dir: str, max_iter: int = 20) ->
     star (O(log n) rounds) — the per-round dataflow is identical.
 
     Non-iterable SQL cannot express this; the DuckDB oracle uses a
-    recursive CTE (min reachable id ≡ HashMin fixpoint)."""
+    recursive CTE (min reachable id ≡ HashMin fixpoint).
+
+    Each round (and the candidate graph itself) is materialized via
+    localCheckpoint: persist alone leaves the logical plan growing by one
+    join per round, so analysis/compilation cost — and the recompute risk
+    on block eviction — grows quadratically with iterations. Truncating
+    lineage keeps every round O(graph). On a cluster, swap for
+    `spark.sparkContext.setCheckpointDir` + `checkpoint()` (reliable,
+    executor-loss-safe); the loop is unchanged."""
     pairs = minhash_lsh_candidates(spark, sf_dir)
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    ).persist()
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .localCheckpoint()
+    )
     labels = (
-        edges.select("src").distinct().select(F.col("src").alias("node"), F.col("src").alias("label"))
-    ).persist()
+        edges.select("src").distinct()
+        .select(F.col("src").alias("node"), F.col("src").alias("label"))
+        .localCheckpoint()
+    )
     for _ in range(max_iter):
         prop = edges.join(labels, edges["dst"] == labels["node"]).select(
             edges["src"].alias("node"), "label"
         )
         new_labels = (
             labels.unionByName(prop).groupBy("node").agg(F.min("label").alias("label"))
-        ).persist()
+        ).localCheckpoint()
         changed = (
             new_labels.join(
                 labels.select("node", F.col("label").alias("old_label")), "node"
@@ -300,9 +312,7 @@ def cluster_assignments(spark: SparkSession, sf_dir: str, max_iter: int = 20) ->
             .filter(F.col("label") < F.col("old_label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

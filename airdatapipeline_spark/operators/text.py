@@ -132,3 +132,80 @@ def fingerprint_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_id"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+def _predicted_lang() -> Column:
+    """Argmax-of-stopword-hits language prediction with LANG_PRIORITY
+    tie-break (expects hits_<lang> columns in scope)."""
+    predicted = None
+    for i, lg in enumerate(LANG_PRIORITY):
+        cond = None
+        for other in LANG_PRIORITY[i + 1 :]:
+            c = F.col(f"hits_{lg}") >= F.col(f"hits_{other}")
+            cond = c if cond is None else (cond & c)
+        if predicted is None:
+            predicted = F.when(cond, F.lit(lg))
+        elif cond is not None:
+            predicted = predicted.when(cond, F.lit(lg))
+        else:
+            predicted = predicted.otherwise(F.lit(lg))
+    return predicted
+
+
+def curated_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    min_quality: float = 0.5,
+    min_words: int = 20,
+    lang: str = "en",
+) -> DataFrame:
+    """End-to-end training-data curation in one declarative plan — the
+    north-star composition: quality scoring + language ID + near-dup
+    removal, the filter chain a 100 TB corpus goes through before training.
+
+    Single documents scan computes tokens ONCE and derives word/char/stop
+    counts, the composite quality score, and per-language stopword hits in
+    the same projection (all JVM-side, no Python). Near-dup losers
+    (cluster_id != doc_id from the MinHash-LSH connected components) are
+    removed with a left-anti join on doc_id. Keeps docs that clear the
+    quality threshold, are predicted `lang`, and have >= min_words."""
+    from .dedup import cluster_assignments
+
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens_col()
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.size(t).cast("long").alias("word_count"),
+        F.length("text").cast("long").alias("char_count"),
+        F.col("text"),
+        *[
+            _stop_hits(t, words).cast("long").alias(f"hits_{lg}")
+            for lg, words in LANG_STOPWORDS.items()
+        ],
+    )
+    wc = F.col("word_count")
+    scored = scored.select(
+        "doc_id",
+        "source",
+        "word_count",
+        (
+            F.least(wc / F.lit(100.0), F.lit(1.0)) * F.lit(0.4)
+            + (F.col("hits_en") / wc) * F.lit(0.4)
+            + F.least((F.col("char_count") / wc) / F.lit(8.0), F.lit(1.0)) * F.lit(0.2)
+        ).alias("quality_score"),
+        _predicted_lang().alias("predicted_lang"),
+    )
+    losers = (
+        cluster_assignments(spark, sf_dir)
+        .filter(F.col("cluster_id") != F.col("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        scored.join(losers, "doc_id", "left_anti")
+        .filter(
+            (F.col("quality_score") >= min_quality)
+            & (F.col("predicted_lang") == lang)
+            & (F.col("word_count") >= min_words)
+        )
+    )

@@ -2102,3 +2102,64 @@ def dd_clusters(spark, sf_dir):
 )
 def w_trailing(spark, sf_dir):
     return tpch.trailing_week_revenue(spark, sf_dir)
+
+
+_CC_CTES = f"""{_SHINGLES_CTE.format(src="documents")},
+    hashed AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(shingle), 1, 14)) AS BIGINT) % 1073741824 AS h
+      FROM sh
+    ),
+    sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM hashed GROUP BY 1),
+    bands AS (
+      {_BAND_SELECTS}
+    ),
+    pairs AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.bx = y.bx AND x.by = y.by AND x.doc_id < y.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, node) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src
+    )"""
+
+
+@register(
+    "curation_pipeline",
+    f"""
+    WITH RECURSIVE {_CC_CTES},
+    losers AS (
+      SELECT src AS doc_id FROM (
+        SELECT src, MIN(node) AS cluster_id FROM reach GROUP BY 1
+      ) WHERE cluster_id <> src
+    ),
+    scored AS (
+      SELECT doc_id, source, len(t) AS word_count, length(text) AS char_count,
+             {", ".join(
+                 f"len(list_filter(t, x -> list_contains({_SQL_LIST(text.LANG_STOPWORDS[lg])}, x))) AS hits_{lg}"
+                 for lg in text.LANG_PRIORITY
+             )}
+      FROM (SELECT doc_id, source, text, {_TOKS} AS t FROM documents)
+    ),
+    final AS (
+      SELECT doc_id, source, word_count,
+             least(word_count / 100.0, 1.0) * 0.4 + (hits_en / word_count) * 0.4
+               + least((char_count / word_count) / 8.0, 1.0) * 0.2 AS quality_score,
+             {_langid_case()} AS predicted_lang
+      FROM scored
+    )
+    SELECT doc_id, source, word_count, quality_score, predicted_lang
+    FROM final
+    WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+      AND quality_score >= 0.5 AND predicted_lang = 'en' AND word_count >= 20
+    """,
+)
+def curation(spark, sf_dir):
+    return text.curated_documents(spark, sf_dir)

@@ -37,6 +37,7 @@ HEADLINE = [
     "ev_asof_last_purchase",
     "ev_range_errors_near_clicks",
     "bucketed_order_revenue",
+    "curation_pipeline",
 ]
 
 
