@@ -673,3 +673,21 @@ def trailing_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rev_dec").over(w).cast("double").alias("trailing_7d_revenue"),
         F.count("*").over(w).cast("int").alias("days_present_7d"),
     )
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — exactly the (status), (priority) marginals in one
+    pass (one Expand + one aggregate; half the sets CUBE would compute).
+    GROUPING() markers disambiguate 'subtotal' NULLs from data NULLs."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"]], "o_orderstatus", "o_orderpriority"
+        )
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count("*").alias("n_orders"),
+            _dec_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+    )

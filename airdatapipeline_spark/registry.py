@@ -2163,3 +2163,18 @@ _CC_CTES = f"""{_SHINGLES_CTE.format(src="documents")},
 )
 def curation(spark, sf_dir):
     return text.curated_documents(spark, sf_dir)
+
+
+@register(
+    "agg_grouping_sets_orders",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+           COUNT(*) AS n_orders,
+           {_DECSUM.format(expr='o_totalprice')} AS total_price
+    FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def agg_gsets(spark, sf_dir):
+    return tpch.grouping_sets_revenue(spark, sf_dir)
