@@ -209,3 +209,30 @@ def curated_documents(
             & (F.col("word_count") >= min_words)
         )
     )
+
+
+def train_val_split_counts(
+    spark: SparkSession, sf_dir: str, train_pct: int = 90
+) -> DataFrame:
+    """Deterministic train/val split for the documents corpus: bucket =
+    md5(doc_id) mod 100 — content-addressed, so the assignment is stable
+    across runs, engines, partitionings and cluster sizes (a seeded
+    `sample()`/`sampleBy()` is none of those: Spark's RNG is
+    partition-dependent and unreproducible elsewhere). This is how a 100 TB
+    corpus holds out an eval slice: no shuffle, no state, just a hash
+    filter any engine can replay. Returns per-(source, split) counts +
+    token totals as the audit view."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 14), 16, 10).cast("long")
+        % 100
+    )
+    split = F.when(bucket < train_pct, F.lit("train")).otherwise(F.lit("val"))
+    return (
+        d.select("source", split.alias("split"), F.size(tokens_col()).cast("long").alias("n_tok"))
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+    )

@@ -2178,3 +2178,19 @@ def curation(spark, sf_dir):
 )
 def agg_gsets(spark, sf_dir):
     return tpch.grouping_sets_revenue(spark, sf_dir)
+
+
+@register(
+    "text_train_val_split",
+    f"""
+    SELECT source,
+           CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
+                     % 100 < 90
+                THEN 'train' ELSE 'val' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def t_split(spark, sf_dir):
+    return text.train_val_split_counts(spark, sf_dir)
