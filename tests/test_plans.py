@@ -120,3 +120,32 @@ def test_bucketed_join_has_no_shuffle_before_join(spark):
     join_part = plan.split("SortMergeJoin")[1]
     assert "Exchange" not in join_part
     assert plan.count("Exchange") <= 1
+
+
+def test_asof_join_is_single_shuffle_no_join(spark):
+    from airdatapipeline_spark.operators import temporal
+
+    plan = _plan(temporal.asof_last_purchase_before_click(spark, SF_SMALL))
+    # union + ordered carry-forward: one exchange on user_id, a window,
+    # and NO join operator at all
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan
+
+
+def test_range_join_is_equi_hash_not_nested_loop(spark):
+    from airdatapipeline_spark.operators import temporal
+
+    plan = _plan(temporal.range_join_errors_near_clicks(spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan  # bucketed equi keys drive a hash join
+
+
+def test_ivf_candidate_join_is_equi_on_centroid(spark):
+    from airdatapipeline_spark.operators import similarity
+
+    plan = _plan(similarity.ivf_topk(spark, SF_SMALL))
+    # the candidate join must be an equi hash join on centroid_id; the only
+    # nested-loop allowed is the K-row broadcast centroid scoring
+    assert "BroadcastHashJoin [centroid_id" in plan
