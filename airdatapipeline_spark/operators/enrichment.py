@@ -98,6 +98,128 @@ class ExternalClassifier:
         return out
 
 
+_OPENAI_PROMPT = """
+Analise a seguinte manchete de notícia brasileira e retorne APENAS um objeto JSON com estas chaves:
+- 'sentiment': "Positiva", "Negativa" ou "Neutra"
+- 'category': uma das opções: {categories}
+- 'confidence': um número entre 0.0 e 1.0 indicando sua confiança na classificação
+
+Seja preciso e considere o contexto brasileiro.
+
+Manchete: "{headline}"
+""".strip()
+
+
+@dataclass
+class OpenAIChatClassifier:
+    """OpenAI-shape chat-completions adapter mirroring the reference's
+    call contract (scripts/llm_enricher.py:148-211): one JSON-object
+    response per headline, validated against the fixed sentiment/category
+    vocabularies with confidence clamped to [0, 1]; any per-row failure
+    yields the ('Erro', 'Erro', 0.0) sentinel — a bad row never drops a
+    headline and never poisons its batch.
+
+    `transport` maps a chat-completions request payload (dict) to the
+    parsed response body (dict); it is injected so tests run against a
+    fake and production wires the real HTTP call via `from_env()`.
+    Transport failures retry with exponential backoff (the posture the
+    reference approximates with its fixed 0.1 s sleep) before falling
+    back to the sentinel. NEVER constructed implicitly: tests use the
+    deterministic MockClassifier; this class only activates when the
+    caller passes it explicitly (env-gated via from_env)."""
+
+    transport: Callable[[dict], dict]
+    model: str = "gpt-3.5-turbo-1106"
+    max_retries: int = 3
+    backoff_s: float = 0.5
+    sleep: Callable[[float], None] = time.sleep
+
+    def _request_payload(self, headline: str) -> dict:
+        cats = ", ".join(f'"{c}"' for c in CATEGORIES)
+        return {
+            "model": self.model,
+            "messages": [
+                {
+                    "role": "user",
+                    "content": _OPENAI_PROMPT.format(categories=cats, headline=headline),
+                }
+            ],
+            "response_format": {"type": "json_object"},
+            "temperature": 0.1,
+            "max_tokens": 150,
+        }
+
+    def _analyze(self, headline: str) -> tuple[str, str, float]:
+        import json
+
+        for attempt in range(self.max_retries):
+            try:
+                body = self.transport(self._request_payload(headline))
+                result = json.loads(body["choices"][0]["message"]["content"])
+                break
+            except Exception:
+                if attempt == self.max_retries - 1:
+                    return ("Erro", "Erro", 0.0)
+                self.sleep(self.backoff_s * (2**attempt))
+        sentiment = result.get("sentiment", "Erro")
+        category = result.get("category", "Erro")
+        try:
+            confidence = float(result.get("confidence", 0.0))
+        except (TypeError, ValueError):
+            confidence = 0.0
+        if sentiment not in SENTIMENTS:
+            sentiment = "Erro"
+        if category not in CATEGORIES:
+            category = "Erro"
+        if not (0.0 <= confidence <= 1.0):
+            confidence = 0.0
+        return (sentiment, category, confidence)
+
+    def classify(self, titles: pd.Series, keys: pd.Series) -> pd.DataFrame:
+        rows = [self._analyze(t) for t in titles]
+        return pd.DataFrame(
+            {
+                "sentiment": [r[0] for r in rows],
+                "category": [r[1] for r in rows],
+                "confidence_score": [float(r[2]) for r in rows],
+            },
+            index=titles.index,
+        )
+
+    @classmethod
+    def from_env(cls, **kwargs) -> "OpenAIChatClassifier":
+        """Build with a real HTTPS transport. Env-gated: requires
+        OPENAI_API_KEY (never set in this repo's tests or CI). On a
+        cluster each executor opens its own connection; combined with
+        ExternalClassifier-style rate limiting the aggregate throughput
+        is bounded per-partition, not per-driver."""
+        import json
+        import os
+        import urllib.request
+
+        api_key = os.environ.get("OPENAI_API_KEY")
+        if not api_key:
+            raise RuntimeError(
+                "OpenAIChatClassifier.from_env requires OPENAI_API_KEY; "
+                "use MockClassifier (default) for offline runs"
+            )
+        url = os.environ.get("OPENAI_BASE_URL", "https://api.openai.com/v1") + "/chat/completions"
+
+        def transport(payload: dict) -> dict:
+            req = urllib.request.Request(
+                url,
+                data=json.dumps(payload).encode(),
+                headers={
+                    "Content-Type": "application/json",
+                    "Authorization": f"Bearer {api_key}",
+                },
+            )
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                return json.loads(resp.read())
+
+        return cls(transport=transport, **kwargs)
+
+
 def enrich(
     df: DataFrame,
     classifier: Classifier | None = None,

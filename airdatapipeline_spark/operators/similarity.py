@@ -125,6 +125,46 @@ def lsh_bucketed_topk(
     )
 
 
+def recall_at_k(
+    spark: SparkSession, sf_dir: str, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """recall@k of the approximate tiers (sign-LSH, IVF) against the exact
+    brute-force top-k, per query — the self-grading dial for the ANN family:
+    tune N_PLANES / N_PROBE against a measured number instead of a blind
+    knob. Ground truth is recomputed here (not read from a prior run) so the
+    query is a single self-contained plan: three corpus scans + two
+    equi-joins on (query_id, neighbor_id) + one agg. The expensive side
+    (brute force) is O(Q·N) but Q is the small probe set — at 100 TB this is
+    exactly how recall is audited: a sampled query panel, never the full
+    corpus."""
+    truth = brute_force_topk(spark, sf_dir, n_queries, k).select("query_id", "neighbor_id")
+    lsh = lsh_bucketed_topk(spark, sf_dir, n_queries, k).select("query_id", "neighbor_id")
+    ivf = ivf_topk(spark, sf_dir, n_queries, k).select("query_id", "neighbor_id")
+
+    def hits(ann: DataFrame, name: str) -> DataFrame:
+        return (
+            truth.join(ann, on=["query_id", "neighbor_id"], how="inner")
+            .groupBy("query_id")
+            .agg(F.count("*").alias(name))
+        )
+
+    out = (
+        truth.select("query_id")
+        .distinct()
+        .join(hits(lsh, "lsh_hits"), on="query_id", how="left")
+        .join(hits(ivf, "ivf_hits"), on="query_id", how="left")
+    )
+    lsh_hits = F.coalesce(F.col("lsh_hits"), F.lit(0)).cast("long")
+    ivf_hits = F.coalesce(F.col("ivf_hits"), F.lit(0)).cast("long")
+    return out.select(
+        "query_id",
+        lsh_hits.alias("lsh_hits"),
+        ivf_hits.alias("ivf_hits"),
+        (lsh_hits / F.lit(float(k))).alias("lsh_recall"),
+        (ivf_hits / F.lit(float(k))).alias("ivf_recall"),
+    )
+
+
 def lsh_plane_sql(plane: list[int]) -> str:
     """The same hyperplane as a DuckDB DOUBLE[] literal (for oracle SQL)."""
     return "[" + ",".join(str(s) for s in plane) + "]::DOUBLE[]"

@@ -64,6 +64,100 @@ def _run_to_table(agg: DataFrame, mode: str) -> DataFrame:
     return spark.createDataFrame(spark.table(name).collect(), schema=spark.table(name).schema)
 
 
+def _run_append_to_files(flat: DataFrame) -> DataFrame:
+    """Run an append-mode streaming plan to a parquet FILE sink (checkpointed,
+    exactly-once) and read the committed output back as a batch DataFrame.
+
+    This is the 100 TB shape the memory-sink harness above is not: state is
+    bounded by the watermark (finalized windows are emitted once and
+    EVICTED), output goes to distributed storage, and nothing is collected
+    to the driver. The final no-data micro-batch flushes every window whose
+    end <= final watermark (max event time - delay) — verified empirically:
+    the boundary is inclusive."""
+    out = tempfile.mkdtemp(prefix="stream_sink_")
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    q = (
+        flat.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # explicit schema: a watermark that finalizes zero windows leaves no data
+    # files, and schema inference would fail on the empty sink directory
+    return flat.sparkSession.read.schema(flat.schema).parquet(out)
+
+
+def tumbling_counts_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows, APPEND output: only watermark-finalized
+    windows (end <= max_ts - 10 min) are emitted, then their state is
+    dropped. This is the registered scale path; `tumbling_counts` below is
+    the complete-mode harness twin kept for batch-equivalence tests."""
+    ev = _event_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("dec_value"),
+        )
+    )
+    flat = agg.select(
+        F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n",
+        F.col("dec_value").cast("double").alias("total_value"),
+    )
+    return _run_append_to_files(flat)
+
+
+def sliding_counts_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes, APPEND output with a
+    10-minute watermark — each event lands in exactly 2 windows; only
+    finalized windows are emitted and evicted."""
+    ev = _event_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("dec_value"),
+        )
+    )
+    flat = agg.select(
+        F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+        F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+        "event_type",
+        "n",
+        F.col("dec_value").cast("double").alias("total_value"),
+    )
+    return _run_append_to_files(flat)
+
+
+def session_counts_append(
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """Gap-merged session windows per user, APPEND output with a 1-hour
+    watermark: a session is emitted (and its state evicted) once the
+    watermark passes its end (last event + gap)."""
+    ev = _event_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    flat = agg.select(
+        "user_id",
+        F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+        "n_events",
+    )
+    return _run_append_to_files(flat)
+
+
 def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour tumbling-window counts/sums per event_type with a 10-minute
     watermark. Decimal-exact value sums (deterministic under any trigger
@@ -208,20 +302,24 @@ def stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    name = f"stream_state_{uuid.uuid4().hex[:12]}"
-    q = out_stream.writeStream.outputMode("update").format("memory").queryName(name).start()
+    # update-mode emissions land in distributed storage via foreachBatch
+    # (no memory sink, no driver collect); the read-back keeps the max
+    # emission per user — the running counter is monotone, so max = final.
+    sink_dir = tempfile.mkdtemp(prefix="stream_state_sink_")
+    ckpt = tempfile.mkdtemp(prefix="stream_state_ckpt_")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(sink_dir)
+
+    q = (
+        out_stream.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
     try:
         q.processAllAvailable()
     finally:
         q.stop()
-    # last emitted row per user = final running total
-    from pyspark.sql import Window
-    snap = spark.createDataFrame(
-        spark.table(name).collect(), schema=spark.table(name).schema
-    )
-    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
-    return (
-        snap.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("user_id", "n_events")
-    )
+    snap = spark.read.schema("user_id long, n_events long").parquet(sink_dir)
+    return snap.groupBy("user_id").agg(F.max("n_events").alias("n_events"))

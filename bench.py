@@ -38,6 +38,12 @@ HEADLINE = [
     "ev_range_errors_near_clicks",
     "bucketed_order_revenue",
     "curation_pipeline",
+    # r2: map-heavy text/multimodal family now measured too (these were the
+    # queries most under-counted by the old count() forcing)
+    "text_quality_scores",
+    "text_token_stats_by_source",
+    "text_fingerprint_clusters",
+    "mm_decode_features",
 ]
 
 
@@ -76,12 +82,15 @@ def main() -> None:
         )
         if name != "flagship_pipeline" and name not in queries:
             continue
-        # warm the parquet footer cache once, then time
+        # force FULL execution of every projected column with a noop write —
+        # count() lets Catalyst prune projected expressions (map-heavy
+        # queries were under-measured); noop runs the whole plan and
+        # discards rows executor-side (r2 re-baseline)
         t0 = time.time()
         df = fn()
-        n = df.count()  # force full execution
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
-        sys.stderr.write(f"{name}: {timings[name]}s ({n} rows)\n")
+        sys.stderr.write(f"{name}: {timings[name]}s\n")
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -90,6 +99,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
+        "note": (
+            "r2 re-baseline: forcing changed from count() to noop write "
+            "(full-plan execution) and 4 text/multimodal queries added to "
+            "HEADLINE — totals are not directly comparable to BENCH_r01"
+        ),
     }
     print(json.dumps(out))
 

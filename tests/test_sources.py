@@ -145,3 +145,129 @@ def test_jobs_cli_validate_and_report(spark):
         assert rc == 0
         out = json.loads(buf.getvalue())
         assert out["job"] == argv[0]
+
+
+# --- OpenAI-shape classifier adapter (env-gated; fake transport only) -------
+
+
+def test_openai_classifier_contract_and_validation():
+    """Request payload mirrors the reference call contract
+    (llm_enricher.py:148-211); responses are vocabulary-validated with
+    confidence clamped; row order and index are preserved."""
+    import json
+
+    import pandas as pd
+
+    from airdatapipeline_spark.model import CATEGORIES
+    from airdatapipeline_spark.operators.enrichment import OpenAIChatClassifier
+
+    seen = []
+
+    def transport(payload):
+        seen.append(payload)
+        headline = payload["messages"][0]["content"].split('Manchete: "')[1].rstrip('"\n ')
+        resp = {
+            "boa notícia": {"sentiment": "Positiva", "category": "Economia", "confidence": 0.9},
+            "categoria inválida": {"sentiment": "Neutra", "category": "Nope", "confidence": 0.5},
+            "confiança fora": {"sentiment": "Negativa", "category": "Política", "confidence": 7.0},
+        }[headline]
+        return {"choices": [{"message": {"content": json.dumps(resp)}}]}
+
+    clf = OpenAIChatClassifier(transport=transport, sleep=lambda s: None)
+    titles = pd.Series(["boa notícia", "categoria inválida", "confiança fora"], index=[7, 3, 5])
+    out = clf.classify(titles, pd.Series([1, 2, 3], index=titles.index))
+
+    assert list(out.index) == [7, 3, 5]
+    assert out.loc[7].tolist() == ["Positiva", "Economia", 0.9]
+    assert out.loc[3].tolist() == ["Neutra", "Erro", 0.5]  # invalid category
+    assert out.loc[5].tolist() == ["Negativa", "Política", 0.0]  # clamp
+
+    p = seen[0]
+    assert p["model"] == "gpt-3.5-turbo-1106"
+    assert p["response_format"] == {"type": "json_object"}
+    assert p["temperature"] == 0.1 and p["max_tokens"] == 150
+    assert 'Manchete: "boa notícia"' in p["messages"][0]["content"]
+    for c in CATEGORIES:
+        assert f'"{c}"' in p["messages"][0]["content"]
+
+
+def test_openai_classifier_retries_then_sentinel():
+    """Transport errors retry with exponential backoff; rows that exhaust
+    retries get the sentinel without poisoning the rest of the batch."""
+    import json
+
+    import pandas as pd
+
+    from airdatapipeline_spark.operators.enrichment import OpenAIChatClassifier
+
+    calls = {"n": 0}
+    sleeps = []
+
+    def flaky(payload):
+        calls["n"] += 1
+        headline = payload["messages"][0]["content"].split('Manchete: "')[1].rstrip('"\n ')
+        if headline == "sempre falha":
+            raise ConnectionError("down")
+        if calls["n"] < 2:  # first-ever call fails, retry succeeds
+            raise ConnectionError("flaky")
+        return {
+            "choices": [
+                {
+                    "message": {
+                        "content": json.dumps(
+                            {"sentiment": "Neutra", "category": "Outros", "confidence": 0.4}
+                        )
+                    }
+                }
+            ]
+        }
+
+    clf = OpenAIChatClassifier(transport=flaky, backoff_s=0.5, sleep=sleeps.append)
+    titles = pd.Series(["ok depois de retry", "sempre falha"])
+    out = clf.classify(titles, pd.Series([1, 2]))
+
+    assert out.iloc[0].tolist() == ["Neutra", "Outros", 0.4]
+    assert out.iloc[1].tolist() == ["Erro", "Erro", 0.0]  # sentinel, row kept
+    assert sleeps[0] == 0.5 and sleeps[1:] == [0.5, 1.0]  # exponential backoff
+
+
+def test_openai_from_env_is_gated(monkeypatch):
+    from airdatapipeline_spark.operators.enrichment import OpenAIChatClassifier
+
+    monkeypatch.delenv("OPENAI_API_KEY", raising=False)
+    with pytest.raises(RuntimeError, match="OPENAI_API_KEY"):
+        OpenAIChatClassifier.from_env()
+
+
+# --- JDBC source options (SRC5 variant; no Postgres in container) -----------
+
+
+def test_jdbc_options_partitioned_table(monkeypatch):
+    from airdatapipeline_spark.sources import jdbc
+
+    monkeypatch.setenv("POSTGRES_HOST", "db.internal")
+    monkeypatch.setenv("POSTGRES_PORT", "5433")
+    monkeypatch.setenv("POSTGRES_DB", "news")
+    monkeypatch.setenv("POSTGRES_USER", "u")
+    monkeypatch.setenv("POSTGRES_PASSWORD", "p")
+    opts = jdbc.jdbc_options(table="silver_enriched_headlines", num_partitions=8)
+    assert opts["url"] == "jdbc:postgresql://db.internal:5433/news"
+    assert opts["dbtable"] == "silver_enriched_headlines"
+    assert opts["user"] == "u" and opts["password"] == "p"
+    # parallel pull: the option set Spark needs for a partitioned read
+    assert opts["partitionColumn"] == "id"
+    assert opts["numPartitions"] == "8"
+    assert int(opts["lowerBound"]) < int(opts["upperBound"])
+
+
+def test_jdbc_options_query_pushdown_excludes_partitioning():
+    from airdatapipeline_spark.sources import jdbc
+
+    q = jdbc.DASHBOARD_QUERIES["daily_sentiment"]
+    opts = jdbc.jdbc_options(query=q, partition_column=None)
+    assert opts["query"] == q
+    assert "dbtable" not in opts and "partitionColumn" not in opts
+    with pytest.raises(ValueError):
+        jdbc.jdbc_options()
+    with pytest.raises(ValueError):
+        jdbc.jdbc_options(table="t", query="SELECT 1")
