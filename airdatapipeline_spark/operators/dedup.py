@@ -153,26 +153,44 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIMHASH_BITS = 60  # 15 hex chars of md5 → fits signed 64-bit in both engines
+_PACK_LANE_BITS = 20  # 3 bit-counters per packed long; lane caps at 2^20-1
+_PACK_LANES = 3
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash over tokens: per-bit majority vote of token hashes.
     token_hash = first 15 hex chars of md5(token) parsed as int; bit b of
     the signature is 1 iff more than half the tokens have bit b set.
-    Entirely built-in expressions (explode → conditional counts → bit OR)."""
+    Entirely built-in expressions (explode → packed counts → bit OR).
+
+    Shuffle-width optimization: instead of 60 independent SUM aggregates
+    (60 longs = ~480 bytes per partial-agg row in the shuffle), each
+    token's 60 bits are packed 3-per-long into 20-bit lanes and summed as
+    20 longs — 3× fewer shuffle bytes, same counts. Lanes can't overflow
+    below 2^20 (~1M) tokens per document, far above any real document;
+    the map-side partial sum is per (doc_id, partition) so the bound is
+    the document's own token count."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens_col()).alias("tok"))
     h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
-    per_bit = tok.groupBy("doc_id").agg(
-        F.count("*").alias("n_tok"),
-        *[
-            F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1))).alias(f"b{b}")
-            for b in range(SIMHASH_BITS)
-        ],
-    )
+    packs = []
+    for p in range(SIMHASH_BITS // _PACK_LANES):
+        lanes = None
+        for j in range(_PACK_LANES):
+            b = p * _PACK_LANES + j
+            lane = F.shiftright(h, b).bitwiseAND(F.lit(1)) * F.lit(
+                1 << (_PACK_LANE_BITS * j)
+            ).cast("long")
+            lanes = lane if lanes is None else lanes + lane
+        packs.append(F.sum(lanes).alias(f"p{p}"))
+    per_bit = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"), *packs)
+    lane_mask = F.lit((1 << _PACK_LANE_BITS) - 1)
     sig = None
     for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"b{b}") * 2 > F.col("n_tok"), F.lit(1).cast("long")).otherwise(
+        cnt = F.shiftright(
+            F.col(f"p{b // _PACK_LANES}"), _PACK_LANE_BITS * (b % _PACK_LANES)
+        ).bitwiseAND(lane_mask)
+        term = F.when(cnt * 2 > F.col("n_tok"), F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         ) * F.lit(2**b).cast("long")
         sig = term if sig is None else (sig + term)

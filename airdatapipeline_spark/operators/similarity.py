@@ -198,21 +198,55 @@ def _ivf_assign(corpus: DataFrame, centroids: DataFrame, n_keep: int) -> DataFra
     )
 
 
+def kmeans_centroids(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = N_CENTROIDS,
+    seed: int = 20260813,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Trained IVF coarse centroids via pyspark.ml KMeans (k-means|| init,
+    pinned seed so a rebuild on the same corpus + partitioning reproduces
+    the same lists). This is the production centroid source: the offline
+    training pass runs once per corpus snapshot, and only the K-row
+    centroid table it emits feeds the probe join — the query plan is
+    byte-identical to the corpus-slice fallback (asserted in
+    tests/test_plans.py). The registered oracle query keeps the
+    deterministic corpus-slice centroids because k-means is not
+    reproducible inside DuckDB; recall of either source is measured by
+    `recall_at_k`."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus = with_norm(load_table(spark, sf_dir, "embeddings"))
+    feats = corpus.select(array_to_vector("emb").alias("features"))
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
+    # K rows total (K ~ sqrt(N) even at scale) — a driver-side list by nature
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    cent = spark.createDataFrame(rows, "centroid_id int, emb array<double>")
+    return cent.withColumn("norm", F.sqrt(_dot("emb", "emb")))
+
+
 def ivf_topk(
-    spark: SparkSession, sf_dir: str, n_queries: int = 10, k: int = 5
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 5,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-Flat ANN: corpus vectors are inverted-listed under their nearest
     coarse centroid; queries probe their N_PROBE nearest lists and re-rank
     exactly inside them. The candidate step is an EQUI-join on centroid_id
     (shuffle by list — the 100 TB shape; each list is ~N/K vectors, and
-    skewed lists fall to AQE). Centroids here are a deterministic corpus
-    subset (vec_ids 100..107) so the DuckDB oracle can reproduce them; at
-    scale they'd come from an offline k-means (pyspark.ml KMeans) — only
-    the centroid table changes, not this plan."""
+    skewed lists fall to AQE). The default centroid source is a
+    deterministic corpus subset (vec_ids 100..107) so the DuckDB oracle can
+    reproduce the lists; pass `centroids=kmeans_centroids(...)` for trained
+    lists — only the centroid table changes, not this plan."""
     corpus = with_norm(load_table(spark, sf_dir, "embeddings")).select("vec_id", "emb", "norm")
-    centroids = corpus.filter(
-        (F.col("vec_id") >= CENTROID_ID_LO) & (F.col("vec_id") < CENTROID_ID_LO + N_CENTROIDS)
-    ).select(F.col("vec_id").alias("centroid_id"), "emb", "norm")
+    if centroids is None:
+        centroids = corpus.filter(
+            (F.col("vec_id") >= CENTROID_ID_LO) & (F.col("vec_id") < CENTROID_ID_LO + N_CENTROIDS)
+        ).select(F.col("vec_id").alias("centroid_id"), "emb", "norm")
 
     assigned = _ivf_assign(corpus, centroids, 1)
     probes = _ivf_assign(corpus.filter(F.col("vec_id") < n_queries), centroids, N_PROBE).select(

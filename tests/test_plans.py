@@ -149,3 +149,19 @@ def test_ivf_candidate_join_is_equi_on_centroid(spark):
     # the candidate join must be an equi hash join on centroid_id; the only
     # nested-loop allowed is the K-row broadcast centroid scoring
     assert "BroadcastHashJoin [centroid_id" in plan
+
+
+def test_ivf_kmeans_centroids_same_probe_join(spark):
+    """Swapping corpus-slice centroids for trained pyspark.ml KMeans
+    centroids must not change the candidate-join shape: still an equi
+    BroadcastHashJoin on centroid_id, never a cross join over the corpus."""
+    from airdatapipeline_spark.operators import similarity
+
+    cent = similarity.kmeans_centroids(spark, SF_SMALL)
+    assert cent.count() == similarity.N_CENTROIDS
+    assert cent.schema.simpleString() == (
+        "struct<centroid_id:int,emb:array<double>,norm:double>"
+    )
+    plan = _plan(similarity.ivf_topk(spark, SF_SMALL, centroids=cent))
+    assert "BroadcastHashJoin [centroid_id" in plan
+    assert "CartesianProduct" not in plan
