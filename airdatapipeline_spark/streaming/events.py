@@ -44,7 +44,12 @@ def _landing_dir(sf_dir: str) -> str:
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # schema must be pinned for readStream; reuse the batch reader's schema
     # (ts arrives as epoch-nanos long under the nanosAsLong conf — convert
-    # exactly like io.load_table does)
+    # exactly like io.load_table does). Pin the two correctness confs here
+    # rather than relying on an earlier load_table call having set them on
+    # this session (the driver runs queries on a session built without our
+    # factory; registration order must not matter).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     stream = spark.readStream.schema(batch.schema).parquet(_landing_dir(sf_dir))
     # watermarks require TIMESTAMP (not NTZ); under the UTC session the wall
