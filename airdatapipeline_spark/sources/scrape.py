@@ -64,23 +64,141 @@ class FakeScraper:
         return rows
 
 
+# The reference's selector union (scripts/scraper.py:73-83): a primary
+# attribute selector plus feed/headline classes and tag-qualified variants.
+# These are site-contract data, shared verbatim by necessity.
+G1_SELECTORS: tuple[str, ...] = (
+    "[data-mrf-layout-title]",
+    ".feed-post-body-title",
+    ".bstn-hl-title",
+    "h2[data-mrf-layout-title]",
+    "h3[data-mrf-layout-title]",
+    "span[data-mrf-layout-title]",
+    "p[data-mrf-layout-title]",
+    ".gui-color-primary[data-mrf-layout-title]",
+)
+
+MIN_TITLE_LEN = 15  # scripts/scraper.py:106 — quality floor on headline text
+BASE_URL = "https://g1.globo.com"
+
+
+class PageElement(Protocol):
+    """The slice of a DOM element the extractor needs."""
+
+    def inner_text(self) -> str | None: ...
+    def closest_anchor_href(self) -> str | None: ...
+    def child_anchor_href(self) -> str | None: ...
+    def parent_data_link(self) -> str | None: ...
+
+
+class BrowserPage(Protocol):
+    """The slice of a browser page the extractor needs. A real backend wraps
+    playwright's Page; tests provide a deterministic fake."""
+
+    def scroll_to_bottom(self) -> None: ...
+    def query_selector_all(self, selector: str) -> list[PageElement]: ...
+
+
+def resolve_href(el: PageElement) -> str | None:
+    """Three-tier link resolution mirroring scripts/scraper.py:112-146:
+    nearest enclosing <a>, then a child <a>, then the parent's
+    data-mrf-link attribute. Each tier is best-effort."""
+    for tier in (el.closest_anchor_href, el.child_anchor_href, el.parent_data_link):
+        try:
+            href = tier()
+        except Exception:
+            href = None
+        if href:
+            return href
+    return None
+
+
+def normalize_url(href: str) -> str | None:
+    """scripts/scraper.py:149-153: root-relative paths get the site prefix;
+    anything else must already be absolute http(s) or is dropped."""
+    if href.startswith("/"):
+        return f"{BASE_URL}{href}"
+    if href.startswith("http"):
+        return href
+    return None
+
+
+def extract_headlines(
+    page: BrowserPage,
+    *,
+    selectors: tuple[str, ...] = G1_SELECTORS,
+    scroll_attempts: int = 6,
+    now: datetime | None = None,
+) -> list[dict]:
+    """Pure extraction pass over an open page — the entire post-launch
+    behavior of scripts/scraper.py:57-170: scroll to force lazy content,
+    union the selector hits in order, then per element apply the quality
+    floor, title dedup, 3-tier href resolution, URL normalization and
+    link dedup. Deterministic given a deterministic page + clock."""
+    now = now or datetime.now()
+    for _ in range(scroll_attempts):
+        page.scroll_to_bottom()
+
+    elements: list[PageElement] = []
+    for selector in selectors:
+        try:
+            elements.extend(page.query_selector_all(selector))
+        except Exception:
+            continue
+
+    rows: list[dict] = []
+    seen_links: set[str] = set()
+    seen_titles: set[str] = set()
+    for el in elements:
+        try:
+            title = (el.inner_text() or "").strip()
+        except Exception:
+            continue
+        if len(title) < MIN_TITLE_LEN or title in seen_titles:
+            continue
+        href = resolve_href(el)
+        if not href:
+            continue
+        link = normalize_url(href)
+        if not link or link in seen_links:
+            continue
+        seen_links.add(link)
+        seen_titles.add(title)
+        rows.append({"title": title, "link": link, "source": "G1", "scraped_at": now})
+    return rows
+
+
 @dataclass
 class PlaywrightScraper:
-    """Real browser scraper stub — Playwright is not in this container.
-    Contract identical to FakeScraper (same selectors→rows shape as
-    scripts/scraper.py:73-167)."""
+    """Real browser scraper. All page-parsing behavior lives in
+    `extract_headlines` (tested offline against a fake page); ONLY the
+    browser launch is an environment stub — Playwright/Chromium are not in
+    this container. A real deployment implements `_open_page` with
+    playwright's chromium.launch + goto + wait_for_selector
+    (scripts/scraper.py:38-56) wrapped in the BrowserPage protocol."""
 
-    url: str = "https://g1.globo.com"
+    url: str = BASE_URL
+    scroll_attempts: int = 6
+
+    def _open_page(self) -> BrowserPage:
+        raise NotImplementedError(
+            "STUB: needs playwright + headless chromium. Implement _open_page "
+            "to return a BrowserPage over a loaded document; extraction logic "
+            "is already provided by extract_headlines()."
+        )
 
     def scrape(self) -> list[dict]:
-        raise NotImplementedError(
-            "STUB: needs playwright + headless chromium; plug in via the "
-            "Scraper protocol"
-        )
+        return extract_headlines(self._open_page(), scroll_attempts=self.scroll_attempts)
 
 
 def scrape_to_dataframe(spark: SparkSession, scraper: Scraper | None = None) -> DataFrame:
     """Driver-side collect → distributed DataFrame with the explicit Bronze
-    schema (never inferred)."""
+    schema (never inferred). Rows without a doc_id (the real scraper emits
+    none — the reference gets one from Postgres SERIAL, i.e. insert order)
+    get their collection order as the id."""
     scraper = scraper or FakeScraper()
-    return spark.createDataFrame(scraper.scrape(), schema=BRONZE_SCHEMA)
+    rows = [
+        row if "doc_id" in row else {**row, "doc_id": i}
+        for i, row in enumerate(scraper.scrape())
+    ]
+    return spark.createDataFrame(rows, schema=BRONZE_SCHEMA)

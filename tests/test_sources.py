@@ -32,6 +32,125 @@ def test_playwright_scraper_is_stub():
         scrape.PlaywrightScraper().scrape()
 
 
+class _El:
+    """Deterministic PageElement: href tiers either return a value, None, or
+    raise — mirroring the best-effort DOM probing the real page does."""
+
+    def __init__(self, text, closest=None, child=None, data_link=None, raise_on=()):
+        self._text, self._closest, self._child, self._data = text, closest, child, data_link
+        self._raise = set(raise_on)
+
+    def inner_text(self):
+        if "text" in self._raise:
+            raise RuntimeError("detached node")
+        return self._text
+
+    def closest_anchor_href(self):
+        if "closest" in self._raise:
+            raise RuntimeError("evaluate failed")
+        return self._closest
+
+    def child_anchor_href(self):
+        return self._child
+
+    def parent_data_link(self):
+        return self._data
+
+
+class _FakePage:
+    """Elements per selector; some appear only after enough scrolls (lazy
+    feed). query counts calls so selector-union order is observable."""
+
+    def __init__(self, by_selector, lazy_after=0, lazy_elements=()):
+        self.by_selector = dict(by_selector)
+        self.scrolls = 0
+        self.lazy_after = lazy_after
+        self.lazy_elements = list(lazy_elements)
+        self.queried = []
+
+    def scroll_to_bottom(self):
+        self.scrolls += 1
+
+    def query_selector_all(self, selector):
+        self.queried.append(selector)
+        if selector == "boom":
+            raise RuntimeError("bad selector")
+        els = list(self.by_selector.get(selector, []))
+        if selector == "[data-mrf-layout-title]" and self.scrolls >= self.lazy_after:
+            els += self.lazy_elements
+        return els
+
+
+def test_extract_headlines_full_behavior():
+    """The post-launch scraper pass (scraper.py:57-170): scrolls, selector
+    union, 15-char floor, title+link dedup, 3-tier href fallback, URL
+    normalization — all offline."""
+    from datetime import datetime
+
+    good = "Notícia longa o suficiente para passar"
+    page = _FakePage(
+        by_selector={
+            "[data-mrf-layout-title]": [
+                _El(good, closest="/politica/x"),               # relative → prefixed
+                _El("curta", closest="https://g1.globo.com/a"),  # < 15 chars → drop
+                _El(None, closest="https://g1.globo.com/b"),     # empty text → drop
+                _El("Outra manchete com link apenas no filho",
+                    closest=None, child="https://g1.globo.com/c"),
+                _El("Terceira manchete via data-mrf-link do pai",
+                    raise_on=("closest",), data_link="/d"),      # tier-1 raises → tier-3
+                _El("Manchete sem nenhum link disponível"),      # no href → drop
+                _El("Manchete com protocolo inválido ftp", closest="ftp://x/y"),  # drop
+            ],
+            ".feed-post-body-title": [
+                _El(good, closest="/politica/duplicada"),        # dup title → drop
+                _El("Título novo apontando para link repetido",
+                    closest="https://g1.globo.com/politica/x"),  # dup link → drop
+            ],
+        },
+        lazy_after=6,
+        lazy_elements=[_El("Manchete que só aparece após o scroll",
+                           closest="https://g1.globo.com/lazy")],
+    )
+    now = datetime(2025, 8, 1, 8, 0, 0)
+    rows = scrape.extract_headlines(page, now=now)
+
+    assert page.scrolls == 6  # scraper.py:59 default scroll_attempts
+    assert page.queried[:2] == ["[data-mrf-layout-title]", ".feed-post-body-title"]
+    assert len(page.queried) == len(scrape.G1_SELECTORS)
+    assert [r["link"] for r in rows] == [
+        "https://g1.globo.com/politica/x",
+        "https://g1.globo.com/c",
+        "https://g1.globo.com/d",
+        "https://g1.globo.com/lazy",
+    ]
+    assert all(r["source"] == "G1" and r["scraped_at"] == now for r in rows)
+    assert len({r["title"] for r in rows}) == len(rows)
+
+
+def test_extract_headlines_selector_errors_are_skipped():
+    page = _FakePage(by_selector={})
+    rows = scrape.extract_headlines(page, selectors=("boom", "[data-mrf-layout-title]"))
+    assert rows == [] and page.queried == ["boom", "[data-mrf-layout-title]"]
+
+
+def test_scraper_rows_without_doc_id_get_insert_order(spark):
+    """Real-scraper rows carry no doc_id (reference: Postgres SERIAL assigns
+    insert order); scrape_to_dataframe synthesizes the same."""
+    from datetime import datetime
+
+    class RealShapeScraper:
+        def scrape(self):
+            now = datetime(2025, 8, 1, 9, 0, 0)
+            return [
+                {"title": f"Manchete número {i} com tamanho válido",
+                 "link": f"https://g1.globo.com/n/{i}", "source": "G1", "scraped_at": now}
+                for i in range(5)
+            ]
+
+    df = scrape.scrape_to_dataframe(spark, RealShapeScraper())
+    assert [r.doc_id for r in df.orderBy("doc_id").collect()] == [0, 1, 2, 3, 4]
+
+
 def test_csv_roundtrip_lossless(spark):
     from airdatapipeline_spark.operators import relational
 
