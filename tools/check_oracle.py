@@ -10,6 +10,7 @@ and (order-insensitively) values. Usage:
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -81,9 +82,24 @@ def main() -> int:
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
-    from airdatapipeline_spark.session import get_spark
 
-    spark = get_spark("oracle-check")
+    if os.environ.get("SPARK_GRAFT_BARE_SESSION"):
+        # Simulate the driver's session: default confs, none of get_spark's
+        # pins (UTC tz, nanosAsLong, AQE sizing). Every registered query must
+        # still oracle-match — conf dependencies belong inside the operators.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[16]")
+            .appName("oracle-check-bare")
+            .config("spark.sql.shuffle.partitions", "16")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        from airdatapipeline_spark.session import get_spark
+
+        spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings".split()
