@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..io import load_table
 from .text import tokens_col
@@ -137,6 +138,12 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select(
         "doc_id", F.posexplode(band_structs).alias("band", "bs")
     ).select("doc_id", "band", F.col("bs.bx").alias("bx"), F.col("bs.by").alias("by"))
+    # persist before the self-join: without it both join sides recompute the
+    # whole shingle→md5→min-agg subtree (verified: 2 parquet scans, no
+    # ReusedExchange). The cached bands table is 4 short rows per doc —
+    # tiny next to the shingle pass it saves; MEMORY_AND_DISK spills rather
+    # than evicts under pressure, and lineage stays intact for recovery.
+    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
     x = bands.alias("x")
     y = bands.alias("y")
     return (
@@ -261,6 +268,9 @@ def simhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select(
         "doc_id", "simhash", F.posexplode(band_structs).alias("band", "bv")
     )
+    # same self-join dedup as minhash_lsh_candidates: one materialization
+    # feeds both sides instead of recomputing the packed bit-count agg twice
+    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
     x = bands.alias("x")
     y = bands.alias("y")
     cand = (
