@@ -120,10 +120,14 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding (4 bands × 2 rows): docs sharing any band bucket are
-    candidate near-dup pairs. The pair search is an equi-join on
-    (band, bucket) — shuffle-partitioned by bucket, never quadratic."""
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, bx, by) — LSH banding of the minhash signatures
+    (4 bands × 2 rows), persisted: every caller joins this table against
+    itself or a filtered view of it, and without the cache each side
+    recomputes the whole shingle→md5→min-agg subtree (verified: 2 parquet
+    scans, no ReusedExchange). The cached table is 4 short rows per doc —
+    tiny next to the shingle pass it saves; MEMORY_AND_DISK spills rather
+    than evicts under pressure, and lineage stays intact for recovery."""
     sig = minhash_signatures(spark, sf_dir)
     # one posexplode pass, NOT a 4-way union of selects (a union would make
     # Catalyst recompute the signature aggregation once per band)
@@ -138,12 +142,14 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select(
         "doc_id", F.posexplode(band_structs).alias("band", "bs")
     ).select("doc_id", "band", F.col("bs.bx").alias("bx"), F.col("bs.by").alias("by"))
-    # persist before the self-join: without it both join sides recompute the
-    # whole shingle→md5→min-agg subtree (verified: 2 parquet scans, no
-    # ReusedExchange). The cached bands table is 4 short rows per doc —
-    # tiny next to the shingle pass it saves; MEMORY_AND_DISK spills rather
-    # than evicts under pressure, and lineage stays intact for recovery.
-    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
+    return bands.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding (4 bands × 2 rows): docs sharing any band bucket are
+    candidate near-dup pairs. The pair search is an equi-join on
+    (band, bucket) — shuffle-partitioned by bucket, never quadratic."""
+    bands = _minhash_bands(spark, sf_dir)
     x = bands.alias("x")
     y = bands.alias("y")
     return (
@@ -156,6 +162,73 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
         .distinct()
+    )
+
+
+def incremental_minhash_candidates(
+    spark: SparkSession, sf_dir: str, batch_mod: int = 10, batch_rem: int = 7
+) -> DataFrame:
+    """Incremental dedup — the production crawl-ingest pattern: instead of
+    re-deduping the whole corpus, a new batch (here the deterministic
+    doc_id % batch_mod == batch_rem slice standing in for today's arrivals)
+    is checked ONLY against the existing corpus index. Both sides band
+    identically, so the candidate search is the same (band, bucket)
+    equi-join as minhash_lsh_candidates but new×corpus instead of
+    corpus×corpus: work scales with |batch| + matched buckets, not corpus².
+    At 100 TB the corpus bands live as a bucketed table keyed by
+    (band, bx, by) and each day's batch joins against it shuffle-free on
+    the corpus side."""
+    bands = _minhash_bands(spark, sf_dir)
+    is_batch = (F.col("doc_id") % batch_mod) == batch_rem
+    new = bands.filter(is_batch).alias("n")
+    corpus = bands.filter(~is_batch).alias("c")
+    return (
+        new.join(
+            corpus,
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.bx") == F.col("c.bx"))
+            & (F.col("n.by") == F.col("c.by")),
+        )
+        .select(F.col("n.doc_id").alias("new_id"), F.col("c.doc_id").alias("dup_of"))
+        .distinct()
+    )
+
+
+def decontamination_report(
+    spark: SparkSession, sf_dir: str, eval_mod: int = 50, max_df: int = 20
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing word n-grams
+    with a held-out eval set (deterministic doc_id % eval_mod == 0 slice
+    standing in for a benchmark suite). Per training doc: how many distinct
+    grams leak and how many eval docs they touch.
+
+    Scale shape: everything is an equi-join/agg on the gram key. Grams
+    seen in more than `max_df` documents are dropped first — common
+    phrases carry no contamination signal, and at corpus scale a hot gram
+    would otherwise fan the join out quadratically (this is the skew guard,
+    same role as stop-words in an inverted index). The eval side is tiny
+    relative to the corpus, so Catalyst broadcasts it once the rare-gram
+    filter has run."""
+    grams = _shingles(load_table(spark, sf_dir, "documents")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    rare = (
+        grams.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    g = grams.join(rare, "shingle")
+    is_eval = (F.col("doc_id") % eval_mod) == 0
+    ev = g.filter(is_eval).select(F.col("shingle"), F.col("doc_id").alias("eval_id"))
+    tr = g.filter(~is_eval)
+    return (
+        tr.join(ev, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_grams"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
     )
 
 

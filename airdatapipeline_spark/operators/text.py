@@ -236,3 +236,38 @@ def train_val_split_counts(
             F.sum("n_tok").alias("total_tokens"),
         )
     )
+
+
+def training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for a training mix: each source
+    gets its own keep-rate (here a rate schedule derived from the source
+    index — src0 keeps 100%, each next source 4 points less — standing in
+    for the usual 'wiki 100%, web 30%' mixture weights). Selection is the
+    same content-addressed md5-bucket trick as train_val_split_counts,
+    salted with a 'mix:' prefix so mix membership is independent of the
+    train/val assignment. No shuffle for the selection itself — a 100 TB
+    corpus is sampled by a hash filter at scan time; only the per-source
+    audit aggregate shuffles (20 rows). Returns per-source totals: corpus
+    docs, sampled docs, sampled token mass."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.lit(100) - F.lit(4) * F.substring("source", 4, 10).cast("int")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 14),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    keep = (bucket < rate).cast("long")
+    return (
+        d.select(
+            "source", keep.alias("keep"), F.size(tokens_col()).cast("long").alias("n_tok")
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("keep").alias("n_sampled"),
+            F.sum(F.col("keep") * F.col("n_tok")).alias("sampled_tokens"),
+        )
+    )

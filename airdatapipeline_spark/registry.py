@@ -2235,6 +2235,70 @@ def t_split(spark, sf_dir):
     return text.train_val_split_counts(spark, sf_dir)
 
 
+@register(
+    "dedup_incremental_candidates",
+    f"""
+    WITH {_SHINGLES_CTE.format(src="documents")},
+    hashed AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(shingle), 1, 14)) AS BIGINT) % 1073741824 AS h
+      FROM sh
+    ),
+    sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM hashed GROUP BY 1),
+    bands AS (
+      {_BAND_SELECTS}
+    )
+    SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS dup_of
+    FROM bands n JOIN bands c
+      ON n.band = c.band AND n.bx = c.bx AND n.by = c.by
+    WHERE n.doc_id % 10 = 7 AND c.doc_id % 10 <> 7
+    """,
+)
+def dd_incremental(spark, sf_dir):
+    return dedup.incremental_minhash_candidates(spark, sf_dir)
+
+
+@register(
+    "text_decontamination",
+    f"""
+    WITH {_SHINGLES_CTE.format(src="documents")},
+    freq AS (SELECT shingle, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY 1),
+    rare AS (SELECT shingle FROM freq WHERE df <= 20),
+    g AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    ev AS (SELECT doc_id AS eval_id, shingle FROM g WHERE doc_id % 50 = 0),
+    tr AS (SELECT doc_id, shingle FROM g WHERE doc_id % 50 <> 0)
+    SELECT tr.doc_id AS doc_id,
+           COUNT(DISTINCT tr.shingle) AS n_shared_grams,
+           COUNT(DISTINCT ev.eval_id) AS n_eval_docs
+    FROM tr JOIN ev USING (shingle)
+    GROUP BY 1
+    """,
+)
+def t_decontam(spark, sf_dir):
+    return dedup.decontamination_report(spark, sf_dir)
+
+
+@register(
+    "text_training_mix_sample",
+    f"""
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(keep) AS BIGINT) AS n_sampled,
+           CAST(SUM(keep * n_tok) AS BIGINT) AS sampled_tokens
+    FROM (
+      SELECT source,
+             CASE WHEN CAST(concat('0x', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 14))
+                            AS BIGINT) % 100
+                       < 100 - 4 * CAST(substr(source, 4) AS INT)
+                  THEN 1 ELSE 0 END AS keep,
+             len({_TOKS}) AS n_tok
+      FROM documents
+    ) GROUP BY 1
+    """,
+)
+def t_mix(spark, sf_dir):
+    return text.training_mix_sample(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order policy (round-2 VERDICT item 1)
 #
