@@ -417,3 +417,96 @@ def cluster_assignments(spark: SparkSession, sf_dir: str, max_iter: int = 20) ->
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def cluster_assignments_star(
+    spark: SparkSession, sf_dir: str, max_iter: int = 20
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the O(log n)-round upgrade `cluster_assignments` documents
+    for extreme graphs: HashMin converges in O(diameter) rounds, which is
+    fine for dense near-dup clusters but degrades on long chains; the star
+    operations contract any component to a star in logarithmically many
+    rounds regardless of shape.
+
+    Per round, each operation is a groupBy-min plus a co-partitioned join
+    back on the same key (no collect_list of neighbor sets, so hub nodes
+    never materialize a giant array — the known pitfall of the naive
+    reduce-side formulation). Both rounds and the edge set are
+    localCheckpoint-ed to truncate lineage, same policy as HashMin.
+    Output is identical to `cluster_assignments` (every node labeled with
+    its component's min doc_id) — the same recursive-CTE oracle verifies
+    both, and a property test asserts Spark-side equality."""
+    pairs = minhash_lsh_candidates(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = star_components(edges, max_iter)
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def star_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Core large-star/small-star loop over an undirected edge list
+    (columns a, b) → (node, label = component min). Factored out of
+    `cluster_assignments_star` so synthetic graphs (chains, stars, forests)
+    can exercise it directly in tests."""
+    edges = edges.filter(F.col("a") != F.col("b")).distinct().localCheckpoint()
+    nodes = (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # symmetric orientation; every node links its strictly-larger
+        # neighbors to min(neighborhood ∪ self)
+        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient high -> low; every node links its smaller neighbors (and
+        # itself) to the minimum of those neighbors
+        hi = F.greatest("a", "b").alias("u")
+        lo = F.least("a", "b").alias("v")
+        oriented = e.select(hi, lo)
+        mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        relink = (
+            oriented.join(mins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        self_link = mins.select(F.col("u").alias("a"), F.col("m").alias("b"))
+        return relink.unionByName(self_link).filter(F.col("a") != F.col("b")).distinct()
+
+    for _ in range(max_iter):
+        contracted = small_star(large_star(edges)).localCheckpoint()
+        # converged when the edge set is stable (symmetric difference empty)
+        delta = (
+            contracted.exceptAll(edges).limit(1).count()
+            + edges.exceptAll(contracted).limit(1).count()
+        )
+        edges = contracted
+        if delta == 0:
+            break
+
+    # at the fixpoint every edge is (member, root); roots label themselves
+    member_labels = edges.select(F.col("a").alias("node"), F.col("b").alias("label"))
+    root_labels = nodes.join(
+        edges.select(F.col("a").alias("node")).distinct(), "node", "left_anti"
+    ).select("node", F.col("node").alias("label"))
+    return member_labels.unionByName(root_labels)

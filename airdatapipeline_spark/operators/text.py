@@ -238,6 +238,212 @@ def train_val_split_counts(
     )
 
 
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters, per document: the fraction
+    of word-bigrams taken by the single most frequent bigram, and the
+    fraction of word-trigrams that are duplicates (surplus occurrences).
+    Boilerplate / templated / looping text scores high on both and gets
+    dropped before training.
+
+    Deliberately ZERO-shuffle: the n-grams of a document live inside that
+    document's row, so both metrics are computed by higher-order array
+    functions (sort + run-length fold for the top-bigram count,
+    size - distinct-size for the duplicate surplus) in a single map-only
+    projection — at 100 TB this never materializes an exploded n-gram
+    table. The DuckDB oracle takes the set-based route (unnest + GROUP BY)
+    and must agree, which is exactly what makes the fold trustworthy.
+
+    Reference quality-gate analogue: /root/reference/dbt_project/models
+    staging tests (not_null/length gates); the repetition family extends
+    them to corpus curation.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+        " (a, b) -> concat(a, ' ', b))"
+    )
+    trigrams = F.expr(
+        "transform(sequence(1, size(t) - 2),"
+        " i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))"
+    )
+    # run-length fold over the sorted bigram array: longest run == highest
+    # frequency of any single bigram (ties collapse to the same max)
+    top_bigram_n = F.expr(
+        "aggregate(sort_array(bg),"
+        " struct(cast('' as string) as prev, 0L as run, 0L as best),"
+        " (acc, x) -> struct(x,"
+        "   if(x = acc.prev, acc.run + 1L, 1L),"
+        "   greatest(acc.best, if(x = acc.prev, acc.run + 1L, 1L))),"
+        " acc -> acc.best)"
+    )
+    df = (
+        d.select("doc_id", "source", tokens_col().alias("t"))
+        .select("doc_id", "source", bigrams.alias("bg"), trigrams.alias("tg"))
+        .select(
+            "doc_id",
+            "source",
+            F.size("bg").cast("long").alias("n_bigrams"),
+            top_bigram_n.alias("top_bigram_n"),
+            F.size("tg").cast("long").alias("n_trigrams"),
+            (F.size("tg") - F.size(F.array_distinct("tg"))).cast("long").alias("dup_trigram_n"),
+        )
+    )
+    top_frac = F.col("top_bigram_n") / F.col("n_bigrams")
+    dup_frac = F.col("dup_trigram_n") / F.col("n_trigrams")
+    return df.select(
+        "doc_id",
+        "source",
+        "n_bigrams",
+        "top_bigram_n",
+        top_frac.alias("top_bigram_frac"),
+        "n_trigrams",
+        "dup_trigram_n",
+        dup_frac.alias("dup_trigram_frac"),
+        ((top_frac <= 0.18) & (dup_frac <= 0.30)).alias("keep"),
+    )
+
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\b[0-9]{3}-[0-9]{4}\b"
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction over the documents corpus: count and mask
+    emails, IPv4 addresses and phone-shaped digit runs, emitting per-doc
+    hit counts and an md5 fingerprint of the redacted text (the fingerprint
+    is what the oracle hash-checks, so the whole replace chain is verified
+    byte-for-byte).
+
+    The synthetic corpus is clean — it contains no PII by construction — so
+    a deterministic contact line derived from doc_id is appended inside the
+    query before scanning; the operator under test is the detect/redact
+    expression chain, and every pattern is guaranteed non-zero hits. The
+    patterns avoid constructs where Java regex and RE2 (DuckDB) diverge
+    (no lookaround, no backrefs), so the same pattern strings run on both
+    engines. Map-only, zero shuffle, fully inside whole-stage codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    blob = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1 phone 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+    df = d.select("doc_id", "source", blob.alias("blob"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("blob", F.lit(PII_EMAIL), F.lit("<EMAIL>")),
+            F.lit(PII_IPV4),
+            F.lit("<IP>"),
+        ),
+        F.lit(PII_PHONE),
+        F.lit("<PHONE>"),
+    )
+    return df.select(
+        "doc_id",
+        "source",
+        F.regexp_count("blob", F.lit(PII_EMAIL)).cast("long").alias("n_email"),
+        F.regexp_count("blob", F.lit(PII_IPV4)).cast("long").alias("n_ip"),
+        F.regexp_count("blob", F.lit(PII_PHONE)).cast("long").alias("n_phone"),
+        F.md5(redacted).alias("redacted_md5"),
+        (F.length("blob") - F.length(redacted)).cast("long").alias("chars_removed"),
+    )
+
+
+PACK_BUDGET = 2048
+PACK_BUCKETS = 8
+
+
+def _pack_bucket() -> Column:
+    """Content-addressed pack bucket: md5(doc_id) mod PACK_BUCKETS — the
+    unit of packing parallelism. At 100 TB the bucket count is sized to the
+    cluster (each bucket packs independently); membership is
+    engine/partitioning-invariant like every hash split in this repo."""
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 14), 16, 10).cast("long")
+        % PACK_BUCKETS
+    )
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str, budget: int = PACK_BUDGET) -> DataFrame:
+    """Sequence packing for LLM pretraining, concatenate-and-split flavor:
+    docs are laid end-to-end in a deterministic order (doc_id) inside each
+    hash bucket and cut every `budget` tokens — pack_id = the budget-window
+    the document STARTS in (floor(start_offset / budget)), exactly how a
+    packed pretraining shard maps documents to context windows.
+
+    One window function over (bucket, doc_id) — a single shuffle by bucket,
+    each bucket's running offset computed in one pass; the per-pack audit
+    aggregate is a second small shuffle. SQL-expressible (cumulative SUM
+    OVER), so the DuckDB oracle replays it exactly. The no-split first-fit
+    variant (whole docs only, greedy) is `pack_greedy` below — stateful per
+    bucket, applyInPandas, property-tested rather than oracle-checked."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        _pack_bucket().alias("bucket"),
+        F.size(tokens_col()).cast("long").alias("n_tok"),
+    )
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    start = F.sum("n_tok").over(w) - F.col("n_tok")
+    packed = toks.select(
+        "bucket",
+        "doc_id",
+        "n_tok",
+        F.floor(start / F.lit(budget)).alias("pack_id"),
+    )
+    return (
+        packed.groupBy("bucket", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+def pack_greedy(spark: SparkSession, sf_dir: str, budget: int = PACK_BUDGET) -> DataFrame:
+    """First-fit greedy packing (whole documents, never split): within each
+    hash bucket, walk docs in doc_id order and open a new pack whenever the
+    next doc would overflow `budget`. The running-offset state makes this
+    non-SQL (it is the classic applyInPandas-per-group stateful scan);
+    grouping by bucket bounds the state to one counter per group and the
+    Arrow batch to one bucket's docs. Oversized docs (> budget) get a pack
+    of their own. Verified by property tests: every pack fits unless it is
+    a single oversized doc, every doc lands exactly once, and the output is
+    invariant under input repartitioning."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        _pack_bucket().alias("bucket"),
+        F.size(tokens_col()).cast("long").alias("n_tok"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pack_ids, pack_id, running = [], 0, 0
+        for n in pdf["n_tok"]:
+            if running > 0 and running + n > budget:
+                pack_id += 1
+                running = 0
+            pack_ids.append(pack_id)
+            running += n
+        pdf["pack_id"] = pd.Series(pack_ids, dtype="int64")
+        return pdf[["bucket", "doc_id", "n_tok", "pack_id"]]
+
+    return toks.groupBy("bucket").applyInPandas(
+        pack, "bucket long, doc_id long, n_tok long, pack_id long"
+    )
+
+
 def training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling for a training mix: each source
     gets its own keep-rate (here a rate schedule derived from the source

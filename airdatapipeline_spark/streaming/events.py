@@ -163,6 +163,79 @@ def session_counts_append(
     return _run_append_to_files(flat)
 
 
+def dedup_keys_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication with BOUNDED state: emit each distinct
+    (event day, user_id, event_type) key once, via
+    `dropDuplicatesWithinWatermark` — the dedup keys deliberately exclude
+    the raw event-time column (day is derived), which is exactly the case
+    where plain `dropDuplicates` would hold every key forever; the
+    WithinWatermark variant evicts a key's state once the watermark passes
+    its first sighting + delay. Output projects only the key columns, so
+    the emitted row set is deterministic (= DISTINCT keys) regardless of
+    which physical row arrived first.
+
+    Scale note: state is O(distinct keys inside the watermark horizon), not
+    O(stream). A duplicate arriving after its key's state is evicted would
+    re-emit — the documented at-least-once contract of watermark dedup; the
+    downstream idempotent sink (SNK2 upsert) absorbs it."""
+    ev = _event_stream(spark, sf_dir)
+    keyed = ev.withWatermark("ts", "1 hour").select(
+        "ts",
+        F.col("ts").cast("date").alias("day"),
+        "user_id",
+        "event_type",
+    )
+    deduped = keyed.dropDuplicatesWithinWatermark(["day", "user_id", "event_type"])
+    flat = deduped.select("day", "user_id", "event_type")
+    return _run_append_to_files(flat)
+
+
+def clicks_errors_join_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INNER join: for each user, pair every error with the
+    clicks of the SAME user in the preceding 5 minutes (error-triage: what
+    was clicked right before it broke). Both sides are watermarked and the
+    join carries an event-time interval condition, so each side's buffered
+    state is evicted once the other side's watermark passes the interval —
+    the bounded-state shape stream-stream joins require at scale (without
+    the time bound, both sides buffer forever). Inner-join matches emit as
+    they are found (append mode), so the committed file output equals the
+    batch interval join, which is what the DuckDB oracle replays."""
+    clicks = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    errors = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("error_ts"),
+            F.col("event_id").alias("error_id"),
+        )
+        .withWatermark("error_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        errors,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("click_ts") <= F.col("error_ts"))
+        & (F.col("click_ts") >= F.col("error_ts") - F.expr("INTERVAL 5 MINUTES")),
+    )
+    flat = joined.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "error_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        F.col("error_ts").cast("timestamp_ntz").alias("error_ts"),
+    )
+    return _run_append_to_files(flat)
+
+
 def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour tumbling-window counts/sums per event_type with a 10-minute
     watermark. Decimal-exact value sums (deterministic under any trigger

@@ -113,3 +113,98 @@ def test_simhash_banding_catches_all_close_pairs(spark_global):
     ex = set(zip(exhaustive.id_a, exhaustive.id_b))
     bd = set(zip(banded.id_a, banded.id_b))
     assert ex <= bd and bd == ex  # identical sets (banding is exact for h<=3)
+
+
+def _uf_components(edges):
+    """Reference union-find: node -> component min."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        # long path with non-monotone ids — worst case for HashMin, the
+        # shape large/small-star exists for
+        [(9, 7), (7, 5), (5, 3), (3, 1), (1, 0), (0, 2), (2, 4), (4, 6), (6, 8)],
+        # hub star + separate triangle + isolated pair
+        [(100, i) for i in range(1, 12)] + [(200, 201), (201, 202), (202, 200), (300, 301)],
+        # two chains that merge at the tail
+        [(10, 20), (20, 30), (30, 40), (15, 25), (25, 35), (35, 40)],
+        # duplicate and reversed edges + self loop noise
+        [(1, 2), (2, 1), (2, 2), (2, 3), (1, 3), (5, 4)],
+    ],
+)
+def test_star_components_match_union_find(spark_global, edges):
+    """Large/small-star CC must label every node with its component min on
+    adversarial graph shapes (chains, hubs, merges, dup/self edges)."""
+    from airdatapipeline_spark.operators.dedup import star_components
+
+    df = spark_global.createDataFrame(edges, "a long, b long")
+    got = {
+        (r.node, r.label)
+        for r in star_components(df).collect()
+    }
+    expected = set(_uf_components((a, b) for a, b in edges if a != b).items())
+    assert got == expected
+
+
+def test_star_cc_equals_hashmin_on_corpus(spark_global):
+    """Both CC implementations must emit the identical (doc_id, cluster_id)
+    set over the real MinHash-LSH candidate graph."""
+    from airdatapipeline_spark.operators import dedup
+
+    sf = "/root/testdata/sf0.001"
+    hashmin = {
+        (r.doc_id, r.cluster_id) for r in dedup.cluster_assignments(spark_global, sf).collect()
+    }
+    star = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.cluster_assignments_star(spark_global, sf).collect()
+    }
+    assert star == hashmin
+
+
+def test_greedy_packing_invariants(spark_global):
+    """First-fit packing: every doc lands exactly once, no pack exceeds the
+    budget (token max 100 << budget, so no oversized-doc escape hatch
+    applies), packs are contiguous doc_id runs within a bucket, and the
+    output is stable across runs."""
+    from airdatapipeline_spark.operators.text import PACK_BUDGET, pack_greedy
+
+    sf = "/root/testdata/sf0.001"
+    out = pack_greedy(spark_global, sf).toPandas()
+    docs = spark_global.read.parquet(f"{sf}/documents.parquet").select("doc_id").toPandas()
+    assert sorted(out.doc_id) == sorted(docs.doc_id)  # every doc exactly once
+
+    by_pack = out.groupby(["bucket", "pack_id"])["n_tok"].sum()
+    assert (by_pack <= PACK_BUDGET).all()
+
+    for _, grp in out.groupby("bucket"):
+        g = grp.sort_values("doc_id")
+        # pack ids never decrease along the bucket's doc order and step by <=1
+        deltas = g.pack_id.diff().dropna()
+        assert (deltas >= 0).all() and (deltas <= 1).all()
+        # greedy tightness: a new pack opens only because the previous pack
+        # could not fit the first doc of the new pack
+        prev_tok = by_pack.loc[g.bucket.iloc[0]]
+        for pid in range(1, int(g.pack_id.max()) + 1):
+            first_n = g[g.pack_id == pid].n_tok.iloc[0]
+            assert prev_tok.loc[pid - 1] + first_n > PACK_BUDGET
+
+    again = pack_greedy(spark_global, sf).toPandas()
+    assert out.sort_values(["bucket", "doc_id"]).reset_index(drop=True).equals(
+        again.sort_values(["bucket", "doc_id"]).reset_index(drop=True)
+    )
