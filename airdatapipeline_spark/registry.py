@@ -1027,6 +1027,14 @@ _BUCKET_SQL = "concat(" + ", ".join(
 ) + ")"
 
 
+_PROBE_FLIPS_SQL = "[bucket, " + ", ".join(
+    f"substr(bucket, 1, {i}) || "
+    f"(CASE WHEN substr(bucket, {i + 1}, 1) = '1' THEN '0' ELSE '1' END) || "
+    f"substr(bucket, {i + 2})"
+    for i in range(similarity.N_PLANES)
+) + "]"
+
+
 @register(
     "simsearch_lsh_topk",
     f"""
@@ -1035,6 +1043,10 @@ _BUCKET_SQL = "concat(" + ", ".join(
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm,
              {_BUCKET_SQL} AS bucket
       FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, emb, norm, unnest({_PROBE_FLIPS_SQL}) AS bucket
+      FROM e WHERE vec_id < 10
     )
     SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1043,7 +1055,7 @@ _BUCKET_SQL = "concat(" + ", ".join(
                PARTITION BY q.vec_id
                ORDER BY list_dot_product(q.emb, c.emb) / (q.norm * c.norm) DESC, c.vec_id
              ) AS rank
-      FROM e c JOIN (SELECT * FROM e WHERE vec_id < 10) q
+      FROM e c JOIN q
         ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
     ) WHERE rank <= 5
     """,
@@ -1922,8 +1934,12 @@ _TOPK_RANK = """
     ),
     truth AS ({_TOPK_RANK.format(q="q", c="c", from_clause=
         "FROM e c, (SELECT * FROM e WHERE vec_id < 10) q WHERE c.vec_id <> q.vec_id")}),
+    qprobe AS (
+      SELECT vec_id, emb, norm, unnest({_PROBE_FLIPS_SQL}) AS bucket
+      FROM eb WHERE vec_id < 10
+    ),
     lshk AS ({_TOPK_RANK.format(q="q", c="c", from_clause=
-        "FROM eb c JOIN (SELECT * FROM eb WHERE vec_id < 10) q "
+        "FROM eb c JOIN qprobe q "
         "ON c.bucket = q.bucket AND c.vec_id <> q.vec_id")}),
     ivfk AS (
       SELECT query_id, neighbor_id FROM (
