@@ -394,9 +394,13 @@ def cluster_assignments(spark: SparkSession, sf_dir: str, max_iter: int = 20) ->
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .localCheckpoint()
     )
+    # seed with min(self, min neighbor): exactly the result of the first
+    # HashMin round, but computed in the same aggregation that enumerates
+    # the nodes — one full round (2 jobs) saved
     labels = (
-        edges.select("src").distinct()
-        .select(F.col("src").alias("node"), F.col("src").alias("label"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select(F.col("src").alias("node"), F.least("src", "mn").alias("label"))
         .localCheckpoint()
     )
     for _ in range(max_iter):
@@ -406,11 +410,13 @@ def cluster_assignments(spark: SparkSession, sf_dir: str, max_iter: int = 20) ->
         new_labels = (
             labels.unionByName(prop).groupBy("node").agg(F.min("label").alias("label"))
         ).localCheckpoint()
+        # short-circuit probe: any single improved label means another round
         changed = (
             new_labels.join(
                 labels.select("node", F.col("label").alias("old_label")), "node"
             )
             .filter(F.col("label") < F.col("old_label"))
+            .limit(1)
             .count()
         )
         labels = new_labels

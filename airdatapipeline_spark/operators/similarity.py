@@ -37,11 +37,18 @@ def _plane_sign(j: int, i: int) -> int:
 PLANES: list[list[int]] = [[_plane_sign(j, i) for i in range(64)] for j in range(N_PLANES)]
 
 
+EMB_DIM = 64  # pinned by the embeddings table schema (array<float>[64])
+
+
 def _dot(a: str, b: str) -> Column:
-    """Sequential left-fold dot product (matches list_dot_product order)."""
-    return F.expr(
-        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"
-    )
+    """Sequential left-fold dot product, unrolled over the fixed EMB_DIM so
+    the whole expression is flat codegen arithmetic instead of an
+    interpreted higher-order `aggregate` lambda (~64 closure calls per
+    pair — the HOF version dominated the similarity family's runtime).
+    `0.0 + p1 + p2 + ...` evaluates left-to-right, which is bit-identical
+    to the fold and to DuckDB's list_dot_product accumulation order."""
+    terms = " + ".join(f"element_at({a}, {i}) * element_at({b}, {i})" for i in range(1, EMB_DIM + 1))
+    return F.expr(f"cast(0.0 as double) + {terms}")
 
 
 def with_norm(embeddings: DataFrame) -> DataFrame:
@@ -81,13 +88,16 @@ def brute_force_topk(
 
 
 def _bucket_col() -> Column:
-    """Sign-LSH bucket: one bit per hyperplane, concatenated to a string key."""
+    """Sign-LSH bucket: one bit per hyperplane, concatenated to a string
+    key. Projections are unrolled ±element_at terms (x * 1.0 == x and
+    x * -1.0 == -x bitwise, and a + (-b) == a - b, so this is bit-identical
+    to the folded multiply-accumulate the oracle replays)."""
     bits = []
     for plane in PLANES:
-        arr = "array(" + ",".join(f"cast({s} as double)" for s in plane) + ")"
-        proj = F.expr(
-            f"aggregate(zip_with(emb, {arr}, (x, s) -> x * s), cast(0.0 as double), (acc, v) -> acc + v)"
+        terms = " ".join(
+            f"{'+' if s > 0 else '-'} element_at(emb, {i + 1})" for i, s in enumerate(plane)
         )
+        proj = F.expr(f"cast(0.0 as double) {terms}")
         bits.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
 
