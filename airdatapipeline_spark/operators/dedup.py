@@ -425,6 +425,48 @@ def cluster_assignments(spark: SparkSession, sf_dir: str, max_iter: int = 20) ->
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def exact_substring_pairs(
+    spark: SparkSession, sf_dir: str, window: int = 40, stride: int = 10
+) -> DataFrame:
+    """Exact-substring dedup (the char-level companion to the token-shingle
+    MinHash tier, after Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", ACL'22): docs sharing any exact `window`-char
+    span are near-certain copies of a common source. Spans are hashed with
+    a `stride`-char step — a strided sliding window bounds the blowup to
+    len/stride hashes per doc (the suffix-array construction the paper uses
+    is a single-machine algorithm; strided window hashing is the shape that
+    distributes: one map pass, one shuffle on the hash).
+
+    Output: (id_a, id_b, n_shared_windows) where n counts DISTINCT shared
+    window hashes — duplicate spans inside one doc don't inflate the
+    count. One groupBy on the window hash would find the clusters; the
+    pair join keeps parity with the other dedup tiers' pair contract."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= window)
+    n_wins = f"int(floor((length(text) - {window}) / {stride}))"
+    wins = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {n_wins}),"
+                    f" i -> md5(substring(text, i * {stride} + 1, {window})))"
+                )
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    a = wins.alias("a")
+    b = wins.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(F.count("*").alias("n_shared_windows"))
+    )
+
+
 def cluster_assignments_star(
     spark: SparkSession, sf_dir: str, max_iter: int = 20
 ) -> DataFrame:

@@ -189,6 +189,67 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user converts a
+    stage only with an event STRICTLY after their previous stage's earliest
+    qualifying event. Three filtered min-aggregations chained by broadcast-
+    friendly per-user joins (each stage's table is one row per user —
+    shrinks monotonically down the funnel); time-to-convert is averaged
+    with a single integer-sum / count division, no float accumulation.
+
+    Reference analogue: the dashboard KPI tiles
+    (/root/reference/streamlit_app/dashboard.py) are single-stage counts;
+    the funnel extends them to ordered multi-stage conversion."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    base = ev.select("user_id", "event_type", us.alias("us"))
+    views = (
+        base.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("view_us"))
+    )
+    clicks = (
+        base.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("us") > F.col("view_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("click_us"), F.first("view_us").alias("view_us"))
+    )
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("us") > F.col("click_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("purchase_us"), F.first("view_us").alias("view_us"))
+    )
+    n_view = views.agg(F.count("*").alias("n")).select("n")
+    n_click = clicks.agg(F.count("*").alias("n")).select("n")
+    n_purch = purchases.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("purchase_us") - F.col("view_us")).alias("sum_us"),
+    )
+    return (
+        n_view.select(F.col("n").alias("n_view_users"))
+        .crossJoin(n_click.select(F.col("n").alias("n_click_after_view")))
+        .crossJoin(
+            n_purch.select(
+                F.col("n").alias("n_full_funnel"),
+                F.col("sum_us").alias("sum_convert_us"),
+            )
+        )
+        .select(
+            "n_view_users",
+            "n_click_after_view",
+            "n_full_funnel",
+            (F.col("n_click_after_view") / F.col("n_view_users")).alias("click_rate"),
+            (F.col("n_full_funnel") / F.col("n_view_users")).alias("funnel_rate"),
+            (F.col("sum_convert_us") / F.col("n_full_funnel") / F.lit(1000000.0)).alias(
+                "avg_convert_sec"
+            ),
+        )
+    )
+
+
 def sessionize_events(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization: lag(ts) per user → new-session flag on
     gap > threshold → cumulative-sum session ids → per-user session stats.
