@@ -165,3 +165,34 @@ def test_ivf_kmeans_centroids_same_probe_join(spark):
     plan = _plan(similarity.ivf_topk(spark, SF_SMALL, centroids=cent))
     assert "BroadcastHashJoin [centroid_id" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_repetition_filters_zero_shuffle(spark):
+    """The Gopher repetition metrics claim to be a pure map — no Exchange
+    may appear (the n-grams never leave their document's row)."""
+    from airdatapipeline_spark.operators import text
+
+    plan = _plan(text.repetition_scores(spark, SF_SMALL))
+    assert "Exchange" not in plan
+    assert "Scan parquet" in plan
+
+
+def test_pii_redaction_zero_shuffle_no_python(spark):
+    """PII detect/redact is map-only whole-stage codegen: no Exchange, no
+    Python boundary."""
+    from airdatapipeline_spark.operators import text
+
+    plan = _plan(text.pii_redaction(spark, SF_SMALL))
+    assert "Exchange" not in plan
+    for marker in ("MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
+
+
+def test_sequence_packing_single_shuffle_per_stage(spark):
+    """Concatenate-and-split packing: one Exchange for the per-bucket
+    window, one for the per-pack aggregate — and nothing else."""
+    from airdatapipeline_spark.operators import text
+
+    plan = _plan(text.sequence_packing(spark, SF_SMALL))
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "CartesianProduct" not in plan

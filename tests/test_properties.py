@@ -177,6 +177,55 @@ def test_star_cc_equals_hashmin_on_corpus(spark_global):
     assert star == hashmin
 
 
+@given(
+    n_email=st.integers(min_value=0, max_value=3),
+    n_ip=st.integers(min_value=0, max_value=3),
+    n_phone=st.integers(min_value=0, max_value=3),
+    filler=st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "x9", "…", "St. John's"]),
+        min_size=1,
+        max_size=6,
+    ),
+)
+@settings(max_examples=20, deadline=None)
+def test_pii_patterns_count_injected_occurrences(spark_global, n_email, n_ip, n_phone, filler):
+    """Inject a known number of each PII shape into filler text; the
+    pattern counts must equal the injections and the redacted text must
+    contain zero residual matches (the patterns must not overlap or eat
+    each other)."""
+    from pyspark.sql import functions as F
+
+    from airdatapipeline_spark.operators.text import PII_EMAIL, PII_IPV4, PII_PHONE
+
+    parts = (
+        [" ".join(filler)]
+        + [f"a.user-{i}@mail-{i}.example.org" for i in range(n_email)]
+        + [f"192.168.{i}.{200 + i}" for i in range(n_ip)]
+        + [f"555-010{i}" for i in range(n_phone)]
+    )
+    blob = " | ".join(parts)
+    df = spark_global.createDataFrame([(blob,)], "blob string")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("blob", F.lit(PII_EMAIL), F.lit("<EMAIL>")),
+            F.lit(PII_IPV4),
+            F.lit("<IP>"),
+        ),
+        F.lit(PII_PHONE),
+        F.lit("<PHONE>"),
+    )
+    row = df.select(
+        F.regexp_count("blob", F.lit(PII_EMAIL)).alias("e"),
+        F.regexp_count("blob", F.lit(PII_IPV4)).alias("i"),
+        F.regexp_count("blob", F.lit(PII_PHONE)).alias("p"),
+        F.regexp_count(redacted, F.lit(PII_EMAIL)).alias("re"),
+        F.regexp_count(redacted, F.lit(PII_IPV4)).alias("ri"),
+        F.regexp_count(redacted, F.lit(PII_PHONE)).alias("rp"),
+    ).first()
+    assert (row.e, row.i, row.p) == (n_email, n_ip, n_phone)
+    assert (row.re, row.ri, row.rp) == (0, 0, 0)
+
+
 def test_greedy_packing_invariants(spark_global):
     """First-fit packing: every doc lands exactly once, no pack exceeds the
     budget (token max 100 << budget, so no oversized-doc escape hatch
