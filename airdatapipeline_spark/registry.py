@@ -2573,6 +2573,61 @@ def ev_funnel(spark, sf_dir):
     return tpch.events_funnel(spark, sf_dir)
 
 
+_SQ8_CTE = """
+sq8 AS (
+  SELECT vec_id, emb, scale,
+         list_transform(emb, x -> CAST(round(x * scale) AS INT)) AS q
+  FROM (
+    SELECT vec_id, embedding::DOUBLE[] AS emb,
+           127.0 / list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS scale
+    FROM embeddings
+  )
+)
+""".strip()
+
+
+@register(
+    "emb_quantize_sq8",
+    f"""
+    WITH {_SQ8_CTE}
+    SELECT vec_id, scale,
+           md5(array_to_string(q, ',')) AS codes_md5,
+           list_max(list_transform(range(1, {similarity.EMB_DIM + 1}),
+                    i -> abs(emb[i] - q[i] / scale))) AS max_abs_err
+    FROM sq8
+    """,
+)
+def emb_sq8(spark, sf_dir):
+    """Int8 scalar quantization audit — codes hash-verified byte-for-byte."""
+    return similarity.quantize_sq8(spark, sf_dir)
+
+
+@register(
+    "simsearch_sq8_topk",
+    f"""
+    WITH {_SQ8_CTE}
+    SELECT query_id, neighbor_id, q_cosine, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CAST(list_dot_product(a.q, b.q) AS DOUBLE)
+               / sqrt(CAST(list_dot_product(a.q, a.q) AS DOUBLE))
+               / sqrt(CAST(list_dot_product(b.q, b.q) AS DOUBLE)) AS q_cosine,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY CAST(list_dot_product(a.q, b.q) AS DOUBLE)
+                          / sqrt(CAST(list_dot_product(a.q, a.q) AS DOUBLE))
+                          / sqrt(CAST(list_dot_product(b.q, b.q) AS DOUBLE)) DESC,
+                        b.vec_id
+             ) AS rank
+      FROM sq8 b JOIN (SELECT * FROM sq8 WHERE vec_id < 10) a
+        ON a.vec_id <> b.vec_id
+    ) WHERE rank <= 5
+    """,
+)
+def sq8_topk_q(spark, sf_dir):
+    """Top-k over the 4×-compressed int8 corpus (exact integer dots)."""
+    return similarity.sq8_topk(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order policy (round-2 VERDICT item 1)
 #

@@ -44,6 +44,9 @@ HEADLINE = [
     "text_token_stats_by_source",
     "text_fingerprint_clusters",
     "mm_decode_features",
+    # r2 additions: heaviest of the new operators
+    "dedup_exact_substring_pairs",
+    "text_repetition_filters",
 ]
 
 
