@@ -7,6 +7,7 @@ SparkSubmitOperator, cron, or any scheduler at these).
     python -m airdatapipeline_spark.jobs gold    --sf-dir DIR --out DIR
     python -m airdatapipeline_spark.jobs validate --sf-dir DIR
     python -m airdatapipeline_spark.jobs report  --sf-dir DIR
+    python -m airdatapipeline_spark.jobs curate  --sf-dir DIR [--out DIR]
 
 Task mapping to the reference (file:line in /root/reference/):
   scrape   = g1_scraping_pipeline (dags/g1_scraping_dag.py:86)
@@ -60,6 +61,18 @@ def main(argv: list[str] | None = None) -> int:
     r = sub.add_parser("report")
     r.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     r.add_argument("--today", default=_TODAY, help="report date (default: the pinned test date)")
+
+    c = sub.add_parser(
+        "curate",
+        help="training-data curation: quality + language gates + near-dup "
+        "removal over the documents corpus (the extension families' "
+        "composite), optionally persisted as a parquet snapshot",
+    )
+    c.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    c.add_argument("--out", default=None, help="write curated docs here as parquet")
+    c.add_argument("--min-quality", type=float, default=0.5)
+    c.add_argument("--min-words", type=int, default=20)
+    c.add_argument("--lang", default="en")
 
     args = p.parse_args(argv)
 
@@ -119,6 +132,32 @@ def main(argv: list[str] | None = None) -> int:
             json.dumps(
                 {"job": "report", **out, "avg_processing_time": avg_t, "top_categories": top},
                 default=str,
+            )
+        )
+    elif args.job == "curate":
+        from .operators import text as text_ops
+
+        curated = text_ops.curated_documents(
+            spark,
+            args.sf_dir,
+            min_quality=args.min_quality,
+            min_words=args.min_words,
+            lang=args.lang,
+        )
+        if args.out:
+            curated.write.mode("overwrite").parquet(args.out)
+            curated = spark.read.parquet(args.out)
+        n_total = spark.read.parquet(f"{args.sf_dir}/documents.parquet").count()
+        n_kept = curated.count()
+        print(
+            json.dumps(
+                {
+                    "job": "curate",
+                    "corpus_docs": n_total,
+                    "curated_docs": n_kept,
+                    "kept_pct": round(100.0 * n_kept / n_total, 2),
+                    **({"out": args.out} if args.out else {}),
+                }
             )
         )
     return 0

@@ -257,6 +257,7 @@ def test_jobs_cli_validate_and_report(spark):
     for argv in (
         ["validate", "--sf-dir", SF_SMALL],
         ["report", "--sf-dir", SF_SMALL],
+        ["curate", "--sf-dir", SF_SMALL],
     ):
         buf = _io.StringIO()
         with contextlib.redirect_stdout(buf):
@@ -264,6 +265,8 @@ def test_jobs_cli_validate_and_report(spark):
         assert rc == 0
         out = json.loads(buf.getvalue())
         assert out["job"] == argv[0]
+        if argv[0] == "curate":
+            assert 0 < out["curated_docs"] < out["corpus_docs"]
 
 
 # --- OpenAI-shape classifier adapter (env-gated; fake transport only) -------
