@@ -269,6 +269,48 @@ def test_jobs_cli_validate_and_report(spark):
             assert 0 < out["curated_docs"] < out["corpus_docs"]
 
 
+def test_compact_parquet_preserves_rows_and_reduces_files(spark, tmp_path):
+    """Small-file compaction: same rows (hash-equal), far fewer files, and
+    the partitioned variant keeps the partition directory scheme."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from airdatapipeline_spark.io import load_table
+    from airdatapipeline_spark.sources import maintenance
+
+    # simulate an accreted sink: 64 tiny files
+    flat = str(tmp_path / "flat")
+    src = load_table(spark, SF_SMALL, "documents").select("doc_id", "source")
+    src.repartition(64).write.parquet(flat)
+    assert maintenance.data_file_count(flat) >= 32
+
+    stats = maintenance.compact_parquet(spark, flat, target_file_bytes=64 * 1024 * 1024)
+    assert stats["files_after"] < stats["files_before"]
+    after = spark.read.parquet(flat)
+    assert after.count() == src.count()
+    assert sorted(r.doc_id for r in after.collect()) == sorted(
+        r.doc_id for r in src.collect()
+    )
+
+    # partitioned table keeps its directory scheme
+    part = str(tmp_path / "part")
+    src.withColumn("bucket", (F.col("doc_id") % 3).cast("int")).repartition(
+        48
+    ).write.partitionBy("bucket").parquet(part)
+    stats = maintenance.compact_parquet(
+        spark, part, target_file_bytes=64 * 1024 * 1024, partition_col="bucket"
+    )
+    assert stats["files_after"] < stats["files_before"]
+    after = spark.read.parquet(part)
+    assert after.count() == src.count()
+    assert sorted(d for d in os.listdir(part) if d.startswith("bucket=")) == [
+        "bucket=0",
+        "bucket=1",
+        "bucket=2",
+    ]
+
+
 # --- OpenAI-shape classifier adapter (env-gated; fake transport only) -------
 
 
