@@ -1,0 +1,121 @@
+"""Differential SQL fuzzing: hypothesis-generated queries from a small
+ANSI-core grammar run BOTH through spark.sql and DuckDB over the same
+parquet tables, results compared exactly. This catches engine-semantics
+divergence (null handling, predicate edge cases, grouping) that the
+hand-written oracle pairs can't — the mini-SQLsmith tier of the test
+pyramid.
+
+Grammar restrictions keep results engine-exact by construction:
+- predicates over int / string / date columns only (no float comparisons)
+- aggregates are COUNT(*) / COUNT(col) / MIN / MAX / SUM(int) — no float
+  accumulation, so values are order-independent and bit-exact
+- the SAME SQL string runs on both engines (ANSI core both dialects parse)
+"""
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from conftest import SF_SMALL
+
+INT_COLS = ["l_orderkey", "l_linenumber"]
+STR_COLS = ["l_returnflag", "l_linestatus"]  # driver lineitem is slim TPC-H
+DATE_COL = "l_shipdate"
+
+_dates = st.dates(
+    min_value=pd.Timestamp("1992-01-01").date(), max_value=pd.Timestamp("1998-12-31").date()
+)
+
+
+def _lit_date(d) -> str:
+    return f"DATE '{d.isoformat()}'"
+
+
+_int_pred = st.builds(
+    lambda c, op, v: f"{c} {op} {v}",
+    st.sampled_from(INT_COLS),
+    st.sampled_from(["<", "<=", ">", ">=", "=", "<>"]),
+    st.integers(min_value=0, max_value=7000),
+)
+_between_pred = st.builds(
+    lambda c, a, b: f"{c} BETWEEN {min(a, b)} AND {max(a, b)}",
+    st.sampled_from(INT_COLS),
+    st.integers(min_value=0, max_value=7000),
+    st.integers(min_value=0, max_value=7000),
+)
+_str_pred = st.builds(
+    lambda c, v: f"{c} = '{v}'",
+    st.sampled_from(STR_COLS),
+    st.sampled_from(["A", "N", "R", "O", "F"]),
+)
+_in_pred = st.builds(
+    lambda c, vs: f"{c} IN ({', '.join(repr(v) for v in sorted(set(vs)))})",
+    st.sampled_from(STR_COLS),
+    st.lists(st.sampled_from(["A", "N", "R", "O", "F"]), min_size=1, max_size=3),
+)
+_date_pred = st.builds(
+    lambda op, d: f"{DATE_COL} {op} {_lit_date(d)}",
+    st.sampled_from(["<", "<=", ">", ">="]),
+    _dates,
+)
+_leaf = st.one_of(_int_pred, _between_pred, _str_pred, _in_pred, _date_pred)
+_pred = st.recursive(
+    _leaf,
+    lambda children: st.builds(
+        lambda a, op, b: f"({a} {op} {b})", children, st.sampled_from(["AND", "OR"]), children
+    ),
+    max_leaves=4,
+)
+
+_agg = st.sampled_from(
+    [
+        "COUNT(*) AS n",
+        "COUNT(l_returnflag) AS n",
+        "MIN(l_orderkey) AS v",
+        "MAX(l_orderkey) AS v",
+        "SUM(l_linenumber) AS v",
+        "MIN(l_shipdate) AS v",
+        "MAX(l_linestatus) AS v",
+    ]
+)
+_group = st.sampled_from([None, "l_returnflag", "l_linestatus", "l_returnflag, l_linestatus"])
+
+
+@st.composite
+def _query(draw):
+    pred = draw(_pred)
+    agg = draw(_agg)
+    group = draw(_group)
+    if group is None:
+        return f"SELECT {agg} FROM lineitem WHERE {pred}"
+    return f"SELECT {group}, {agg} FROM lineitem WHERE {pred} GROUP BY {group}"
+
+
+@pytest.fixture(scope="module")
+def engines(spark, duck):
+    spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").createOrReplaceTempView("lineitem")
+    return spark, duck
+
+
+@given(sql=_query())
+@settings(max_examples=40, deadline=None)
+def test_spark_and_duckdb_agree_on_generated_sql(engines, sql):
+    spark, duck = engines
+    s = spark.sql(sql).toPandas()
+    d = duck.execute(sql).df()
+    assert sorted(s.columns) == sorted(d.columns), sql
+    key = list(sorted(s.columns))
+
+    def canon(df):
+        df = df.reindex(key, axis=1)
+        for c in df.columns:
+            if df[c].dtype == object or str(df[c].dtype).startswith("datetime"):
+                # normalize engine-specific NA spellings (None/NaN/NaT) before
+                # string conversion so empty-set MIN/SUM compare equal
+                col = df[c].astype(object)
+                df[c] = col.where(pd.notna(col), "<NULL>").astype(str)
+        return df.sort_values(key, kind="mergesort").reset_index(drop=True)
+
+    cs, cd = canon(s), canon(d)
+    assert len(cs) == len(cd), sql
+    pd.testing.assert_frame_equal(cs, cd, check_dtype=False, obj=sql)
