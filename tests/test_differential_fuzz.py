@@ -91,15 +91,54 @@ def _query(draw):
     return f"SELECT {group}, {agg} FROM lineitem WHERE {pred} GROUP BY {group}"
 
 
+_o_pred = st.one_of(
+    st.builds(
+        lambda op, v: f"o.o_custkey {op} {v}",
+        st.sampled_from(["<", "<=", ">", ">="]),
+        st.integers(min_value=0, max_value=2000),
+    ),
+    st.builds(lambda v: f"o.o_orderstatus = '{v}'", st.sampled_from(["O", "F", "P"])),
+    st.builds(
+        lambda op, d: f"o.o_orderdate {op} {_lit_date(d)}",
+        st.sampled_from(["<", ">="]),
+        _dates,
+    ),
+)
+_join_agg = st.sampled_from(
+    [
+        "COUNT(*) AS n",
+        "MIN(l.l_orderkey) AS v",
+        "SUM(l.l_linenumber) AS v",
+        "MAX(o.o_orderdate) AS v",
+    ]
+)
+_join_group = st.sampled_from([None, "o.o_orderpriority", "l.l_returnflag"])
+
+
+@st.composite
+def _join_query(draw):
+    lp = draw(_pred)
+    op = draw(_o_pred)
+    agg = draw(_join_agg)
+    group = draw(_join_group)
+    base = (
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        f"WHERE ({lp}) AND {op}"
+    )
+    if group is None:
+        return f"SELECT {agg} {base}"
+    alias = group.split(".")[-1]
+    return f"SELECT {group} AS {alias}, {agg} {base} GROUP BY {group}"
+
+
 @pytest.fixture(scope="module")
 def engines(spark, duck):
     spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").createOrReplaceTempView("lineitem")
+    spark.read.parquet(f"{SF_SMALL}/orders.parquet").createOrReplaceTempView("orders")
     return spark, duck
 
 
-@given(sql=_query())
-@settings(max_examples=40, deadline=None)
-def test_spark_and_duckdb_agree_on_generated_sql(engines, sql):
+def _assert_engines_agree(engines, sql):
     spark, duck = engines
     s = spark.sql(sql).toPandas()
     d = duck.execute(sql).df()
@@ -119,3 +158,15 @@ def test_spark_and_duckdb_agree_on_generated_sql(engines, sql):
     cs, cd = canon(s), canon(d)
     assert len(cs) == len(cd), sql
     pd.testing.assert_frame_equal(cs, cd, check_dtype=False, obj=sql)
+
+
+@given(sql=_query())
+@settings(max_examples=40, deadline=None)
+def test_spark_and_duckdb_agree_on_generated_sql(engines, sql):
+    _assert_engines_agree(engines, sql)
+
+
+@given(sql=_join_query())
+@settings(max_examples=25, deadline=None)
+def test_spark_and_duckdb_agree_on_generated_joins(engines, sql):
+    _assert_engines_agree(engines, sql)
