@@ -15,17 +15,29 @@ from __future__ import annotations
 
 
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 SCHEMA = "doc_id bigint, title string, link string, source string, scraped_at timestamp_ntz"
 
 
 class HeadlineScrapeDataSource(DataSource):
-    """Usage:
+    """Usage (batch):
         spark.dataSource.register(HeadlineScrapeDataSource)
         spark.read.format("headline_scrape")
              .option("n_rows", 200).option("n_partitions", 4).load()
-    """
+
+    Usage (stream — continuous scraping as a Structured Streaming source):
+        spark.readStream.format("headline_scrape")
+             .option("batch_rows", 50).option("max_rows", 200).load()
+    each micro-batch scrapes the next `batch_rows` headlines; offsets are
+    plain row counters checkpointed by the engine, and `readBetweenOffsets`
+    replays any batch exactly (FakeScraper rows are a pure function of
+    doc_id), giving exactly-once end-to-end with a file sink."""
 
     @classmethod
     def name(cls) -> str:
@@ -38,6 +50,12 @@ class HeadlineScrapeDataSource(DataSource):
         return HeadlineScrapeReader(
             n_rows=int(self.options.get("n_rows", 100)),
             n_partitions=int(self.options.get("n_partitions", 4)),
+        )
+
+    def simpleStreamReader(self, schema) -> "HeadlineScrapeStreamReader":
+        return HeadlineScrapeStreamReader(
+            batch_rows=int(self.options.get("batch_rows", 50)),
+            max_rows=int(self.options.get("max_rows", 200)),
         )
 
 
@@ -65,3 +83,47 @@ class HeadlineScrapeReader(DataSourceReader):
                     row["source"],
                     row["scraped_at"],
                 )
+
+
+def _scrape_rows(lo: int, hi: int):
+    """FakeScraper rows with doc_id in [lo, hi) as reader tuples — the pure
+    replayable unit both stream read paths share."""
+    from .scrape import FakeScraper
+
+    for row in FakeScraper(n_rows=hi).scrape():
+        if lo <= row["doc_id"] < hi:
+            yield (
+                row["doc_id"],
+                row["title"],
+                row["link"],
+                row["source"],
+                row["scraped_at"],
+            )
+
+
+class HeadlineScrapeStreamReader(SimpleDataSourceStreamReader):
+    """Offset = {"next": <first unscraped doc_id>}. `read` advances by
+    batch_rows until max_rows, then reports no-new-data (same offset, empty
+    batch) so processAllAvailable()/availableNow drains terminate. Because
+    rows are a pure function of doc_id, `readBetweenOffsets` replays any
+    committed range bit-identically after a restart — the property that
+    makes the checkpointed file sink exactly-once."""
+
+    def __init__(self, batch_rows: int, max_rows: int):
+        self.batch_rows = batch_rows
+        self.max_rows = max_rows
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        # list-backed iterator, not a lazy generator: the engine consumes it
+        # into a pickled prefetch cache for replay-on-failure
+        lo = int(start["next"])
+        if lo >= self.max_rows:
+            return iter(()), {"next": lo}
+        hi = min(lo + self.batch_rows, self.max_rows)
+        return iter(list(_scrape_rows(lo, hi))), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return list(_scrape_rows(int(start["next"]), int(end["next"])))

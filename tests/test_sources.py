@@ -269,6 +269,49 @@ def test_jobs_cli_validate_and_report(spark):
             assert 0 < out["curated_docs"] < out["corpus_docs"]
 
 
+def test_scrape_datasource_stream_exactly_once(spark, tmp_path):
+    """The Python DataSource's streaming reader drains the synthetic front
+    page in batch_rows-sized micro-batches to a checkpointed file sink;
+    the committed output must equal the batch read exactly (no dup, no
+    loss) and take more than one micro-batch to get there."""
+    from airdatapipeline_spark.sources.scrape_datasource import HeadlineScrapeDataSource
+
+    spark.dataSource.register(HeadlineScrapeDataSource)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.format("headline_scrape")
+        .option("batch_rows", 40)
+        .option("max_rows", 100)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(out).toPandas().sort_values("doc_id").reset_index(drop=True)
+    want = (
+        spark.read.format("headline_scrape")
+        .option("n_rows", 100)
+        .load()
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+    # 100 rows at 40/batch = 3 non-empty micro-batches committed
+    import os as _os
+
+    commits = [f for f in _os.listdir(_os.path.join(ckpt, "commits")) if not f.startswith(".")]
+    assert len(commits) >= 3
+
+
 def test_compact_parquet_preserves_rows_and_reduces_files(spark, tmp_path):
     """Small-file compaction: same rows (hash-equal), far fewer files, and
     the partitioned variant keeps the partition directory scheme."""
