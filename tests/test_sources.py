@@ -269,6 +269,87 @@ def test_jobs_cli_validate_and_report(spark):
             assert 0 < out["curated_docs"] < out["corpus_docs"]
 
 
+def test_streaming_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    """True late-data semantics need MULTIPLE micro-batches (a single-batch
+    replay never has an advanced watermark): batch 1 carries the on-time
+    events plus a watermark-advancing straggler; batch 2 delivers an event
+    for the already-finalized window. The committed append output must
+    count only the on-time rows — state for the finalized window was
+    evicted and the late row discarded, which is exactly the bounded-state
+    contract the registered stream queries rely on."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    land = str(tmp_path / "landing")
+    _os.makedirs(land)
+    schema = "ts timestamp, user_id long, event_type string, value double"
+    base = "2024-01-01 "
+    on_time = [
+        (base + "10:05:00", 1),
+        (base + "10:20:00", 2),
+        (base + "10:40:00", 3),
+        (base + "11:30:00", 4),  # advances watermark to 11:20
+    ]
+    # a watermark advance takes effect ONE BATCH LATER (it is applied at the
+    # planning of the batch after the one that observed the max event time),
+    # so an on-time filler batch sits between the advance and the late row
+    filler = [(base + "11:35:00", 6)]
+    late = [(base + "10:15:00", 5)]  # arrives after the 10:00 window closed
+
+    def write_file(rows, name):
+        spark.createDataFrame(
+            [(t, u, "click", 1.0) for t, u in rows], "ts string, user_id long, event_type string, value double"
+        ).select(
+            F.to_timestamp("ts").alias("ts"), "user_id", "event_type", "value"
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        src = next(
+            f
+            for f in _os.listdir(str(tmp_path / name))
+            if f.endswith(".parquet")
+        )
+        dst = _os.path.join(land, f"{name}.parquet")
+        _os.rename(_os.path.join(str(tmp_path / name), src), dst)
+        return dst
+
+    f_a = write_file(on_time, "a")
+    f_c = write_file(filler, "c")
+    f_b = write_file(late, "b")
+    _os.utime(f_a, (1000000000, 1000000000))  # mtime = batch order: a, c, b
+    _os.utime(f_c, (1000000100, 1000000100))
+    _os.utime(f_b, (1000000200, 1000000200))
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(land)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").cast("string").alias("window_start"), "n")
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r.window_start: r.n
+        for r in spark.read.schema("window_start string, n long").parquet(out).collect()
+    }
+    # the 10:00 window finalized with ONLY the 3 on-time rows; the late row
+    # was dropped, and the 11:00 window (not yet past the watermark) unemitted
+    assert got == {"2024-01-01 10:00:00": 3}
+
+
 def test_scrape_datasource_stream_exactly_once(spark, tmp_path):
     """The Python DataSource's streaming reader drains the synthetic front
     page in batch_rows-sized micro-batches to a checkpointed file sink;
