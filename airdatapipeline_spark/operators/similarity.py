@@ -180,6 +180,7 @@ def recall_at_k(
     truth = brute_force_topk(spark, sf_dir, n_queries, k).select("query_id", "neighbor_id")
     lsh = lsh_bucketed_topk(spark, sf_dir, n_queries, k).select("query_id", "neighbor_id")
     ivf = ivf_topk(spark, sf_dir, n_queries, k).select("query_id", "neighbor_id")
+    sq8 = sq8_topk(spark, sf_dir, n_queries, k).select("query_id", "neighbor_id")
 
     def hits(ann: DataFrame, name: str) -> DataFrame:
         return (
@@ -193,15 +194,19 @@ def recall_at_k(
         .distinct()
         .join(hits(lsh, "lsh_hits"), on="query_id", how="left")
         .join(hits(ivf, "ivf_hits"), on="query_id", how="left")
+        .join(hits(sq8, "sq8_hits"), on="query_id", how="left")
     )
     lsh_hits = F.coalesce(F.col("lsh_hits"), F.lit(0)).cast("long")
     ivf_hits = F.coalesce(F.col("ivf_hits"), F.lit(0)).cast("long")
+    sq8_hits = F.coalesce(F.col("sq8_hits"), F.lit(0)).cast("long")
     return out.select(
         "query_id",
         lsh_hits.alias("lsh_hits"),
         ivf_hits.alias("ivf_hits"),
+        sq8_hits.alias("sq8_hits"),
         (lsh_hits / F.lit(float(k))).alias("lsh_recall"),
         (ivf_hits / F.lit(float(k))).alias("ivf_recall"),
+        (sq8_hits / F.lit(float(k))).alias("sq8_recall"),
     )
 
 

@@ -1951,18 +1951,43 @@ _TOPK_RANK = """
         FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id AND a.vec_id <> p.query_id
       ) WHERE rank <= 5
     ),
+    sq8 AS (
+      SELECT vec_id, list_transform(emb, x -> CAST(round(x * scale) AS INT)) AS q
+      FROM (SELECT vec_id, emb,
+                   127.0 / list_max(list_transform(emb, x -> abs(x))) AS scale
+            FROM e)
+    ),
+    sq8k AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY CAST(list_dot_product(a.q, b.q) AS DOUBLE)
+                            / sqrt(CAST(list_dot_product(a.q, a.q) AS DOUBLE))
+                            / sqrt(CAST(list_dot_product(b.q, b.q) AS DOUBLE)) DESC,
+                          b.vec_id
+               ) AS rank
+        FROM sq8 b JOIN (SELECT * FROM sq8 WHERE vec_id < 10) a
+          ON a.vec_id <> b.vec_id
+      ) WHERE rank <= 5
+    ),
     hl AS (SELECT t.query_id, COUNT(*) AS lsh_hits FROM truth t JOIN lshk l
            ON t.query_id = l.query_id AND t.neighbor_id = l.neighbor_id GROUP BY 1),
     hi AS (SELECT t.query_id, COUNT(*) AS ivf_hits FROM truth t JOIN ivfk i
-           ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id GROUP BY 1)
+           ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id GROUP BY 1),
+    hq AS (SELECT t.query_id, COUNT(*) AS sq8_hits FROM truth t JOIN sq8k s
+           ON t.query_id = s.query_id AND t.neighbor_id = s.neighbor_id GROUP BY 1)
     SELECT q.query_id,
            CAST(COALESCE(hl.lsh_hits, 0) AS BIGINT) AS lsh_hits,
            CAST(COALESCE(hi.ivf_hits, 0) AS BIGINT) AS ivf_hits,
+           CAST(COALESCE(hq.sq8_hits, 0) AS BIGINT) AS sq8_hits,
            CAST(COALESCE(hl.lsh_hits, 0) AS BIGINT) / 5.0 AS lsh_recall,
-           CAST(COALESCE(hi.ivf_hits, 0) AS BIGINT) / 5.0 AS ivf_recall
+           CAST(COALESCE(hi.ivf_hits, 0) AS BIGINT) / 5.0 AS ivf_recall,
+           CAST(COALESCE(hq.sq8_hits, 0) AS BIGINT) / 5.0 AS sq8_recall
     FROM (SELECT DISTINCT query_id FROM truth) q
     LEFT JOIN hl ON q.query_id = hl.query_id
     LEFT JOIN hi ON q.query_id = hi.query_id
+    LEFT JOIN hq ON q.query_id = hq.query_id
     """,
 )
 def ss_recall(spark, sf_dir):
