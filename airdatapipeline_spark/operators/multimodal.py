@@ -64,6 +64,68 @@ class ImageLibDecoder:
         )
 
 
+AUDIO_SCHEMA = (
+    "doc_id long, n_bytes long, sample_rate int, n_channels int, "
+    "n_samples long, duration_sec double"
+)
+
+AUDIO_RATES = [8000, 16000, 22050, 44100]
+
+
+@dataclass
+class FakeAudioDecoder:
+    """Deterministic audio-decode stand-in (md5-derived sample rate /
+    channels / length) — same oracle-reproducible trick as FakeDecoder, so
+    the audio mapInPandas path is value-verified end-to-end."""
+
+    def decode(self, payload: bytes) -> tuple[int, int, int]:
+        """→ (sample_rate, n_channels, n_samples)."""
+        h = hashlib.md5(payload).hexdigest()
+        sample_rate = AUDIO_RATES[int(h[6:8], 16) % 4]
+        n_channels = 1 + int(h[8:10], 16) % 2
+        n_samples = sample_rate * (1 + int(h[10:12], 16) % 30)  # 1..30 s
+        return sample_rate, n_channels, n_samples
+
+
+@dataclass
+class AudioLibDecoder:
+    """Real audio decoder stub — requires soundfile/ffmpeg, not present in
+    this container. Contract identical to FakeAudioDecoder."""
+
+    def decode(self, payload: bytes) -> tuple[int, int, int]:
+        raise NotImplementedError(
+            "STUB: real audio decode needs soundfile/ffmpeg; plug in via "
+            "the same Decoder-protocol slot FakeAudioDecoder fills"
+        )
+
+
+def audio_features(
+    spark: SparkSession, sf_dir: str, decoder: FakeAudioDecoder | None = None
+) -> DataFrame:
+    """Audio metadata extraction over the binary column (mapInPandas, same
+    plumbing as image decode): sample rate, channels, sample count, and
+    duration (exact integer ratio, one IEEE division)."""
+    decoder = decoder or FakeAudioDecoder()
+    src = binary_documents(spark, sf_dir).select("doc_id", "payload", "n_bytes")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [decoder.decode(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_bytes": pdf["n_bytes"].values,
+                    "sample_rate": [m[0] for m in meta],
+                    "n_channels": [m[1] for m in meta],
+                    "n_samples": pd.Series([m[2] for m in meta], dtype="int64"),
+                }
+            )
+            out["duration_sec"] = out["n_samples"] / out["sample_rate"]
+            yield out
+
+    return src.mapInPandas(run, schema=AUDIO_SCHEMA)
+
+
 def binary_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents with an opaque binary payload column (utf-8 bytes of text
     stand in for image bytes) + byte-level metadata."""

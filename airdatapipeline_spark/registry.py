@@ -2553,6 +2553,28 @@ def mm_frames(spark, sf_dir):
 
 
 @register(
+    "mm_audio_features",
+    """
+    SELECT doc_id, n_bytes, sample_rate, n_channels,
+           CAST(sample_rate * secs AS BIGINT) AS n_samples,
+           (sample_rate * secs) / sample_rate AS duration_sec
+    FROM (
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+             ([8000, 16000, 22050, 44100])[1 + CAST(concat('0x', substr(md5(text), 7, 2)) AS INT) % 4]
+               AS sample_rate,
+             CAST(1 + CAST(concat('0x', substr(md5(text), 9, 2)) AS INT) % 2 AS INTEGER)
+               AS n_channels,
+             1 + CAST(concat('0x', substr(md5(text), 11, 2)) AS INT) % 30 AS secs
+      FROM documents
+    )
+    """,
+)
+def mm_audio(spark, sf_dir):
+    """Audio-metadata decode via mapInPandas (FakeAudioDecoder), md5-mirrored."""
+    return multimodal.audio_features(spark, sf_dir)
+
+
+@register(
     "dedup_exact_substring_pairs",
     """
     WITH w AS (
