@@ -269,6 +269,35 @@ def test_jobs_cli_validate_and_report(spark):
             assert 0 < out["curated_docs"] < out["corpus_docs"]
 
 
+def test_parquet_schema_evolution_additive_column(spark, tmp_path):
+    """Additive schema evolution on an accreting parquet table: later files
+    carry a new column; mergeSchema=true reads the union schema with nulls
+    for pre-evolution rows, and the explicit-schema read (the repo's
+    io.load_table posture) keeps working against old files — the two
+    supported upgrade paths for a 100 TB table that can't be rewritten."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "tbl")
+    v1 = spark.range(10).select(F.col("id").alias("doc_id"), F.lit("a").alias("source"))
+    v1.write.mode("append").parquet(path)
+    v2 = spark.range(10, 20).select(
+        F.col("id").alias("doc_id"),
+        F.lit("b").alias("source"),
+        F.lit(0.9).alias("quality_score"),  # the evolved column
+    )
+    v2.write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert "quality_score" in merged.columns
+    assert merged.count() == 20
+    nulls = merged.filter(F.col("quality_score").isNull()).count()
+    assert nulls == 10  # exactly the pre-evolution rows
+
+    # explicit-schema read of the narrow projection still serves old+new
+    narrow = spark.read.schema("doc_id long, source string").parquet(path)
+    assert narrow.count() == 20 and narrow.columns == ["doc_id", "source"]
+
+
 def test_streaming_watermark_drops_late_rows_across_batches(spark, tmp_path):
     """True late-data semantics need MULTIPLE micro-batches (a single-batch
     replay never has an advanced watermark): batch 1 carries the on-time
