@@ -155,7 +155,7 @@ def main(argv: list[str] | None = None) -> int:
                     "job": "curate",
                     "corpus_docs": n_total,
                     "curated_docs": n_kept,
-                    "kept_pct": round(100.0 * n_kept / n_total, 2),
+                    "kept_pct": round(100.0 * n_kept / n_total, 2) if n_total else None,
                     **({"out": args.out} if args.out else {}),
                 }
             )

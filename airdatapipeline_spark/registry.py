@@ -984,6 +984,36 @@ e AS (
 )
 """.strip()
 
+# SQ8 quantization fragments shared by emb_quantize_sq8, simsearch_sq8_topk
+# and simsearch_recall — single source of truth for the quantization formula
+# and the quantized ranking (expects the `e` CTE in scope).
+_SQ8_Q_CTE = """
+sq8 AS (
+      SELECT vec_id, emb, scale,
+             list_transform(emb, x -> CAST(round(x * scale) AS INT)) AS q
+      FROM (SELECT vec_id, emb,
+                   127.0 / list_max(list_transform(emb, x -> abs(x))) AS scale
+            FROM e)
+    )
+""".strip()
+
+_SQ8_COSINE = (
+    "CAST(list_dot_product(a.q, b.q) AS DOUBLE)"
+    " / sqrt(CAST(list_dot_product(a.q, a.q) AS DOUBLE))"
+    " / sqrt(CAST(list_dot_product(b.q, b.q) AS DOUBLE))"
+)
+
+_SQ8_RANKED = f"""
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               {_SQ8_COSINE} AS q_cosine,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {_SQ8_COSINE} DESC, b.vec_id
+               ) AS rank
+        FROM sq8 b JOIN (SELECT * FROM sq8 WHERE vec_id < 10) a
+          ON a.vec_id <> b.vec_id
+""".strip()
+
 
 @register(
     "dedup_embedding_cosine_pairs",
@@ -1951,25 +1981,9 @@ _TOPK_RANK = """
         FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id AND a.vec_id <> p.query_id
       ) WHERE rank <= 5
     ),
-    sq8 AS (
-      SELECT vec_id, list_transform(emb, x -> CAST(round(x * scale) AS INT)) AS q
-      FROM (SELECT vec_id, emb,
-                   127.0 / list_max(list_transform(emb, x -> abs(x))) AS scale
-            FROM e)
-    ),
+    {_SQ8_Q_CTE},
     sq8k AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-               row_number() OVER (
-                 PARTITION BY a.vec_id
-                 ORDER BY CAST(list_dot_product(a.q, b.q) AS DOUBLE)
-                            / sqrt(CAST(list_dot_product(a.q, a.q) AS DOUBLE))
-                            / sqrt(CAST(list_dot_product(b.q, b.q) AS DOUBLE)) DESC,
-                          b.vec_id
-               ) AS rank
-        FROM sq8 b JOIN (SELECT * FROM sq8 WHERE vec_id < 10) a
-          ON a.vec_id <> b.vec_id
-      ) WHERE rank <= 5
+      SELECT query_id, neighbor_id FROM ({_SQ8_RANKED}) WHERE rank <= 5
     ),
     hl AS (SELECT t.query_id, COUNT(*) AS lsh_hits FROM truth t JOIN lshk l
            ON t.query_id = l.query_id AND t.neighbor_id = l.neighbor_id GROUP BY 1),
@@ -2620,23 +2634,11 @@ def ev_funnel(spark, sf_dir):
     return tpch.events_funnel(spark, sf_dir)
 
 
-_SQ8_CTE = """
-sq8 AS (
-  SELECT vec_id, emb, scale,
-         list_transform(emb, x -> CAST(round(x * scale) AS INT)) AS q
-  FROM (
-    SELECT vec_id, embedding::DOUBLE[] AS emb,
-           127.0 / list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS scale
-    FROM embeddings
-  )
-)
-""".strip()
-
-
 @register(
     "emb_quantize_sq8",
     f"""
-    WITH {_SQ8_CTE}
+    WITH {_EMB_CTE},
+    {_SQ8_Q_CTE}
     SELECT vec_id, scale,
            md5(array_to_string(q, ',')) AS codes_md5,
            list_max(list_transform(range(1, {similarity.EMB_DIM + 1}),
@@ -2652,22 +2654,10 @@ def emb_sq8(spark, sf_dir):
 @register(
     "simsearch_sq8_topk",
     f"""
-    WITH {_SQ8_CTE}
-    SELECT query_id, neighbor_id, q_cosine, CAST(rank AS INTEGER) AS rank FROM (
-      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-             CAST(list_dot_product(a.q, b.q) AS DOUBLE)
-               / sqrt(CAST(list_dot_product(a.q, a.q) AS DOUBLE))
-               / sqrt(CAST(list_dot_product(b.q, b.q) AS DOUBLE)) AS q_cosine,
-             row_number() OVER (
-               PARTITION BY a.vec_id
-               ORDER BY CAST(list_dot_product(a.q, b.q) AS DOUBLE)
-                          / sqrt(CAST(list_dot_product(a.q, a.q) AS DOUBLE))
-                          / sqrt(CAST(list_dot_product(b.q, b.q) AS DOUBLE)) DESC,
-                        b.vec_id
-             ) AS rank
-      FROM sq8 b JOIN (SELECT * FROM sq8 WHERE vec_id < 10) a
-        ON a.vec_id <> b.vec_id
-    ) WHERE rank <= 5
+    WITH {_EMB_CTE},
+    {_SQ8_Q_CTE}
+    SELECT query_id, neighbor_id, q_cosine, CAST(rank AS INTEGER) AS rank
+    FROM ({_SQ8_RANKED}) WHERE rank <= 5
     """,
 )
 def sq8_topk_q(spark, sf_dir):

@@ -5,8 +5,8 @@ sinks) accretes one small file per micro-run; at 100 TB a table served by
 millions of KB-sized files is dominated by open/footer overhead and driver
 file-listing time. Periodic compaction rewrites each partition into
 ~target-sized files — the engine-level equivalent of Delta OPTIMIZE /
-Iceberg rewrite_data_files, expressed with nothing but repartition + an
-atomic directory swap.
+Iceberg rewrite_data_files, expressed with nothing but repartition + a
+staged directory swap.
 
 Reference analogue: none (Postgres autovacuums); this is part of the
 owning-your-own-table-format cost the parquet medallion design takes on.
@@ -18,6 +18,7 @@ import os
 import shutil
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 TARGET_FILE_BYTES = 256 * 1024 * 1024  # cluster default; tests pass smaller
 
@@ -36,46 +37,93 @@ def data_file_count(path: str) -> int:
     return n
 
 
+def _ceil_div(a: int, b: int) -> int:
+    return max(1, -(-a // b))
+
+
+def recover_compaction(path: str) -> bool:
+    """Heal an interrupted swap: if a previous compaction crashed between
+    the two renames, the live path is missing and the data sits intact in
+    `<path>.__old__` — restore it. Returns True if a restore happened.
+    Idempotent; safe to call before every compaction and from any reader
+    that finds the path missing."""
+    path = path.rstrip("/")
+    old = path + ".__old__"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+        return True
+    return False
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = TARGET_FILE_BYTES,
     partition_col: str | None = None,
 ) -> dict:
-    """Rewrite a parquet directory into ceil(bytes/target) files (per
-    partition directory when `partition_col` is given, preserving the
-    partitioning scheme). The rewrite goes to a sibling staging dir first
-    and swaps in only after a successful _SUCCESS commit, so a failed
-    compaction never harms the live table. Readers racing the swap see
-    either the old or the new file set — the same contract as Spark's own
-    dynamic partition overwrite.
+    """Rewrite a parquet directory into ~target-sized files. With
+    `partition_col`, each `col=value` directory is split independently into
+    ceil(its_bytes / target) files (a skewed 10 GB partition gets 40 files
+    at the 256 MB default while small partitions coalesce to one), and the
+    partitioning scheme is preserved.
 
-    Local-filesystem implementation (os.walk / rename); on HDFS/S3 the same
-    logic runs through the Hadoop FileSystem API — only `_dir_bytes` and
-    the swap change, the repartition-write core is identical."""
+    Durability contract: the rewrite goes to a sibling staging dir and is
+    verified (_SUCCESS) before any mutation of the live path. The swap is
+    two renames with the previous file set retained at `<path>.__old__`
+    until the new set is live; a crash between the renames is healed by
+    `recover_compaction` (called automatically on the next run), and a
+    failure of the second rename rolls the first back in-process. Readers
+    racing the swap can transiently see a missing path — schedule
+    compaction off-peak or take a table lock; true atomic swaps need a
+    metadata layer (Delta/Iceberg), which is exactly what this helper's
+    scope deliberately stops short of.
+
+    Local-filesystem implementation (os.walk / rename); on HDFS/S3 the
+    same logic runs through the Hadoop FileSystem API."""
+    path = path.rstrip("/")
+    recover_compaction(path)
     before_files = data_file_count(path)
-    n_out = max(1, -(-_dir_bytes(path) // target_file_bytes))  # ceil div
-    staging = path.rstrip("/") + ".__compacting__"
+    staging = path + ".__compacting__"
     shutil.rmtree(staging, ignore_errors=True)
 
     df = spark.read.parquet(path)
     if partition_col is not None:
-        # spread within each partition value; partitionBy re-splits the dirs
+        # per-partition-value byte budgets from the directory layout: a
+        # plain repartition(n, partition_col) would hash every value into
+        # ONE task (one output file per dir regardless of size), so spread
+        # each value over its own ceil(bytes/target) splits
+        k_map = {}
+        for d in os.listdir(path):
+            if d.startswith(f"{partition_col}="):
+                v = d.split("=", 1)[1]
+                k_map[v] = _ceil_div(_dir_bytes(os.path.join(path, d)), target_file_bytes)
+        mapping = F.create_map(
+            *[lit for v, k in sorted(k_map.items()) for lit in (F.lit(v), F.lit(k))]
+        )
+        k_col = F.element_at(mapping, F.col(partition_col).cast("string"))
+        split = F.floor(F.rand(20260813) * k_col).cast("int")
         (
-            df.repartition(n_out, partition_col)
+            df.withColumn("__split", split)
+            .repartition(sum(k_map.values()), F.col(partition_col), F.col("__split"))
+            .drop("__split")
             .write.mode("overwrite")
             .partitionBy(partition_col)
             .parquet(staging)
         )
     else:
+        n_out = _ceil_div(_dir_bytes(path), target_file_bytes)
         df.repartition(n_out).write.mode("overwrite").parquet(staging)
 
     if not os.path.exists(os.path.join(staging, "_SUCCESS")):
         raise RuntimeError(f"compaction write to {staging} did not commit")
-    old = path.rstrip("/") + ".__old__"
+    old = path + ".__old__"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
-    os.rename(staging, path)
+    try:
+        os.rename(staging, path)
+    except BaseException:
+        os.rename(old, path)  # roll back rename #1; live table untouched
+        raise
     shutil.rmtree(old)
     return {
         "path": path,

@@ -37,9 +37,16 @@ class FakeScraper:
     base_time: str = "2025-08-01T08:00:00"
 
     def scrape(self) -> list[dict]:
+        return self.scrape_range(0, self.n_rows)
+
+    def scrape_range(self, lo: int, hi: int) -> list[dict]:
+        """Rows with doc_id in [lo, hi) — each row is a pure function of its
+        index, so a range is generated directly in O(hi - lo) (the streaming
+        DataSource reads one batch-sized range per micro-batch; scanning
+        from zero and filtering would make a drain quadratic)."""
         base = datetime.fromisoformat(self.base_time)
         rows = []
-        for i in range(self.n_rows):
+        for i in range(lo, hi):
             link_id = i - 1 if i % 10 == 9 else i
             if i % 11 == 0:
                 link = f"ftp://invalid.example/{link_id}"

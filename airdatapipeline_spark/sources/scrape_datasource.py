@@ -87,18 +87,19 @@ class HeadlineScrapeReader(DataSourceReader):
 
 def _scrape_rows(lo: int, hi: int):
     """FakeScraper rows with doc_id in [lo, hi) as reader tuples — the pure
-    replayable unit both stream read paths share."""
+    replayable unit both stream read paths share. Generated directly for
+    the range (O(hi-lo)), never scan-from-zero-and-filter: per-batch work
+    must not grow with how much has already been scraped."""
     from .scrape import FakeScraper
 
-    for row in FakeScraper(n_rows=hi).scrape():
-        if lo <= row["doc_id"] < hi:
-            yield (
-                row["doc_id"],
-                row["title"],
-                row["link"],
-                row["source"],
-                row["scraped_at"],
-            )
+    for row in FakeScraper(n_rows=hi).scrape_range(lo, hi):
+        yield (
+            row["doc_id"],
+            row["title"],
+            row["link"],
+            row["source"],
+            row["scraped_at"],
+        )
 
 
 class HeadlineScrapeStreamReader(SimpleDataSourceStreamReader):

@@ -446,13 +446,18 @@ def test_compact_parquet_preserves_rows_and_reduces_files(spark, tmp_path):
         r.doc_id for r in src.collect()
     )
 
-    # partitioned table keeps its directory scheme
+    # partitioned table keeps its directory scheme; a SKEWED partition
+    # (bucket 0 gets ~all rows) must split into multiple target-sized files
+    # while the small partitions coalesce to one
     part = str(tmp_path / "part")
-    src.withColumn("bucket", (F.col("doc_id") % 3).cast("int")).repartition(
-        48
-    ).write.partitionBy("bucket").parquet(part)
+    skew = F.when(
+        F.col("doc_id") % 50 == 0, (F.floor(F.col("doc_id") / 50) % 2 + 1)
+    ).otherwise(0)
+    src.withColumn("bucket", skew.cast("int")).repartition(48).write.partitionBy(
+        "bucket"
+    ).parquet(part)
     stats = maintenance.compact_parquet(
-        spark, part, target_file_bytes=64 * 1024 * 1024, partition_col="bucket"
+        spark, part, target_file_bytes=4 * 1024, partition_col="bucket"
     )
     assert stats["files_after"] < stats["files_before"]
     after = spark.read.parquet(part)
@@ -462,6 +467,25 @@ def test_compact_parquet_preserves_rows_and_reduces_files(spark, tmp_path):
         "bucket=1",
         "bucket=2",
     ]
+    assert maintenance.data_file_count(os.path.join(part, "bucket=0")) >= 2  # skew split
+    assert maintenance.data_file_count(os.path.join(part, "bucket=1")) == 1
+
+
+def test_compaction_swap_recovery(spark, tmp_path):
+    """A crash between the two swap renames leaves the table at
+    <path>.__old__; recover_compaction restores it (and the next
+    compact_parquet call self-heals the same way)."""
+    import os
+
+    from airdatapipeline_spark.sources import maintenance
+
+    path = str(tmp_path / "tbl")
+    spark.range(100).write.parquet(path)
+    # simulate the crash window: live path renamed away, staging lost
+    os.rename(path, path + ".__old__")
+    assert maintenance.recover_compaction(path) is True
+    assert spark.read.parquet(path).count() == 100
+    assert maintenance.recover_compaction(path) is False  # idempotent no-op
 
 
 # --- OpenAI-shape classifier adapter (env-gated; fake transport only) -------
