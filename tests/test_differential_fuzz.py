@@ -208,3 +208,35 @@ def test_spark_and_duckdb_agree_on_generated_sql(engines, sql):
 @settings(max_examples=25, deadline=None)
 def test_spark_and_duckdb_agree_on_generated_joins(engines, sql):
     _assert_engines_agree(engines, sql)
+
+
+# Window functions: only UNORDERED full-partition frames are in the grammar
+# (SUM/COUNT/MIN/MAX over PARTITION BY) — they are order-independent, so the
+# per-row results are engine-exact; ranking/ordered frames would depend on
+# intra-partition order, which ties make nondeterministic.
+_win_fn = st.sampled_from(
+    [
+        "SUM(l_linenumber)",
+        "COUNT(*)",
+        "MIN(l_orderkey)",
+        "MAX(l_shipdate)",
+    ]
+)
+_win_part = st.sampled_from(["l_returnflag", "l_linestatus", "l_returnflag, l_linestatus"])
+
+
+@st.composite
+def _window_query(draw):
+    pred = draw(_pred)
+    fn = draw(_win_fn)
+    part = draw(_win_part)
+    return (
+        f"SELECT l_orderkey, l_linenumber, {fn} OVER (PARTITION BY {part}) AS v "
+        f"FROM lineitem WHERE {pred}"
+    )
+
+
+@given(sql=_window_query())
+@settings(max_examples=25, deadline=None)
+def test_spark_and_duckdb_agree_on_generated_windows(engines, sql):
+    _assert_engines_agree(engines, sql)
