@@ -215,6 +215,82 @@ def lsh_plane_sql(plane: list[int]) -> str:
     return "[" + ",".join(str(s) for s in plane) + "]::DOUBLE[]"
 
 
+# --- persisted IVF index (offline build / online partition-pruned serve) -----
+
+
+def build_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    centroids: DataFrame | None = None,
+) -> str:
+    """Offline IVF index build: assign every corpus vector to its nearest
+    coarse centroid and persist the inverted lists as parquet PARTITIONED BY
+    centroid_id. This is the production offline/online split the inline
+    `ivf_topk` plan folds together: the build runs once per corpus
+    snapshot; serving then reads ONLY the probed list directories —
+    `centroid_id IN (...)` prunes partitions at file-listing time, so query
+    IO is nprobe/K of the corpus no matter how large the corpus grows
+    (plan-asserted in tests/test_plans.py)."""
+    corpus = with_norm(load_table(spark, sf_dir, "embeddings")).select("vec_id", "emb", "norm")
+    if centroids is None:
+        centroids = corpus.filter(
+            (F.col("vec_id") >= CENTROID_ID_LO) & (F.col("vec_id") < CENTROID_ID_LO + N_CENTROIDS)
+        ).select(F.col("vec_id").alias("centroid_id"), "emb", "norm")
+    assigned = _ivf_assign(corpus, centroids, 1)
+    (
+        assigned.select("centroid_id", "vec_id", "emb", "norm")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(index_dir)
+    )
+    return index_dir
+
+
+def ivf_topk_from_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    n_queries: int = 10,
+    k: int = 5,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Online IVF serving from the persisted index: score the query panel
+    against the K-row centroid table, then scan only the probed partitions
+    of the index (partition pruning on centroid_id) and re-rank exactly.
+    Same output contract as `ivf_topk`."""
+    corpus = with_norm(load_table(spark, sf_dir, "embeddings")).select("vec_id", "emb", "norm")
+    if centroids is None:
+        centroids = corpus.filter(
+            (F.col("vec_id") >= CENTROID_ID_LO) & (F.col("vec_id") < CENTROID_ID_LO + N_CENTROIDS)
+        ).select(F.col("vec_id").alias("centroid_id"), "emb", "norm")
+    probes = _ivf_assign(corpus.filter(F.col("vec_id") < n_queries), centroids, N_PROBE).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        "centroid_id",
+    )
+    # the probed list ids are a tiny driver-side set (n_queries * nprobe);
+    # inlining them as a literal IN-filter is what turns the scan into a
+    # partition-pruned read of nprobe/K of the index
+    probe_ids = sorted({r.centroid_id for r in probes.select("centroid_id").distinct().collect()})
+    index = spark.read.parquet(index_dir).filter(F.col("centroid_id").isin(probe_ids))
+    cand = index.join(F.broadcast(probes), on="centroid_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (_dot("q_emb", "emb") / (F.col("q_norm") * F.col("norm"))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 # --- SQ8 scalar quantization tier --------------------------------------------
 
 

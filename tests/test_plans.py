@@ -167,6 +167,32 @@ def test_ivf_kmeans_centroids_same_probe_join(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ivf_persisted_index_partition_prunes(spark, tmp_path):
+    """The offline/online IVF split: serving from the persisted index must
+    (a) return exactly the inline ivf_topk result and (b) scan ONLY the
+    probed centroid partitions — PartitionFilters on centroid_id visible in
+    the plan, pruned file count < total partitions."""
+    from airdatapipeline_spark.operators import similarity
+
+    idx = str(tmp_path / "ivf_index")
+    similarity.build_ivf_index(spark, SF_SMALL, idx)
+    import os
+
+    n_parts = sum(1 for d in os.listdir(idx) if d.startswith("centroid_id="))
+    assert n_parts == similarity.N_CENTROIDS
+
+    served = similarity.ivf_topk_from_index(spark, SF_SMALL, idx)
+    inline = similarity.ivf_topk(spark, SF_SMALL)
+    a = {(r.query_id, r.neighbor_id, r.rank) for r in served.collect()}
+    b = {(r.query_id, r.neighbor_id, r.rank) for r in inline.collect()}
+    assert a == b
+
+    ex = _explain(served)
+    # the IN-filter must reach the scan as a partition filter, not a
+    # post-scan predicate
+    assert "PartitionFilters" in ex and "centroid_id" in ex.split("PartitionFilters")[1][:200]
+
+
 def test_repetition_filters_zero_shuffle(spark):
     """The Gopher repetition metrics claim to be a pure map — no Exchange
     may appear (the n-grams never leave their document's row)."""
