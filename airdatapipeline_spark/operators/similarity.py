@@ -291,6 +291,60 @@ def ivf_topk_from_index(
     )
 
 
+def streaming_index_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    centroids: DataFrame,
+) -> None:
+    """Continuous IVF index maintenance: new embedding files landing in
+    `landing_dir` stream in, get assigned to their nearest coarse centroid,
+    and append to the persisted index — completing the index lifecycle
+    (offline `build_ivf_index` → online `ivf_topk_from_index` → streaming
+    ingest for the vectors that arrive after the snapshot).
+
+    Idempotent per batch: a retried micro-batch anti-joins against the
+    vec_ids already in the index — and reads ONLY the partitions this
+    batch's assignments touch (the same centroid_id pruning the serve path
+    uses), so the dedup probe is O(batch's lists), not O(index). At larger
+    scale the anti-join+append upgrades to a Delta/Iceberg MERGE, exactly
+    like the SNK2 silver sink."""
+    schema = "vec_id bigint, embedding array<float>"
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        landing_dir
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        prep = with_norm(batch_df).select("vec_id", "emb", "norm")
+        assigned = _ivf_assign(prep, centroids, 1).select(
+            "centroid_id", "vec_id", "emb", "norm"
+        )
+        touched = sorted({r.centroid_id for r in assigned.select("centroid_id").distinct().collect()})
+        try:
+            existing = (
+                spark.read.parquet(index_dir)
+                .filter(F.col("centroid_id").isin(touched))
+                .select("vec_id")
+            )
+            fresh = assigned.join(existing, "vec_id", "left_anti")
+        except Exception:  # first batch: index doesn't exist yet
+            fresh = assigned
+        fresh.write.mode("append").partitionBy("centroid_id").parquet(index_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 # --- SQ8 scalar quantization tier --------------------------------------------
 
 

@@ -94,7 +94,20 @@ def _query(draw):
     group = draw(_group)
     if group is None:
         return f"SELECT {agg} FROM lineitem WHERE {pred}"
-    return f"SELECT {group}, {agg} FROM lineitem WHERE {pred} GROUP BY {group}"
+    having = draw(
+        st.one_of(
+            st.none(),
+            st.builds(
+                lambda op, v: f" HAVING COUNT(*) {op} {v}",
+                st.sampled_from([">", ">=", "<"]),
+                st.integers(min_value=0, max_value=2000),
+            ),
+        )
+    )
+    return (
+        f"SELECT {group}, {agg} FROM lineitem WHERE {pred} GROUP BY {group}"
+        + (having or "")
+    )
 
 
 _o_pred = st.one_of(

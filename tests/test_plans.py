@@ -193,6 +193,59 @@ def test_ivf_persisted_index_partition_prunes(spark, tmp_path):
     assert "PartitionFilters" in ex and "centroid_id" in ex.split("PartitionFilters")[1][:200]
 
 
+def test_streaming_index_ingest_builds_equivalent_index(spark, tmp_path):
+    """Index lifecycle: streaming ingest of the corpus (3 landing files =
+    3 micro-batches) must produce an index that serves IDENTICAL results to
+    the batch-built one, and re-delivering a landing file must not
+    duplicate vectors (anti-join idempotency)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from airdatapipeline_spark.io import load_table
+    from airdatapipeline_spark.operators import similarity
+
+    land = str(tmp_path / "landing")
+    os.makedirs(land)
+    emb = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    for i in range(3):
+        part = str(tmp_path / f"slice{i}")
+        emb.filter(F.col("vec_id") % 3 == i).coalesce(1).write.parquet(part)
+        src = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+        shutil.move(os.path.join(part, src), os.path.join(land, f"slice{i}.parquet"))
+
+    corpus = similarity.with_norm(load_table(spark, SF_SMALL, "embeddings"))
+    cents = corpus.filter(
+        (F.col("vec_id") >= similarity.CENTROID_ID_LO)
+        & (F.col("vec_id") < similarity.CENTROID_ID_LO + similarity.N_CENTROIDS)
+    ).select(F.col("vec_id").alias("centroid_id"), "emb", "norm")
+
+    idx = str(tmp_path / "ivf_stream_index")
+    similarity.streaming_index_ingest(spark, land, idx, str(tmp_path / "ck"), cents)
+
+    n_vectors = emb.count()
+    assert spark.read.parquet(idx).count() == n_vectors
+
+    served = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.ivf_topk_from_index(spark, SF_SMALL, idx).collect()
+    }
+    inline = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.ivf_topk(spark, SF_SMALL).collect()
+    }
+    assert served == inline
+
+    # redelivery: drop a duplicate of slice0 into the landing dir and drain
+    # again — the anti-join must keep the index duplicate-free
+    shutil.copy(
+        os.path.join(land, "slice0.parquet"), os.path.join(land, "slice0_redelivered.parquet")
+    )
+    similarity.streaming_index_ingest(spark, land, idx, str(tmp_path / "ck"), cents)
+    assert spark.read.parquet(idx).count() == n_vectors
+
+
 def test_repetition_filters_zero_shuffle(spark):
     """The Gopher repetition metrics claim to be a pure map — no Exchange
     may appear (the n-grams never leave their document's row)."""
