@@ -444,6 +444,50 @@ def pack_greedy(spark: SparkSession, sf_dir: str, budget: int = PACK_BUDGET) -> 
     )
 
 
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-aware chunking: split each document into CHUNK_TOKENS-token
+    windows advancing by CHUNK_STRIDE (8-token overlap) — the chunker in
+    front of every pretraining/RAG embedding pass. One map-only projection
+    computes the chunk count and explodes the chunk index; the chunk text
+    itself stays executor-side (only its md5 fingerprint and token count
+    are emitted — at 100 TB the chunk bodies go straight to the next
+    operator or sink, never through a driver).
+
+    Chunk i covers tokens [i*stride+1, i*stride+CHUNK] (1-based, clamped at
+    the document end — Spark `slice` and DuckDB bracket slicing clamp
+    identically, verified). Every token is covered; consecutive chunks
+    share `CHUNK - stride` tokens."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(tokens_col())
+    n_chunks = F.expr(
+        f"1 + (greatest(size(t) - {CHUNK_TOKENS}, 0) + {CHUNK_STRIDE - 1}) div {CHUNK_STRIDE}"
+    )
+    chunked = (
+        d.select("doc_id", "source", tokens_col().alias("t"))
+        .select(
+            "doc_id",
+            "source",
+            F.size("t").cast("long").alias("n_tokens"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+            F.col("t"),
+        )
+    )
+    start = F.col("chunk_id") * CHUNK_STRIDE + 1
+    chunk = F.slice(F.col("t"), start, CHUNK_TOKENS)
+    return chunked.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
 def training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling for a training mix: each source
     gets its own keep-rate (here a rate schedule derived from the source

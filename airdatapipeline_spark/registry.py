@@ -2567,6 +2567,34 @@ def mm_frames(spark, sf_dir):
 
 
 @register(
+    "text_chunking",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, {_TOKS} AS t FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tokens, t,
+             unnest(range(0, 1 + (greatest(len(t) - {text.CHUNK_TOKENS}, 0)
+                                   + {text.CHUNK_STRIDE - 1}) // {text.CHUNK_STRIDE}))
+               AS chunk_id
+      FROM tok
+    )
+    SELECT doc_id, source, n_tokens, CAST(chunk_id AS INTEGER) AS chunk_id,
+           CAST(len(t[chunk_id * {text.CHUNK_STRIDE} + 1
+                      : chunk_id * {text.CHUNK_STRIDE} + {text.CHUNK_TOKENS}]) AS BIGINT)
+             AS chunk_tokens,
+           md5(array_to_string(t[chunk_id * {text.CHUNK_STRIDE} + 1
+                                 : chunk_id * {text.CHUNK_STRIDE} + {text.CHUNK_TOKENS}], ' '))
+             AS chunk_md5
+    FROM ch
+    """,
+)
+def t_chunking(spark, sf_dir):
+    """Overlapping fixed-size token chunks (pretraining/RAG chunker)."""
+    return text.chunk_documents(spark, sf_dir)
+
+
+@register(
     "mm_audio_features",
     """
     SELECT doc_id, n_bytes, sample_rate, n_channels,
