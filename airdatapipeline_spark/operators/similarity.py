@@ -429,24 +429,50 @@ N_PROBE = 3
 
 
 def _ivf_assign(corpus: DataFrame, centroids: DataFrame, n_keep: int) -> DataFrame:
-    """Score every vector against the broadcast centroid set and keep the
-    `n_keep` nearest lists (1 for corpus assignment, N_PROBE for queries).
-    O(N·K) dot products, no shuffle until the downstream bucket join."""
-    c = corpus.alias("v")
-    k = F.broadcast(centroids).alias("k")
-    scored = c.join(k, F.lit(True)).select(
-        F.col("v.vec_id").alias("vec_id"),
-        F.col("v.emb").alias("emb"),
-        F.col("v.norm").alias("norm"),
-        F.col("k.centroid_id").alias("centroid_id"),
-        cosine_expr("v", "k").alias("c_cos"),
+    """Keep each vector's `n_keep` nearest centroid lists (1 for corpus
+    assignment, N_PROBE for queries) — as a ZERO-SHUFFLE map: the K
+    centroids are collected (K ~ sqrt(N), a driver-side table by nature)
+    and inlined as expression literals, so every row scores, sorts and
+    picks its lists inside one projection. The previous formulation
+    (cross-join + row_number window) shuffled the whole corpus WITH its
+    embedding arrays just to rank 8 scores per row — at 100 TB that
+    shuffle dwarfs the actual math. Ordering matches the oracle exactly:
+    cosine desc, centroid_id asc; the python-side centroid norm is the
+    same left-fold + sqrt the engines compute, so values are bit-equal."""
+    import math
+
+    rows = sorted(
+        centroids.select("centroid_id", "emb").collect(), key=lambda r: r.centroid_id
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") <= n_keep)
-        .drop("c_cos", "crank")
-    )
+    picks = []
+    for r in rows:
+        terms = " + ".join(
+            f"element_at(emb, {i + 1}) * cast({float(v)!r} as double)"
+            for i, v in enumerate(r.emb)
+        )
+        dot = F.expr(f"cast(0.0 as double) + {terms}")
+        acc = 0.0
+        for v in r.emb:
+            acc += float(v) * float(v)
+        cnorm = math.sqrt(acc)
+        cos = dot / (F.col("norm") * F.lit(cnorm))
+        picks.append(
+            F.struct(cos.alias("c_cos"), F.lit(int(r.centroid_id)).alias("centroid_id"))
+        )
+
+    def cmp(a, b):
+        return (
+            F.when(a["c_cos"] > b["c_cos"], F.lit(-1))
+            .when(a["c_cos"] < b["c_cos"], F.lit(1))
+            .when(a["centroid_id"] < b["centroid_id"], F.lit(-1))
+            .when(a["centroid_id"] > b["centroid_id"], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
+    ranked = F.slice(F.array_sort(F.array(*picks), cmp), 1, n_keep)
+    return corpus.select(
+        "vec_id", "emb", "norm", F.explode(ranked).alias("pick")
+    ).select("vec_id", "emb", "norm", F.col("pick.centroid_id").alias("centroid_id"))
 
 
 def kmeans_centroids(
