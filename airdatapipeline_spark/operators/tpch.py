@@ -189,6 +189,34 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COHORT_EPOCH = "2024-01-01"  # week-0 anchor for cohort arithmetic
+
+
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the week of their
+    FIRST event; each later week of activity increments the cohort's
+    retention cell at its week offset. Weeks are day-number arithmetic from
+    a fixed epoch (integer floor-div — engine-independent, unlike
+    date_trunc('week') locale edge cases). Two shuffles: min-per-user, then
+    the distinct (cohort, offset, user) count — both key-partitioned, no
+    window over the raw stream. The classic product-analytics companion to
+    `events_funnel`."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.floor(F.datediff(F.to_date("ts"), F.lit(COHORT_EPOCH)) / 7).cast("long")
+    acts = ev.select("user_id", week.alias("week_idx")).distinct()
+    cohorts = acts.groupBy("user_id").agg(F.min("week_idx").alias("cohort_week"))
+    return (
+        acts.join(cohorts, "user_id")
+        .select(
+            "cohort_week",
+            (F.col("week_idx") - F.col("cohort_week")).alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )
+
+
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view → click → purchase: a user converts a
     stage only with an event STRICTLY after their previous stage's earliest

@@ -2567,6 +2567,65 @@ def mm_frames(spark, sf_dir):
 
 
 @register(
+    "events_cohort_retention",
+    f"""
+    WITH acts AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '{tpch.COHORT_EPOCH}', CAST(ts AS DATE)) // 7 AS week_idx
+      FROM events
+    ),
+    cohorts AS (SELECT user_id, MIN(week_idx) AS cohort_week FROM acts GROUP BY 1)
+    SELECT c.cohort_week, a.week_idx - c.cohort_week AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_active_users
+    FROM acts a JOIN cohorts c ON a.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+)
+def ev_cohort(spark, sf_dir):
+    """Weekly cohort retention matrix (first-event cohorts, integer week
+    arithmetic from a fixed epoch)."""
+    return tpch.events_cohort_retention(spark, sf_dir)
+
+
+@register(
+    "dedup_substring_clusters",
+    f"""
+    WITH RECURSIVE w AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, (length(text) - 40) // 10 + 2),
+                    i -> md5(substr(text, (i - 1) * 10 + 1, 40)))) AS h
+      FROM documents WHERE length(text) >= 40
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM w a JOIN w b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, node) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src
+    )
+    SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY 1
+    """,
+)
+def dd_substring_clusters(spark, sf_dir):
+    """Exact-substring pair graph contracted to dedup decisions via the
+    large/small-star components — the pairs→clusters composition applied
+    to the char-level tier (same shape as dedup_cluster_assignments over
+    the MinHash graph)."""
+    from pyspark.sql import functions as F
+
+    pairs = dedup.exact_substring_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    labels = dedup.star_components(edges)
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+@register(
     "text_chunking",
     f"""
     WITH tok AS (
