@@ -190,6 +190,36 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 COHORT_EPOCH = "2024-01-01"  # week-0 anchor for cohort arithmetic
+RFM_ASOF = "1998-12-31"  # fixed "today" for recency so runs are reproducible
+
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer, Recency (days since last order at a
+    pinned as-of date), Frequency (order count) and Monetary (decimal-exact
+    total spend), each bucketed into quartiles with ntile — ties broken by
+    custkey so the quartile assignment is deterministic and
+    SQL-reproducible. One agg shuffle + three cheap windows over the 1-row-
+    per-customer aggregate (Spark reuses nothing between them — each orders
+    by a different key — but the windowed table is #customers rows, not
+    #orders). The classic CRM segmentation shape on the TPC-H schema."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.datediff(F.lit(RFM_ASOF), F.max("o_orderdate")).cast("long").alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("monetary_dec"),
+    )
+    w_r = Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    w_f = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    w_m = Window.orderBy(F.desc("monetary_dec"), F.asc("o_custkey"))
+    return per_cust.select(
+        F.col("o_custkey").alias("custkey"),
+        "recency_days",
+        "frequency",
+        F.col("monetary_dec").cast("double").alias("monetary"),
+        F.ntile(4).over(w_r).alias("r_quartile"),
+        F.ntile(4).over(w_f).alias("f_quartile"),
+        F.ntile(4).over(w_m).alias("m_quartile"),
+    )
 
 
 def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:

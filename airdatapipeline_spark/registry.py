@@ -2567,6 +2567,33 @@ def mm_frames(spark, sf_dir):
 
 
 @register(
+    "w_customer_rfm_segments",
+    f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(o_orderdate), DATE '{tpch.RFM_ASOF}') AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS monetary_dec
+      FROM orders GROUP BY 1
+    )
+    SELECT o_custkey AS custkey, CAST(recency_days AS BIGINT) AS recency_days,
+           frequency, CAST(monetary_dec AS DOUBLE) AS monetary,
+           CAST(ntile(4) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS INTEGER)
+             AS r_quartile,
+           CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS INTEGER)
+             AS f_quartile,
+           CAST(ntile(4) OVER (ORDER BY monetary_dec DESC, o_custkey ASC) AS INTEGER)
+             AS m_quartile
+    FROM per_cust
+    """,
+)
+def w_rfm(spark, sf_dir):
+    """RFM quartile segmentation (deterministic ntile via custkey
+    tie-break)."""
+    return tpch.customer_rfm_segments(spark, sf_dir)
+
+
+@register(
     "events_cohort_retention",
     f"""
     WITH acts AS (
