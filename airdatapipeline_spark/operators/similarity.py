@@ -291,6 +291,16 @@ def ivf_topk_from_index(
     )
 
 
+def _index_exists(spark: SparkSession, index_dir: str) -> bool:
+    """True if the index has committed data. Uses the Hadoop FileSystem API
+    (works for local paths and HDFS/S3A alike), so 'missing index' is
+    distinguished from transient read errors — which must propagate."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(index_dir)
+    return p.getFileSystem(conf).exists(p)
+
+
 def streaming_index_ingest(
     spark: SparkSession,
     landing_dir: str,
@@ -314,25 +324,36 @@ def streaming_index_ingest(
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
         landing_dir
     )
+    # K rows, collected ONCE before the stream starts — never per batch
+    cent_rows = centroids.select("centroid_id", "emb").collect()
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         prep = with_norm(batch_df).select("vec_id", "emb", "norm")
-        assigned = _ivf_assign(prep, centroids, 1).select(
-            "centroid_id", "vec_id", "emb", "norm"
+        assigned = (
+            _ivf_assign(prep, cent_rows, 1)
+            .select("centroid_id", "vec_id", "emb", "norm")
+            .persist()  # scored once; serves both the touched probe and the write
         )
-        touched = sorted({r.centroid_id for r in assigned.select("centroid_id").distinct().collect()})
         try:
-            existing = (
-                spark.read.parquet(index_dir)
-                .filter(F.col("centroid_id").isin(touched))
-                .select("vec_id")
+            touched = sorted(
+                {r.centroid_id for r in assigned.select("centroid_id").distinct().collect()}
             )
-            fresh = assigned.join(existing, "vec_id", "left_anti")
-        except Exception:  # first batch: index doesn't exist yet
+            # existence probed explicitly: a TRANSIENT read failure must
+            # surface (and the batch retry), never silently skip the dedup
+            # anti-join — that would let a redelivered batch duplicate rows
             fresh = assigned
-        fresh.write.mode("append").partitionBy("centroid_id").parquet(index_dir)
+            if _index_exists(spark, index_dir):
+                existing = (
+                    spark.read.parquet(index_dir)
+                    .filter(F.col("centroid_id").isin(touched))
+                    .select("vec_id")
+                )
+                fresh = assigned.join(existing, "vec_id", "left_anti")
+            fresh.write.mode("append").partitionBy("centroid_id").parquet(index_dir)
+        finally:
+            assigned.unpersist()
 
     q = (
         stream.writeStream.foreachBatch(ingest)
@@ -428,7 +449,7 @@ CENTROID_ID_LO = 100  # deterministic coarse centroids: vec_ids [100, 108)
 N_PROBE = 3
 
 
-def _ivf_assign(corpus: DataFrame, centroids: DataFrame, n_keep: int) -> DataFrame:
+def _ivf_assign(corpus: DataFrame, centroids: DataFrame | list, n_keep: int) -> DataFrame:
     """Keep each vector's `n_keep` nearest centroid lists (1 for corpus
     assignment, N_PROBE for queries) — as a ZERO-SHUFFLE map: the K
     centroids are collected (K ~ sqrt(N), a driver-side table by nature)
@@ -437,13 +458,19 @@ def _ivf_assign(corpus: DataFrame, centroids: DataFrame, n_keep: int) -> DataFra
     (cross-join + row_number window) shuffled the whole corpus WITH its
     embedding arrays just to rank 8 scores per row — at 100 TB that
     shuffle dwarfs the actual math. Ordering matches the oracle exactly:
-    cosine desc, centroid_id asc; the python-side centroid norm is the
-    same left-fold + sqrt the engines compute, so values are bit-equal."""
+    cosine desc (NULLs last, matching the window/oracle DESC semantics),
+    centroid_id asc; the python-side centroid norm is the same left-fold +
+    sqrt the engines compute, so values are bit-equal.
+
+    `centroids` may be a DataFrame or an already-collected row list —
+    callers that assign repeatedly (both sides of a top-k plan, every
+    streaming micro-batch) collect the K rows ONCE and pass the list, so
+    the centroid source isn't re-scanned per call."""
     import math
 
-    rows = sorted(
-        centroids.select("centroid_id", "emb").collect(), key=lambda r: r.centroid_id
-    )
+    if isinstance(centroids, DataFrame):
+        centroids = centroids.select("centroid_id", "emb").collect()
+    rows = sorted(centroids, key=lambda r: r.centroid_id)
     picks = []
     for r in rows:
         terms = " + ".join(
@@ -461,8 +488,13 @@ def _ivf_assign(corpus: DataFrame, centroids: DataFrame, n_keep: int) -> DataFra
         )
 
     def cmp(a, b):
+        # explicit NULL branches: a NULL cosine (zero-norm centroid) must
+        # sort LAST like the window's ORDER BY DESC / the oracle, not fall
+        # through to the id tie-break
         return (
-            F.when(a["c_cos"] > b["c_cos"], F.lit(-1))
+            F.when(a["c_cos"].isNull() & b["c_cos"].isNotNull(), F.lit(1))
+            .when(a["c_cos"].isNotNull() & b["c_cos"].isNull(), F.lit(-1))
+            .when(a["c_cos"] > b["c_cos"], F.lit(-1))
             .when(a["c_cos"] < b["c_cos"], F.lit(1))
             .when(a["centroid_id"] < b["centroid_id"], F.lit(-1))
             .when(a["centroid_id"] > b["centroid_id"], F.lit(1))
@@ -525,8 +557,9 @@ def ivf_topk(
             (F.col("vec_id") >= CENTROID_ID_LO) & (F.col("vec_id") < CENTROID_ID_LO + N_CENTROIDS)
         ).select(F.col("vec_id").alias("centroid_id"), "emb", "norm")
 
-    assigned = _ivf_assign(corpus, centroids, 1)
-    probes = _ivf_assign(corpus.filter(F.col("vec_id") < n_queries), centroids, N_PROBE).select(
+    cent_rows = centroids.select("centroid_id", "emb").collect()  # K rows, once
+    assigned = _ivf_assign(corpus, cent_rows, 1)
+    probes = _ivf_assign(corpus.filter(F.col("vec_id") < n_queries), cent_rows, N_PROBE).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
         F.col("norm").alias("q_norm"),

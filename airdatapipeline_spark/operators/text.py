@@ -462,7 +462,6 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically, verified). Every token is covered; consecutive chunks
     share `CHUNK - stride` tokens."""
     d = load_table(spark, sf_dir, "documents")
-    n = F.size(tokens_col())
     n_chunks = F.expr(
         f"1 + (greatest(size(t) - {CHUNK_TOKENS}, 0) + {CHUNK_STRIDE - 1}) div {CHUNK_STRIDE}"
     )

@@ -226,13 +226,15 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users are cohorted by the week of their
     FIRST event; each later week of activity increments the cohort's
     retention cell at its week offset. Weeks are day-number arithmetic from
-    a fixed epoch (integer floor-div — engine-independent, unlike
-    date_trunc('week') locale edge cases). Two shuffles: min-per-user, then
+    a fixed epoch using integral `div` — truncation toward zero on BOTH
+    engines (Spark `div` ≡ DuckDB `//`; a float floor() would diverge from
+    DuckDB's truncating `//` for pre-epoch days) and free of
+    date_trunc('week') locale edge cases. Two shuffles: min-per-user, then
     the distinct (cohort, offset, user) count — both key-partitioned, no
     window over the raw stream. The classic product-analytics companion to
     `events_funnel`."""
     ev = load_table(spark, sf_dir, "events")
-    week = F.floor(F.datediff(F.to_date("ts"), F.lit(COHORT_EPOCH)) / 7).cast("long")
+    week = F.expr(f"datediff(to_date(ts), date'{COHORT_EPOCH}') div 7").cast("long")
     acts = ev.select("user_id", week.alias("week_idx")).distinct()
     cohorts = acts.groupBy("user_id").agg(F.min("week_idx").alias("cohort_week"))
     return (

@@ -2644,8 +2644,6 @@ def dd_substring_clusters(spark, sf_dir):
     large/small-star components — the pairs→clusters composition applied
     to the char-level tier (same shape as dedup_cluster_assignments over
     the MinHash graph)."""
-    from pyspark.sql import functions as F
-
     pairs = dedup.exact_substring_pairs(spark, sf_dir)
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     labels = dedup.star_components(edges)
