@@ -461,7 +461,12 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     the document end — Spark `slice` and DuckDB bracket slicing clamp
     identically, verified). Every token is covered; consecutive chunks
     share `CHUNK - stride` tokens."""
-    d = load_table(spark, sf_dir, "documents")
+    return _chunk_df(load_table(spark, sf_dir, "documents"))
+
+
+def _chunk_df(d: DataFrame) -> DataFrame:
+    """Chunk expansion over any documents-shaped DataFrame (doc_id, source,
+    text) — shared by the standalone chunker and the end-to-end build."""
     n_chunks = F.expr(
         f"1 + (greatest(size(t) - {CHUNK_TOKENS}, 0) + {CHUNK_STRIDE - 1}) div {CHUNK_STRIDE}"
     )
@@ -484,6 +489,61 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_id").cast("int").alias("chunk_id"),
         F.size(chunk).cast("long").alias("chunk_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
+def training_data_build(
+    spark: SparkSession, sf_dir: str, budget: int = PACK_BUDGET, train_pct: int = 90
+) -> DataFrame:
+    """The end-to-end training-data BUILD in one declarative plan — the
+    composition every stage of this module exists for:
+
+        curate (quality + language + near-dup removal)
+          → chunk (overlapping token windows)
+          → split (train/val at the DOCUMENT level — all chunks of a doc
+            land in the same split, so no eval leakage through overlap)
+          → pack (concatenate-and-split per hash bucket within each split)
+
+    Returns the per-(split, bucket, pack) audit: chunk count and token
+    mass. Catalyst sees ONE plan: a single documents scan feeds curation
+    and chunking, the only iterative piece is the connected-components
+    loop inside curation, and packing is a window over the already-tiny
+    chunk table. This is the query a 100 TB corpus runs nightly to emit
+    training shards."""
+    from ..io import load_table as _lt
+
+    curated_ids = curated_documents(spark, sf_dir).select("doc_id")
+    docs = _lt(spark, sf_dir, "documents").join(curated_ids, "doc_id", "semi")
+    chunks = _chunk_df(docs).select("doc_id", "chunk_id", "chunk_tokens")
+
+    doc_bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 14), 16, 10).cast("long")
+        % 100
+    )
+    split = F.when(doc_bucket < train_pct, F.lit("train")).otherwise(F.lit("val"))
+    keyed = chunks.select(
+        split.alias("split"),
+        _pack_bucket().alias("bucket"),
+        "doc_id",
+        "chunk_id",
+        "chunk_tokens",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("split", "bucket").orderBy("doc_id", "chunk_id")
+    start = F.sum("chunk_tokens").over(w) - F.col("chunk_tokens")
+    return (
+        keyed.select(
+            "split",
+            "bucket",
+            F.floor(start / F.lit(budget)).alias("pack_id"),
+            "chunk_tokens",
+        )
+        .groupBy("split", "bucket", "pack_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("chunk_tokens").alias("pack_tokens"),
+        )
     )
 
 

@@ -2225,11 +2225,11 @@ _CC_CTES = f"""{_SHINGLES_CTE.format(src="documents")},
     )"""
 
 
-@register(
-    "curation_pipeline",
-    f"""
-    WITH RECURSIVE {_CC_CTES},
-    losers AS (
+# curation CTE chain (requires the RECURSIVE _CC_CTES in scope) — shared by
+# curation_pipeline and training_data_build so the filter chain has one
+# source of truth
+_CURATED_CTES = f"""
+losers AS (
       SELECT src AS doc_id FROM (
         SELECT src, MIN(node) AS cluster_id FROM reach GROUP BY 1
       ) WHERE cluster_id <> src
@@ -2248,11 +2248,22 @@ _CC_CTES = f"""{_SHINGLES_CTE.format(src="documents")},
                + least((char_count / word_count) / 8.0, 1.0) * 0.2 AS quality_score,
              {_langid_case()} AS predicted_lang
       FROM scored
+    ),
+    curated AS (
+      SELECT doc_id, source, word_count, quality_score, predicted_lang
+      FROM final
+      WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        AND quality_score >= 0.5 AND predicted_lang = 'en' AND word_count >= 20
     )
-    SELECT doc_id, source, word_count, quality_score, predicted_lang
-    FROM final
-    WHERE doc_id NOT IN (SELECT doc_id FROM losers)
-      AND quality_score >= 0.5 AND predicted_lang = 'en' AND word_count >= 20
+""".strip()
+
+
+@register(
+    "curation_pipeline",
+    f"""
+    WITH RECURSIVE {_CC_CTES},
+    {_CURATED_CTES}
+    SELECT doc_id, source, word_count, quality_score, predicted_lang FROM curated
     """,
 )
 def curation(spark, sf_dir):
@@ -2564,6 +2575,54 @@ def mm_frames(spark, sf_dir):
     """Every-2nd-frame sampling: decode once per doc, explode AFTER the
     metadata decode so the binary never replicates per frame."""
     return multimodal.frame_sample_plan(spark, sf_dir)
+
+
+@register(
+    "training_data_build",
+    f"""
+    WITH RECURSIVE {_CC_CTES},
+    {_CURATED_CTES},
+    ctok AS (
+      SELECT d.doc_id, {_TOKS} AS t
+      FROM documents d JOIN curated c ON d.doc_id = c.doc_id
+    ),
+    cch AS (
+      SELECT doc_id, t,
+             unnest(range(0, 1 + (greatest(len(t) - {text.CHUNK_TOKENS}, 0)
+                                   + {text.CHUNK_STRIDE - 1}) // {text.CHUNK_STRIDE}))
+               AS chunk_id
+      FROM ctok
+    ),
+    cchunks AS (
+      SELECT doc_id, chunk_id,
+             CAST(len(t[chunk_id * {text.CHUNK_STRIDE} + 1
+                        : chunk_id * {text.CHUNK_STRIDE} + {text.CHUNK_TOKENS}]) AS BIGINT)
+               AS chunk_tokens
+      FROM cch
+    ),
+    keyed AS (
+      SELECT CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
+                       % 100 < 90
+                  THEN 'train' ELSE 'val' END AS split,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
+               % {text.PACK_BUCKETS} AS bucket,
+             doc_id, chunk_id, chunk_tokens
+      FROM cchunks
+    ),
+    off AS (
+      SELECT split, bucket, chunk_tokens,
+             SUM(chunk_tokens) OVER (PARTITION BY split, bucket ORDER BY doc_id, chunk_id)
+               - chunk_tokens AS start
+      FROM keyed
+    )
+    SELECT split, bucket, CAST(FLOOR(start / {text.PACK_BUDGET}) AS BIGINT) AS pack_id,
+           COUNT(*) AS n_chunks, CAST(SUM(chunk_tokens) AS BIGINT) AS pack_tokens
+    FROM off GROUP BY 1, 2, 3
+    """,
+)
+def t_training_build(spark, sf_dir):
+    """curate → chunk → doc-level split → pack, one declarative plan."""
+    return text.training_data_build(spark, sf_dir)
 
 
 @register(
