@@ -47,6 +47,8 @@ HEADLINE = [
     # r2 additions: heaviest of the new operators
     "dedup_exact_substring_pairs",
     "text_repetition_filters",
+    # the end-to-end curate→chunk→split→pack composite (extension flagship)
+    "training_data_build",
 ]
 
 
