@@ -292,13 +292,17 @@ def ivf_topk_from_index(
 
 
 def _index_exists(spark: SparkSession, index_dir: str) -> bool:
-    """True if the index has committed data. Uses the Hadoop FileSystem API
-    (works for local paths and HDFS/S3A alike), so 'missing index' is
-    distinguished from transient read errors — which must propagate."""
+    """True if the index has COMMITTED data — the _SUCCESS marker, not mere
+    directory existence: a crashed first write leaves the dir with only
+    _temporary droppings, and treating that as 'index present' would make
+    the redelivered batch fail on an unreadable read forever instead of
+    writing fresh. Uses the Hadoop FileSystem API (local, HDFS and S3A
+    alike), so 'missing index' stays distinguished from transient read
+    errors — which must propagate."""
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(index_dir)
-    return p.getFileSystem(conf).exists(p)
+    marker = jvm.org.apache.hadoop.fs.Path(index_dir.rstrip("/") + "/_SUCCESS")
+    return marker.getFileSystem(conf).exists(marker)
 
 
 def streaming_index_ingest(

@@ -36,6 +36,19 @@ def tokens_col(text_col: str = "text") -> Column:
     return F.split(F.trim(F.col(text_col)), r"\s+")
 
 
+def _hash_bucket(mod: int, salt: str = "") -> Column:
+    """Content-addressed bucket: conv(md5(salt + doc_id)[0:14], 16, 10) mod
+    `mod` — THE hash idiom for every reproducible selection in this module
+    (train/val split, mix sampling, pack bucketing, the build's doc-level
+    split). One definition so the formula and its SQL oracle twins can
+    never drift apart; changing it means changing every oracle in
+    lockstep."""
+    key = F.col("doc_id").cast("string")
+    if salt:
+        key = F.concat(F.lit(salt), key)
+    return F.conv(F.substring(F.md5(key), 1, 14), 16, 10).cast("long") % mod
+
+
 def _stop_hits(tokens: Column, words: list[str]) -> Column:
     arr = F.array(*[F.lit(w) for w in words])
     return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
@@ -223,11 +236,7 @@ def train_val_split_counts(
     filter any engine can replay. Returns per-(source, split) counts +
     token totals as the audit view."""
     d = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 14), 16, 10).cast("long")
-        % 100
-    )
-    split = F.when(bucket < train_pct, F.lit("train")).otherwise(F.lit("val"))
+    split = F.when(_hash_bucket(100) < train_pct, F.lit("train")).otherwise(F.lit("val"))
     return (
         d.select("source", split.alias("split"), F.size(tokens_col()).cast("long").alias("n_tok"))
         .groupBy("source", "split")
@@ -362,10 +371,7 @@ def _pack_bucket() -> Column:
     unit of packing parallelism. At 100 TB the bucket count is sized to the
     cluster (each bucket packs independently); membership is
     engine/partitioning-invariant like every hash split in this repo."""
-    return (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 14), 16, 10).cast("long")
-        % PACK_BUCKETS
-    )
+    return _hash_bucket(PACK_BUCKETS)
 
 
 def sequence_packing(spark: SparkSession, sf_dir: str, budget: int = PACK_BUDGET) -> DataFrame:
@@ -505,22 +511,19 @@ def training_data_build(
           → pack (concatenate-and-split per hash bucket within each split)
 
     Returns the per-(split, bucket, pack) audit: chunk count and token
-    mass. Catalyst sees ONE plan: a single documents scan feeds curation
-    and chunking, the only iterative piece is the connected-components
-    loop inside curation, and packing is a window over the already-tiny
-    chunk table. This is the query a 100 TB corpus runs nightly to emit
-    training shards."""
-    from ..io import load_table as _lt
-
+    mass. Catalyst sees ONE plan with two column-pruned documents scans
+    (the curation metrics and the chunk source — the semi-join in between
+    prevents scan reuse); at 100 TB the curated snapshot is persisted
+    first (`jobs curate --out`) and the chunk side reads that pruned
+    subset instead. The only iterative piece is the connected-components
+    loop inside curation; packing is a window over the already-tiny chunk
+    table. This is the query a corpus runs nightly to emit training
+    shards."""
     curated_ids = curated_documents(spark, sf_dir).select("doc_id")
-    docs = _lt(spark, sf_dir, "documents").join(curated_ids, "doc_id", "semi")
+    docs = load_table(spark, sf_dir, "documents").join(curated_ids, "doc_id", "semi")
     chunks = _chunk_df(docs).select("doc_id", "chunk_id", "chunk_tokens")
 
-    doc_bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 14), 16, 10).cast("long")
-        % 100
-    )
-    split = F.when(doc_bucket < train_pct, F.lit("train")).otherwise(F.lit("val"))
+    split = F.when(_hash_bucket(100) < train_pct, F.lit("train")).otherwise(F.lit("val"))
     keyed = chunks.select(
         split.alias("split"),
         _pack_bucket().alias("bucket"),
@@ -560,15 +563,7 @@ def training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs, sampled docs, sampled token mass."""
     d = load_table(spark, sf_dir, "documents")
     rate = F.lit(100) - F.lit(4) * F.substring("source", 4, 10).cast("int")
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 14),
-            16,
-            10,
-        ).cast("long")
-        % 100
-    )
-    keep = (bucket < rate).cast("long")
+    keep = (_hash_bucket(100, salt="mix:") < rate).cast("long")
     return (
         d.select(
             "source", keep.alias("keep"), F.size(tokens_col()).cast("long").alias("n_tok")
