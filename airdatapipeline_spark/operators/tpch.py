@@ -249,6 +249,44 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_daily_anomalies(spark: SparkSession, sf_dir: str, z_limit: float = 2.0) -> DataFrame:
+    """Volume anomaly detection: flag (day, event_type) cells whose daily
+    event count deviates more than `z_limit` standard deviations from that
+    type's cross-day mean. Engine-exact by construction: counts are
+    integers, so the per-type sum and sum-of-squares are EXACT long
+    arithmetic (a naive stddev over doubles is partition-order-dependent
+    and unverifiable); mean/variance/z then derive through single IEEE
+    operations mirrored verbatim in the oracle. One agg shuffle + one
+    per-type window over the tiny daily table."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type")
+    stats = daily.select(
+        "day",
+        "event_type",
+        "n",
+        F.count("*").over(w).alias("n_days"),
+        F.sum("n").over(w).alias("sum_n"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("sumsq_n"),
+    )
+    mean = F.col("sum_n") / F.col("n_days")
+    var = F.col("sumsq_n") / F.col("n_days") - mean * mean
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (
+        stats.filter(var > 0)
+        .select(
+            "day",
+            "event_type",
+            "n",
+            mean.alias("mean_n"),
+            z.alias("z_score"),
+            (F.abs(z) > z_limit).alias("is_anomaly"),
+        )
+    )
+
+
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view → click → purchase: a user converts a
     stage only with an event STRICTLY after their previous stage's earliest

@@ -2653,6 +2653,37 @@ def w_rfm(spark, sf_dir):
 
 
 @register(
+    "events_daily_anomalies",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT day, event_type, n,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_days,
+             SUM(n) OVER (PARTITION BY event_type) AS sum_n,
+             SUM(n * n) OVER (PARTITION BY event_type) AS sumsq_n
+      FROM daily
+    )
+    SELECT day, event_type, n,
+           sum_n / n_days AS mean_n,
+           (n - sum_n / n_days)
+             / sqrt(sumsq_n / n_days - (sum_n / n_days) * (sum_n / n_days)) AS z_score,
+           abs((n - sum_n / n_days)
+             / sqrt(sumsq_n / n_days - (sum_n / n_days) * (sum_n / n_days))) > 2.0
+             AS is_anomaly
+    FROM stats
+    WHERE sumsq_n / n_days - (sum_n / n_days) * (sum_n / n_days) > 0
+    """,
+)
+def ev_anomalies(spark, sf_dir):
+    """Daily volume z-score anomalies (exact integer sums -> single IEEE
+    derivations)."""
+    return tpch.events_daily_anomalies(spark, sf_dir)
+
+
+@register(
     "events_cohort_retention",
     f"""
     WITH acts AS (
