@@ -253,3 +253,38 @@ def _window_query(draw):
 @settings(max_examples=25, deadline=None)
 def test_spark_and_duckdb_agree_on_generated_windows(engines, sql):
     _assert_engines_agree(engines, sql)
+
+
+# ORDER BY / LIMIT: deterministic because the sort key is EVERY selected
+# column — rows that tie on the full key are identical rows, so whatever
+# order the engine emits ties in, the value sequence is the same. (The
+# driver's synthetic lineitem duplicates (l_orderkey, l_linenumber) up to
+# 5x, so a prefix key would be nondeterministic under LIMIT.) Compared IN
+# ORDER (no canon sort).
+@st.composite
+def _orderby_query(draw):
+    cols = ["l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate"]
+    pred = draw(_pred)
+    dirs = [draw(st.sampled_from(["ASC", "DESC"])) for _ in cols]
+    limit = draw(st.integers(min_value=0, max_value=200))
+    order = ", ".join(f"{c} {d}" for c, d in zip(cols, dirs))
+    return (
+        f"SELECT {', '.join(cols)} FROM lineitem WHERE {pred} "
+        f"ORDER BY {order} LIMIT {limit}"
+    )
+
+
+@given(sql=_orderby_query())
+@settings(max_examples=25, deadline=None)
+def test_spark_and_duckdb_agree_on_order_by_limit(engines, sql):
+    spark, duck = engines
+    s = spark.sql(sql).toPandas()
+    d = duck.run(sql)
+    assert list(s.columns) == list(d.columns), sql
+    for c in s.columns:
+        if s[c].dtype == object or str(s[c].dtype).startswith("datetime"):
+            s[c] = s[c].astype(str)
+            d[c] = d[c].astype(str)
+    pd.testing.assert_frame_equal(
+        s.reset_index(drop=True), d.reset_index(drop=True), check_dtype=False, obj=sql
+    )

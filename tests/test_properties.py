@@ -226,6 +226,34 @@ def test_pii_patterns_count_injected_occurrences(spark_global, n_email, n_ip, n_
     assert (row.re, row.ri, row.rp) == (0, 0, 0)
 
 
+def test_hash_bucket_golden_values(spark_global):
+    """The content-hash bucket idiom underpins every reproducible split in
+    the repo (train/val, mix sampling, packing, the build). Pin its output
+    for fixed doc_ids so ANY change to the formula — salt, hex width,
+    modulus handling — fails loudly here and forces the oracle twins to be
+    updated in lockstep."""
+    from pyspark.sql import functions as F
+
+    from airdatapipeline_spark.operators.text import _hash_bucket
+
+    df = spark_global.range(10).withColumnRenamed("id", "doc_id")
+    got = [
+        (r.b, r.m)
+        for r in df.select(
+            _hash_bucket(100).alias("b"), _hash_bucket(100, salt="mix:").alias("m")
+        )
+        .orderBy("doc_id")
+        .collect()
+    ]
+    # golden values derived from the DuckDB oracle side
+    # (CAST(concat('0x', substr(md5(...), 1, 14)) AS BIGINT) % 100)
+    expected = [
+        (49, 86), (15, 18), (35, 82), (38, 83), (83, 32),
+        (35, 46), (11, 75), (78, 97), (7, 42), (99, 21),
+    ]
+    assert got == expected
+
+
 def test_greedy_packing_invariants(spark_global):
     """First-fit packing: every doc lands exactly once, no pack exceeds the
     budget (token max 100 << budget, so no oversized-doc escape hatch
