@@ -550,6 +550,64 @@ def training_data_build(
     )
 
 
+def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation triage (the RefinedWeb/C4-style domain audit):
+    for each source — document count, exact-duplicate burden, low-quality
+    share, and a source-level quality score — plus the keep/flag decision a
+    curation pipeline would act on (drop or down-weight flagged sources
+    before training).
+
+    Determinism posture: every aggregate is an exact integer sum; the
+    source-level score applies the per-doc quality formula to aggregate
+    ratios (long sums -> a fixed sequence of IEEE divisions), never
+    averaging per-doc floats, so result hashes are engine-exact. Duplicate
+    burden = n_docs - distinct(text) inside the same hash-aggregate — no
+    self-join, one scan + one 20-row shuffle at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens_col()
+    wc = F.size(t).cast("long")
+    cc = F.length("text").cast("long")
+    sh = _stop_hits(t, LANG_STOPWORDS["en"]).cast("long")
+    doc_score = (
+        F.least(wc / F.lit(100.0), F.lit(1.0)) * F.lit(0.4)
+        + (sh / wc) * F.lit(0.4)
+        + F.least((cc / wc) / F.lit(8.0), F.lit(1.0)) * F.lit(0.2)
+    )
+    per_doc = d.select(
+        "source",
+        "text",
+        wc.alias("wc"),
+        cc.alias("cc"),
+        sh.alias("sh"),
+        # NULL score (wc=0) is not low-quality: when() falls through to 0
+        F.when(doc_score < 0.5, F.lit(1)).otherwise(F.lit(0)).alias("low"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        (F.count("*") - F.countDistinct("text")).alias("n_dup_excess"),
+        F.sum("low").alias("n_low_quality"),
+        F.sum("wc").alias("sum_wc"),
+        F.sum("cc").alias("sum_cc"),
+        F.sum("sh").alias("sum_sh"),
+    )
+    n = F.col("n_docs")
+    src_score = (
+        F.least((F.col("sum_wc") / n) / F.lit(100.0), F.lit(1.0)) * F.lit(0.4)
+        + (F.col("sum_sh") / F.col("sum_wc")) * F.lit(0.4)
+        + F.least((F.col("sum_cc") / F.col("sum_wc")) / F.lit(8.0), F.lit(1.0)) * F.lit(0.2)
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_dup_excess",
+        "n_low_quality",
+        (F.col("n_dup_excess") / n).alias("dup_rate"),
+        (F.col("n_low_quality") / n).alias("low_quality_rate"),
+        src_score.alias("source_quality"),
+        ((F.col("n_dup_excess") / n > 0.05) | (src_score < 0.5)).alias("flagged"),
+    )
+
+
 def training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling for a training mix: each source
     gets its own keep-rate (here a rate schedule derived from the source

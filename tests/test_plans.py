@@ -275,3 +275,26 @@ def test_sequence_packing_single_shuffle_per_stage(spark):
     plan = _plan(text.sequence_packing(spark, SF_SMALL))
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "CartesianProduct" not in plan
+
+
+def test_source_quality_report_one_scan_no_join(spark):
+    """The per-source triage computes dup burden via COUNT(DISTINCT text)
+    inside the same aggregate — one documents scan, no self-join."""
+    from airdatapipeline_spark.operators import text
+
+    plan = _plan(text.source_quality_report(spark, SF_SMALL))
+    assert plan.count("Scan parquet") == 1
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert join not in plan
+
+
+def test_table_profile_single_pass(spark):
+    """ANALYZE-style profile: one scan feeding an Expand for the exact
+    per-column distincts — never one scan per column, never a join."""
+    from airdatapipeline_spark.operators import profile
+
+    plan = _plan(profile.table_profile(spark, SF_SMALL, "documents"))
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert join not in plan
