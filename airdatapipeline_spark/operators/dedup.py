@@ -322,6 +322,61 @@ def embedding_near_dup_pairs(
     )
 
 
+SEMANTIC_THRESHOLD = 0.30  # within-cluster cosine above this ⇒ semantic dup
+
+
+def semantic_dedup_decisions(
+    spark: SparkSession, sf_dir: str, threshold: float = SEMANTIC_THRESHOLD
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    bucket embeddings by nearest coarse centroid, then prune within each
+    cluster any vector that has a LOWER-id near-duplicate (cosine >=
+    threshold) in the same cluster — min-id-wins, the same deterministic
+    representative rule as D1/D2 headline dedup, so the decision set needs
+    no iteration and is exactly SQL-replayable.
+
+    Scale shape: the only quadratic term is WITHIN a cluster (~N/K rows per
+    list); K grows with the corpus at constant list size (same argument as
+    the IVF inverted lists, which share this centroid assignment), so the
+    per-cluster pair join is bounded and the whole plan is one zero-shuffle
+    centroid assignment + one equi-join on centroid_id. Cross-cluster near
+    dups are missed by construction — the documented recall trade of
+    cluster-bucketed dedup; raise K's probe count or fall back to the LSH
+    tier when that matters.
+
+    Returns one decision row per vector: (vec_id, centroid_id, is_kept).
+    """
+    from .similarity import CENTROID_ID_LO, N_CENTROIDS, _ivf_assign, cosine_expr, with_norm
+
+    corpus = with_norm(load_table(spark, sf_dir, "embeddings")).select("vec_id", "emb", "norm")
+    cent_rows = (
+        corpus.filter(
+            (F.col("vec_id") >= CENTROID_ID_LO)
+            & (F.col("vec_id") < CENTROID_ID_LO + N_CENTROIDS)
+        )
+        .select(F.col("vec_id").alias("centroid_id"), "emb")
+        .collect()  # K rows, once — the same driver-side centroid table IVF uses
+    )
+    assigned = _ivf_assign(corpus, cent_rows, 1)
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    pruned = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .filter(cosine_expr("a", "b") >= threshold)
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return assigned.join(pruned.withColumn("__p", F.lit(1)), on="vec_id", how="left").select(
+        "vec_id",
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+        F.col("__p").isNull().alias("is_kept"),
+    )
+
+
 def simhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash at scale: split the 60-bit signature into 4 contiguous
     15-bit bands and equi-join on (band, band_value). Any pair within

@@ -53,8 +53,15 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     stream = spark.readStream.schema(batch.schema).parquet(_landing_dir(sf_dir))
     # watermarks require TIMESTAMP (not NTZ); under the UTC session the wall
-    # times are identical — outputs are cast back to NTZ after aggregation
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # times are identical — outputs are cast back to NTZ after aggregation.
+    # The TIMESTAMP(NANOS) column arrives either as epoch-nanos long (under
+    # nanosAsLong on readers that honor it) or directly as NTZ (current
+    # reader) — branch exactly like io.load_table does.
+    from pyspark.sql import types as T
+
+    if isinstance(batch.schema["ts"].dataType, T.LongType):
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _run_to_table(agg: DataFrame, mode: str) -> DataFrame:
