@@ -612,3 +612,42 @@ def test_jdbc_options_query_pushdown_excludes_partitioning():
         jdbc.jdbc_options()
     with pytest.raises(ValueError):
         jdbc.jdbc_options(table="t", query="SELECT 1")
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Z-ordered layout must (a) preserve the data exactly and (b) make
+    file/row-group min-max stats selective on BOTH interleaved dimensions,
+    where the natural time-sorted layout is selective on time only."""
+    from airdatapipeline_spark.io import load_table
+    from airdatapipeline_spark.sources import layout
+
+    ev = load_table(spark, SF_SMALL, "events")
+    natural = str(tmp_path / "events_natural")
+    zord = str(tmp_path / "events_zorder")
+    # natural layout: arrival (time) order — the shape every append-only
+    # ingest produces
+    ev.orderBy("ts").coalesce(1).write.mode("overwrite").parquet(natural)
+    # re-split the single time-sorted file into 8 time-contiguous files
+    spark.read.parquet(natural).repartitionByRange(8, "ts").sortWithinPartitions(
+        "ts"
+    ).write.mode("overwrite").parquet(natural + "_split")
+    layout.zorder_events(spark, SF_SMALL, zord, n_files=8)
+
+    back = spark.read.parquet(zord)
+    assert back.count() == ev.count()
+    assert (
+        back.agg(F.sum("event_id")).collect()[0][0] == ev.agg(F.sum("event_id")).collect()[0][0]
+    )
+
+    # point predicate on user_id: the time-sorted layout cannot skip
+    # anything (every file spans the full user range); z-order must skip
+    uid = 7
+    nat_match, nat_total = layout.rowgroups_matching_point(natural + "_split", "user_id", uid)
+    z_match, z_total = layout.rowgroups_matching_point(zord, "user_id", uid)
+    assert nat_match == nat_total, "time-sorted baseline unexpectedly pruned user_id"
+    assert z_match < z_total, "z-order produced no user_id skipping"
+    # the time dimension must still skip too (z-order trades SOME time
+    # locality, never all of it) — probe an hour that actually occurs
+    mid_hour = back.agg(F.expr("percentile_approx(__hour, 0.5)")).collect()[0][0]
+    z_hmatch, z_htotal = layout.rowgroups_matching_point(zord, "__hour", int(mid_hour))
+    assert 0 < z_hmatch < z_htotal, "z-order lost all time-dimension skipping"
