@@ -3055,6 +3055,165 @@ def q_scd2_customer(spark, sf_dir):
     return scd.scd2_customer_dim(spark, sf_dir)
 
 
+from .operators import expectations, incremental  # noqa: E402
+from .sources import maintenance  # noqa: E402
+
+
+@register(
+    "snk_incremental_gold",
+    with_model_ctes("SELECT * FROM gold_s", stg=True, extra=[GOLD_S_CTE]),
+)
+def q_incremental_gold(spark, sf_dir):
+    """Incremental Gold maintenance: initial historical build + one arrived
+    batch (containing late data for an old date) folded in via dynamic
+    partition overwrite of ONLY the affected date partitions. The oracle is
+    the from-scratch full recompute — the maintained table must be
+    indistinguishable from it."""
+    import tempfile
+
+    gold_dir = tempfile.mkdtemp(prefix="gold_incr_")
+    return incremental.maintained_daily_sentiment(spark, sf_dir, gold_dir)
+
+
+@register(
+    "j_salted_hotkey_events",
+    """
+    WITH ev AS (
+      SELECT event_id, user_id, value,
+             CASE WHEN user_id % 10 < 5 THEN 0 ELSE user_id % 100 END AS shard_key
+      FROM events
+    ),
+    dim AS (
+      SELECT DISTINCT shard_key,
+             'segment_' || lpad(CAST(shard_key AS VARCHAR), 3, '0') AS segment
+      FROM ev
+    )
+    SELECT segment, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM ev JOIN dim USING (shard_key)
+    GROUP BY 1
+    """,
+)
+def q_salted_hotkey(spark, sf_dir):
+    """Salted skew join (relational.salted_join): half of all events
+    collapse onto one hot key (`user_id % 10 < 5 → 0`, else
+    `user_id % 100` — the id-space-collapse head shape), which a plain
+    hash join would send to ONE reducer; salting spreads it over 16
+    (plan-asserted: the join keys include __salt). The dimension is
+    hinted MERGE to model the too-big-to-broadcast case salting exists
+    for; the result is provably salt-invariant (the oracle joins
+    unsalted)."""
+    from .io import load_table
+    from .operators.relational import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.when(F.col("user_id") % 10 < 5, F.lit(0))
+        .otherwise(F.col("user_id") % 100)
+        .alias("shard_key"),
+    )
+    dim = (
+        ev.select("shard_key")
+        .distinct()
+        .select(
+            "shard_key",
+            F.concat(
+                F.lit("segment_"), F.format_string("%03d", "shard_key")
+            ).alias("segment"),
+        )
+        .hint("merge")
+    )
+    joined = salted_join(ev, dim, key="shard_key", n_salts=16)
+    return joined.groupBy("segment").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "snk_compaction_roundtrip",
+    """
+    SELECT source, COUNT(*) AS n_docs, SUM(LENGTH(text)) AS total_chars,
+           SUM(CAST(concat('0x', substr(md5(text), 1, 14)) AS BIGINT)) AS content_hash_sum
+    FROM documents GROUP BY 1
+    """,
+)
+def q_compaction(spark, sf_dir):
+    """Small-file compaction (sources/maintenance.compact_parquet): the
+    documents table fragmented into 64 tiny files — the accreted-sink
+    state — then bin-packed in place via the staged-swap rewrite; the
+    md5-sum fingerprint proves content preservation (file-count collapse
+    and the swap's crash recovery are asserted in tests/test_sources.py)."""
+    from .io import load_table
+
+    frag = tempfile.mkdtemp(prefix="frag_")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(64).write.mode("overwrite").parquet(frag)
+    maintenance.compact_parquet(spark, frag)
+    back = spark.read.parquet(frag)
+    content_hash = F.conv(F.substring(F.md5("text"), 1, 14), 16, 10).cast("long")
+    return back.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.sum(content_hash).alias("content_hash_sum"),
+    )
+
+
+@register(
+    "q_expectations_report",
+    """
+    SELECT 'orders_key_not_null' AS rule_id, 'not_null' AS kind, 'orders' AS table_name,
+           'o_orderkey' AS col_name, v AS n_violations, v = 0 AS passed
+    FROM (SELECT COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS v FROM orders)
+    UNION ALL
+    SELECT 'orders_key_unique', 'unique', 'orders', 'o_orderkey', v, v = 0
+    FROM (SELECT COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS v FROM orders)
+    UNION ALL
+    SELECT 'orders_status_domain', 'accepted_values', 'orders', 'o_orderstatus', v, v = 0
+    FROM (SELECT COUNT(CASE WHEN o_orderstatus IS NOT NULL
+                             AND o_orderstatus NOT IN ('O', 'F') THEN 1 END) AS v FROM orders)
+    UNION ALL
+    SELECT 'orders_price_positive', 'in_range', 'orders', 'o_totalprice', v, v = 0
+    FROM (SELECT COUNT(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice < 0.0 THEN 1 END) AS v
+          FROM orders)
+    UNION ALL
+    SELECT 'lineitem_qty_range', 'in_range', 'lineitem', 'l_quantity', v, v = 0
+    FROM (SELECT COUNT(CASE WHEN l_quantity IS NOT NULL
+                             AND (l_quantity < 1.0 OR l_quantity > 50.0) THEN 1 END) AS v
+          FROM lineitem)
+    UNION ALL
+    SELECT 'lineitem_discount_cap', 'in_range', 'lineitem', 'l_discount', v, v = 0
+    FROM (SELECT COUNT(CASE WHEN l_discount IS NOT NULL
+                             AND (l_discount < 0.0 OR l_discount > 0.08) THEN 1 END) AS v
+          FROM lineitem)
+    UNION ALL
+    SELECT 'customer_key_unique', 'unique', 'customer', 'c_custkey', v, v = 0
+    FROM (SELECT COUNT(c_custkey) - COUNT(DISTINCT c_custkey) AS v FROM customer)
+    UNION ALL
+    SELECT 'customer_nation_not_null', 'not_null', 'customer', 'c_nationkey', v, v = 0
+    FROM (SELECT COUNT(CASE WHEN c_nationkey IS NULL THEN 1 END) AS v FROM customer)
+    UNION ALL
+    SELECT 'orders_customer_fk', 'foreign_key', 'orders', 'o_custkey', v, v = 0
+    FROM (SELECT COUNT(*) AS v FROM orders o
+          LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c ON o.o_custkey = c.c_custkey
+          WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL)
+    UNION ALL
+    SELECT 'lineitem_order_fk', 'foreign_key', 'lineitem', 'l_orderkey', v, v = 0
+    FROM (SELECT COUNT(*) AS v FROM lineitem l
+          LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o ON l.l_orderkey = o.o_orderkey
+          WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL)
+    """,
+)
+def q_expectations(spark, sf_dir):
+    """Declarative data-quality suite over orders/lineitem/customer: all
+    scalar rules per table fold into ONE scan; FK rules are key-pruned anti
+    joins. Two rules are deliberately stricter than the data so the report
+    carries non-zero violation counts."""
+    return expectations.tpch_quality_report(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order policy (round-2 VERDICT item 1)
 #

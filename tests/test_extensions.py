@@ -119,3 +119,105 @@ def test_user_gap_median_excludes_single_event_users(spark):
     multi = set(ev[ev["count"] >= 2].user_id)
     assert set(out.user_id) == multi
     assert (out.n_gaps >= 1).all() and out.median_gap_us.notna().all()
+
+
+# --- round-2 additions: skew plan / incremental / expectations ---------------
+
+
+def test_salted_hotkey_query_plan_shuffles_on_salt(spark):
+    """The registered skew query's physical join must be the hinted
+    SortMergeJoin with __salt among its keys — the property that spreads
+    the 50%-mass hot key across reducers instead of one."""
+    from airdatapipeline_spark.registry import QUERIES
+
+    plan = (
+        QUERIES["j_salted_hotkey_events"](spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" in plan
+    assert "__salt" in plan
+
+
+def test_incremental_gold_equals_full_recompute_and_is_idempotent(spark, tmp_path):
+    from airdatapipeline_spark import model
+    from airdatapipeline_spark.operators import gold, incremental
+
+    gold_dir = str(tmp_path / "gold")
+    out = incremental.maintained_daily_sentiment(spark, SF_SMALL, gold_dir)
+    full = gold.daily_sentiment_analysis(
+        model.stg_enriched_headlines(model.silver_enriched(spark, SF_SMALL))
+    )
+    assert out.exceptAll(full).count() == 0 and full.exceptAll(out).count() == 0
+    # replaying the same batch must not change the table (idempotent merge)
+    silver = model.silver_enriched(spark, SF_SMALL)
+    batch = silver.filter((F.col("id") % 20).isin(4, 7))
+    affected = incremental.apply_batch(spark, silver, batch, gold_dir)
+    assert len(affected) == 2
+    again = incremental.read_gold(spark, gold_dir)
+    assert again.exceptAll(full).count() == 0 and full.exceptAll(again).count() == 0
+
+
+def test_incremental_gold_untouched_partitions_not_rewritten(spark, tmp_path):
+    """Dynamic partition overwrite must leave unaffected date directories'
+    files byte-identical (same file list) — the property that makes the
+    incremental path O(affected days)."""
+    import os
+
+    from airdatapipeline_spark.operators import incremental
+
+    gold_dir = str(tmp_path / "gold")
+    incremental.maintained_daily_sentiment(spark, SF_SMALL, gold_dir)
+    parts = {d for d in os.listdir(gold_dir) if d.startswith("analysis_date=")}
+    # files per partition before a second (replayed) batch
+    def listing():
+        return {
+            d: sorted(os.listdir(os.path.join(gold_dir, d)))
+            for d in parts
+        }
+
+    from airdatapipeline_spark import model
+
+    before = listing()
+    silver = model.silver_enriched(spark, SF_SMALL)
+    batch = silver.filter((F.col("id") % 20).isin(4, 7))
+    affected = {str(d) for d in incremental.apply_batch(spark, silver, batch, gold_dir)}
+    after = listing()
+    for d in parts:
+        date_val = d.split("=", 1)[1]
+        if date_val not in affected:
+            assert before[d] == after[d], f"untouched partition {d} was rewritten"
+
+
+def test_expectations_failing_rules_count_violations(spark):
+    from airdatapipeline_spark.operators import expectations
+
+    rep = expectations.tpch_quality_report(spark, SF_SMALL).toPandas().set_index("rule_id")
+    assert len(rep) == len(expectations.TPCH_SUITE)
+    # the two deliberately-strict rules fail with real counts
+    assert not rep.loc["orders_status_domain", "passed"]
+    assert rep.loc["orders_status_domain", "n_violations"] > 0
+    assert not rep.loc["lineitem_discount_cap", "passed"]
+    assert rep.loc["lineitem_discount_cap", "n_violations"] > 0
+    # clean-by-construction rules pass with zero
+    for rid in ("orders_key_unique", "orders_customer_fk", "lineitem_order_fk"):
+        assert rep.loc[rid, "passed"] and rep.loc[rid, "n_violations"] == 0
+
+
+def test_expectations_scalar_rules_share_one_scan(spark):
+    """All scalar rules for a table fold into one aggregate: the plan for
+    the per-table agg must contain exactly one scan of that table."""
+    from airdatapipeline_spark.io import load_table
+    from airdatapipeline_spark.operators import expectations
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    scalars = [
+        r for r in expectations.TPCH_SUITE
+        if r.table == "orders" and r.kind != "foreign_key"
+    ]
+    agg = orders.agg(
+        *[expectations._scalar_expr(r).alias(f"v{i}") for i, r in enumerate(scalars)]
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
