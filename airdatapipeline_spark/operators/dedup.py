@@ -613,3 +613,84 @@ def star_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         edges.select(F.col("a").alias("node")).distinct(), "node", "left_anti"
     ).select("node", F.col("node").alias("label"))
     return member_labels.unionByName(root_labels)
+
+
+# --- quality-priority dedup decisions ----------------------------------------
+
+
+def fingerprint_quality_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the BEST document per content-fingerprint cluster, not the
+    min-id one: production dedup keeps the highest-quality copy (cleanest
+    extraction, least boilerplate) when near-identical docs differ only in
+    scrape artifacts. Ranking = composite quality score (text.quality
+    formula — bit-identical across engines) desc, doc_id asc tie-break.
+
+    One scan computes fingerprint + quality features together; the only
+    shuffle is the window over fingerprint (same key the dedup itself
+    needs). Singleton clusters keep their doc — every doc gets a decision
+    row, so the output is a full keep/drop verdict table (the input to the
+    curation anti-join), not just a cluster report."""
+    from pyspark.sql import Window
+
+    from .text import LANG_STOPWORDS, _stop_hits, tokens_col
+
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens_col()
+    feats = d.select(
+        "doc_id",
+        F.md5(F.array_join(F.sort_array(F.array_distinct(t)), " ")).alias("fingerprint"),
+        F.size(t).cast("long").alias("word_count"),
+        F.length("text").cast("long").alias("char_count"),
+        _stop_hits(t, LANG_STOPWORDS["en"]).cast("long").alias("stop_hits"),
+    )
+    wc = F.col("word_count")
+    scored = feats.select(
+        "doc_id",
+        "fingerprint",
+        (
+            F.least(wc / F.lit(100.0), F.lit(1.0)) * F.lit(0.4)
+            + (F.col("stop_hits") / wc) * F.lit(0.4)
+            + F.least((F.col("char_count") / wc) / F.lit(8.0), F.lit(1.0)) * F.lit(0.2)
+        ).alias("quality_score"),
+    )
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return scored.select(
+        "doc_id",
+        "fingerprint",
+        "quality_score",
+        (F.row_number().over(w) == 1).alias("is_kept"),
+    )
+
+
+# --- candidate-graph triangle counting ---------------------------------------
+
+
+def candidate_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the MinHash-LSH candidate graph —
+    the graph-shape audit for dedup clusters: triangles separate genuine
+    near-dup CLIQUES (transitive content overlap) from chain artifacts of
+    banding collisions, and triangle density is the standard input to
+    cluster-quality gates before committing transitive merges.
+
+    Algorithm: edges are oriented low→high id (already true of the
+    candidate pairs), so each triangle a<b<c is enumerated exactly once by
+    joining e1=(a,b) ⋈ e2=(b,c) on the shared middle vertex, then
+    verifying the closing edge (a,c) with a second equi-join. Two shuffle
+    joins on node ids — the node-iterator shape; at web scale the classic
+    refinement is degree-ordering the orientation (count from the
+    low-degree endpoint) which bounds the e1⋈e2 fan-out, a drop-in change
+    to the orientation step. The candidate set is localCheckpointed so the
+    minhash pipeline runs once, not three times."""
+    edges = minhash_lsh_candidates(spark, sf_dir).localCheckpoint()
+    e1 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = edges.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    e3 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tri = e1.join(e2, on="b").join(e3, on=["a", "c"])
+    nodes = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .unionAll(tri.select(F.col("c").alias("doc_id")))
+    )
+    return nodes.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_triangles"))

@@ -633,3 +633,54 @@ def training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("keep") * F.col("n_tok")).alias("sampled_tokens"),
         )
     )
+
+
+# --- hashed-feature linear quality model (model-based filtering tier) --------
+
+MODEL_HASH_DIM = 64
+
+
+def _model_weight(j: int) -> int:
+    """Deterministic integer weight in [-50, 50] for hash bucket j (md5 of
+    the bucket label — the same reproducible-constant idiom as the LSH
+    hyperplanes, so the DuckDB oracle inlines identical literals)."""
+    import hashlib
+
+    return (int(hashlib.md5(f"w{j}".encode()).hexdigest()[:4], 16) % 101) - 50
+
+
+MODEL_WEIGHTS: list[int] = [_model_weight(j) for j in range(MODEL_HASH_DIM)]
+
+
+def quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: a hashed-bag-of-words LINEAR model
+    (the fastText-style classifier tier that replaces the heuristic
+    `quality_scores` in mature corpus pipelines) applied entirely JVM-side.
+
+    Each token hashes to one of MODEL_HASH_DIM buckets (feature hashing —
+    Weinberger et al. ICML'09); the document score is the mean bucket
+    weight. Weights here are deterministic stand-ins for trained ones
+    (training is an offline concern; serving shape is what matters at
+    scale): INTEGER weights summed exactly, so the score is
+    order/partitioning-independent and the single final division is
+    bit-identical across engines. One explode + one hash-agg shuffle —
+    the same cost profile as token counting, nothing model-shaped at
+    runtime (the 'model' is a 64-literal array in the plan, the degenerate
+    broadcast join).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_col()).alias("tok"))
+    j = F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int") % MODEL_HASH_DIM
+    w = F.element_at(F.array(*[F.lit(x) for x in MODEL_WEIGHTS]), j + 1)
+    agg = tok.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tok"),
+        F.sum(w).cast("long").alias("score_sum"),
+    )
+    mean_w = F.col("score_sum").cast("double") / F.col("n_tok")
+    return agg.select(
+        "doc_id",
+        "n_tok",
+        "score_sum",
+        mean_w.alias("mean_weight"),
+        (mean_w >= F.lit(0.0)).alias("keep"),
+    )

@@ -3214,6 +3214,103 @@ def q_expectations(spark, sf_dir):
     return expectations.tpch_quality_report(spark, sf_dir)
 
 
+_MODEL_W_SQL = str(text.MODEL_WEIGHTS)
+
+
+@register(
+    "text_quality_model_scores",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    h AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(tok), 1, 4)) AS INT) % {text.MODEL_HASH_DIM} AS j
+      FROM tok
+    ),
+    s AS (
+      SELECT doc_id, COUNT(*) AS n_tok,
+             CAST(SUM(list_extract({_MODEL_W_SQL}, j + 1)) AS BIGINT) AS score_sum
+      FROM h GROUP BY 1
+    )
+    SELECT doc_id, n_tok, score_sum,
+           CAST(score_sum AS DOUBLE) / n_tok AS mean_weight,
+           CAST(score_sum AS DOUBLE) / n_tok >= 0.0 AS keep
+    FROM s
+    """,
+)
+def q_quality_model(spark, sf_dir):
+    """Hashed-bag-of-words linear quality model scored JVM-side: integer
+    weight sums (exact, partitioning-independent) + one final division."""
+    return text.quality_model_scores(spark, sf_dir)
+
+
+@register(
+    "dedup_fingerprint_quality_decisions",
+    f"""
+    WITH feat AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS fingerprint,
+             len(t) AS word_count, length(text) AS char_count,
+             len(list_filter(t, x -> list_contains({_SQL_LIST(text.LANG_STOPWORDS['en'])}, x)))
+               AS stop_hits
+      FROM (SELECT doc_id, text, {_TOKS} AS t FROM documents)
+    ),
+    scored AS (
+      SELECT doc_id, fingerprint,
+             least(word_count / 100.0, 1.0) * 0.4 + (stop_hits / word_count) * 0.4
+               + least((char_count / word_count) / 8.0, 1.0) * 0.2 AS quality_score
+      FROM feat
+    )
+    SELECT doc_id, fingerprint, quality_score,
+           row_number() OVER (
+             PARTITION BY fingerprint ORDER BY quality_score DESC, doc_id
+           ) = 1 AS is_kept
+    FROM scored
+    """,
+)
+def q_fingerprint_quality(spark, sf_dir):
+    """Quality-priority dedup decisions: keep the highest-quality doc per
+    content-fingerprint cluster (not min-id) — every doc gets a verdict."""
+    return dedup.fingerprint_quality_decisions(spark, sf_dir)
+
+
+@register(
+    "dedup_candidate_triangles",
+    f"""
+    WITH {_SHINGLES_CTE.format(src="documents")},
+    hashed AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(shingle), 1, 14)) AS BIGINT) % 1073741824 AS h
+      FROM sh
+    ),
+    sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM hashed GROUP BY 1),
+    bands AS (
+      {_BAND_SELECTS}
+    ),
+    edges AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.bx = y.bx AND x.by = y.by AND x.doc_id < y.doc_id
+    ),
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.a = e1.b
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+      SELECT a AS doc_id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ) GROUP BY 1
+    """,
+)
+def q_candidate_triangles(spark, sf_dir):
+    """Triangle counts over the LSH candidate graph (clique-vs-chain audit
+    for dedup clusters); each triangle enumerated once via low→high edge
+    orientation + closing-edge join."""
+    return dedup.candidate_triangle_counts(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order policy (round-2 VERDICT item 1)
 #

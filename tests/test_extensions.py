@@ -221,3 +221,58 @@ def test_expectations_scalar_rules_share_one_scan(spark):
     )
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1
+
+
+def test_quality_model_is_jvm_side_and_nondegenerate(spark):
+    from airdatapipeline_spark.operators import text
+
+    df = text.quality_model_scores(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    pdf = df.toPandas()
+    # every doc scored; the keep decision splits the corpus (non-degenerate)
+    n_docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    assert len(pdf) == n_docs
+    assert 0 < pdf.keep.sum() < n_docs
+    # mean_weight is exactly score_sum / n_tok
+    assert ((pdf.score_sum / pdf.n_tok) == pdf.mean_weight).all()
+
+
+def test_fingerprint_quality_keeps_exactly_best_per_cluster(spark):
+    from airdatapipeline_spark.operators import dedup
+
+    pdf = dedup.fingerprint_quality_decisions(spark, SF_SMALL).toPandas()
+    per = pdf.groupby("fingerprint")
+    assert (per.is_kept.sum() == 1).all()  # exactly one keeper per cluster
+    for _, g in per:
+        kept = g[g.is_kept].iloc[0]
+        best = g.sort_values(["quality_score", "doc_id"], ascending=[False, True]).iloc[0]
+        assert kept.doc_id == best.doc_id
+
+
+def test_triangle_counts_match_bruteforce(spark):
+    """Spark's two-join enumeration equals a driver-side brute force over
+    the (small) candidate edge set."""
+    from itertools import combinations
+
+    from airdatapipeline_spark.operators import dedup
+
+    edges = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_candidates(spark, SF_SMALL).collect()
+    }
+    nodes = sorted({n for e in edges for n in e})
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expected = {}
+    for a, b, c in combinations(nodes, 3):
+        if b in adj[a] and c in adj[b] and c in adj[a]:
+            for n in (a, b, c):
+                expected[n] = expected.get(n, 0) + 1
+    got = {
+        r.doc_id: r.n_triangles
+        for r in dedup.candidate_triangle_counts(spark, SF_SMALL).collect()
+    }
+    assert got == expected
