@@ -1,0 +1,80 @@
+"""Generalized MERGE INTO on plain parquet.
+
+The repo's sink patterns are all special cases of SQL MERGE: SNK2's
+idempotent append (WHEN NOT MATCHED THEN INSERT, enrichment.py:263), the
+SCD2 dimension merge (close + reopen, scd.py:29), and incremental Gold
+maintenance (partition-scoped recompute, incremental.py). `merge_into`
+is the general form — one FULL OUTER equi-join on the merge keys with
+presence flags, which is exactly the physical plan a warehouse MERGE
+statement compiles to:
+
+- WHEN MATCHED THEN UPDATE  → take the source row's values
+- WHEN MATCHED AND <cond> THEN DELETE → drop the row
+- WHEN NOT MATCHED THEN INSERT → keep the source-only row
+- (not matched by source → target row passes through unchanged)
+
+Scale posture: the single shuffle is the key join; at 100 TB you never
+merge against the whole table — restrict the target to the partitions the
+source touches (the incremental.py affected-dates pattern) and rewrite
+only those with dynamic partition overwrite. On Delta/Iceberg the same
+call becomes the engine's MERGE with file-level skipping; the semantics
+here are the oracle for that swap.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ColMap = dict[str, Column]
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    on: list[str],
+    when_matched: str = "update",  # "update" | "ignore"
+    matched_delete: Callable[[ColMap, ColMap], Column] | None = None,
+    insert_not_matched: bool = True,
+) -> DataFrame:
+    """Merge `source` into `target` on key columns `on`; both must share
+    the same schema. `matched_delete(t_cols, s_cols)` — an optional
+    predicate over the target/source column namespaces — deletes matched
+    rows it selects (evaluated before the update). Keys must be unique on
+    both sides (as MERGE requires; a multi-match is nondeterministic in
+    every engine)."""
+    if set(target.columns) != set(source.columns):
+        raise ValueError("target and source must share one schema")
+    if when_matched not in ("update", "ignore"):
+        raise ValueError(f"unsupported when_matched: {when_matched!r}")
+    data_cols = [c for c in target.columns if c not in on]
+
+    s_ren = source
+    for c in data_cols:
+        s_ren = s_ren.withColumnRenamed(c, f"__s_{c}")
+    s_ren = s_ren.withColumn("__s_present", F.lit(1))
+    t = target.withColumn("__t_present", F.lit(1))
+    j = t.join(s_ren, on=on, how="full_outer")
+
+    t_cols: ColMap = {c: F.col(c) for c in data_cols}
+    s_cols: ColMap = {c: F.col(f"__s_{c}") for c in data_cols}
+    matched = F.col("__t_present").isNotNull() & F.col("__s_present").isNotNull()
+    t_only = F.col("__s_present").isNull()
+    s_only = F.col("__t_present").isNull()
+
+    keep = t_only
+    if matched_delete is not None:
+        keep = keep | (matched & ~matched_delete(t_cols, s_cols))
+    else:
+        keep = keep | matched
+    if insert_not_matched:
+        keep = keep | s_only
+
+    take_source = s_only if when_matched == "ignore" else (s_only | matched)
+    out = [
+        F.when(take_source, s_cols[c]).otherwise(t_cols[c]).alias(c)
+        for c in data_cols
+    ]
+    return j.filter(keep).select(*on, *out)

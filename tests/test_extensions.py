@@ -276,3 +276,53 @@ def test_triangle_counts_match_bruteforce(spark):
         for r in dedup.candidate_triangle_counts(spark, SF_SMALL).collect()
     }
     assert got == expected
+
+
+def test_merge_into_arm_semantics(spark):
+    """Each MERGE arm verified independently on a tiny hand-built case."""
+    from airdatapipeline_spark.operators.merge import merge_into
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k int, v string, x double"
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 200.0), (3, "C", 999.0), (4, "d", 40.0)], "k int, v string, x double"
+    )
+    out = {
+        r.k: (r.v, r.x)
+        for r in merge_into(
+            target, source, on=["k"], matched_delete=lambda t, s: s["x"] > 500.0
+        ).collect()
+    }
+    assert out == {
+        1: ("a", 10.0),   # not matched by source: untouched
+        2: ("B", 200.0),  # matched: updated
+        # 3 deleted (source x 999 > 500)
+        4: ("d", 40.0),   # not matched: inserted
+    }
+    # when_matched="ignore" keeps target values; insert_not_matched=False
+    # drops source-only rows
+    out2 = {
+        r.k: (r.v, r.x)
+        for r in merge_into(
+            target, source, on=["k"], when_matched="ignore", insert_not_matched=False
+        ).collect()
+    }
+    assert out2 == {1: ("a", 10.0), 2: ("b", 20.0), 3: ("c", 30.0)}
+
+
+def test_merge_into_single_join_plan(spark):
+    """The merge must compile to ONE full-outer join (no extra scans or
+    unions) — the MERGE physical shape."""
+    from airdatapipeline_spark.registry import QUERIES
+
+    plan = (
+        QUERIES["snk_merge_upsert_delete"](spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    assert len(re.findall(r"(?:SortMergeJoin|ShuffledHashJoin).*FullOuter", plan)) == 1
+    assert len(re.findall(r"\w+Join", plan)) == 1  # no other joins in the plan
