@@ -850,3 +850,61 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dec_sum(F.col("o_totalprice")).alias("total_price"),
         )
     )
+
+
+# --- runtime Bloom-filter join pruning ---------------------------------------
+
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def bloom_runtime_filter_scope(spark: SparkSession):
+    """Scope where Catalyst injects a runtime BLOOM FILTER from a join's
+    selective (creation) side into the big (application) side's scan: the
+    big side drops non-joining rows at the Filter above its scan, BEFORE
+    paying the shuffle — the engine-level equivalent of Delta dynamic file
+    pruning for non-partition keys.
+
+    The two thresholds model the 100 TB decision locally: application-side
+    threshold 0 (always worth it here; the default 10 GB is the
+    cluster-honest guard) and broadcast disabled (at 100 TB the filtered
+    orders side is NOT broadcastable — with broadcast joins Spark already
+    prunes via the broadcast itself, so the bloom path is exactly the
+    big-big join case). Settings are restored on exit because runtime
+    filter injection happens at planning time of whatever executes inside
+    the scope."""
+    conf = spark.conf
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: conf.get(k, None) for k in keys}
+    for k, v in keys.items():
+        conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+
+
+def urgent_revenue_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue of lineitems belonging to URGENT orders — the selective-dim
+    ⋈ big-fact shape runtime bloom filters exist for (~20% of orders are
+    urgent; without the filter every lineitem row pays the shuffle). Build
+    under `bloom_runtime_filter_scope` to get the might_contain() pruning
+    filter on the lineitem scan (plan-asserted in tests)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"), _dec_sum(revenue).alias("revenue")
+    )

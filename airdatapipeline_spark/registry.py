@@ -3380,6 +3380,31 @@ def q_merge_scenario(spark, sf_dir):
     )
 
 
+@register(
+    "j_bloom_pruned_urgent_revenue",
+    f"""
+    SELECT o_orderpriority, COUNT(*) AS n_items,
+           {_DECSUM.format(expr='l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY 1
+    """,
+)
+def q_bloom_pruned(spark, sf_dir):
+    """Runtime Bloom-filter join pruning: the selective orders side builds
+    a bloom filter Catalyst injects as might_contain() above the lineitem
+    scan, dropping non-joining fact rows BEFORE the shuffle (the big-big
+    join case where broadcast pruning is unavailable). Materialized inside
+    the conf scope so the executed plan carries the filter; plan-asserted
+    in tests/test_plans-adjacent extension tests."""
+    from .operators.tpch import bloom_runtime_filter_scope, urgent_revenue_bloom_join
+
+    out_dir = tempfile.mkdtemp(prefix="bloom_out_")
+    with bloom_runtime_filter_scope(spark):
+        urgent_revenue_bloom_join(spark, sf_dir).write.mode("overwrite").parquet(out_dir)
+    return spark.read.parquet(out_dir)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order policy (round-2 VERDICT item 1)
 #

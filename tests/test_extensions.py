@@ -326,3 +326,28 @@ def test_merge_into_single_join_plan(spark):
 
     assert len(re.findall(r"(?:SortMergeJoin|ShuffledHashJoin).*FullOuter", plan)) == 1
     assert len(re.findall(r"\w+Join", plan)) == 1  # no other joins in the plan
+
+
+def test_bloom_runtime_filter_injected_only_in_scope(spark):
+    """Inside the scope, the lineitem scan is guarded by might_contain();
+    outside, planning is untouched (configs restored)."""
+    from airdatapipeline_spark.operators.tpch import (
+        bloom_runtime_filter_scope,
+        urgent_revenue_bloom_join,
+    )
+
+    with bloom_runtime_filter_scope(spark):
+        plan = (
+            urgent_revenue_bloom_join(spark, SF_SMALL)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    assert "might_contain" in plan
+    after = (
+        urgent_revenue_bloom_join(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "might_contain" not in after
