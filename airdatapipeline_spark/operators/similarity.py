@@ -583,3 +583,101 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
     )
+
+
+# --- Product Quantization (PQ) tier ------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_SUBDIM = EMB_DIM // PQ_M  # 8 dims per subspace
+PQ_K = 16  # codes per subspace → 8 × 4 bits = 4 bytes/vector (64× smaller)
+PQ_CB_LO = 200  # deterministic codebook rows: vec_ids [200, 216)
+
+
+def _pq_codebooks(corpus) -> list[list[list[float]]]:
+    """codebooks[m][k] = the m-th subvector of deterministic corpus row
+    PQ_CB_LO+k. Like the IVF fallback centroids: a reproducible stand-in
+    for k-means-trained codebooks (training is offline; the serving shape
+    below is identical either way), chosen so the DuckDB oracle can derive
+    the same codebooks from the table. K·M rows collected once — driver
+    -side by nature, exactly like IVF's K centroids."""
+    rows = sorted(
+        corpus.filter(
+            (F.col("vec_id") >= PQ_CB_LO) & (F.col("vec_id") < PQ_CB_LO + PQ_K)
+        )
+        .select("vec_id", "emb")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    return [
+        [[float(v) for v in r.emb[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]] for r in rows]
+        for m in range(PQ_M)
+    ]
+
+
+def _pq_subdist(emb_col: str, m: int, center: list[float]) -> Column:
+    """Squared L2 distance between the m-th subvector of `emb_col` and a
+    codebook center, unrolled in fixed i-order (left-fold — bit-identical
+    to the oracle's expression)."""
+    terms = []
+    for i, v in enumerate(center):
+        idx = m * PQ_SUBDIM + i + 1
+        lit = f"cast({float(v)!r} as double)"
+        terms.append(f"(element_at({emb_col}, {idx}) - {lit}) * (element_at({emb_col}, {idx}) - {lit})")
+    return F.expr("cast(0.0 as double) + " + " + ".join(terms))
+
+
+def pq_encode(corpus: DataFrame, codebooks: list) -> DataFrame:
+    """Encode each vector as PQ_M argmin code ids (ties → min code id):
+    columns vec_id, c0..c{M-1}. Pure projection — no shuffle; at 100 TB
+    this runs as a map over the corpus scan and the 4-byte codes are what
+    lands in fast storage."""
+    cols = [F.col("vec_id")]
+    for m in range(PQ_M):
+        picks = F.array(
+            *[
+                F.struct(
+                    _pq_subdist("emb", m, codebooks[m][k]).alias("d"),
+                    F.lit(k).alias("k"),
+                )
+                for k in range(PQ_K)
+            ]
+        )
+        cols.append(F.element_at(F.array_sort(picks), 1)["k"].alias(f"c{m}"))
+    return corpus.select(*cols)
+
+
+def pq_adc_topk(
+    spark: SparkSession, sf_dir: str, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (Jégou et al. TPAMI'11 serving shape):
+    the corpus is scanned as 4-byte CODES (64× less IO than raw floats);
+    each query computes an M×K distance table against the codebooks and a
+    candidate's distance is M table lookups summed in fixed order — exact
+    same arithmetic as the oracle, so results hash-match. The scan is
+    ADC's defining cost model: compressed-domain brute force; compose with
+    the IVF partition pruning for the full IVFPQ when the corpus outgrows
+    a single scan tier."""
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "emb", F.expr("transform(embedding, x -> cast(x as double))")
+    )
+    cbs = _pq_codebooks(e)
+    codes = pq_encode(e, cbs)
+    queries = F.broadcast(
+        e.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+        )
+    )
+    pair = codes.join(queries, F.col("vec_id") != F.col("query_id"))
+    dist = F.lit(0.0).cast("double")
+    for m in range(PQ_M):
+        dtab_m = F.array(*[_pq_subdist("q_emb", m, cbs[m][k]) for k in range(PQ_K)])
+        dist = dist + F.element_at(dtab_m, F.col(f"c{m}") + 1)
+    scored = pair.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), dist.alias("adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", F.col("rank").cast("int").alias("rank"))
+    )

@@ -3405,6 +3405,64 @@ def q_bloom_pruned(spark, sf_dir):
     return spark.read.parquet(out_dir)
 
 
+_PQ_SUBDIST_SQL = "CAST(0.0 AS DOUBLE) + " + " + ".join(
+    f"(list_extract(e.emb, g.m*{similarity.PQ_SUBDIM}+{i + 1})"
+    f" - list_extract(cb.emb, g.m*{similarity.PQ_SUBDIM}+{i + 1}))"
+    f" * (list_extract(e.emb, g.m*{similarity.PQ_SUBDIM}+{i + 1})"
+    f" - list_extract(cb.emb, g.m*{similarity.PQ_SUBDIM}+{i + 1}))"
+    for i in range(similarity.PQ_SUBDIM)
+)
+
+_PQ_DIST_PIVOT = "CAST(0.0 AS DOUBLE) + " + " + ".join(
+    f"MAX(CASE WHEN m = {m} THEN d END)" for m in range(similarity.PQ_M)
+)
+
+
+@register(
+    "simsearch_pq_adc_topk",
+    f"""
+    WITH {_EMB_CTE},
+    cb AS (
+      SELECT vec_id - {similarity.PQ_CB_LO} AS k, emb FROM e
+      WHERE vec_id >= {similarity.PQ_CB_LO}
+        AND vec_id < {similarity.PQ_CB_LO + similarity.PQ_K}
+    ),
+    g AS (SELECT unnest(generate_series(0, {similarity.PQ_M - 1})) AS m),
+    sub AS (
+      SELECT e.vec_id, g.m, cb.k, {_PQ_SUBDIST_SQL} AS d
+      FROM e CROSS JOIN cb CROSS JOIN g
+    ),
+    codes AS (
+      SELECT vec_id, m, k AS code FROM (
+        SELECT vec_id, m, k,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+        FROM sub
+      ) WHERE rn = 1
+    ),
+    pair AS (
+      SELECT s.vec_id AS query_id, c.vec_id AS neighbor_id, c.m, s.d
+      FROM codes c JOIN sub s ON s.m = c.m AND s.k = c.code
+      WHERE s.vec_id < 10 AND c.vec_id <> s.vec_id
+    ),
+    dists AS (
+      SELECT query_id, neighbor_id, {_PQ_DIST_PIVOT} AS adc_dist
+      FROM pair GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT query_id, neighbor_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id)
+               AS rank
+      FROM dists
+    ) WHERE rank <= 5
+    """,
+)
+def q_pq_adc(spark, sf_dir):
+    """Product-quantization ADC top-k: corpus scanned as 4-byte codes
+    (64× compression), per-query M×K distance table, candidate distance =
+    M lookups summed in fixed order — exact arithmetic, hash-matched."""
+    return similarity.pq_adc_topk(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order policy (round-2 VERDICT item 1)
 #

@@ -351,3 +351,32 @@ def test_bloom_runtime_filter_injected_only_in_scope(spark):
         .toString()
     )
     assert "might_contain" not in after
+
+
+def test_pq_codes_in_range_and_deterministic(spark):
+    from airdatapipeline_spark.operators import similarity
+
+    e = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").withColumn(
+        "emb", F.expr("transform(embedding, x -> cast(x as double))")
+    )
+    cbs = similarity._pq_codebooks(e)
+    assert len(cbs) == similarity.PQ_M
+    assert all(len(cb) == similarity.PQ_K for cb in cbs)
+    codes = similarity.pq_encode(e, cbs).toPandas().sort_values("vec_id")
+    for m in range(similarity.PQ_M):
+        assert codes[f"c{m}"].between(0, similarity.PQ_K - 1).all()
+    # codebook rows encode to themselves: vec PQ_CB_LO+k has code k in every
+    # subspace (its own subvector is at distance 0)
+    for k in range(similarity.PQ_K):
+        row = codes[codes.vec_id == similarity.PQ_CB_LO + k].iloc[0]
+        assert all(row[f"c{m}"] == k for m in range(similarity.PQ_M))
+
+
+def test_pq_adc_ranks_ordered_and_nonnegative(spark):
+    from airdatapipeline_spark.operators import similarity
+
+    out = similarity.pq_adc_topk(spark, SF_SMALL, n_queries=5, k=7).toPandas()
+    assert (out.adc_dist >= 0).all()
+    assert (out.groupby("query_id").size() == 7).all()
+    for _, g in out.groupby("query_id"):
+        assert (g.sort_values("rank").adc_dist.diff().dropna() >= -1e-12).all()
