@@ -78,3 +78,36 @@ def merge_into(
         for c in data_cols
     ]
     return j.filter(keep).select(*on, *out)
+
+
+def apply_changes(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    on: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply an ordered CDC changelog (Debezium-style I/U/D rows with a
+    per-key sequence) to a snapshot — the APPLY CHANGES INTO pattern.
+
+    Resolution is latest-wins per key: one window over (key ORDER BY seq
+    DESC) picks each key's final change ((key, seq) must be unique — a
+    changelog with duplicate sequence numbers is ill-defined in any
+    engine); a final 'D' deletes the key, 'I'/'U' upserts the row via
+    `merge_into`. Cost: one shuffle for the window (on the same key the
+    merge join shuffles on) + the merge's full-outer join. At scale the
+    changelog is tiny relative to the snapshot and the merge is
+    partition-scoped, exactly as with merge_into."""
+    data_cols = [c for c in snapshot.columns if c not in on]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*on).orderBy(F.desc(seq_col))
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    upserts = latest.filter(F.col(op_col) != "D").select(*on, *data_cols)
+    deletes = latest.filter(F.col(op_col) == "D").select(*on)
+    merged = merge_into(snapshot, upserts, on=on)
+    return merged.join(deletes, on=on, how="left_anti")

@@ -626,12 +626,12 @@ def _pq_subdist(emb_col: str, m: int, center: list[float]) -> Column:
     return F.expr("cast(0.0 as double) + " + " + ".join(terms))
 
 
-def pq_encode(corpus: DataFrame, codebooks: list) -> DataFrame:
+def pq_encode(corpus: DataFrame, codebooks: list, keep: tuple = ()) -> DataFrame:
     """Encode each vector as PQ_M argmin code ids (ties → min code id):
-    columns vec_id, c0..c{M-1}. Pure projection — no shuffle; at 100 TB
-    this runs as a map over the corpus scan and the 4-byte codes are what
-    lands in fast storage."""
-    cols = [F.col("vec_id")]
+    columns vec_id, *keep, c0..c{M-1}. Pure projection — no shuffle; at
+    100 TB this runs as a map over the corpus scan and the 4-byte codes
+    are what lands in fast storage."""
+    cols = [F.col("vec_id"), *[F.col(c) for c in keep]]
     for m in range(PQ_M):
         picks = F.array(
             *[
@@ -680,4 +680,54 @@ def pq_adc_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def ivfpq_topk(
+    spark: SparkSession, sf_dir: str, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Full IVFPQ: IVF coarse quantization prunes the search to N_PROBE
+    inverted lists (an equi-join on centroid_id — nprobe/K of the corpus
+    touched), and WITHIN the probed lists candidates are ranked by PQ
+    asymmetric distance over 4-byte codes. This is the composition every
+    billion-scale vector store ships (FAISS IVFPQ): IO bounded by the
+    probe pruning × 64 by the code compression. Same deterministic
+    centroid/codebook sources as the component tiers, so the DuckDB
+    oracle reproduces the exact candidate sets and distances."""
+    corpus = with_norm(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "emb", "norm"
+    )
+    cbs = _pq_codebooks(corpus)
+    centroids = corpus.filter(
+        (F.col("vec_id") >= CENTROID_ID_LO)
+        & (F.col("vec_id") < CENTROID_ID_LO + N_CENTROIDS)
+    ).select(F.col("vec_id").alias("centroid_id"), "emb", "norm")
+    cent_rows = centroids.select("centroid_id", "emb").collect()
+
+    assigned = _ivf_assign(corpus, cent_rows, 1)
+    codes = pq_encode(assigned, cbs, keep=("centroid_id",))
+    probes = _ivf_assign(
+        corpus.filter(F.col("vec_id") < n_queries), cent_rows, N_PROBE
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        "centroid_id",
+    )
+    cand = codes.join(F.broadcast(probes), on="centroid_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    dist = F.lit(0.0).cast("double")
+    for m in range(PQ_M):
+        dtab_m = F.array(*[_pq_subdist("q_emb", m, cbs[m][j]) for j in range(PQ_K)])
+        dist = dist + F.element_at(dtab_m, F.col(f"c{m}") + 1)
+    scored = cand.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), dist.alias("adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "adc_dist", F.col("rank").cast("int").alias("rank")
+        )
     )

