@@ -684,3 +684,68 @@ def quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean_w.alias("mean_weight"),
         (mean_w >= F.lit(0.0)).alias("keep"),
     )
+
+
+# --- inverted index / postings search ----------------------------------------
+
+
+def postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional postings: one row per (term, doc_id, position). The
+    inverted index in its relational normal form — partitioned/shuffled by
+    term, it IS the search index a Spark-side retrieval layer serves from
+    (each term's postings list = one group, co-located for intersection
+    joins)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(tokens_col()).alias("pos", "term")
+    )
+    return tok.select("term", "doc_id", "pos")
+
+
+def conjunctive_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-term AND + adjacent-phrase search over the postings index. The
+    query terms are the corpus's two highest-document-frequency terms
+    (df desc, term asc tie-break) — data-derived, so the DuckDB oracle
+    reproduces the exact same query; in production the terms arrive from
+    the user and the plan below is unchanged.
+
+    Shape: per-term postings are intersected by doc_id (equi-join on the
+    index's own partitioning key), then phrase hits check pos_b = pos_a+1
+    inside the matched doc — integer joins end to end, no scoring floats.
+    Output per matching doc: occurrence counts of each term and the
+    adjacent-phrase count."""
+    from pyspark.sql import Window
+
+    p = postings(spark, sf_dir)
+    df_counts = p.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    top2 = (
+        df_counts.orderBy(F.desc("df"), F.asc("term"))
+        .limit(2)
+        .withColumn("qrank", F.row_number().over(
+            Window.orderBy(F.desc("df"), F.asc("term"))
+        ))
+    )
+    q = F.broadcast(top2.select("term", "qrank"))
+    qp = p.join(q, on="term")
+    t1 = qp.filter(F.col("qrank") == 1).select("doc_id", F.col("pos").alias("pos1"))
+    t2 = qp.filter(F.col("qrank") == 2).select("doc_id", F.col("pos").alias("pos2"))
+    counts = (
+        t1.groupBy("doc_id")
+        .agg(F.count("*").alias("n_t1"))
+        .join(t2.groupBy("doc_id").agg(F.count("*").alias("n_t2")), on="doc_id")
+    )
+    phrase = (
+        t1.join(t2, on="doc_id")
+        .filter(F.col("pos2") == F.col("pos1") + 1)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_phrase"))
+    )
+    return (
+        counts.join(phrase, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "n_t1",
+            "n_t2",
+            F.coalesce(F.col("n_phrase"), F.lit(0)).cast("long").alias("n_phrase"),
+        )
+    )

@@ -459,3 +459,14 @@ def test_targeted_delete_rewrites_only_affected_partitions(spark, tmp_path):
     b3 = ev_pdf[ev_pdf.bucket == 3]
     if set(b3.user_id.unique()) <= {3, 11, 42}:
         assert not os.path.exists(os.path.join(path, "bucket=3"))
+
+
+def test_phrase_search_counts_consistent(spark):
+    from airdatapipeline_spark.operators import text
+
+    out = text.conjunctive_phrase_search(spark, SF_SMALL).toPandas()
+    assert len(out) > 0
+    assert (out.n_t1 >= 1).all() and (out.n_t2 >= 1).all()  # AND semantics
+    # a phrase occurrence consumes one t1 and one t2 position
+    assert (out.n_phrase <= out.n_t1 * out.n_t2).all()
+    assert (out.n_phrase >= 0).all()
