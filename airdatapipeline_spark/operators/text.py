@@ -749,3 +749,45 @@ def conjunctive_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_phrase"), F.lit(0)).cast("long").alias("n_phrase"),
         )
     )
+
+
+def adaptive_source_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ADAPTIVE quality cutoff: keep each source's top half by
+    composite quality (rank-based, not a fixed global threshold — sources
+    differ systematically in style, so a global cutoff over- or
+    under-prunes per source; rank cutoffs are also exactly deterministic
+    where interpolated percentile thresholds invite float-boundary
+    flapping). Decision = row_number ≤ ceil(n/2) within source, quality
+    desc / doc_id asc — one quality-computation scan + one window on the
+    source key."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens_col()
+    feats = d.select(
+        "doc_id",
+        "source",
+        F.size(t).cast("long").alias("word_count"),
+        F.length("text").cast("long").alias("char_count"),
+        _stop_hits(t, LANG_STOPWORDS["en"]).cast("long").alias("stop_hits"),
+    )
+    wc = F.col("word_count")
+    scored = feats.select(
+        "doc_id",
+        "source",
+        (
+            F.least(wc / F.lit(100.0), F.lit(1.0)) * F.lit(0.4)
+            + (F.col("stop_hits") / wc) * F.lit(0.4)
+            + F.least((F.col("char_count") / wc) / F.lit(8.0), F.lit(1.0)) * F.lit(0.2)
+        ).alias("quality_score"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("quality_score"), F.asc("doc_id"))
+    n = Window.partitionBy("source")
+    return scored.select(
+        "doc_id",
+        "source",
+        "quality_score",
+        (
+            F.row_number().over(w) * 2 <= F.count("*").over(n) + 1
+        ).alias("is_kept"),
+    )

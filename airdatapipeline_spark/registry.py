@@ -3405,12 +3405,22 @@ def q_bloom_pruned(spark, sf_dir):
     return spark.read.parquet(out_dir)
 
 
-_PQ_SUBDIST_SQL = "CAST(0.0 AS DOUBLE) + " + " + ".join(
-    f"(list_extract(e.emb, g.m*{similarity.PQ_SUBDIM}+{i + 1})"
-    f" - list_extract(cb.emb, g.m*{similarity.PQ_SUBDIM}+{i + 1}))"
-    f" * (list_extract(e.emb, g.m*{similarity.PQ_SUBDIM}+{i + 1})"
-    f" - list_extract(cb.emb, g.m*{similarity.PQ_SUBDIM}+{i + 1}))"
+# dot-form subdistance (‖x‖² − 2·x·c) + ‖c‖², every fold left-to-right —
+# mirrors similarity.pq_encode's numpy per-dimension accumulation and
+# _pq_query_dtabs' python fold exactly (the (x−c)² unroll is equal
+# mathematically but NOT bit-wise; all engines must share one form)
+_PQ_X2 = "CAST(0.0 AS DOUBLE) + " + " + ".join(
+    f"list_extract({{v}}.emb, g.m*{similarity.PQ_SUBDIM}+{i + 1})"
+    f" * list_extract({{v}}.emb, g.m*{similarity.PQ_SUBDIM}+{i + 1})"
     for i in range(similarity.PQ_SUBDIM)
+)
+_PQ_XDOT = "CAST(0.0 AS DOUBLE) + " + " + ".join(
+    f"list_extract(e.emb, g.m*{similarity.PQ_SUBDIM}+{i + 1})"
+    f" * list_extract(cb.emb, g.m*{similarity.PQ_SUBDIM}+{i + 1})"
+    for i in range(similarity.PQ_SUBDIM)
+)
+_PQ_SUBDIST_SQL = (
+    f"(({_PQ_X2.format(v='e')}) - 2.0 * ({_PQ_XDOT})) + ({_PQ_X2.format(v='cb')})"
 )
 
 _PQ_DIST_PIVOT = "CAST(0.0 AS DOUBLE) + " + " + ".join(
@@ -3655,6 +3665,35 @@ def q_postings_search(spark, sf_dir):
     adjacent-phrase hits via pos+1 — integer joins end to end. Query terms
     are the corpus's top-2 df terms so the oracle derives the same query."""
     return text.conjunctive_phrase_search(spark, sf_dir)
+
+
+@register(
+    "text_adaptive_source_filter",
+    f"""
+    WITH feat AS (
+      SELECT doc_id, source, len(t) AS word_count, length(text) AS char_count,
+             len(list_filter(t, x -> list_contains({_SQL_LIST(text.LANG_STOPWORDS['en'])}, x)))
+               AS stop_hits
+      FROM (SELECT doc_id, source, text, {_TOKS} AS t FROM documents)
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             least(word_count / 100.0, 1.0) * 0.4 + (stop_hits / word_count) * 0.4
+               + least((char_count / word_count) / 8.0, 1.0) * 0.2 AS quality_score
+      FROM feat
+    )
+    SELECT doc_id, source, quality_score,
+           row_number() OVER (
+             PARTITION BY source ORDER BY quality_score DESC, doc_id
+           ) * 2 <= COUNT(*) OVER (PARTITION BY source) + 1 AS is_kept
+    FROM scored
+    """,
+)
+def q_adaptive_source_filter(spark, sf_dir):
+    """Per-source adaptive quality cutoff: each source keeps its own top
+    half by composite quality — rank-based (exactly deterministic), not an
+    interpolated percentile threshold."""
+    return text.adaptive_source_filter(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

@@ -470,3 +470,22 @@ def test_phrase_search_counts_consistent(spark):
     # a phrase occurrence consumes one t1 and one t2 position
     assert (out.n_phrase <= out.n_t1 * out.n_t2).all()
     assert (out.n_phrase >= 0).all()
+
+
+def test_adaptive_source_filter_keeps_top_half_per_source(spark):
+    from airdatapipeline_spark.operators import text
+
+    pdf = text.adaptive_source_filter(spark, SF_SMALL).toPandas()
+    for src, g in pdf.groupby("source"):
+        n, kept = len(g), int(g.is_kept.sum())
+        assert kept == (n + 1) // 2, f"{src}: kept {kept} of {n}"
+        # every kept doc outranks every dropped doc (quality desc, id asc)
+        worst_kept = g[g.is_kept].sort_values(
+            ["quality_score", "doc_id"], ascending=[True, False]
+        ).iloc[0]
+        best_drop = g[~g.is_kept].sort_values(
+            ["quality_score", "doc_id"], ascending=[False, True]
+        ).iloc[0]
+        assert (worst_kept.quality_score, -worst_kept.doc_id) >= (
+            best_drop.quality_score, -best_drop.doc_id
+        ) or worst_kept.quality_score > best_drop.quality_score
