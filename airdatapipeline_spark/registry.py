@@ -3696,6 +3696,42 @@ def q_adaptive_source_filter(spark, sf_dir):
     return text.adaptive_source_filter(spark, sf_dir)
 
 
+@register(
+    "stream_join_outer_append",
+    """
+    WITH ck AS (
+      SELECT user_id AS c_user, ts AS click_ts, event_id AS click_id
+      FROM events WHERE event_type = 'click'
+    ),
+    er AS (
+      SELECT user_id AS e_user, ts AS error_ts, event_id AS error_id
+      FROM events WHERE event_type = 'error'
+    ),
+    j AS (
+      SELECT er.e_user AS user_id, er.error_id, ck.click_id, er.error_ts
+      FROM er LEFT JOIN ck
+        ON ck.c_user = er.e_user
+       AND ck.click_ts <= er.error_ts
+       AND ck.click_ts >= er.error_ts - INTERVAL 5 MINUTE
+    ),
+    wm AS (
+      SELECT LEAST((SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+                   (SELECT MAX(ts) FROM events WHERE event_type = 'error'))
+             - INTERVAL 10 MINUTE AS w
+    )
+    SELECT user_id, error_id, click_id, error_ts
+    FROM j, wm
+    WHERE click_id IS NOT NULL OR error_ts < wm.w
+    """,
+)
+def q_stream_outer_join(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join, append mode: matched pairs
+    emit immediately; null-joined errors emit at state eviction (error_ts
+    below the final global watermark) — the oracle replays exactly that
+    emission rule."""
+    return streaming_events.clicks_errors_left_join_append(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order policy (round-2 VERDICT item 1)
 #

@@ -408,3 +408,53 @@ def stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     snap = spark.read.schema("user_id long, n_events long").parquet(sink_dir)
     return snap.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+def clicks_errors_left_join_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every error pairs with the
+    same user's clicks in the preceding 5 minutes, and errors with NO such
+    click still emit (null click) — but only once the join can PROVE no
+    match can arrive: a left row's null-joined emission happens at state
+    eviction, when the global watermark (min over both streams of
+    max-event-time − 10 min) passes the last instant a matching click
+    could carry (click_ts ≤ error_ts ⇒ eviction when error_ts < wm).
+    Errors newer than the final watermark are withheld — the documented
+    outer-join caveat, and exactly what the oracle replays: matched pairs
+    unconditionally, unmatched errors only below the final watermark
+    (emission rule verified empirically at two scales before this was
+    registered). Both sides' state stays watermark-bounded, as in the
+    inner variant."""
+    clicks = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    errors = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("error_ts"),
+            F.col("event_id").alias("error_id"),
+        )
+        .withWatermark("error_ts", "10 minutes")
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("click_ts") <= F.col("error_ts"))
+        & (F.col("click_ts") >= F.col("error_ts") - F.expr("INTERVAL 5 MINUTES")),
+        "left_outer",
+    )
+    flat = joined.select(
+        F.col("e_user").alias("user_id"),
+        "error_id",
+        "click_id",
+        F.col("error_ts").cast("timestamp_ntz").alias("error_ts"),
+    )
+    return _run_append_to_files(flat)
