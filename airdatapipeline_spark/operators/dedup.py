@@ -694,3 +694,92 @@ def candidate_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("c").alias("doc_id")))
     )
     return nodes.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_triangles"))
+
+
+# --- prefix-filtering set-similarity join (AllPairs/PPJoin family) -----------
+
+JACCARD_T = 0.95  # exact similarity threshold (numerator/denominator = 19/20;
+# the synthetic corpus is template-generated and highly self-similar — lower
+# thresholds approach all-pairs on THIS data, defeating the prefix pruning)
+JACCARD_NUM, JACCARD_DEN = 19, 20
+
+
+def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-threshold set-similarity self-join via prefix filtering
+    (AllPairs / PPJoin, Bayardo et al. WWW'07, Xiao et al. WWW'08) — the
+    deterministic complement to MinHash: no probabilistic recall loss,
+    every pair with token-set Jaccard ≥ t is found, guaranteed.
+
+    Candidate generation: order each doc's distinct tokens by global
+    document frequency ASC (rare first, ties by token); two docs can
+    reach Jaccard ≥ t only if they share a token within each other's
+    PREFIX (first |set| − ⌈t·|set|⌉ + 1 rarest tokens) — so the join is
+    an equi-join on prefix tokens, and because prefixes are built from
+    the RAREST tokens, posting lists stay short (the skew-resistant
+    property that makes prefix filtering scale where joining on all
+    tokens explodes). Verification computes exact intersection sizes and
+    keeps inter/union ≥ t by CROSS-MULTIPLIED INTEGER comparison
+    (DEN·inter ≥ NUM·union) — no float thresholding anywhere; the
+    reported jaccard is one final exact division."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col())).alias("tok")
+    )
+    df_counts = tok.groupBy("tok").agg(F.count("*").alias("df"))
+    ranked = tok.join(df_counts, on="tok").select(
+        "doc_id",
+        "tok",
+        F.row_number()
+        .over(Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("tok")))
+        .alias("r"),
+    )
+    sizes = ranked.groupBy("doc_id").agg(F.max("r").alias("n"))
+    # prefix length = n - ceil(t*n) + 1, integer arithmetic:
+    # ceil(NUM*n/DEN) = -floordiv(-NUM*n, DEN)
+    pref_len = (
+        F.col("n")
+        - (-F.floor((F.lit(-JACCARD_NUM) * F.col("n")) / F.lit(JACCARD_DEN))).cast(
+            "long"
+        )
+        + 1
+    )
+    prefixes = ranked.join(sizes, on="doc_id").filter(F.col("r") <= pref_len).select(
+        "doc_id", "tok"
+    )
+    cand = (
+        prefixes.alias("a")
+        .join(
+            prefixes.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    ta = tok.select(F.col("doc_id").alias("id_a"), "tok")
+    tb = tok.select(F.col("doc_id").alias("id_b"), "tok")
+    inter_counts = (
+        cand.join(ta, on="id_a")
+        .join(tb, on=["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    verified = (
+        inter_counts.join(na, on="id_a")
+        .join(nb, on="id_b")
+        .withColumn("union_n", F.col("n_a") + F.col("n_b") - F.col("inter"))
+        .filter(
+            F.lit(JACCARD_DEN) * F.col("inter") >= F.lit(JACCARD_NUM) * F.col("union_n")
+        )
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        "inter",
+        "union_n",
+        (F.col("inter") / F.col("union_n")).alias("jaccard"),
+    )

@@ -3732,6 +3732,54 @@ def q_stream_outer_join(spark, sf_dir):
     return streaming_events.clicks_errors_left_join_append(spark, sf_dir)
 
 
+@register(
+    "dedup_prefix_jaccard_pairs",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents
+    ),
+    dfc AS (SELECT tok, COUNT(*) AS df FROM tok GROUP BY 1),
+    ranked AS (
+      SELECT t.doc_id, t.tok,
+             row_number() OVER (PARTITION BY t.doc_id ORDER BY dfc.df, t.tok) AS r
+      FROM tok t JOIN dfc USING (tok)
+    ),
+    sizes AS (SELECT doc_id, MAX(r) AS n FROM ranked GROUP BY 1),
+    pre AS (
+      SELECT r.doc_id, r.tok
+      FROM ranked r JOIN sizes s USING (doc_id)
+      WHERE r.r <= s.n
+                   - CAST(-floor((-{dedup.JACCARD_NUM} * s.n) / {dedup.JACCARD_DEN}) AS BIGINT)
+                   + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM pre a JOIN pre b ON a.tok = b.tok AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS inter
+      FROM cand c
+      JOIN tok ta ON ta.doc_id = c.id_a
+      JOIN tok tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b, i.inter,
+           sa.n + sb.n - i.inter AS union_n,
+           i.inter / (sa.n + sb.n - i.inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE {dedup.JACCARD_DEN} * i.inter >= {dedup.JACCARD_NUM} * (sa.n + sb.n - i.inter)
+    """,
+)
+def q_prefix_jaccard(spark, sf_dir):
+    """Exact-threshold set-similarity self-join via PREFIX FILTERING
+    (AllPairs/PPJoin): candidates only from each doc's rarest-token
+    prefix, exact integer cross-multiplied verification — guaranteed
+    complete at Jaccard ≥ 0.95, no LSH recall loss."""
+    return dedup.prefix_jaccard_pairs(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order policy (round-2 VERDICT item 1)
 #

@@ -489,3 +489,31 @@ def test_adaptive_source_filter_keeps_top_half_per_source(spark):
         assert (worst_kept.quality_score, -worst_kept.doc_id) >= (
             best_drop.quality_score, -best_drop.doc_id
         ) or worst_kept.quality_score > best_drop.quality_score
+
+
+def test_prefix_jaccard_complete_vs_bruteforce(spark):
+    """Prefix filtering must find EVERY pair at or above the threshold
+    (the no-false-negatives guarantee LSH doesn't give) — brute-forced
+    over the small corpus."""
+    from itertools import combinations
+
+    from airdatapipeline_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").toPandas()
+    toksets = {
+        r.doc_id: set(str(r.text).strip().split())
+        for r in docs.itertuples()
+    }
+    expected = {}
+    for a, b in combinations(sorted(toksets), 2):
+        ta, tb = toksets[a], toksets[b]
+        inter = len(ta & tb)
+        union = len(ta) + len(tb) - inter
+        if union and dedup.JACCARD_DEN * inter >= dedup.JACCARD_NUM * union:
+            expected[(a, b)] = (inter, union)
+    got = {
+        (r.id_a, r.id_b): (r.inter, r.union_n)
+        for r in dedup.prefix_jaccard_pairs(spark, SF_SMALL).collect()
+    }
+    assert got == expected
+    assert len(got) > 0
