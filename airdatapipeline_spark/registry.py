@@ -3780,6 +3780,54 @@ def q_prefix_jaccard(spark, sf_dir):
     return dedup.prefix_jaccard_pairs(spark, sf_dir)
 
 
+_CASCADE_SQL = """
+WITH RECURSIVE err AS (
+  SELECT event_id, user_id, ts FROM {events} WHERE event_type = 'error'
+),
+nxt AS (
+  SELECT cur_id, next_id FROM (
+    SELECT c.event_id AS cur_id, n.event_id AS next_id,
+           row_number() OVER (PARTITION BY c.event_id ORDER BY n.ts, n.event_id) AS rn
+    FROM err c JOIN err n
+      ON n.user_id = c.user_id AND n.ts > c.ts AND n.ts <= c.ts + INTERVAL 5 MINUTE
+  ) WHERE rn = 1
+),
+heads AS (
+  SELECT e.event_id FROM err e
+  LEFT JOIN err p ON p.user_id = e.user_id AND p.ts < e.ts
+                 AND p.ts >= e.ts - INTERVAL 5 MINUTE
+  WHERE p.event_id IS NULL
+),
+chain(start_id, cur_id, depth) AS (
+  SELECT event_id, event_id, 0 FROM heads
+  UNION ALL
+  SELECT c.start_id, n.next_id, c.depth + 1
+  FROM chain c JOIN nxt n ON n.cur_id = c.cur_id
+)
+SELECT start_id, CAST(MAX(depth) + 1 AS BIGINT) AS chain_len
+FROM chain GROUP BY start_id
+""".strip()
+
+
+@register(
+    "sql_api_error_cascades",
+    _CASCADE_SQL.format(events="events"),
+)
+def q_error_cascades(spark, sf_dir):
+    """Failure-cascade chains via WITH RECURSIVE (Spark 4 recursive CTE —
+    the SQL-surface twin of the iterative DataFrame CC loops): each error's
+    unique successor is the same user's next error within 5 minutes; walks
+    start at cascade heads (no error in the preceding 5 minutes) and
+    recurse along strictly increasing event time, so the recursion is a
+    DAG walk that terminates under UNION ALL with no depth knob. One path
+    per head (successors are unique), so work is linear in cascade
+    length. Identical SQL runs on DuckDB as the oracle."""
+    from .io import load_table
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_rcte_v")
+    return spark.sql(_CASCADE_SQL.format(events="events_rcte_v"))
+
+
 # ---------------------------------------------------------------------------
 # Registration-order policy (round-2 VERDICT item 1)
 #
