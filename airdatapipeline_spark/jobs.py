@@ -8,6 +8,7 @@ SparkSubmitOperator, cron, or any scheduler at these).
     python -m airdatapipeline_spark.jobs validate --sf-dir DIR
     python -m airdatapipeline_spark.jobs report  --sf-dir DIR
     python -m airdatapipeline_spark.jobs curate  --sf-dir DIR [--out DIR]
+    python -m airdatapipeline_spark.jobs expectations --sf-dir DIR [--strict]
 
 Task mapping to the reference (file:line in /root/reference/):
   scrape   = g1_scraping_pipeline (dags/g1_scraping_dag.py:86)
@@ -74,6 +75,16 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--min-words", type=int, default=20)
     c.add_argument("--lang", default="en")
 
+    x = sub.add_parser(
+        "expectations",
+        help="data-quality gate: run the declarative expectations suite and "
+        "exit nonzero if any rule fails (the dbt-test analog; --strict "
+        "includes the deliberately-strict demo rules, default gates only "
+        "on the rules the data is expected to satisfy)",
+    )
+    x.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    x.add_argument("--strict", action="store_true")
+
     args = p.parse_args(argv)
 
     from . import model, pipeline
@@ -134,6 +145,15 @@ def main(argv: list[str] | None = None) -> int:
                 default=str,
             )
         )
+    elif args.job == "expectations":
+        from .operators import expectations as exp_ops
+
+        demo_strict = {"orders_status_domain", "lineitem_discount_cap"}
+        rows = [r.asDict() for r in exp_ops.tpch_quality_report(spark, args.sf_dir).collect()]
+        gated = [r for r in rows if args.strict or r["rule_id"] not in demo_strict]
+        failed = [r["rule_id"] for r in gated if not r["passed"]]
+        print(json.dumps({"job": "expectations", "rules": rows, "failed": failed}))
+        return 1 if failed else 0
     elif args.job == "curate":
         from .operators import text as text_ops
 

@@ -651,3 +651,27 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     mid_hour = back.agg(F.expr("percentile_approx(__hour, 0.5)")).collect()[0][0]
     z_hmatch, z_htotal = layout.rowgroups_matching_point(zord, "__hour", int(mid_hour))
     assert 0 < z_hmatch < z_htotal, "z-order lost all time-dimension skipping"
+
+
+def test_jobs_expectations_gate(spark):
+    """The expectations CLI gates: exit 0 on the rules the data satisfies,
+    exit 1 under --strict (which includes the deliberately-failing demo
+    rules) — the dbt-test exit-code contract schedulers key on."""
+    import contextlib
+    import io
+    import json
+
+    from airdatapipeline_spark import jobs
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = jobs.main(["expectations", "--sf-dir", SF_SMALL])
+    d = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rc == 0 and d["failed"] == []
+    assert len(d["rules"]) == 10
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        rc2 = jobs.main(["expectations", "--sf-dir", SF_SMALL, "--strict"])
+    d2 = json.loads(buf2.getvalue().strip().splitlines()[-1])
+    assert rc2 == 1
+    assert set(d2["failed"]) == {"orders_status_domain", "lineitem_discount_cap"}
