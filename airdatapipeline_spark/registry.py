@@ -3537,6 +3537,45 @@ def q_ivfpq(spark, sf_dir):
 
 
 @register(
+    "simsearch_ivf_list_stats",
+    f"""
+    WITH {_EMB_CTE},
+    cent AS (
+      SELECT vec_id AS centroid_id, emb, norm FROM e
+      WHERE vec_id >= {similarity.CENTROID_ID_LO}
+        AND vec_id < {similarity.CENTROID_ID_LO + similarity.N_CENTROIDS}
+    ),
+    assigned AS ({_IVF_ASSIGN_SQL.format(src="e", n=1)})
+    SELECT centroid_id, COUNT(*) AS n_vectors,
+           COUNT(*) / CAST((SELECT COUNT(*) FROM assigned) AS DOUBLE) AS share
+    FROM assigned GROUP BY 1
+    """,
+)
+def q_ivf_list_stats(spark, sf_dir):
+    """IVF index observability: per-inverted-list sizes and corpus share —
+    the imbalance dial that triggers re-clustering (a list holding far
+    more than 1/K of the corpus means probes scan too much and the
+    centroids no longer fit the data). One assignment map + one agg."""
+    from .io import load_table
+
+    corpus = similarity.with_norm(
+        load_table(spark, sf_dir, "embeddings")
+    ).select("vec_id", "emb", "norm")
+    centroids = corpus.filter(
+        (F.col("vec_id") >= similarity.CENTROID_ID_LO)
+        & (F.col("vec_id") < similarity.CENTROID_ID_LO + similarity.N_CENTROIDS)
+    ).select(F.col("vec_id").alias("centroid_id"), "emb", "norm")
+    assigned = similarity._ivf_assign(corpus, centroids, 1)
+    total = assigned.count()
+    return assigned.groupBy(
+        F.col("centroid_id").cast("long").alias("centroid_id")
+    ).agg(
+        F.count("*").alias("n_vectors"),
+        (F.count("*") / F.lit(float(total))).alias("share"),
+    )
+
+
+@register(
     "snk_cdc_apply_changes",
     """
     SELECT c_custkey, c_name,

@@ -112,3 +112,33 @@ def test_validate_domains_clamps(spark):
     assert list(out.sentiment) == ["Positiva", "Erro", "Erro"]
     assert list(out.category) == ["Economia", "Erro", "Erro"]
     assert list(out.confidence_score) == [0.9, 0.0, 0.0]
+
+
+def test_driver_window_invariants():
+    """The driver oracle-checks the first ~50 registrations: the pinned
+    window must stay exactly 50 names, lead the registration order, and
+    keep every SURVEY §2 query inside it."""
+    from airdatapipeline_spark import registry
+
+    win = registry._DRIVER_WINDOW
+    assert len(win) == len(set(win)) == 50
+    assert list(registry.QUERIES)[:50] == list(win)
+    survey_ids = [
+        "p1_staging_projection", "p2_p3_clean_links", "p5_p6_today_ok_rows",
+        "p7_date_range_filter", "p8_nulldrop_metric", "p9_top5_membership_filter",
+        "p10_validate_domains", "d1_d2_dedup_headlines", "u1_union_dedup",
+        "d4_distinct_dates", "j1_pending_antijoin", "j2_j3_pending_metrics",
+        "a1_daily_sentiment_gold", "a2_w1_daily_category_gold", "a3_sentiment_today",
+        "a4_top_categories_today", "a5_a6_a7_today_scalars",
+        "a8_confidence_by_date_sentiment", "a9_sentiment_distribution_pct",
+        "a10_period_kpis", "a11_category_totals", "a12_pivot_date_category",
+        "a13_unpivot_sentiment_long", "a14_collect_confidences", "a15_histogram_bins",
+        "a16_a19_summary_stats", "t1_t2_gold_ordered", "t3_recent_headlines_topk",
+        "t4_t5_batch_limit", "q_scalar_display_functions", "q_validation_gates",
+        "src1_scrape_clean", "src_csv_roundtrip", "snk_silver_partitioned_prune",
+        "flagship_enrichment_gold",
+    ]
+    missing = [q for q in survey_ids if q not in set(win)]
+    assert not missing, f"SURVEY §2 queries outside the driver window: {missing}"
+    # every registered query has an oracle (no rows-only checks)
+    assert set(registry.QUERIES) == set(registry.ORACLES)
