@@ -9,7 +9,6 @@ and (order-insensitively) values. Usage:
 
 from __future__ import annotations
 
-import math
 import os
 import sys
 import time
