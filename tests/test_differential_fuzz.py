@@ -288,3 +288,33 @@ def test_spark_and_duckdb_agree_on_order_by_limit(engines, sql):
     pd.testing.assert_frame_equal(
         s.reset_index(drop=True), d.reset_index(drop=True), check_dtype=False, obj=sql
     )
+
+
+# Set operations: UNION / INTERSECT / EXCEPT and their ALL variants over two
+# independently-predicated branches. The outer GROUP BY collapses output to
+# the ≤ ~6 distinct (flag, status) combos while still DISTINGUISHING bag
+# semantics (ALL multiplicities show up in the counts), so each example
+# compares a handful of rows however large the branches are.
+_setop = st.sampled_from(
+    ["UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL", "EXCEPT", "EXCEPT ALL"]
+)
+
+
+@st.composite
+def _setop_query(draw):
+    p1 = draw(_pred)
+    p2 = draw(_pred)
+    op = draw(_setop)
+    return (
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM ("
+        f"SELECT l_returnflag, l_linestatus FROM lineitem WHERE {p1} "
+        f"{op} "
+        f"SELECT l_returnflag, l_linestatus FROM lineitem WHERE {p2}"
+        ") t GROUP BY l_returnflag, l_linestatus"
+    )
+
+
+@given(sql=_setop_query())
+@settings(max_examples=25, deadline=None)
+def test_spark_and_duckdb_agree_on_set_operations(engines, sql):
+    _assert_engines_agree(engines, sql)
