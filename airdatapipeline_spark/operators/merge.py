@@ -111,3 +111,35 @@ def apply_changes(
     deletes = latest.filter(F.col(op_col) == "D").select(*on)
     merged = merge_into(snapshot, upserts, on=on)
     return merged.join(deletes, on=on, how="left_anti")
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, on: list[str]
+) -> DataFrame:
+    """Reconcile two snapshots of one table: per key, classify
+    added / removed / changed / unchanged — the diff tool for pipeline-run
+    regression checks ("what did this deploy change?") and for validating
+    merges (diff(old, merge(old, src)) must equal src's effects, which is
+    exactly how the registry scenario checks this operator). One full-outer
+    key join; change detection is null-safe equality over the non-key
+    columns (<=> semantics, so NULL→NULL is unchanged and NULL→value is
+    changed)."""
+    data_cols = [c for c in old.columns if c not in on]
+    if set(old.columns) != set(new.columns):
+        raise ValueError("snapshots must share one schema")
+    o = old.withColumn("__o", F.lit(1))
+    n = new
+    for c in data_cols:
+        n = n.withColumnRenamed(c, f"__n_{c}")
+    n = n.withColumn("__n", F.lit(1))
+    j = o.join(n, on=on, how="full_outer")
+    same = F.lit(True)
+    for c in data_cols:
+        same = same & F.col(c).eqNullSafe(F.col(f"__n_{c}"))
+    change = (
+        F.when(F.col("__o").isNull(), F.lit("added"))
+        .when(F.col("__n").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(*on, change.alias("change"))

@@ -3537,6 +3537,72 @@ def q_ivfpq(spark, sf_dir):
 
 
 @register(
+    "snk_snapshot_diff",
+    """
+    WITH src AS (
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 7 = 3 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment,
+             c_acctbal + 100.0 AS c_acctbal
+      FROM customer WHERE c_custkey % 7 IN (3, 5)
+      UNION ALL
+      SELECT c_custkey + 10000000,
+             'NEW ' || CAST(c_custkey + 10000000 AS VARCHAR), 'FRESH', 0.0
+      FROM customer WHERE c_custkey % 11 = 0
+    )
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 7 IN (3, 5) AND c_acctbal + 100.0 > 9000.0 THEN 'removed'
+                WHEN c_custkey % 7 IN (3, 5) THEN 'changed'
+                ELSE 'unchanged' END AS change
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, 'added' FROM src WHERE c_custkey >= 10000000
+    """,
+)
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot reconciliation: diff(customer, merge(customer, src)) —
+    every key classified added/removed/changed/unchanged. Circular
+    validation: the diff must report exactly the MERGE scenario's effects
+    (updates → changed unless +100 kept the balance identical — it can't —
+    deletes → removed, inserts → added), which is what the oracle derives
+    arithmetically from the same source definition."""
+    from .io import load_table
+    from .operators.merge import merge_into, snapshot_diff
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    updates = cust.filter(F.col("c_custkey") % 7 == 3).select(
+        "c_custkey",
+        "c_name",
+        F.lit("MOVED").alias("c_mktsegment"),
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+    ).unionByName(
+        cust.filter(F.col("c_custkey") % 7 == 5).select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        )
+    )
+    inserts = cust.filter(F.col("c_custkey") % 11 == 0).select(
+        (F.col("c_custkey") + 10000000).alias("c_custkey"),
+        F.concat(F.lit("NEW "), (F.col("c_custkey") + 10000000).cast("string")).alias(
+            "c_name"
+        ),
+        F.lit("FRESH").alias("c_mktsegment"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    source = updates.unionByName(inserts)
+    merged = merge_into(
+        cust,
+        source,
+        on=["c_custkey"],
+        matched_delete=lambda t, s: s["c_acctbal"] > 9000.0,
+    )
+    return snapshot_diff(cust, merged, on=["c_custkey"])
+
+
+@register(
     "simsearch_ivf_list_stats",
     f"""
     WITH {_EMB_CTE},

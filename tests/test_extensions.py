@@ -517,3 +517,22 @@ def test_prefix_jaccard_complete_vs_bruteforce(spark):
     }
     assert got == expected
     assert len(got) > 0
+
+
+def test_snapshot_diff_classifies_all_arms(spark):
+    from airdatapipeline_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d")], "k int, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, None), (5, "e")], "k int, v string"
+    )
+    out = {r.k: r.change for r in snapshot_diff(old, new, on=["k"]).collect()}
+    assert out == {
+        1: "unchanged",
+        2: "changed",
+        3: "unchanged",  # NULL <=> NULL is unchanged (null-safe equality)
+        4: "removed",
+        5: "added",
+    }
