@@ -3537,6 +3537,47 @@ def q_ivfpq(spark, sf_dir):
 
 
 @register(
+    "events_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    t AS (SELECT src, dst, COUNT(*) AS n FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2)
+    SELECT src, dst, n,
+           n / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE) AS p
+    FROM t
+    """,
+)
+def q_transition_matrix(spark, sf_dir):
+    """Per-user event-transition (Markov) matrix: consecutive event pairs
+    by event time (ties broken by event_id — deterministic), counted and
+    normalized per source state. The full-path generalization of the
+    fixed-path funnel: one user_id shuffle for the lead window + one
+    (src,dst) agg; the normalizing window runs over the ~|types|² matrix,
+    not the events."""
+    from pyspark.sql import Window
+
+    from .io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    t = seq.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    per_src = Window.partitionBy("src")
+    return t.select(
+        "src",
+        "dst",
+        "n",
+        (F.col("n") / F.sum("n").over(per_src).cast("double")).alias("p"),
+    )
+
+
+@register(
     "snk_snapshot_diff",
     """
     WITH src AS (

@@ -536,3 +536,23 @@ def test_snapshot_diff_classifies_all_arms(spark):
         4: "removed",
         5: "added",
     }
+
+
+def test_transition_matrix_probabilities_sum_to_one(spark):
+    from airdatapipeline_spark.registry import QUERIES
+
+    pdf = QUERIES["events_transition_matrix"](spark, SF_SMALL).toPandas()
+    assert len(pdf) > 0
+    # every source state's outgoing probabilities sum to 1 and each row's
+    # share is consistent with its count
+    import numpy as np
+
+    for src, g in pdf.groupby("src"):
+        assert abs(g.p.sum() - 1.0) < 1e-9
+        assert np.allclose(g.p, g.n / g.n.sum())
+    # transitions conserved: one per consecutive pair per user
+    from airdatapipeline_spark.io import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    n_users = ev.select("user_id").distinct().count()
+    assert pdf.n.sum() == ev.count() - n_users
