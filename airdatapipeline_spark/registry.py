@@ -3537,6 +3537,72 @@ def q_ivfpq(spark, sf_dir):
 
 
 @register(
+    "events_user_features",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT CAST(ts AS DATE)) AS active_days,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def q_user_features(spark, sf_dir):
+    """Per-user behavioral feature table — the feature-extraction step a
+    training pipeline feeds to a model: one hash-agg shuffle on user_id,
+    conditional counts for the type pivots, decimal-exact value sum, and
+    the activity span. At 100 TB this is the canonical map-side-combine
+    aggregation: the shuffle carries one partial row per (partition,
+    user)."""
+    from .io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct(F.col("ts").cast("date")).alias("active_days"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_clicks"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "text_length_quantiles_by_lang",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           quantile_cont(n_chars, 0.25) AS p25_chars,
+           quantile_cont(n_chars, 0.5) AS median_chars,
+           quantile_cont(n_chars, 0.95) AS p95_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def q_length_quantiles(spark, sf_dir):
+    """Per-language document-length distribution — the cut-point source
+    for length filters (exact interpolated quantiles; the integral n_chars
+    domain keeps the interpolation arithmetic engine-identical, same
+    posture as agg_quantiles_quantity)."""
+    from .io import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.expr("percentile(n_chars, 0.25)").alias("p25_chars"),
+        F.expr("percentile(n_chars, 0.5)").alias("median_chars"),
+        F.expr("percentile(n_chars, 0.95)").alias("p95_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
     "events_transition_matrix",
     """
     WITH seq AS (
