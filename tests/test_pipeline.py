@@ -116,8 +116,11 @@ def test_validate_domains_clamps(spark):
 
 def test_driver_window_invariants():
     """The driver oracle-checks the first ~50 registrations: the pinned
-    window must stay exactly 50 names, lead the registration order, and
-    keep every SURVEY §2 query inside it."""
+    window must stay exactly 50 names and lead the registration order.
+    Round-3 policy: the window rotates to never-driver-verified queries;
+    every SURVEY §2 ID must be EITHER in the window OR already driver-green
+    in a prior round (_PRIOR_GREEN), and the four family flagships stay in
+    the window as regression canaries."""
     from airdatapipeline_spark import registry
 
     win = registry._DRIVER_WINDOW
@@ -138,7 +141,13 @@ def test_driver_window_invariants():
         "src1_scrape_clean", "src_csv_roundtrip", "snk_silver_partitioned_prune",
         "flagship_enrichment_gold",
     ]
-    missing = [q for q in survey_ids if q not in set(win)]
-    assert not missing, f"SURVEY §2 queries outside the driver window: {missing}"
+    covered = set(win) | registry._PRIOR_GREEN
+    missing = [q for q in survey_ids if q not in covered]
+    assert not missing, f"SURVEY §2 queries with no driver coverage ever: {missing}"
+    for flagship in (
+        "flagship_enrichment_gold", "a2_w1_daily_category_gold",
+        "src1_scrape_clean", "u1_union_dedup",
+    ):
+        assert flagship in set(win), f"family flagship {flagship} left the window"
     # every registered query has an oracle (no rows-only checks)
     assert set(registry.QUERIES) == set(registry.ORACLES)
