@@ -165,6 +165,36 @@ def lsh_bucketed_topk(
     )
 
 
+# Trained (pyspark.ml k-means) IVF serving configuration. The synthetic
+# embeddings are ISOTROPIC (within-label cosine == cross-label cosine, both
+# ~0 — measured in round 3), so recall tracks the scanned fraction almost
+# linearly: no centroid source can prune random data and keep recall. On
+# this corpus the floor-meeting dial is nprobe=7 of K=8 lists (~7/8 of the
+# corpus scanned → recall@5 = 0.94-0.96 across sf0.001/0.01/0.1). On real
+# clustered embeddings the same plan prunes aggressively at low nprobe —
+# the dial, the plan shape and the floor assertion are what carry to 100 TB,
+# and `recall_at_k` is the instrument that retunes nprobe per corpus.
+TRAINED_N_PROBE = 7
+RECALL_FLOOR = 0.9
+
+
+def trained_ivf_topk(
+    spark: SparkSession, sf_dir: str, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """IVF-Flat top-k over TRAINED k-means centroids (the production
+    centroid source) at the floor-meeting nprobe. Identical plan to
+    `ivf_topk` — only the K-row centroid table differs — so everything
+    plan-asserted for the deterministic tier holds here too."""
+    return ivf_topk(
+        spark,
+        sf_dir,
+        n_queries,
+        k,
+        centroids=kmeans_centroids(spark, sf_dir),
+        n_probe=TRAINED_N_PROBE,
+    )
+
+
 def recall_at_k(
     spark: SparkSession, sf_dir: str, n_queries: int = 10, k: int = 5
 ) -> DataFrame:
@@ -181,6 +211,7 @@ def recall_at_k(
     lsh = lsh_bucketed_topk(spark, sf_dir, n_queries, k).select("query_id", "neighbor_id")
     ivf = ivf_topk(spark, sf_dir, n_queries, k).select("query_id", "neighbor_id")
     sq8 = sq8_topk(spark, sf_dir, n_queries, k).select("query_id", "neighbor_id")
+    trained = trained_ivf_topk(spark, sf_dir, n_queries, k).select("query_id", "neighbor_id")
 
     def hits(ann: DataFrame, name: str) -> DataFrame:
         return (
@@ -195,11 +226,25 @@ def recall_at_k(
         .join(hits(lsh, "lsh_hits"), on="query_id", how="left")
         .join(hits(ivf, "ivf_hits"), on="query_id", how="left")
         .join(hits(sq8, "sq8_hits"), on="query_id", how="left")
+        .join(hits(trained, "trained_hits"), on="query_id", how="left")
     )
     lsh_hits = F.coalesce(F.col("lsh_hits"), F.lit(0)).cast("long")
     ivf_hits = F.coalesce(F.col("ivf_hits"), F.lit(0)).cast("long")
     sq8_hits = F.coalesce(F.col("sq8_hits"), F.lit(0)).cast("long")
-    return out.select(
+    trained_hits = F.coalesce(F.col("trained_hits"), F.lit(0)).cast("long")
+    # Panel-level floor assertion for the trained tier. The exact trained
+    # hit counts are NOT emitted: pyspark.ml k-means is not reproducible in
+    # the DuckDB oracle, so the contract the oracle checks is the floor
+    # (mean recall over the panel >= RECALL_FLOOR → constant TRUE), while
+    # the exact-hash check for the IVF plan itself lives in the
+    # deterministic-centroid columns/rows of this query and ivf_topk.
+    # Broadcast 1-row scalar join (not a global window — no single-partition
+    # shuffle of the panel).
+    panel = out.agg(
+        (F.sum(trained_hits) / (F.count(F.lit(1)) * F.lit(float(k))) >= F.lit(RECALL_FLOOR))
+        .alias("ivf_trained_floor_met")
+    )
+    return out.crossJoin(F.broadcast(panel)).select(
         "query_id",
         lsh_hits.alias("lsh_hits"),
         ivf_hits.alias("ivf_hits"),
@@ -207,6 +252,7 @@ def recall_at_k(
         (lsh_hits / F.lit(float(k))).alias("lsh_recall"),
         (ivf_hits / F.lit(float(k))).alias("ivf_recall"),
         (sq8_hits / F.lit(float(k))).alias("sq8_recall"),
+        "ivf_trained_floor_met",
     )
 
 
@@ -546,6 +592,7 @@ def ivf_topk(
     n_queries: int = 10,
     k: int = 5,
     centroids: DataFrame | None = None,
+    n_probe: int = N_PROBE,
 ) -> DataFrame:
     """IVF-Flat ANN: corpus vectors are inverted-listed under their nearest
     coarse centroid; queries probe their N_PROBE nearest lists and re-rank
@@ -563,7 +610,7 @@ def ivf_topk(
 
     cent_rows = centroids.select("centroid_id", "emb").collect()  # K rows, once
     assigned = _ivf_assign(corpus, cent_rows, 1)
-    probes = _ivf_assign(corpus.filter(F.col("vec_id") < n_queries), cent_rows, N_PROBE).select(
+    probes = _ivf_assign(corpus.filter(F.col("vec_id") < n_queries), cent_rows, n_probe).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
         F.col("norm").alias("q_norm"),

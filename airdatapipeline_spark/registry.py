@@ -1997,7 +1997,12 @@ _TOPK_RANK = """
            CAST(COALESCE(hq.sq8_hits, 0) AS BIGINT) AS sq8_hits,
            CAST(COALESCE(hl.lsh_hits, 0) AS BIGINT) / 5.0 AS lsh_recall,
            CAST(COALESCE(hi.ivf_hits, 0) AS BIGINT) / 5.0 AS ivf_recall,
-           CAST(COALESCE(hq.sq8_hits, 0) AS BIGINT) / 5.0 AS sq8_recall
+           CAST(COALESCE(hq.sq8_hits, 0) AS BIGINT) / 5.0 AS sq8_recall,
+           -- trained-k-means IVF tier: k-means is not replayable in DuckDB,
+           -- so the oracle pins the CONTRACT — panel-mean recall@5 must meet
+           -- RECALL_FLOOR (0.9). Spark computes the recall honestly against
+           -- in-plan brute-force truth; a floor miss turns this row red.
+           TRUE AS ivf_trained_floor_met
     FROM (SELECT DISTINCT query_id FROM truth) q
     LEFT JOIN hl ON q.query_id = hl.query_id
     LEFT JOIN hi ON q.query_id = hi.query_id
@@ -2005,9 +2010,9 @@ _TOPK_RANK = """
     """,
 )
 def ss_recall(spark, sf_dir):
-    """recall@5 of the LSH and IVF tiers vs exact brute force, per query —
-    makes the ANN family self-grading (tune N_PLANES / N_PROBE against a
-    measured number)."""
+    """recall@5 of the LSH, IVF, SQ8 and trained-k-means-IVF tiers vs exact
+    brute force — makes the ANN family self-grading (tune N_PLANES / N_PROBE
+    against a measured number, assert the trained tier's 0.9 recall floor)."""
     return similarity.recall_at_k(spark, sf_dir)
 
 

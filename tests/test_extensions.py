@@ -556,3 +556,25 @@ def test_transition_matrix_probabilities_sum_to_one(spark):
     ev = load_table(spark, SF_SMALL, "events")
     n_users = ev.select("user_id").distinct().count()
     assert pdf.n.sum() == ev.count() - n_users
+
+
+def test_trained_ivf_recall_meets_floor(spark):
+    """The trained-k-means IVF tier must deliver panel-mean recall@5 >=
+    RECALL_FLOOR (0.9) — the round-3 production-grade bar. Measured
+    numerically against brute-force truth, not just via the boolean the
+    oracle checks."""
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(spark, SF_SMALL, 10, 5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.trained_ivf_topk(spark, SF_SMALL, 10, 5).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= similarity.RECALL_FLOOR, f"trained IVF recall@5 {recall:.2f} < floor"
+
+
+def test_recall_at_k_floor_column_true(spark):
+    out = similarity.recall_at_k(spark, SF_SMALL).toPandas()
+    assert out.ivf_trained_floor_met.all()
