@@ -151,3 +151,18 @@ def test_driver_window_invariants():
         assert flagship in set(win), f"family flagship {flagship} left the window"
     # every registered query has an oracle (no rows-only checks)
     assert set(registry.QUERIES) == set(registry.ORACLES)
+
+
+def test_readme_counts_match_registry():
+    """README's query counts are pinned to the registry — the count appears
+    as 'N queries' exactly twice and N must equal len(QUERIES)."""
+    import re
+
+    from airdatapipeline_spark import registry
+
+    text = open("README.md").read()
+    counts = [int(m) for m in re.findall(r"(\d+) queries", text)]
+    assert counts, "README no longer states the query count"
+    assert all(c == len(registry.QUERIES) for c in counts), (
+        f"README says {counts} queries; registry has {len(registry.QUERIES)}"
+    )
