@@ -908,3 +908,136 @@ def urgent_revenue_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_items"), _dec_sum(revenue).alias("revenue")
     )
+
+
+# --- derived partsupp (q2/q11/q20) -------------------------------------------
+#
+# The driver's star schema has no partsupp table, so the three TPC-H queries
+# that need one (Q2/Q11/Q20) run over a DERIVED part-supplier inventory view:
+# per (partkey, suppkey), availqty = total quantity that flowed through
+# lineitem and supplycost = the minimum observed unit price. Both aggregates
+# are order-independent (sum of doubles is decimal-exact below; min is a
+# lattice op), so the view is bit-reproducible in DuckDB and the query
+# SHAPES — min-cost-per-group join-back, HAVING vs a global scalar,
+# correlated per-pair aggregate semi-join — are exactly TPC-H's.
+
+
+def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(
+        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("ps_availqty"),
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"),
+    )
+
+
+def q2_min_cost_supplier(
+    spark: SparkSession, sf_dir: str, region: str = "ASIA", p_type: str = "ECONOMY"
+) -> DataFrame:
+    """TPC-H Q2 shape: for each part of a type, the supplier(s) in a region
+    offering the minimum supply cost. The correlated MIN subquery becomes a
+    per-part aggregate over the region-filtered partsupp joined back on
+    (partkey, cost) — same decorrelation Catalyst applies to the SQL form.
+    Dimension chain (supplier→nation→region) is broadcast; the partsupp
+    aggregate shuffles on (partkey, suppkey) — at 100 TB both lineitem
+    aggregates bucket by partkey."""
+    ps = _derived_partsupp(spark, sf_dir)
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == region)
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == p_type)
+
+    sups_in_region = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    regional_ps = ps.join(
+        F.broadcast(sups_in_region), ps.ps_suppkey == F.col("s_suppkey")
+    )
+    min_cost = regional_ps.groupBy(
+        F.col("ps_partkey").alias("mc_partkey")
+    ).agg(F.min("ps_supplycost").alias("min_cost"))
+    return (
+        regional_ps.join(
+            F.broadcast(min_cost),
+            (regional_ps.ps_partkey == F.col("mc_partkey"))
+            & (regional_ps.ps_supplycost == F.col("min_cost")),
+        )
+        .join(F.broadcast(part), regional_ps.ps_partkey == part.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("ps_partkey").alias("p_partkey"),
+            "p_name",
+            "ps_supplycost",
+        )
+    )
+
+
+def q11_important_stock(
+    spark: SparkSession, sf_dir: str, nation: str = "NATION_7", fraction: float = 0.001
+) -> DataFrame:
+    """TPC-H Q11 shape: per-part inventory value for one nation's suppliers,
+    HAVING value > fraction * the nation's total — the scalar global
+    aggregate rides a broadcast 1-row cross join, so the fact side is
+    scanned once per aggregate, never collected."""
+    ps = _derived_partsupp(spark, sf_dir)
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == nation)
+    national = ps.join(
+        F.broadcast(
+            supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey).select(
+                "s_suppkey"
+            )
+        ),
+        ps.ps_suppkey == F.col("s_suppkey"),
+    )
+    value = F.col("ps_supplycost") * F.col("ps_availqty")
+    per_part = national.groupBy("ps_partkey").agg(_dec_sum(value).alias("part_value"))
+    total = national.agg((_dec_sum(value) * F.lit(fraction)).alias("threshold"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("ps_partkey", "part_value")
+    )
+
+
+def q20_excess_shipments(
+    spark: SparkSession, sf_dir: str, part_word: str = "widget", since: str = "1998-01-01"
+) -> DataFrame:
+    """TPC-H Q20 shape: suppliers of matching parts whose shipments SINCE a
+    date exceed half their all-time flow for that part — the correlated
+    per-(part, supplier) aggregate compares against the derived availqty,
+    then a two-level semi-join lifts qualifying pairs to suppliers. All
+    candidate generation is equi-joins on (partkey, suppkey)/suppkey."""
+    ps = _derived_partsupp(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit(since).cast("timestamp_ntz")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains(part_word)
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+
+    recent = li.groupBy(
+        F.col("l_partkey").alias("r_partkey"), F.col("l_suppkey").alias("r_suppkey")
+    ).agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("recent_qty"))
+    qualifying = (
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .join(
+            recent,
+            (ps.ps_partkey == F.col("r_partkey")) & (ps.ps_suppkey == F.col("r_suppkey")),
+        )
+        .filter(F.col("recent_qty") > 0.5 * F.col("ps_availqty"))
+        .select(F.col("ps_suppkey").alias("q_suppkey"))
+        .distinct()
+    )
+    return (
+        supp.join(qualifying, supp.s_suppkey == F.col("q_suppkey"), "left_semi")
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name", "s_acctbal")
+    )
