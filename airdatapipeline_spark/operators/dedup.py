@@ -23,7 +23,7 @@ so every operator here is oracle-checkable bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -782,4 +782,68 @@ def prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inter",
         "union_n",
         (F.col("inter") / F.col("union_n")).alias("jaccard"),
+    )
+
+
+# --- paragraph-level dedup (Dolma/CCNet-style segment dedup) ------------------
+
+PARA_WORDS = 20  # fixed-width word segments stand in for paragraph boundaries
+
+
+def paragraph_segments(spark: SparkSession, sf_dir: str, width: int = PARA_WORDS) -> DataFrame:
+    """(doc_id, para_idx, para, para_hash): documents split into consecutive
+    `width`-word segments. The synthetic corpus has no newline/paragraph
+    markers, so segmentation is the deterministic fixed-width rule BOTH
+    engines replay exactly; with real documents the split expression becomes
+    split(text, '\\n\\n') and everything downstream is unchanged. Pure
+    per-row expression work — zero shuffles."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    paras = F.expr(
+        f"transform(sequence(0, cast(ceil(size(split(text, ' ')) / {width}.0) as int) - 1), "
+        f"i -> array_join(slice(split(text, ' '), i * {width} + 1, {width}), ' '))"
+    )
+    return (
+        d.select("doc_id", F.posexplode(paras).alias("para_idx", "para"))
+        .withColumn("para_hash", F.md5("para"))
+    )
+
+
+def paragraph_dedup(spark: SparkSession, sf_dir: str, width: int = PARA_WORDS) -> DataFrame:
+    """Dolma-style paragraph-level dedup: every segment whose exact text was
+    already seen in an earlier document (or earlier position of the same
+    document) is dropped; documents are then REASSEMBLED from their surviving
+    segments — the reference semantics of corpus-wide line/paragraph dedup,
+    where boilerplate repeats get removed from every document but the first.
+
+    First-wins is global and deterministic: rank segments per para_hash by
+    (doc_id, para_idx). One shuffle on the hash for the ranking, one on
+    doc_id for reassembly — both equi-key, linear at 100 TB (the hash
+    shuffle is the same shape as exact doc dedup, just at segment
+    granularity).
+
+    Output per document: segment counts, the deduplicated text's md5, and
+    the retained-fraction — hash-verified against the DuckDB replay."""
+    segs = paragraph_segments(spark, sf_dir, width)
+    w = Window.partitionBy("para_hash").orderBy("doc_id", "para_idx")
+    kept = segs.withColumn("occ", F.row_number().over(w)).filter(F.col("occ") == 1)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("para_idx", "para"))),
+                lambda s: s["para"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+    totals = segs.groupBy("doc_id").agg(F.count("*").alias("n_paras"))
+    return (
+        totals.join(rebuilt, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "n_paras",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.coalesce(F.col("n_kept"), F.lit(0)) / F.col("n_paras")).alias("kept_frac"),
+            F.md5(F.coalesce(F.col("dedup_text"), F.lit(""))).alias("dedup_text_md5"),
+        )
     )

@@ -4046,6 +4046,52 @@ def q_error_cascades(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Paragraph-level dedup (round 3: Dolma/CCNet-style segment dedup — drop
+# every repeated segment corpus-wide, reassemble documents from survivors)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_paragraph_rebuild",
+    """
+    WITH idx AS (
+      SELECT doc_id, text,
+             unnest(range(0, CAST(ceil(len(string_split(text, ' ')) / 20.0) AS BIGINT)))
+               AS para_idx
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, para_idx,
+             array_to_string(
+               list_slice(string_split(text, ' '), para_idx * 20 + 1, para_idx * 20 + 20),
+               ' ') AS para
+      FROM idx
+    ),
+    kept AS (
+      SELECT doc_id, para_idx, para FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY md5(para) ORDER BY doc_id, para_idx) AS occ
+        FROM hashed
+      ) WHERE occ = 1
+    ),
+    rebuilt AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(para, ' ' ORDER BY para_idx) AS dedup_text
+      FROM kept GROUP BY 1
+    ),
+    totals AS (SELECT doc_id, COUNT(*) AS n_paras FROM hashed GROUP BY 1)
+    SELECT t.doc_id, t.n_paras,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) / t.n_paras AS kept_frac,
+           md5(COALESCE(r.dedup_text, '')) AS dedup_text_md5
+    FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+    """,
+)
+def dedup_paragraph(spark, sf_dir):
+    return dedup.paragraph_dedup(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q2 / Q11 / Q20 over the derived partsupp view (round 3: completes
 # the full 22-query TPC-H suite; the star schema ships no partsupp table,
 # so per-(part, supplier) inventory is derived from lineitem — see
