@@ -3148,9 +3148,15 @@ def q_salted_hotkey(spark, sf_dir):
 def q_compaction(spark, sf_dir):
     """Small-file compaction (sources/maintenance.compact_parquet): the
     documents table fragmented into 64 tiny files — the accreted-sink
-    state — then bin-packed in place via the staged-swap rewrite; the
-    md5-sum fingerprint proves content preservation (file-count collapse
-    and the swap's crash recovery are asserted in tests/test_sources.py)."""
+    state — then bin-packed in place via the staged-swap rewrite, which
+    now also count-verifies the staging dir before the swap. The returned
+    fingerprint is computed from the SOURCE table (deterministic under
+    any session config) and every output column is guarded in-plan by
+    equality with the same aggregate over the compacted read-back, via
+    raise_error — so a lost/duplicated file surfaces as a loud error,
+    never a silent value drift (the r3 driver failure mode). File-count
+    collapse and the swap's crash recovery are asserted in
+    tests/test_sources.py."""
     from .io import load_table
 
     frag = tempfile.mkdtemp(prefix="frag_")
@@ -3159,10 +3165,36 @@ def q_compaction(spark, sf_dir):
     maintenance.compact_parquet(spark, frag)
     back = spark.read.parquet(frag)
     content_hash = F.conv(F.substring(F.md5("text"), 1, 14), 16, 10).cast("long")
-    return back.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.length("text")).alias("total_chars"),
-        F.sum(content_hash).alias("content_hash_sum"),
+
+    def agg_of(df):
+        return df.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.sum(content_hash).alias("content_hash_sum"),
+        )
+
+    pre, post = agg_of(docs).alias("pre"), agg_of(back).alias("post")
+
+    def guarded(col):
+        # when() keeps the post-side comparison in the plan (unprunable),
+        # so the compaction roundtrip is value-verified inside the query
+        ok = F.col(f"pre.{col}") == F.col(f"post.{col}")
+        return F.when(ok, F.col(f"pre.{col}")).otherwise(
+            F.raise_error(
+                F.format_string(
+                    f"compaction roundtrip corrupted %s.{col}: pre=%s post=%s",
+                    F.col("pre.source").cast("string"),
+                    F.col(f"pre.{col}").cast("string"),
+                    F.col(f"post.{col}").cast("string"),
+                )
+            )
+        ).alias(col)
+
+    return pre.join(post, F.col("pre.source") == F.col("post.source"), "full_outer").select(
+        F.coalesce(F.col("pre.source"), F.col("post.source")).alias("source"),
+        guarded("n_docs"),
+        guarded("total_chars"),
+        guarded("content_hash_sum"),
     )
 
 

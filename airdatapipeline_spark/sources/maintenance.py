@@ -41,6 +41,11 @@ def _ceil_div(a: int, b: int) -> int:
     return max(1, -(-a // b))
 
 
+def _count_rows(spark: SparkSession, path: str) -> int:
+    """Footer-only row count (no data pages read) — cheap even at 100 TB."""
+    return spark.read.parquet(path).count()
+
+
 def recover_compaction(path: str) -> bool:
     """Heal an interrupted swap: if a previous compaction crashed between
     the two renames, the live path is missing and the data sits intact in
@@ -60,6 +65,7 @@ def compact_parquet(
     path: str,
     target_file_bytes: int = TARGET_FILE_BYTES,
     partition_col: str | None = None,
+    verify_rows: bool = True,
 ) -> dict:
     """Rewrite a parquet directory into ~target-sized files. With
     `partition_col`, each `col=value` directory is split independently into
@@ -78,6 +84,13 @@ def compact_parquet(
     metadata layer (Delta/Iceberg), which is exactly what this helper's
     scope deliberately stops short of.
 
+    With `verify_rows` (default), the staged rewrite is re-read and its
+    row count compared to the source's BEFORE any mutation of the live
+    path; a mismatch aborts with the live table untouched. Both counts
+    are parquet-footer scans (no data read), so the check stays cheap at
+    100 TB — it is the self-verification that makes a lost or duplicated
+    task output impossible to swap in silently.
+
     Local-filesystem implementation (os.walk / rename); on HDFS/S3 the
     same logic runs through the Hadoop FileSystem API."""
     path = path.rstrip("/")
@@ -87,6 +100,7 @@ def compact_parquet(
     shutil.rmtree(staging, ignore_errors=True)
 
     df = spark.read.parquet(path)
+    before_rows = _count_rows(spark, path) if verify_rows else None
     if partition_col is not None:
         # per-partition-value byte budgets from the directory layout: a
         # plain repartition(n, partition_col) would hash every value into
@@ -116,6 +130,14 @@ def compact_parquet(
 
     if not os.path.exists(os.path.join(staging, "_SUCCESS")):
         raise RuntimeError(f"compaction write to {staging} did not commit")
+    if verify_rows:
+        after_rows = _count_rows(spark, staging)
+        if after_rows != before_rows:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise RuntimeError(
+                f"compaction of {path} aborted before swap: staged rewrite has "
+                f"{after_rows} rows, source has {before_rows}; live table untouched"
+            )
     old = path + ".__old__"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)

@@ -471,6 +471,41 @@ def test_compact_parquet_preserves_rows_and_reduces_files(spark, tmp_path):
     assert maintenance.data_file_count(os.path.join(part, "bucket=1")) == 1
 
 
+def test_compaction_aborts_before_swap_on_row_drift(spark, tmp_path, monkeypatch):
+    """Self-verification: if the staged rewrite's footer count disagrees
+    with the source, compact_parquet raises BEFORE any rename and the
+    live table is untouched (byte-identical file set)."""
+    import os
+
+    from airdatapipeline_spark.sources import maintenance
+
+    path = str(tmp_path / "tbl")
+    spark.range(500).write.parquet(path)
+    files_before = sorted(
+        f for _r, _d, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    )
+
+    real_count = maintenance._count_rows
+
+    def corrupt_staging_count(sp, p):
+        n = real_count(sp, p)
+        return n - 1 if p.endswith(".__compacting__") else n
+
+    monkeypatch.setattr(maintenance, "_count_rows", corrupt_staging_count)
+    try:
+        maintenance.compact_parquet(spark, path)
+        raise AssertionError("expected RuntimeError on row drift")
+    except RuntimeError as e:
+        assert "aborted before swap" in str(e)
+    assert not os.path.exists(path + ".__compacting__")
+    assert not os.path.exists(path + ".__old__")
+    files_after = sorted(
+        f for _r, _d, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    )
+    assert files_after == files_before
+    assert spark.read.parquet(path).count() == 500
+
+
 def test_compaction_swap_recovery(spark, tmp_path):
     """A crash between the two swap renames leaves the table at
     <path>.__old__; recover_compaction restores it (and the next
