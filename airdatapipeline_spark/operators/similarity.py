@@ -239,7 +239,11 @@ def recall_at_k(
     # the exact-hash check for the IVF plan itself lives in the
     # deterministic-centroid columns/rows of this query and ivf_topk.
     # Broadcast 1-row scalar join (not a global window — no single-partition
-    # shuffle of the panel).
+    # shuffle of the panel). `out` is materialized once (Q rows — the panel)
+    # before the scalar agg re-reads it; without this the brute-force truth
+    # and all four ANN tiers would execute twice, once under the panel agg
+    # and once under the final select.
+    out = out.localCheckpoint(eager=True)
     panel = out.agg(
         (F.sum(trained_hits) / (F.count(F.lit(1)) * F.lit(float(k))) >= F.lit(RECALL_FLOOR))
         .alias("ivf_trained_floor_met")

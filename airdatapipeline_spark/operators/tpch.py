@@ -538,8 +538,12 @@ def q14_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str, brand: str = "Brand#3") -> DataFrame:
     """TPC-H Q17: lineitems below 20% of their part's average quantity —
-    the correlated subquery becomes a per-part aggregate joined back
-    (broadcast: #parts rows)."""
+    the correlated subquery becomes a per-part aggregate joined back. The
+    brand-filtered part dimension is broadcast (selective filter); the
+    avg_qty join-back carries NO hint — it is one row per partkey
+    (O(|part|), un-broadcastable at 100 TB) and shuffles on partkey, the
+    same key the aggregate just grouped by, so the extra exchange is only
+    on the already-collapsed side."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == brand)
     avg_qty = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
@@ -547,7 +551,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str, brand: str = "B
     )
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(avg_qty), li.l_partkey == F.col("ap_partkey"))
+        .join(avg_qty, li.l_partkey == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
             (_dec_sum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"),
@@ -731,7 +735,10 @@ def q16_supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFr
     comes from observed lineitem pairs; the 'complaint supplier' NOT IN
     becomes an anti-join on negative-balance suppliers): distinct supplier
     count per (p_brand, p_type). distinct (partkey, suppkey) collapses the
-    fact table before any dimension join — shrink early, join late."""
+    fact table before any dimension join — shrink early, join late. The
+    supplier anti-join side is broadcast (small dim); the UNFILTERED part
+    table is O(|part|) so its join carries no hint and shuffles on partkey
+    (AQE still picks broadcast at small SF where it fits)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
     part = load_table(spark, sf_dir, "part")
     bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0.0).select(
@@ -739,7 +746,7 @@ def q16_supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFr
     )
     return (
         li.join(F.broadcast(bad), on="l_suppkey", how="left_anti")
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -939,9 +946,12 @@ def q2_min_cost_supplier(
     offering the minimum supply cost. The correlated MIN subquery becomes a
     per-part aggregate over the region-filtered partsupp joined back on
     (partkey, cost) — same decorrelation Catalyst applies to the SQL form.
-    Dimension chain (supplier→nation→region) is broadcast; the partsupp
-    aggregate shuffles on (partkey, suppkey) — at 100 TB both lineitem
-    aggregates bucket by partkey."""
+    Only the dimension chain (supplier→nation→region) is broadcast;
+    min_cost (one row per regional part) and the type-filtered part table
+    are O(|part|), so their join-backs deliberately carry NO broadcast hint
+    and shuffle on partkey — at 100 TB an O(|part|) broadcast would OOM the
+    executors, while AQE still converts them to broadcasts at small SF
+    where they fit under the threshold."""
     ps = _derived_partsupp(spark, sf_dir)
     supp = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation")
@@ -961,11 +971,11 @@ def q2_min_cost_supplier(
     ).agg(F.min("ps_supplycost").alias("min_cost"))
     return (
         regional_ps.join(
-            F.broadcast(min_cost),
+            min_cost,
             (regional_ps.ps_partkey == F.col("mc_partkey"))
             & (regional_ps.ps_supplycost == F.col("min_cost")),
         )
-        .join(F.broadcast(part), regional_ps.ps_partkey == part.p_partkey)
+        .join(part, regional_ps.ps_partkey == part.p_partkey)
         .select(
             "s_acctbal",
             "s_name",

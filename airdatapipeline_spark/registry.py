@@ -4224,12 +4224,19 @@ def q20(spark, sf_dir):
 # order above is file-layout order, so the dicts are rebuilt here into an
 # explicit priority:
 #
-#   1. _DRIVER_WINDOW (50 names): round 3 rotates to the 82 queries that have
-#      never had a driver CORRECTNESS row (r01 ∪ r02 covered 75 distinct
-#      names), keeping four §2 family flagships so a regression in the core
-#      ETL path cannot go unseen: flagship_enrichment_gold (§2.9 + SNK2 +
-#      P1/A chain), a2_w1_daily_category_gold (A + W families),
-#      src1_scrape_clean (SRC family), u1_union_dedup (U/D families).
+#   1. _DRIVER_WINDOW (50 names): round 4 rotates to the final 42 queries
+#      that have never had a driver CORRECTNESS row (r01 ∪ r02 ∪ r03
+#      covered 110 distinct names), closing driver-verification debt: after
+#      this round every registered query has at least one driver row. Kept
+#      alongside them: the four §2 family flagships so a regression in the
+#      core ETL path cannot go unseen (flagship_enrichment_gold = §2.9 +
+#      SNK2 + P1/A chain, a2_w1_daily_category_gold = A + W families,
+#      src1_scrape_clean = SRC family, u1_union_dedup = U/D families),
+#      snk_compaction_roundtrip (hash-red at the driver in r3, rewritten
+#      this round to be self-verifying + session-config-deterministic — must
+#      re-prove green), and three heavy-plan regression picks whose code
+#      moved in r3 (simsearch_ivf_topk trained-centroid tier, plus the two
+#      most expensive composites training_data_build / curation_pipeline).
 #   2. Queries still never driver-checked (extra driver capacity lands on
 #      new signal).
 #   3. Queries already driver-green in r01/r02 (all still value-hash-checked
@@ -4246,65 +4253,89 @@ _DRIVER_WINDOW = [
     "a2_w1_daily_category_gold",
     "src1_scrape_clean",
     "u1_union_dedup",
-    # --- TPC-H tail (never driver-verified) --------------------------------
-    "tpch_q4_order_priority_exists",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_profit_by_nation_year",
-    "tpch_q10_returned_revenue",
-    "tpch_q12_priority_shipping",
-    "tpch_q13_custdist",
-    "tpch_q14_promo_revenue_pct",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_count",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_volume",
-    "tpch_q19_bracketed_revenue",
-    "tpch_q21_sole_returned_supplier",
-    "tpch_q22_idle_customers",
-    # --- warehouse maintenance / sinks -------------------------------------
-    "snk_merge_upsert_delete",
-    "snk_cdc_apply_changes",
-    "scd2_customer_dim",
+    # --- re-prove: r3 hash-red, rewritten self-verifying this round --------
     "snk_compaction_roundtrip",
-    "snk_targeted_delete",
-    "snk_snapshot_diff",
-    # --- text / training-data ----------------------------------------------
-    "text_sequence_packing",
-    "text_pii_redaction",
-    "text_decontamination",
-    "text_train_val_split",
-    "text_training_mix_sample",
-    "text_repetition_filters",
-    "text_chunking",
-    "text_postings_phrase_search",
-    "text_length_quantiles_by_lang",
-    "text_adaptive_source_filter",
-    # --- streaming ----------------------------------------------------------
-    "stream_sliding_append",
-    "stream_join_outer_append",
-    "stream_dedup_append",
-    "stream_stateful_user_counts",
-    # --- joins / aggregates -------------------------------------------------
-    "j_salted_hotkey_events",
-    "agg_grouping_sets_orders",
-    "agg_cube_orders",
-    "agg_quantiles_quantity",
-    "j_bloom_pruned_urgent_revenue",
-    # --- events / dedup / similarity / composite ---------------------------
-    "events_transition_matrix",
+    # --- heavy-plan regression picks (code moved in r3) --------------------
     "simsearch_ivf_topk",
-    "simsearch_recall",
-    "dedup_prefix_jaccard_pairs",
     "training_data_build",
+    "curation_pipeline",
+    # --- TPC-H tail (never driver-verified) --------------------------------
+    "tpch_q2_min_cost_supplier",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q20_excess_shipments",
+    # --- window family (never driver-verified) -----------------------------
+    "w_user_gap_median",
+    "w_daily_revenue_deltas",
+    "w_trailing_week_revenue",
+    "w_customer_rfm_segments",
+    # --- events analytics (never driver-verified) --------------------------
+    "events_funnel",
+    "events_cohort_retention",
+    "events_daily_anomalies",
+    "events_user_features",
+    "events_multires_rollup",
+    # --- sql api / misc (never driver-verified) ----------------------------
+    "sql_api_daily_sentiment",
+    "sql_api_error_cascades",
+    "agg_approx_family_check",
+    "src1_datasource_scrape",
+    "stream_join_append",
+    "table_profile_documents",
+    # --- multimodal (never driver-verified) --------------------------------
+    "mm_binary_features",
+    "mm_resize_roundtrip",
+    "mm_frame_sample",
+    "mm_audio_features",
+    # --- dedup tail (never driver-verified) --------------------------------
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine_pairs",
+    "dedup_incremental_candidates",
+    "dedup_cluster_assignments_star",
+    "dedup_substring_clusters",
+    "dedup_exact_substring_pairs",
+    "dedup_semantic_decisions",
+    "dedup_fingerprint_quality_decisions",
+    "dedup_candidate_triangles",
+    "dedup_paragraph_rebuild",
+    # --- similarity / embeddings tail (never driver-verified) --------------
+    "simsearch_bruteforce_topk",
+    "simsearch_sq8_topk",
+    "simsearch_pq_adc_topk",
+    "simsearch_ivfpq_topk",
+    "simsearch_ivf_list_stats",
+    "emb_quantize_sq8",
+    # --- text tail (never driver-verified) ---------------------------------
+    "text_pack_greedy",
+    "text_source_quality_report",
+    "text_quality_model_scores",
 ]
 
-# Driver-green in CORRECTNESS_r01 ∪ r02 (still value-hash-checked every round
-# by tests/test_oracle_parity.py) — these yield the window to never-checked
-# queries. simsearch_ivf_topk / simsearch_recall stay in the window because
-# round 3 changes their behavior (trained k-means centroids).
+# Driver-green in CORRECTNESS_r01 ∪ r02 ∪ r03 (still value-hash-checked every
+# round by tests/test_oracle_parity.py) — these yield the window to
+# never-checked queries.
 _PRIOR_GREEN = {
+    # r03 greens (rotated out of the window this round)
+    "tpch_q4_order_priority_exists", "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume", "tpch_q8_market_share",
+    "tpch_q9_profit_by_nation_year", "tpch_q10_returned_revenue",
+    "tpch_q12_priority_shipping", "tpch_q13_custdist",
+    "tpch_q14_promo_revenue_pct", "tpch_q15_top_supplier",
+    "tpch_q16_supplier_count", "tpch_q17_small_quantity",
+    "tpch_q18_large_volume", "tpch_q19_bracketed_revenue",
+    "tpch_q21_sole_returned_supplier", "tpch_q22_idle_customers",
+    "snk_merge_upsert_delete", "snk_cdc_apply_changes", "scd2_customer_dim",
+    "snk_targeted_delete", "snk_snapshot_diff", "text_sequence_packing",
+    "text_pii_redaction", "text_decontamination", "text_train_val_split",
+    "text_training_mix_sample", "text_repetition_filters", "text_chunking",
+    "text_postings_phrase_search", "text_length_quantiles_by_lang",
+    "text_adaptive_source_filter", "stream_sliding_append",
+    "stream_join_outer_append", "stream_dedup_append",
+    "stream_stateful_user_counts", "j_salted_hotkey_events",
+    "agg_grouping_sets_orders", "agg_cube_orders", "agg_quantiles_quantity",
+    "j_bloom_pruned_urgent_revenue", "events_transition_matrix",
+    "simsearch_recall", "dedup_prefix_jaccard_pairs",
+    # r01 ∪ r02 greens
     "p1_staging_projection", "p2_p3_clean_links", "p5_p6_today_ok_rows",
     "p7_date_range_filter", "p8_nulldrop_metric", "p9_top5_membership_filter",
     "p10_validate_domains", "d1_d2_dedup_headlines", "d4_distinct_dates",
