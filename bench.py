@@ -1,7 +1,10 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ..., "verifier": {...}, "scaling": {...}}.
+COMPACT JSON line (the driver's contract — r3's inlined detail overflowed
+the driver's tail window and produced "parsed": null):
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec},
+"sf": ...}. The verifier/scaling sections and notes go to the sidecar
+BENCH_DETAIL.json next to this script instead of stdout.
 
 Three sections:
 
@@ -78,6 +81,10 @@ HEADLINE = [
     "simsearch_ivfpq_topk",
     # the end-to-end curate→chunk→split→pack composite (extension flagship)
     "training_data_build",
+    # r4: window/events analytics family (heaviest two) so window-function
+    # shuffles are perf-tracked in the headline too (VERDICT r3 item 8)
+    "events_cohort_retention",
+    "w_customer_rfm_segments",
 ]
 
 # Quadratic-by-design audit tier: ground-truth generators for grading the
@@ -110,6 +117,8 @@ SCALING = [
     "text_token_stats_by_source",
     "text_repetition_filters",
     "training_data_build",
+    "events_cohort_retention",
+    "w_customer_rfm_segments",
 ]
 
 
@@ -198,12 +207,7 @@ def main() -> None:
         scaling = {"error": f"{type(exc).__name__}: {exc}"}
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    out = {
-        "metric": "headline_query_total",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
+    detail = {
         "verifier": {
             "note": (
                 "quadratic-by-design ground-truth tier (exact brute-force "
@@ -215,17 +219,35 @@ def main() -> None:
         },
         "scaling": scaling,
         "note": (
-            "r3: headline contains scale-safe plans only (brute-force ANN "
-            "moved to the verifier section); scaling section re-measures "
-            "the scale-eligible headline queries on a 10x replica "
-            "warehouse — near-linear ratios expected (ratio << 10 means "
-            "fixed per-stage overhead still dominates at base scale). "
-            "Forcing unchanged from r2 (noop write, best-of-2), so "
-            "headline values are comparable to BENCH_r02 minus the moved "
-            "entry."
+            "headline contains scale-safe plans only (brute-force ANN "
+            "lives in the verifier section); scaling re-measures the "
+            "scale-eligible headline queries on a 10x replica warehouse — "
+            "near-linear ratios expected (ratio << 10 means fixed "
+            "per-stage overhead still dominates at base scale). Forcing "
+            "unchanged since r2 (noop write, best-of-2). r4 adds "
+            "events_cohort_retention + w_customer_rfm_segments to the "
+            "headline (subtract them for a like-for-like r3 comparison)."
         ),
     }
-    print(json.dumps(out))
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    sys.stderr.write(f"verifier/scaling detail written to {detail_path}\n")
+
+    # The compact line is the LAST stdout line (driver parses the tail).
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
