@@ -808,6 +808,14 @@ def paragraph_segments(spark: SparkSession, sf_dir: str, width: int = PARA_WORDS
     )
 
 
+# Hard bound on per-document aggregation state: the reassembly fingerprint
+# collects 32-byte segment hashes per doc, so the worst-case group state is
+# MAX_SEGMENTS_PER_DOC * 32 B ≈ 8 MB — a pathological 100 MB document fails
+# LOUDLY in-plan instead of silently blowing an executor's aggregation
+# buffer at 100 TB. (At width=20 the cap corresponds to a ~5M-word doc.)
+MAX_SEGMENTS_PER_DOC = 250_000
+
+
 def paragraph_dedup(spark: SparkSession, sf_dir: str, width: int = PARA_WORDS) -> DataFrame:
     """Dolma-style paragraph-level dedup: every segment whose exact text was
     already seen in an earlier document (or earlier position of the same
@@ -821,29 +829,57 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str, width: int = PARA_WORDS) -
     shuffle is the same shape as exact doc dedup, just at segment
     granularity).
 
-    Output per document: segment counts, the deduplicated text's md5, and
+    Bounded memory (r4 hardening): the reassembly aggregate collects the
+    kept segments' 32-byte md5s, never their text, so per-group state is
+    32 B × n_kept regardless of document width; the emitted fingerprint is
+    md5(concat of segment md5s in para_idx order) — order-sensitive, exactly
+    replayable in DuckDB, and equal across engines iff the surviving
+    segment SEQUENCE is equal. n_paras is guarded by MAX_SEGMENTS_PER_DOC
+    via raise_error, so an over-cap document aborts the job with a named
+    doc_id instead of OOMing an executor. Full-text rebuild (for the write
+    path) stays available from `paragraph_segments` + the same rank filter
+    with a partitionBy(doc_id).sortWithinPartitions write — no per-doc
+    collect needed there either.
+
+    Output per document: segment counts, the kept-sequence fingerprint, and
     the retained-fraction — hash-verified against the DuckDB replay."""
     segs = paragraph_segments(spark, sf_dir, width)
     w = Window.partitionBy("para_hash").orderBy("doc_id", "para_idx")
     kept = segs.withColumn("occ", F.row_number().over(w)).filter(F.col("occ") == 1)
     rebuilt = kept.groupBy("doc_id").agg(
         F.count("*").alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("para_idx", "para"))),
-                lambda s: s["para"],
-            ),
-            " ",
-        ).alias("dedup_text"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("para_idx", "para_hash"))),
+                    lambda s: s["para_hash"],
+                ),
+                "",
+            )
+        ).alias("dedup_fingerprint"),
     )
     totals = segs.groupBy("doc_id").agg(F.count("*").alias("n_paras"))
+    n_paras_guarded = F.when(
+        F.col("n_paras") <= MAX_SEGMENTS_PER_DOC, F.col("n_paras")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                f"paragraph_dedup: doc %s has %s segments (> cap {MAX_SEGMENTS_PER_DOC}); "
+                "raise MAX_SEGMENTS_PER_DOC or pre-split the document",
+                F.col("doc_id").cast("string"),
+                F.col("n_paras").cast("string"),
+            )
+        )
+    )
     return (
         totals.join(rebuilt, on="doc_id", how="left")
         .select(
             "doc_id",
-            "n_paras",
+            n_paras_guarded.alias("n_paras"),
             F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
             (F.coalesce(F.col("n_kept"), F.lit(0)) / F.col("n_paras")).alias("kept_frac"),
-            F.md5(F.coalesce(F.col("dedup_text"), F.lit(""))).alias("dedup_text_md5"),
+            F.coalesce(F.col("dedup_fingerprint"), F.md5(F.lit(""))).alias(
+                "dedup_fingerprint"
+            ),
         )
     )

@@ -4108,14 +4108,14 @@ def q_error_cascades(spark, sf_dir):
     ),
     rebuilt AS (
       SELECT doc_id, COUNT(*) AS n_kept,
-             string_agg(para, ' ' ORDER BY para_idx) AS dedup_text
+             md5(string_agg(md5(para), '' ORDER BY para_idx)) AS dedup_fingerprint
       FROM kept GROUP BY 1
     ),
     totals AS (SELECT doc_id, COUNT(*) AS n_paras FROM hashed GROUP BY 1)
     SELECT t.doc_id, t.n_paras,
            CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
            CAST(COALESCE(r.n_kept, 0) AS BIGINT) / t.n_paras AS kept_frac,
-           md5(COALESCE(r.dedup_text, '')) AS dedup_text_md5
+           COALESCE(r.dedup_fingerprint, md5('')) AS dedup_fingerprint
     FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
     """,
 )

@@ -285,3 +285,64 @@ def test_greedy_packing_invariants(spark_global):
     assert out.sort_values(["bucket", "doc_id"]).reset_index(drop=True).equals(
         again.sort_values(["bucket", "doc_id"]).reset_index(drop=True)
     )
+
+
+@given(
+    word_counts=st.lists(st.integers(min_value=0, max_value=137), min_size=1, max_size=8)
+)
+@settings(max_examples=10, deadline=None)
+def test_paragraph_segment_count_bound(spark_global, word_counts, tmp_path_factory):
+    """Segmentation invariant behind the MAX_SEGMENTS_PER_DOC memory bound:
+    every document yields exactly ceil(words / width) segments (min 1 — an
+    empty text still splits to one empty token), each segment at most
+    `width` words, and reassembling the segments in order restores the
+    text. So per-doc aggregation state in paragraph_dedup is provably
+    <= ceil(words/width) * 32 B, which the in-plan cap turns into a hard
+    executor-memory guarantee."""
+    import math
+
+    from airdatapipeline_spark.operators.dedup import PARA_WORDS, paragraph_segments
+
+    sf = str(tmp_path_factory.mktemp("paraseg"))
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(n)))
+        for i, n in enumerate(word_counts)
+    ]
+    spark_global.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{sf}/documents.parquet")
+
+    segs = paragraph_segments(spark_global, sf).toPandas()
+    for i, n in enumerate(word_counts):
+        mine = segs[segs.doc_id == i].sort_values("para_idx")
+        # split(' ') on empty text yields [''], i.e. one "word"
+        expected = max(1, math.ceil(max(n, 1) / PARA_WORDS))
+        assert len(mine) == expected
+        assert list(mine.para_idx) == list(range(expected))
+        assert all(len(p.split(" ")) <= PARA_WORDS for p in mine.para)
+        assert " ".join(mine.para) == rows[i][1]
+
+
+def test_paragraph_dedup_over_cap_doc_fails_loudly(spark_global, tmp_path):
+    """A document exceeding MAX_SEGMENTS_PER_DOC must abort the job with a
+    named doc_id (raise_error in-plan), never OOM silently. Exercised with
+    the cap monkey-lowered via a narrow width so the test stays tiny."""
+    import pytest
+
+    from airdatapipeline_spark.operators import dedup as dd
+
+    sf = str(tmp_path / "paracap")
+    spark_global.createDataFrame(
+        [(7, " ".join(f"u{j}" for j in range(100)))], "doc_id long, text string"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    orig = dd.MAX_SEGMENTS_PER_DOC
+    dd.MAX_SEGMENTS_PER_DOC = 3  # 100 words / width 20 = 5 segments > 3
+    try:
+        with pytest.raises(Exception, match="doc 7 has 5 segments"):
+            dd.paragraph_dedup(spark_global, sf).collect()
+        dd.MAX_SEGMENTS_PER_DOC = orig
+        ok = dd.paragraph_dedup(spark_global, sf).toPandas()
+        assert ok.n_paras.iloc[0] == 5 and ok.n_kept.iloc[0] == 5
+    finally:
+        dd.MAX_SEGMENTS_PER_DOC = orig
