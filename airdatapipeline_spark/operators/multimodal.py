@@ -54,14 +54,26 @@ class FakeDecoder:
 
 @dataclass
 class ImageLibDecoder:
-    """Real decoder stub — requires PIL/ffmpeg, not present in this
-    container. The Spark-side contract is identical to FakeDecoder."""
+    """Real image decoder, gated on the environment: when Pillow is
+    importable the decode actually runs (width/height from the codec,
+    n_frames for animated formats); when it is absent — as in this
+    container, verified ModuleNotFoundError — the stub message fires. The
+    Spark-side contract is identical to FakeDecoder, so swapping decoders
+    never changes the plan, schema, or batch shape."""
 
     def decode(self, payload: bytes) -> tuple[int, int, int]:
-        raise NotImplementedError(
-            "STUB: real image/video decode needs PIL/ffmpeg; plug in via "
-            "Decoder protocol (see FakeDecoder for the tested plumbing)"
-        )
+        import importlib.util
+        import io
+
+        if importlib.util.find_spec("PIL") is None:
+            raise NotImplementedError(
+                "STUB: real image/video decode needs PIL/ffmpeg; plug in via "
+                "Decoder protocol (see FakeDecoder for the tested plumbing)"
+            )
+        from PIL import Image
+
+        with Image.open(io.BytesIO(payload)) as img:
+            return img.width, img.height, int(getattr(img, "n_frames", 1))
 
 
 AUDIO_SCHEMA = (
@@ -89,14 +101,23 @@ class FakeAudioDecoder:
 
 @dataclass
 class AudioLibDecoder:
-    """Real audio decoder stub — requires soundfile/ffmpeg, not present in
-    this container. Contract identical to FakeAudioDecoder."""
+    """Real audio decoder, gated on the environment: decodes through
+    soundfile when importable (absent in this container — verified), else
+    raises the stub message. Contract identical to FakeAudioDecoder."""
 
     def decode(self, payload: bytes) -> tuple[int, int, int]:
-        raise NotImplementedError(
-            "STUB: real audio decode needs soundfile/ffmpeg; plug in via "
-            "the same Decoder-protocol slot FakeAudioDecoder fills"
-        )
+        import importlib.util
+        import io
+
+        if importlib.util.find_spec("soundfile") is None:
+            raise NotImplementedError(
+                "STUB: real audio decode needs soundfile/ffmpeg; plug in via "
+                "the same Decoder-protocol slot FakeAudioDecoder fills"
+            )
+        import soundfile as sf_lib
+
+        with sf_lib.SoundFile(io.BytesIO(payload)) as snd:
+            return int(snd.samplerate), int(snd.channels), int(len(snd))
 
 
 def audio_features(
