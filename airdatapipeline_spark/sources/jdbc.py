@@ -16,9 +16,13 @@ over ``dbt_gold.daily_sentiment_analysis`` and
   counts, t3 recent top-k) that run identically on a JDBC-backed
   DataFrame, so only the *source* changes, not the query code.
 
-This container has no Postgres server and no JDBC driver jar, so tests
-cover the option-construction contract; ``read_table``/``read_query`` are
-thin ``.load()`` wrappers over those options.
+This container has no Postgres server and no Postgres driver jar, so the
+Postgres contract is covered by option-construction tests — but the READ
+PATH itself is executed live in CI against embedded Derby (the JDBC driver
+Spark ships for its metastore): tests/test_sources.py round-trips a table
+through ``df.write.jdbc`` + ``read_table(url=..., driver=...)`` and asserts
+the partitioned scan really fans out. Swapping url/driver is the only
+difference between that test and a production Postgres read.
 """
 
 from __future__ import annotations
@@ -74,6 +78,8 @@ def jdbc_options(
     database: str | None = None,
     user: str | None = None,
     password: str | None = None,
+    url: str | None = None,
+    driver: str | None = None,
     partition_column: str | None = "id",
     lower_bound: int = 0,
     upper_bound: int = 1_000_000,
@@ -86,12 +92,14 @@ def jdbc_options(
     are only attached for `table` reads (Spark forbids them with `query`);
     at scale bounds come from a cheap MIN/MAX probe or the table's
     sequence, and num_partitions matches the executor count so the pull is
-    cluster-parallel."""
+    cluster-parallel. `url`/`driver` default to the reference's Postgres;
+    overriding both points the same read path at any JDBC backend (the
+    embedded-Derby CI test does exactly this)."""
     if (table is None) == (query is None):
         raise ValueError("exactly one of table/query is required")
     opts: dict[str, str] = {
-        "url": jdbc_url(host, port, database),
-        "driver": "org.postgresql.Driver",
+        "url": url or jdbc_url(host, port, database),
+        "driver": driver or "org.postgresql.Driver",
         "user": user or os.environ.get("POSTGRES_USER", "airflow"),
         "password": password or os.environ.get("POSTGRES_PASSWORD", "airflow"),
         "fetchsize": str(fetch_size),
