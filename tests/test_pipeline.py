@@ -251,3 +251,44 @@ def test_openai_classifier_retries_then_sentinels():
     assert list(out.category) == ["Economia", "Erro"]
     assert list(out.confidence_score) == [0.8, 0.0]
     assert slept[0] == 0.5 and slept[1:] == [0.5, 1.0]  # exponential backoff
+
+
+def test_dashboard_renderer_covers_reference_sections(spark):
+    """The dashboard twin (tools/dashboard.py) must produce every section of
+    the reference's Streamlit app — KPI row, the four tabs' chart-backing
+    tables, and the footer stats — and its HTML export must carry the same
+    tables. Spark session is reused; only the render layer is under test."""
+    import importlib.util
+    import os
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "dash_tool", os.path.join(os.path.dirname(__file__), "..", "tools", "dashboard.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["dash_tool"] = mod
+    spec.loader.exec_module(mod)
+
+    r = mod.build_sections(spark, "/root/testdata/sf0.001", "2025-08-02", "2025-08-06")
+    titles = [t for t, _c, _r in r.sections]
+    for needle in (
+        "Period summary", "Daily sentiment", "area chart", "melted",
+        "Category totals", "Top-5 categories", "heatmap",
+        "Confidence by date", "histogram", "Collected confidences",
+        "recent headlines", "Avg headlines/day", "trend", "Peak days",
+    ):
+        assert any(needle.lower() in t.lower() for t in titles), needle
+
+    # the date filter really constrains the temporal sections
+    daily = next(rows for t, _c, rows in r.sections if t.startswith("Daily sentiment"))
+    dates = {row[0] for row in daily}
+    assert dates and all("2025-08-02" <= d <= "2025-08-06" for d in dates)
+
+    text = r.text()
+    html = r.html()
+    assert "Daily sentiment" in text
+    import html as html_mod
+
+    for t in titles:
+        assert f"<h2>{html_mod.escape(t)}</h2>" in html
+    assert html.count("<table>") == len(titles)
