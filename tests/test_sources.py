@@ -27,9 +27,85 @@ def test_scrape_job_end_to_end(spark):
     assert bronze2.count() < len(pdf)
 
 
-def test_playwright_scraper_is_stub():
-    with pytest.raises(NotImplementedError):
+def test_playwright_scraper_gated_on_environment():
+    import importlib.util
+
+    if importlib.util.find_spec("playwright") is not None:
+        pytest.skip("playwright present — the real launch path applies")
+    with pytest.raises(NotImplementedError, match="playwright"):
         scrape.PlaywrightScraper().scrape()
+
+
+def test_http_scraper_live_over_local_server(spark):
+    """SRC1 live-transport e2e: a fixture page with every markup variant
+    the selector contract covers, served by a real in-process HTTP server,
+    scraped by HttpScraper over a real socket, landed as a Bronze
+    DataFrame. Covers: enclosing-<a> tier, child-<a> tier,
+    data-mrf-link tier, relative-URL normalization, non-http drop,
+    short-title floor, title and link dedup."""
+    import http.server
+    import threading
+
+    from airdatapipeline_spark.sources.scrape_http import HttpScraper
+
+    page = """
+    <html><body>
+      <a href="/politica/materia-1"><h2 data-mrf-layout-title>
+        Manchete um com texto suficientemente longo</h2></a>
+      <div class="feed-post-body-title">
+        Manchete dois com texto suficientemente longo
+        <a href="https://g1.globo.com/eco/materia-2">leia</a></div>
+      <div data-mrf-link="https://g1.globo.com/tec/materia-3">
+        <span data-mrf-layout-title>Manchete tres com texto suficientemente longo</span>
+      </div>
+      <p data-mrf-layout-title><a href="ftp://bad.example/x">
+        Manchete quatro com protocolo invalido e longa</a></p>
+      <h3 data-mrf-layout-title><a href="/curta">curta</a></h3>
+      <a href="/politica/materia-1"><span class="bstn-hl-title">
+        Manchete um com texto suficientemente longo</span></a>
+      <img src="x.png"><br>
+    </body></html>
+    """
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            body = page.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        rows = HttpScraper(url=f"http://127.0.0.1:{srv.server_port}/").scrape()
+    finally:
+        srv.shutdown()
+
+    got = {(r["title"], r["link"]) for r in rows}
+    assert got == {
+        ("Manchete um com texto suficientemente longo",
+         "https://g1.globo.com/politica/materia-1"),
+        ("Manchete dois com texto suficientemente longo leia",
+         "https://g1.globo.com/eco/materia-2"),
+        ("Manchete tres com texto suficientemente longo",
+         "https://g1.globo.com/tec/materia-3"),
+    }
+    df = scrape.scrape_to_dataframe(spark, _Fixed(rows))
+    assert df.count() == 3 and set(df.columns) >= {"title", "link", "source", "scraped_at"}
+
+
+class _Fixed:
+    def __init__(self, rows):
+        self._rows = rows
+
+    def scrape(self):
+        return self._rows
 
 
 class _El:
