@@ -458,25 +458,23 @@ def cluster_assignments(spark: SparkSession, sf_dir: str, max_iter: int = 20) ->
         .select(F.col("src").alias("node"), F.least("src", "mn").alias("label"))
         .localCheckpoint()
     )
+    # Convergence probe: HashMin labels are monotonically NON-INCREASING
+    # (new label = min over a set containing the old label) and the node set
+    # is fixed after seeding, so sum(label) strictly decreases iff ANY label
+    # improved — one cheap scan of the just-checkpointed table per round,
+    # where a join-against-previous probe would re-shuffle both label sets.
+    label_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
         prop = edges.join(labels, edges["dst"] == labels["node"]).select(
             edges["src"].alias("node"), "label"
         )
-        new_labels = (
+        labels = (
             labels.unionByName(prop).groupBy("node").agg(F.min("label").alias("label"))
         ).localCheckpoint()
-        # short-circuit probe: any single improved label means another round
-        changed = (
-            new_labels.join(
-                labels.select("node", F.col("label").alias("old_label")), "node"
-            )
-            .filter(F.col("label") < F.col("old_label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if new_sum == label_sum:
             break
+        label_sum = new_sum
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
