@@ -12,7 +12,15 @@ Grammar restrictions keep results engine-exact by construction:
 - the SAME SQL string runs on both engines (ANSI core both dialects parse)
 """
 
+import os
+
 import pandas as pd
+
+def _ex(default: int) -> int:
+    """Example count per fuzz property; SPARK_GRAFT_FUZZ_SOAK=<mult>
+    multiplies every family for one-off deep soak runs (not CI default)."""
+    return default * int(os.environ.get("SPARK_GRAFT_FUZZ_SOAK", "1"))
+
 import pytest
 from hypothesis import given, settings, strategies as st
 
@@ -212,13 +220,13 @@ def _assert_engines_agree(engines, sql):
 
 
 @given(sql=_query())
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=_ex(40), deadline=None)
 def test_spark_and_duckdb_agree_on_generated_sql(engines, sql):
     _assert_engines_agree(engines, sql)
 
 
 @given(sql=_join_query())
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=_ex(25), deadline=None)
 def test_spark_and_duckdb_agree_on_generated_joins(engines, sql):
     _assert_engines_agree(engines, sql)
 
@@ -250,7 +258,7 @@ def _window_query(draw):
 
 
 @given(sql=_window_query())
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=_ex(25), deadline=None)
 def test_spark_and_duckdb_agree_on_generated_windows(engines, sql):
     _assert_engines_agree(engines, sql)
 
@@ -275,7 +283,7 @@ def _orderby_query(draw):
 
 
 @given(sql=_orderby_query())
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=_ex(25), deadline=None)
 def test_spark_and_duckdb_agree_on_order_by_limit(engines, sql):
     spark, duck = engines
     s = spark.sql(sql).toPandas()
@@ -315,7 +323,7 @@ def _setop_query(draw):
 
 
 @given(sql=_setop_query())
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=_ex(25), deadline=None)
 def test_spark_and_duckdb_agree_on_set_operations(engines, sql):
     _assert_engines_agree(engines, sql)
 
@@ -352,7 +360,7 @@ def _subquery_query(draw):
 
 
 @given(sql=_subquery_query())
-@settings(max_examples=20, deadline=None)
+@settings(max_examples=_ex(20), deadline=None)
 def test_spark_and_duckdb_agree_on_subquery_predicates(engines, sql):
     _assert_engines_agree(engines, sql)
 
@@ -385,7 +393,7 @@ def _grouping_query(draw):
 
 
 @given(q=_grouping_query())
-@settings(max_examples=20, deadline=None)
+@settings(max_examples=_ex(20), deadline=None)
 def test_spark_and_duckdb_agree_on_rollup_cube_grouping_sets(engines, q):
     # Empty-input examples are excluded: the engines genuinely diverge there
     # (pinned in test_rollup_empty_input_divergence below), so the fuzz
@@ -452,7 +460,7 @@ def _scalar_query(draw):
 
 
 @given(sql=_scalar_query())
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=_ex(25), deadline=None)
 def test_spark_and_duckdb_agree_on_scalar_expressions(engines, sql):
     _assert_engines_agree(engines, sql)
 
@@ -474,6 +482,6 @@ def _outer_join_query(draw):
 
 
 @given(sql=_outer_join_query())
-@settings(max_examples=20, deadline=None)
+@settings(max_examples=_ex(20), deadline=None)
 def test_spark_and_duckdb_agree_on_outer_joins(engines, sql):
     _assert_engines_agree(engines, sql)
