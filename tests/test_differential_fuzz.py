@@ -587,3 +587,52 @@ def test_extract_dow_convention_divergence(ts_engines):
     sql = "SELECT EXTRACT(DOW FROM TIMESTAMP '2024-01-07 12:00:00') AS d"
     assert spark.sql(sql).collect()[0].d == 1  # Spark: Sunday = 1
     assert int(duck.run(sql)["d"][0]) == 0  # DuckDB: Sunday = 0
+
+
+# Decimal-exact accumulation — the repo-wide determinism policy (DESIGN §3)
+# as a GENERATIVE property: SUM over DOUBLE must go through a DECIMAL cast
+# to be engine-exact, and with that cast the engines agree bit-for-bit on
+# arbitrary filtered subsets, orderings and groupings of events.value.
+@st.composite
+def _decimal_sum_query(draw):
+    p = draw(_ts_pred)
+    group = draw(st.sampled_from(["event_type", "user_id % 10", "CAST(ts AS DATE)"]))
+    return (
+        f"SELECT {group} AS k, "
+        "CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total, "
+        "COUNT(*) AS n "
+        f"FROM events_fuzz WHERE {p} GROUP BY 1"
+    )
+
+
+@given(sql=_decimal_sum_query())
+@settings(max_examples=_ex(20), deadline=None)
+def test_spark_and_duckdb_agree_on_decimal_exact_sums(ts_engines, sql):
+    _assert_engines_agree(ts_engines, sql)
+
+
+# Ordered window frames: the lineitem families exclude ordered frames
+# because its keys duplicate (ties → nondeterministic). events.event_id is
+# UNIQUE, so ROWS-frame running aggregates over ORDER BY event_id are a
+# total order — deterministic per row, engine-exact for integer sums.
+@st.composite
+def _ordered_frame_query(draw):
+    p = draw(_ts_pred)
+    k = draw(st.integers(min_value=0, max_value=5))
+    fn = draw(
+        st.sampled_from(
+            ["COUNT(*)", "SUM(user_id)", "MIN(event_id)", "MAX(event_id)"]
+        )
+    )
+    part = draw(st.sampled_from(["", "PARTITION BY event_type "]))
+    return (
+        f"SELECT event_id, {fn} OVER ({part}ORDER BY event_id "
+        f"ROWS BETWEEN {k} PRECEDING AND CURRENT ROW) AS v "
+        f"FROM events_fuzz WHERE {p}"
+    )
+
+
+@given(sql=_ordered_frame_query())
+@settings(max_examples=_ex(20), deadline=None)
+def test_spark_and_duckdb_agree_on_ordered_window_frames(ts_engines, sql):
+    _assert_engines_agree(ts_engines, sql)
