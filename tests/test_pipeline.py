@@ -292,3 +292,28 @@ def test_dashboard_renderer_covers_reference_sections(spark):
     for t in titles:
         assert f"<h2>{html_mod.escape(t)}</h2>" in html
     assert html.count("<table>") == len(titles)
+
+
+def test_bench_query_names_exist_in_registry():
+    """Drift guard (same spirit as the README count pin): every name in
+    bench.py's HEADLINE / VERIFIER / SCALING tiers must be a registered
+    query (or the special flagship_pipeline), or the driver's per-round
+    bench run crashes on a KeyError after a rename."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    from airdatapipeline_spark.registry import QUERIES
+
+    special = {"flagship_pipeline"}
+    for tier_name in ("HEADLINE", "VERIFIER", "SCALING"):
+        tier = getattr(bench, tier_name)
+        missing = [n for n in tier if n not in QUERIES and n not in special]
+        assert not missing, f"bench.{tier_name} references unknown queries: {missing}"
+    # scaling must be a subset of headline (ratios divide by headline times)
+    assert set(bench.SCALING) <= set(bench.HEADLINE)
