@@ -1,0 +1,181 @@
+"""Corpus-preparation operators: global deterministic sharding, temperature
+mix planning, and corpus-frequency token statistics.
+
+These close the gap between a curated document set and what actually feeds a
+trainer at 100 TB: a *globally shuffled*, fixed-token-budget shard layout
+(decorrelating sources/crawl order without a nondeterministic `ORDER BY
+rand()`), a temperature-scaled source-sampling plan (the mT5/XLM-R
+`p_i ∝ share_i^τ` schedule), and per-document corpus-frequency scores (the
+inverted-index statistic behind rare-token/gibberish filters).
+
+Everything is pure `pyspark.sql.functions` (no Python UDFs) and follows the
+repo's determinism rules: integer sums, single-division ratios, and only
+correctly-rounded IEEE primitives (sqrt — never pow/log, whose last-ulp
+behavior differs across engines) so every query here is value-hash-exact
+against its DuckDB oracle on any session config.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from .text import tokens_col
+
+# Shard layout: documents are laid end-to-end in seeded-hash order and cut
+# into SHARD_TOKENS-budget windows. 2048 tokens ≈ a handful of shards at the
+# test SFs; at 100 TB the budget would be a few GB of tokens per shard file.
+SHARD_TOKENS = 2048
+# 256 range buckets = the top byte of the 56-bit shuffle hash. The global
+# prefix-sum runs per-bucket with only the 256-row bucket-total table going
+# through a single-partition window — the classic two-level distributed scan.
+SHARD_BUCKET_DIV = 1 << 48
+
+# Temperature for source sampling: τ = 0.5 exactly, i.e. weight = sqrt(share).
+# sqrt is the one non-rational primitive that IEEE 754 requires to be
+# correctly rounded, so Spark (JVM) and DuckDB (libm) agree bit-for-bit —
+# unlike pow(x, τ) for general τ. The integer floor(sqrt(tokens)) weight
+# keeps the cross-source normalizing SUM in exact integer arithmetic.
+MIX_RARE_MAX = 2  # a token is "rare" if its corpus frequency is ≤ this
+VOCAB_HEAD_K = 256  # Zipf head broadcast size for the frequency join-back
+
+
+def _shard_hkey() -> F.Column:
+    """56-bit seeded shuffle key: conv(md5('shard:'||doc_id)[0:14], 16, 10).
+    Content-addressed like every selection hash in this repo (text.py
+    `_hash_bucket`), so shard membership is engine/partitioning-invariant;
+    the 'shard:' salt decorrelates it from the train/val and mix hashes."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))), 1, 14), 16, 10)
+        .cast("long")
+    )
+
+
+def shard_manifest(spark: SparkSession, sf_dir: str, budget: int = SHARD_TOKENS) -> DataFrame:
+    """Deterministic global corpus shuffle → fixed-token-budget shard
+    manifest. Documents are ordered by a seeded content hash (a reproducible
+    stand-in for `ORDER BY rand()` — same decorrelation, zero
+    nondeterminism), token offsets are assigned by a cumulative sum over
+    that order, and shard_id = the budget window the document STARTS in.
+    The manifest rows (per shard: docs, token mass, source spread, hash
+    span) are exactly what a trainer's data loader consumes.
+
+    Scale shape: a single global window would serialize the corpus through
+    one task, so the prefix sum is two-level — per-doc cumulative sums run
+    inside 256 hash-range buckets (the top byte of the shuffle key, so
+    bucket order IS global hash order), and only the 256-row bucket-total
+    table crosses a single-partition window to produce per-bucket base
+    offsets, which a broadcast join adds back. One wide shuffle (by bucket)
+    + one 256-row window + one broadcast: the TeraSort-style layout pass,
+    linear at 100 TB.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per = d.select(
+        "doc_id",
+        "source",
+        _shard_hkey().alias("hkey"),
+        F.size(tokens_col()).cast("long").alias("n_tok"),
+    ).withColumn("bucket", F.expr(f"hkey div {SHARD_BUCKET_DIV}"))
+
+    btot = per.groupBy("bucket").agg(F.sum("n_tok").alias("btok"))
+    # 256-row table: the only unpartitioned window in the plan, by design.
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    bases = btot.select("bucket", (F.sum("btok").over(wb) - F.col("btok")).alias("base"))
+
+    wd = Window.partitionBy("bucket").orderBy("hkey", "doc_id")
+    offs = (
+        per.join(F.broadcast(bases), "bucket")
+        .withColumn("start_off", F.col("base") + F.sum("n_tok").over(wd) - F.col("n_tok"))
+        .withColumn("shard_id", F.expr(f"start_off div {budget}"))
+    )
+    return offs.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("shard_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min("hkey").alias("shard_min_hkey"),
+        F.max("hkey").alias("shard_max_hkey"),
+    )
+
+
+def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source-sampling plan (mT5/XLM-R style): sampling
+    weight w_i = floor(sqrt(tokens_i)) — i.e. p_i ∝ share_i^0.5, flattening
+    the source distribution so rare sources are upsampled — normalized over
+    sources, with the resulting target token mass and epoch count (>1 ⇒ the
+    source is seen more than once per pass) per source.
+
+    Determinism: weights are exact integers (floor of a correctly-rounded
+    sqrt of an exact long), the normalizer is an integer SUM, and every
+    float column is a fixed per-row sequence of IEEE ops on those exact
+    inputs — no cross-row float accumulation anywhere. Scale shape: one
+    per-source aggregate (20 rows at any corpus size) + a broadcast 1-row
+    totals attach; the corpus is scanned once."""
+    d = load_table(spark, sf_dir, "documents")
+    per_src = (
+        d.select("source", F.size(tokens_col()).cast("long").alias("n_tok"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("src_tokens"))
+        .withColumn("weight", F.floor(F.sqrt(F.col("src_tokens").cast("double"))))
+    )
+    totals = per_src.agg(
+        F.sum("src_tokens").alias("corpus_tokens"), F.sum("weight").alias("weight_denom")
+    )
+    p = F.col("weight") / F.col("weight_denom")
+    target = p * F.col("corpus_tokens")
+    return per_src.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        (F.col("src_tokens") / F.col("corpus_tokens")).alias("token_share"),
+        "weight",
+        p.alias("sample_prob"),
+        target.alias("target_tokens"),
+        (target / F.col("src_tokens")).alias("epochs"),
+    )
+
+
+def token_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document corpus-frequency statistics: mean corpus frequency of
+    the document's tokens and the fraction of tokens that are corpus-rare
+    (frequency ≤ MIX_RARE_MAX) — the unigram statistic behind
+    gibberish/rare-language filters (all-rare docs) and boilerplate
+    detection (all-head docs), computed from the corpus itself in one pass.
+
+    Scale shape: the token→frequency join-back is the skew trap at 100 TB —
+    term frequencies are Zipfian, so the hot head ('the', ',') would melt a
+    hash partition. The join is therefore split: the top VOCAB_HEAD_K
+    tokens by frequency (a tiny sorted limit) broadcast to every executor
+    and resolve the head occurrences map-side; only the long tail — whose
+    per-token counts are small by construction — goes through the shuffled
+    equi-join. Results are identical either way (same frequency table), so
+    the DuckDB oracle is a plain join."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "source", F.explode(tokens_col()).alias("token"))
+    vocab = tok.groupBy("token").agg(F.count("*").alias("tf"))
+    head = vocab.orderBy(F.col("tf").desc(), F.col("token").asc()).limit(VOCAB_HEAD_K)
+
+    with_head = tok.join(F.broadcast(head), "token", "left")
+    hits = with_head.filter(F.col("tf").isNotNull())
+    tail = with_head.filter(F.col("tf").isNull()).drop("tf").join(vocab, "token")
+
+    occ = hits.unionByName(tail.select(*hits.columns))
+    rare = F.when(F.col("tf") <= MIX_RARE_MAX, F.lit(1)).otherwise(F.lit(0))
+    return (
+        occ.groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.sum("tf").alias("sum_tf"),
+            F.sum(rare).alias("rare_n"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_tok",
+            "sum_tf",
+            "rare_n",
+            (F.col("sum_tf") / F.col("n_tok")).alias("mean_tok_freq"),
+            (F.col("rare_n") / F.col("n_tok")).alias("rare_frac"),
+            (F.col("rare_n") / F.col("n_tok") > 0.5).alias("rare_suspect"),
+        )
+    )

@@ -4216,6 +4216,96 @@ def q20(spark, sf_dir):
     return tpch.q20_excess_shipments(spark, sf_dir)
 
 
+# --- corpus preparation: sharding / temperature mix / token rarity (r4) -----
+
+from .operators import corpus  # noqa: E402
+
+
+@register(
+    "text_shard_manifest",
+    f"""
+    WITH per AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 14))
+                  AS BIGINT) AS hkey,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    off AS (
+      SELECT *, SUM(n_tok) OVER (ORDER BY hkey, doc_id) - n_tok AS start_off FROM per
+    )
+    SELECT start_off // {corpus.SHARD_TOKENS} AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS shard_tokens,
+           COUNT(DISTINCT source) AS n_sources,
+           MIN(hkey) AS shard_min_hkey,
+           MAX(hkey) AS shard_max_hkey
+    FROM off GROUP BY 1
+    """,
+)
+def t_shards(spark, sf_dir):
+    """Global hash-shuffled shard layout; the oracle replays the two-level
+    distributed prefix sum as one flat cumulative SUM (same order: the
+    bucket is the hash's top byte, so (bucket, hkey) ≡ hkey)."""
+    return corpus.shard_manifest(spark, sf_dir)
+
+
+@register(
+    "text_temperature_mix_weights",
+    f"""
+    WITH per_src AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len({_TOKS})) AS BIGINT) AS src_tokens,
+             CAST(FLOOR(SQRT(CAST(SUM(len({_TOKS})) AS DOUBLE))) AS BIGINT) AS weight
+      FROM documents GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(src_tokens) AS BIGINT) AS corpus_tokens,
+             CAST(SUM(weight) AS BIGINT) AS weight_denom
+      FROM per_src
+    )
+    SELECT source, n_docs, src_tokens,
+           src_tokens / corpus_tokens AS token_share,
+           weight,
+           weight / weight_denom AS sample_prob,
+           (weight / weight_denom) * corpus_tokens AS target_tokens,
+           ((weight / weight_denom) * corpus_tokens) / src_tokens AS epochs
+    FROM per_src, tot
+    """,
+)
+def t_mix_weights(spark, sf_dir):
+    """τ=0.5 temperature sampling plan — integer sqrt weights so the
+    normalizer stays in exact arithmetic (see corpus.py docstring)."""
+    return corpus.temperature_mix_weights(spark, sf_dir)
+
+
+@register(
+    "text_token_rarity_scores",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest({_TOKS}) AS token FROM documents
+    ),
+    v AS (SELECT token, COUNT(*) AS tf FROM tok GROUP BY 1)
+    SELECT tok.doc_id, tok.source,
+           COUNT(*) AS n_tok,
+           CAST(SUM(tf) AS BIGINT) AS sum_tf,
+           CAST(SUM(CASE WHEN tf <= {corpus.MIX_RARE_MAX} THEN 1 ELSE 0 END) AS BIGINT)
+             AS rare_n,
+           SUM(tf) / COUNT(*) AS mean_tok_freq,
+           SUM(CASE WHEN tf <= {corpus.MIX_RARE_MAX} THEN 1 ELSE 0 END) / COUNT(*)
+             AS rare_frac,
+           SUM(CASE WHEN tf <= {corpus.MIX_RARE_MAX} THEN 1 ELSE 0 END) / COUNT(*) > 0.5
+             AS rare_suspect
+    FROM tok JOIN v USING (token)
+    GROUP BY 1, 2
+    """,
+)
+def t_rarity(spark, sf_dir):
+    """Corpus-frequency join-back with the Zipf-head broadcast split; the
+    oracle's plain join is value-identical (same frequency table)."""
+    return corpus.token_rarity_scores(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order policy (round-2 VERDICT item 1, round-3 rotation)
 #
