@@ -68,15 +68,23 @@ def shard_manifest(spark: SparkSession, sf_dir: str, budget: int = SHARD_TOKENS)
     table crosses a single-partition window to produce per-bucket base
     offsets, which a broadcast join adds back. One wide shuffle (by bucket)
     + one 256-row window + one broadcast: the TeraSort-style layout pass,
-    linear at 100 TB.
+    linear at 100 TB. The narrow (doc_id, source, hkey, n_tok) projection
+    is persisted so the bucket-total pass and the layout pass share ONE
+    parquet scan — the text column is read exactly once.
     """
+    from pyspark import StorageLevel
+
     d = load_table(spark, sf_dir, "documents")
-    per = d.select(
-        "doc_id",
-        "source",
-        _shard_hkey().alias("hkey"),
-        F.size(tokens_col()).cast("long").alias("n_tok"),
-    ).withColumn("bucket", F.expr(f"hkey div {SHARD_BUCKET_DIV}"))
+    per = (
+        d.select(
+            "doc_id",
+            "source",
+            _shard_hkey().alias("hkey"),
+            F.size(tokens_col()).cast("long").alias("n_tok"),
+        )
+        .withColumn("bucket", F.expr(f"hkey div {SHARD_BUCKET_DIV}"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     btot = per.groupBy("bucket").agg(F.sum("n_tok").alias("btok"))
     # 256-row table: the only unpartitioned window in the plan, by design.
@@ -144,28 +152,45 @@ def token_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the token→frequency join-back is the skew trap at 100 TB —
     term frequencies are Zipfian, so the hot head ('the', ',') would melt a
-    hash partition. The join is therefore split: the top VOCAB_HEAD_K
-    tokens by frequency (a tiny sorted limit) broadcast to every executor
-    and resolve the head occurrences map-side; only the long tail — whose
-    per-token counts are small by construction — goes through the shuffled
-    equi-join. Results are identical either way (same frequency table), so
-    the DuckDB oracle is a plain join."""
+    hash partition. Three mitigations compose here:
+
+    1. Occurrences collapse to per-(doc, token) COUNTS before any join —
+       the join input is the distinct-token profile of each doc, not the
+       token stream, and that small table is persisted so the head/tail
+       branches and the vocabulary all read one materialization (one
+       parquet scan total).
+    2. The top VOCAB_HEAD_K tokens by frequency (a tiny sorted limit)
+       broadcast to every executor and resolve the head profile rows
+       map-side — no hot key ever shuffles.
+    3. Only the tail joins by shuffle, and by pigeonhole the (K+1)-th most
+       frequent token appears in ≤ N/K of the token mass, so tail key
+       cardinality per reducer is bounded.
+
+    Results are identical to a plain occurrence join (same frequency
+    table), so the DuckDB oracle is the naive formulation."""
+    from pyspark import StorageLevel
+
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", "source", F.explode(tokens_col()).alias("token"))
-    vocab = tok.groupBy("token").agg(F.count("*").alias("tf"))
+    profile = (
+        tok.groupBy("doc_id", "source", "token")
+        .agg(F.count("*").alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    vocab = profile.groupBy("token").agg(F.sum("cnt").alias("tf"))
     head = vocab.orderBy(F.col("tf").desc(), F.col("token").asc()).limit(VOCAB_HEAD_K)
 
-    with_head = tok.join(F.broadcast(head), "token", "left")
+    with_head = profile.join(F.broadcast(head), "token", "left")
     hits = with_head.filter(F.col("tf").isNotNull())
     tail = with_head.filter(F.col("tf").isNull()).drop("tf").join(vocab, "token")
 
     occ = hits.unionByName(tail.select(*hits.columns))
-    rare = F.when(F.col("tf") <= MIX_RARE_MAX, F.lit(1)).otherwise(F.lit(0))
+    rare = F.when(F.col("tf") <= MIX_RARE_MAX, F.col("cnt")).otherwise(F.lit(0))
     return (
         occ.groupBy("doc_id", "source")
         .agg(
-            F.count("*").alias("n_tok"),
-            F.sum("tf").alias("sum_tf"),
+            F.sum("cnt").alias("n_tok"),
+            F.sum(F.col("cnt") * F.col("tf")).alias("sum_tf"),
             F.sum(rare).alias("rare_n"),
         )
         .select(

@@ -298,3 +298,37 @@ def test_table_profile_single_pass(spark):
     assert "Expand" in plan
     for join in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert join not in plan
+
+
+def test_shard_manifest_single_scan_one_wide_shuffle(spark):
+    """The global shard layout claims a single-scan two-level prefix sum:
+    the parquet scan happens once (the narrow projection is persisted and
+    feeds both the bucket-total pass and the layout pass), the bucket-base
+    table arrives by broadcast, and the only wide Exchange partitions by
+    bucket for the per-bucket window."""
+    from airdatapipeline_spark.operators import corpus
+
+    df = corpus.shard_manifest(spark, SF_SMALL)
+    plan = _plan(df)
+    # every printed parquet scan must be the echo of a cached-relation node
+    # (InMemoryTableScan prints its cached plan, scan included); an uncached
+    # scan would make the parquet count exceed the cache-scan count
+    assert plan.count("InMemoryTableScan") >= 2  # both passes hit the cache
+    assert plan.count("Scan parquet") <= plan.count("InMemoryTableScan")
+    assert "BroadcastHashJoin" in plan  # 256-row bucket bases
+    assert "CartesianProduct" not in plan
+
+
+def test_token_rarity_head_broadcast_tail_shuffle(spark):
+    """The Zipf split: the head frequency table must arrive by broadcast
+    (hot tokens never shuffle), the per-(doc, token) profile must come from
+    the persisted materialization (one parquet scan total), and no
+    cartesian product anywhere."""
+    from airdatapipeline_spark.operators import corpus
+
+    df = corpus.token_rarity_scores(spark, SF_SMALL)
+    plan = _plan(df)
+    assert plan.count("InMemoryTableScan") >= 2  # head+tail read the cache
+    assert plan.count("Scan parquet") <= plan.count("InMemoryTableScan")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
