@@ -85,6 +85,11 @@ HEADLINE = [
     # shuffles are perf-tracked in the headline too (VERDICT r3 item 8)
     "events_cohort_retention",
     "w_customer_rfm_segments",
+    # r4 (late): corpus-preparation family — the global shard layout
+    # (two-level prefix sum + 256-row window) and the Zipf-split
+    # frequency join-back (subtract both for a like-for-like r3 compare)
+    "text_shard_manifest",
+    "text_token_rarity_scores",
 ]
 
 # Quadratic-by-design audit tier: ground-truth generators for grading the
@@ -119,6 +124,8 @@ SCALING = [
     "training_data_build",
     "events_cohort_retention",
     "w_customer_rfm_segments",
+    "text_shard_manifest",
+    "text_token_rarity_scores",
 ]
 
 
@@ -225,8 +232,10 @@ def main() -> None:
             "near-linear ratios expected (ratio << 10 means fixed "
             "per-stage overhead still dominates at base scale). Forcing "
             "unchanged since r2 (noop write, best-of-2). r4 adds "
-            "events_cohort_retention + w_customer_rfm_segments to the "
-            "headline (subtract them for a like-for-like r3 comparison)."
+            "events_cohort_retention + w_customer_rfm_segments and (late "
+            "r4) text_shard_manifest + text_token_rarity_scores to the "
+            "headline (subtract all four for a like-for-like r3 "
+            "comparison)."
         ),
     }
     detail_path = os.path.join(
