@@ -458,3 +458,91 @@ def clicks_errors_left_join_append(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("error_ts").cast("timestamp_ntz").alias("error_ts"),
     )
     return _run_append_to_files(flat)
+
+
+# --- streaming corpus ingest (curation gate as a stream) ---------------------
+
+_DOC_STAGED: dict[str, str] = {}
+
+
+def _doc_landing_dir(sf_dir: str) -> str:
+    """Landing zone for arriving document files (same staging idiom as the
+    events stream above — in production this is the crawler's drop
+    directory)."""
+    if sf_dir not in _DOC_STAGED:
+        d = tempfile.mkdtemp(prefix="docs_stream_")
+        shutil.copy(os.path.join(sf_dir, "documents.parquet"), d)
+        _DOC_STAGED[sf_dir] = d
+    return _DOC_STAGED[sf_dir]
+
+
+def curated_ingest_append(
+    spark: SparkSession,
+    sf_dir: str,
+    min_quality: float = 0.5,
+    min_words: int = 20,
+    landing_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The batch curation gate (operators/text.curated_documents) running as
+    a STREAM over the landing zone: per-file micro-batches compute the same
+    JVM-side quality score, stopword language ID and token counts, exact
+    content dedup drops already-seen fingerprints, and survivors append to
+    a checkpointed parquet sink — continuous corpus ingest with curation at
+    the door instead of a nightly batch.
+
+    Determinism: every emitted column is a pure function of `text`, and the
+    dedup key IS the content fingerprint — so whichever physical duplicate
+    arrives first, the committed row is identical, and the output set
+    equals the batch DISTINCT (the DuckDB oracle).
+
+    Scale note: un-watermarked dropDuplicates keeps one state row per
+    distinct fingerprint — the honest cost of exact online dedup (16-byte
+    key; ~1.6 TB of state per 10^11 documents, RocksDB-backed in
+    production). When that is too much, the bounded alternatives are
+    dropDuplicatesWithinWatermark on an ingest-time column (at-least-once)
+    or the batch incremental tier (operators/dedup.incremental_candidates)
+    run per micro-batch via foreachBatch against the persisted corpus
+    index. The near-dup stage (MinHash bands) stays in the nightly batch —
+    its banded self-join needs the full corpus side."""
+    from ..operators.text import LANG_STOPWORDS, _predicted_lang, _stop_hits, tokens_col
+
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    reader = spark.readStream.schema(batch.schema)
+    if max_files_per_trigger is not None:
+        # per-file micro-batches: lets tests prove the dedup state carries
+        # ACROSS batches (one big batch would hide a missing state store)
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(landing_dir or _doc_landing_dir(sf_dir))
+
+    t = tokens_col()
+    wc = F.size(t).cast("long")
+    scored = stream.select(
+        F.md5("text").alias("fingerprint"),
+        wc.alias("word_count"),
+        F.length("text").cast("long").alias("char_count"),
+        *[
+            _stop_hits(t, words).cast("long").alias(f"hits_{lg}")
+            for lg, words in LANG_STOPWORDS.items()
+        ],
+    )
+    wcol = F.col("word_count")
+    gated = (
+        scored.select(
+            "fingerprint",
+            "word_count",
+            (
+                F.least(wcol / F.lit(100.0), F.lit(1.0)) * F.lit(0.4)
+                + (F.col("hits_en") / wcol) * F.lit(0.4)
+                + F.least((F.col("char_count") / wcol) / F.lit(8.0), F.lit(1.0)) * F.lit(0.2)
+            ).alias("quality_score"),
+            _predicted_lang().alias("predicted_lang"),
+        )
+        .dropDuplicates(["fingerprint"])
+        .filter(
+            (F.col("quality_score") >= min_quality)
+            & (F.col("predicted_lang") == "en")
+            & (F.col("word_count") >= min_words)
+        )
+    )
+    return _run_append_to_files(gated)

@@ -830,3 +830,44 @@ def test_jobs_expectations_gate(spark):
     d2 = json.loads(buf2.getvalue().strip().splitlines()[-1])
     assert rc2 == 1
     assert set(d2["failed"]) == {"orders_status_domain", "lineitem_discount_cap"}
+
+
+def test_curated_ingest_dedups_across_micro_batches(spark, tmp_path):
+    """Streaming curation gate: the exact-dedup state must carry ACROSS
+    micro-batches — a second file that redelivers batch 1's texts under new
+    doc_ids adds nothing, and per-file triggers force the two-batch replay
+    (one big batch would hide a missing state store)."""
+    import shutil as sh
+
+    import pyspark.sql.functions as F
+
+    from airdatapipeline_spark.streaming import events as se
+
+    sf = "/root/testdata/sf0.001"
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    first = d.filter(F.col("doc_id") < 250)
+    rest = d.filter(F.col("doc_id") >= 250)
+    redelivered = first.withColumn("doc_id", F.col("doc_id") + 100000)
+
+    def one_file(df, name):
+        staging = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(staging))
+        part = next(staging.glob("part-*.parquet"))
+        return part
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    sh.copy(one_file(first, "b1"), landing / "batch1.parquet")
+    sh.copy(one_file(redelivered.unionByName(rest), "b2"), landing / "batch2.parquet")
+
+    out = se.curated_ingest_append(
+        spark, sf, landing_dir=str(landing), max_files_per_trigger=1
+    ).toPandas()
+    assert len(out) == out.fingerprint.nunique(), "duplicate fingerprint committed"
+
+    # single-batch replay of the same content is the ground truth set
+    combined = tmp_path / "landing_all"
+    combined.mkdir()
+    sh.copy(one_file(first.unionByName(rest), "all"), combined / "all.parquet")
+    truth = se.curated_ingest_append(spark, sf, landing_dir=str(combined)).toPandas()
+    assert sorted(out.fingerprint) == sorted(truth.fingerprint)
