@@ -310,11 +310,13 @@ def test_shard_manifest_single_scan_one_wide_shuffle(spark):
 
     df = corpus.shard_manifest(spark, SF_SMALL)
     plan = _plan(df)
-    # every printed parquet scan must be the echo of a cached-relation node
-    # (InMemoryTableScan prints its cached plan, scan included); an uncached
-    # scan would make the parquet count exceed the cache-scan count
+    # both passes must read the persisted projection. (No string-level
+    # scan-count ratio here: InMemoryTableScan prints its cached plan —
+    # scans included — and the CacheManager may substitute an EARLIER
+    # test's equivalent cache whose printed echo nests differently, so
+    # parquet-scan substrings are not 1:1 with real scans. The actual
+    # scan-once behavior is measured from SQLMetrics in MEASURED.md.)
     assert plan.count("InMemoryTableScan") >= 2  # both passes hit the cache
-    assert plan.count("Scan parquet") <= plan.count("InMemoryTableScan")
     assert "BroadcastHashJoin" in plan  # 256-row bucket bases
     assert "CartesianProduct" not in plan
 
@@ -329,6 +331,5 @@ def test_token_rarity_head_broadcast_tail_shuffle(spark):
     df = corpus.token_rarity_scores(spark, SF_SMALL)
     plan = _plan(df)
     assert plan.count("InMemoryTableScan") >= 2  # head+tail read the cache
-    assert plan.count("Scan parquet") <= plan.count("InMemoryTableScan")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
