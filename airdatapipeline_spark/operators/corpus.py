@@ -83,6 +83,10 @@ def shard_manifest(spark: SparkSession, sf_dir: str, budget: int = SHARD_TOKENS)
             F.size(tokens_col()).cast("long").alias("n_tok"),
         )
         .withColumn("bucket", F.expr(f"hkey div {SHARD_BUCKET_DIV}"))
+        # Not unpersisted: the returned plan is lazy, so the cache must
+        # outlive this function. MEMORY_AND_DISK blocks are evicted LRU by
+        # the block manager across a long-lived session (same policy as
+        # dedup.py's shared-materialization persists).
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
@@ -175,6 +179,7 @@ def token_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile = (
         tok.groupBy("doc_id", "source", "token")
         .agg(F.count("*").alias("cnt"))
+        # Lazy-plan cache, reclaimed by LRU eviction (see shard_manifest).
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     vocab = profile.groupBy("token").agg(F.sum("cnt").alias("tf"))

@@ -3140,8 +3140,10 @@ def q_salted_hotkey(spark, sf_dir):
 @register(
     "snk_compaction_roundtrip",
     """
-    SELECT source, COUNT(*) AS n_docs, SUM(LENGTH(text)) AS total_chars,
-           SUM(CAST(concat('0x', substr(md5(text), 1, 14)) AS BIGINT)) AS content_hash_sum
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(CAST(concat('0x', substr(md5(text), 1, 14)) AS BIGINT)) AS BIGINT)
+             AS content_hash_sum
     FROM documents GROUP BY 1
     """,
 )
@@ -4234,7 +4236,7 @@ from .operators import corpus  # noqa: E402
     off AS (
       SELECT *, SUM(n_tok) OVER (ORDER BY hkey, doc_id) - n_tok AS start_off FROM per
     )
-    SELECT start_off // {corpus.SHARD_TOKENS} AS shard_id,
+    SELECT CAST(start_off // {corpus.SHARD_TOKENS} AS BIGINT) AS shard_id,
            COUNT(*) AS n_docs,
            CAST(SUM(n_tok) AS BIGINT) AS shard_tokens,
            COUNT(DISTINCT source) AS n_sources,
@@ -4346,21 +4348,23 @@ def st_curated_ingest(spark, sf_dir):
 # order above is file-layout order, so the dicts are rebuilt here into an
 # explicit priority:
 #
-#   1. _DRIVER_WINDOW (50 names): round 4 rotates to the final 42 queries
-#      that have never had a driver CORRECTNESS row (r01 ∪ r02 ∪ r03
-#      covered 110 distinct names), closing driver-verification debt: after
-#      this round every registered query has at least one driver row. Kept
-#      alongside them: the four §2 family flagships so a regression in the
-#      core ETL path cannot go unseen (flagship_enrichment_gold = §2.9 +
-#      SNK2 + P1/A chain, a2_w1_daily_category_gold = A + W families,
-#      src1_scrape_clean = SRC family, u1_union_dedup = U/D families),
-#      snk_compaction_roundtrip (hash-red at the driver in r3, rewritten
-#      this round to be self-verifying + session-config-deterministic — must
-#      re-prove green), and the four queries REGISTERED late in r4
-#      (text_shard_manifest / text_temperature_mix_weights /
-#      text_token_rarity_scores / stream_curated_ingest) — slotted in place
-#      of u1_union_dedup and the three r3 heavy-plan regression picks, all
-#      of which already hold green r3 rows (now in _PRIOR_GREEN).
+#   1. _DRIVER_WINDOW (50 names): round-5 rotation (VERDICT-r4 item 4).
+#      After r4 every registered query holds >= 1 driver row, so the window
+#      now serves freshness + re-proof:
+#        - the two r4 hash-reds (snk_compaction_roundtrip,
+#          text_shard_manifest) stay in to re-prove green after the oracle
+#          CAST(... AS BIGINT) fixes (DuckDB HUGEINT->float64 was the sole
+#          cause; Spark values verified correct by the judge and locally);
+#        - the §2 family canaries (flagship_enrichment_gold = §2.9 + SNK2 +
+#          P1/A chain, a2_w1_daily_category_gold = A + W,
+#          src1_scrape_clean = SRC, u1_union_dedup = U/D);
+#        - the four heavy-plan picks whose only driver rows are r3-or-older
+#          (u1_union_dedup, simsearch_ivf_topk, training_data_build, and
+#          curation_pipeline — whose last driver green is r02, PREDATING its
+#          r3 code move; ADVICE-r4);
+#        - new r5 registrations;
+#        - remaining slots: the oldest-green r1/r2 §2 queries, reducing
+#          max-staleness.
 #   2. Queries still never driver-checked (extra driver capacity lands on
 #      new signal).
 #   3. Queries already driver-green in r01/r02 (all still value-hash-checked
@@ -4376,79 +4380,92 @@ _DRIVER_WINDOW = [
     "flagship_enrichment_gold",
     "a2_w1_daily_category_gold",
     "src1_scrape_clean",
-    # --- re-prove: r3 hash-red, rewritten self-verifying this round --------
+    "u1_union_dedup",
+    # --- re-prove: r4 hash-reds, oracle SQL fixed (CAST AS BIGINT) ---------
     "snk_compaction_roundtrip",
-    # --- queries REGISTERED late in r4 (corpus prep + streaming ingest):
-    # slotted in place of u1_union_dedup and the three heavy-plan regression
-    # picks (simsearch_ivf_topk / training_data_build / curation_pipeline),
-    # all four of which already have driver-green r3 rows — so after r4
-    # every registered query still has at least one driver CORRECTNESS row
     "text_shard_manifest",
-    "text_temperature_mix_weights",
-    "text_token_rarity_scores",
-    "stream_curated_ingest",
-    # --- TPC-H tail (never driver-verified) --------------------------------
-    "tpch_q2_min_cost_supplier",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q20_excess_shipments",
-    # --- window family (never driver-verified) -----------------------------
-    "w_user_gap_median",
-    "w_daily_revenue_deltas",
-    "w_trailing_week_revenue",
-    "w_customer_rfm_segments",
-    # --- events analytics (never driver-verified) --------------------------
-    "events_funnel",
-    "events_cohort_retention",
-    "events_daily_anomalies",
-    "events_user_features",
-    "events_multires_rollup",
-    # --- sql api / misc (never driver-verified) ----------------------------
-    "sql_api_daily_sentiment",
-    "sql_api_error_cascades",
-    "agg_approx_family_check",
-    "src1_datasource_scrape",
-    "stream_join_append",
-    "table_profile_documents",
-    # --- multimodal (never driver-verified) --------------------------------
-    "mm_binary_features",
-    "mm_resize_roundtrip",
-    "mm_frame_sample",
-    "mm_audio_features",
-    # --- dedup tail (never driver-verified) --------------------------------
-    "dedup_simhash_pairs",
-    "dedup_embedding_cosine_pairs",
-    "dedup_incremental_candidates",
-    "dedup_cluster_assignments_star",
-    "dedup_substring_clusters",
-    "dedup_exact_substring_pairs",
-    "dedup_semantic_decisions",
-    "dedup_fingerprint_quality_decisions",
-    "dedup_candidate_triangles",
-    "dedup_paragraph_rebuild",
-    # --- similarity / embeddings tail (never driver-verified) --------------
-    "simsearch_bruteforce_topk",
-    "simsearch_sq8_topk",
-    "simsearch_pq_adc_topk",
-    "simsearch_ivfpq_topk",
-    "simsearch_ivf_list_stats",
-    "emb_quantize_sq8",
-    # --- text tail (never driver-verified) ---------------------------------
-    "text_pack_greedy",
-    "text_source_quality_report",
-    "text_quality_model_scores",
+    # --- heavy-plan picks whose newest driver row is r3-or-older -----------
+    "simsearch_ivf_topk",
+    "training_data_build",
+    "curation_pipeline",
+    # --- oldest-green r1/r2 §2 queries (reduce max-staleness) --------------
+    "p1_staging_projection",
+    "p2_p3_clean_links",
+    "p5_p6_today_ok_rows",
+    "p7_date_range_filter",
+    "p8_nulldrop_metric",
+    "p9_top5_membership_filter",
+    "p10_validate_domains",
+    "d1_d2_dedup_headlines",
+    "d4_distinct_dates",
+    "j1_pending_antijoin",
+    "j2_j3_pending_metrics",
+    "a1_daily_sentiment_gold",
+    "a3_sentiment_today",
+    "a4_top_categories_today",
+    "a5_a6_a7_today_scalars",
+    "a8_confidence_by_date_sentiment",
+    "a9_sentiment_distribution_pct",
+    "a10_period_kpis",
+    "a11_category_totals",
+    "a12_pivot_date_category",
+    "a13_unpivot_sentiment_long",
+    "a14_collect_confidences",
+    "a15_histogram_bins",
+    "a16_a19_summary_stats",
+    "t1_t2_gold_ordered",
+    "t3_recent_headlines_topk",
+    "t4_t5_batch_limit",
+    "q_scalar_display_functions",
+    "q_validation_gates",
+    "src_csv_roundtrip",
+    "snk_silver_partitioned_prune",
+    "dedup_minhash_lsh_candidates",
+    "dedup_simhash_lsh_candidates",
+    "snk_incremental_gold",
+    "dedup_cluster_assignments",
+    "q_expectations_report",
+    "simsearch_lsh_topk",
+    "ev_asof_last_purchase",
+    "ev_range_errors_near_clicks",
+    "bucketed_order_revenue",
+    "stream_tumbling_append",
 ]
 
 # Driver-green in CORRECTNESS_r01 ∪ r02 ∪ r03 (still value-hash-checked every
 # round by tests/test_oracle_parity.py) — these yield the window to
 # never-checked queries.
 _PRIOR_GREEN = {
-    # r03 greens rotated out LATE in r4 to make room for the four newly
-    # registered corpus/streaming queries (see the window comment): each
-    # has a green CORRECTNESS_r03 row
+    # r04 greens (rotated out of the window for r5; every name below has a
+    # green CORRECTNESS_r04 row — the only two r4 reds are back IN the
+    # window to re-prove after their oracle CAST fixes)
+    "text_temperature_mix_weights", "text_token_rarity_scores",
+    "stream_curated_ingest", "tpch_q2_min_cost_supplier",
+    "tpch_q10_returned_items", "tpch_q11_important_stock",
+    "tpch_q20_excess_shipments", "w_user_gap_median",
+    "w_daily_revenue_deltas", "w_trailing_week_revenue",
+    "w_customer_rfm_segments", "events_funnel", "events_cohort_retention",
+    "events_daily_anomalies", "events_user_features",
+    "events_multires_rollup", "sql_api_daily_sentiment",
+    "sql_api_error_cascades", "agg_approx_family_check",
+    "src1_datasource_scrape", "stream_join_append",
+    "table_profile_documents", "mm_binary_features", "mm_resize_roundtrip",
+    "mm_frame_sample", "mm_audio_features", "dedup_simhash_pairs",
+    "dedup_embedding_cosine_pairs", "dedup_incremental_candidates",
+    "dedup_cluster_assignments_star", "dedup_substring_clusters",
+    "dedup_exact_substring_pairs", "dedup_semantic_decisions",
+    "dedup_fingerprint_quality_decisions", "dedup_candidate_triangles",
+    "dedup_paragraph_rebuild", "simsearch_bruteforce_topk",
+    "simsearch_sq8_topk", "simsearch_pq_adc_topk", "simsearch_ivfpq_topk",
+    "simsearch_ivf_list_stats", "emb_quantize_sq8", "text_pack_greedy",
+    "text_source_quality_report", "text_quality_model_scores",
+    # r03 greens now back IN the r5 window (harmless here — window names
+    # are excluded from the tier split). NOTE (ADVICE-r4): curation_pipeline
+    # was wrongly listed as r03-green; its last driver green is r02,
+    # predating its r3 code move — hence its slot in the r5 window.
     "u1_union_dedup", "simsearch_ivf_topk", "training_data_build",
     "curation_pipeline",
-    # r03 greens (rotated out of the window this round)
+    # r03 greens
     "tpch_q4_order_priority_exists", "tpch_q6_forecast_revenue",
     "tpch_q7_nation_volume", "tpch_q8_market_share",
     "tpch_q9_profit_by_nation_year", "tpch_q10_returned_revenue",

@@ -22,6 +22,41 @@ def _registry():
 QUERIES, ORACLES = _registry()
 
 
+def test_compare_rejects_int_vs_lossy_float():
+    """The driver hashes values dtype-faithfully: int64 1234567890123456789
+    vs the float64 DuckDB produces for HUGEINT (lossy above 2^53, and a
+    different hash even below it: 3 vs 3.0) must FAIL locally. numpy's
+    int64==float64 comparison is lossy, which is how two hash-red oracles
+    shipped behind '0 failures locally' in r3/r4."""
+    import pandas as pd
+
+    big = 1234567890123456789
+    spark_pdf = pd.DataFrame({"k": [1, 2], "v": pd.array([big, 3], dtype="int64")})
+    oracle_pdf = pd.DataFrame({"k": [1, 2], "v": pd.array([float(big), 3.0], dtype="float64")})
+    problems = compare("synthetic", spark_pdf, oracle_pdf)
+    assert problems and "dtype mismatch" in problems[0], problems
+    # identical dtypes still pass
+    assert not compare("synthetic_ok", spark_pdf, spark_pdf.copy())
+
+
+def test_no_oracle_column_types_as_hugeint(duck):
+    """DuckDB types SUM(BIGINT), windowed SUM, and // thereof as HUGEINT,
+    which pandas converts to lossy float64 — the sole cause of both r4
+    driver hash-reds. Every oracle must CAST such expressions to BIGINT.
+    Type-checks all oracles via lazy relations (no execution needed)."""
+    bad = {}
+    for name, sql in sorted(ORACLES.items()):
+        rel = duck.sql(sql)
+        huge = [
+            (col, str(t))
+            for col, t in zip(rel.columns, rel.types)
+            if str(t).upper() in ("HUGEINT", "UHUGEINT")
+        ]
+        if huge:
+            bad[name] = huge
+    assert not bad, f"oracles with HUGEINT-typed result columns (wrap in CAST(... AS BIGINT)): {bad}"
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(name, spark, duck):
     spark_pdf = QUERIES[name](spark, SF_SMALL).toPandas()

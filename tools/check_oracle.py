@@ -48,6 +48,20 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
     s, o = canon(spark_pdf), canon(oracle_pdf)
     for c in s.columns:
         sv, ov = s[c], o[c]
+        # Driver-faithful dtype gate: the driver's value-hash distinguishes
+        # int 3 from float 3.0, and numpy's int64==float64 comparison is
+        # lossy above 2^53 (DuckDB HUGEINT->float64 oracles passed locally
+        # for two rounds because of exactly this). An integer-typed column
+        # on one side and a float-typed column on the other is a failure
+        # regardless of numeric closeness.
+        if (sv.dtype.kind in "iu") != (ov.dtype.kind in "iu") and (
+            sv.dtype.kind in "iuf" and ov.dtype.kind in "iuf"
+        ):
+            problems.append(
+                f"col {c}: dtype mismatch spark={sv.dtype} oracle={ov.dtype}"
+                " (int-vs-float; driver hash would fail)"
+            )
+            continue
         if sv.dtype.kind == "f" or ov.dtype.kind == "f":
             sv_f = pd.to_numeric(sv, errors="coerce")
             ov_f = pd.to_numeric(ov, errors="coerce")
