@@ -52,14 +52,18 @@ def _shard_hkey() -> F.Column:
     )
 
 
-def shard_manifest(spark: SparkSession, sf_dir: str, budget: int = SHARD_TOKENS) -> DataFrame:
-    """Deterministic global corpus shuffle → fixed-token-budget shard
-    manifest. Documents are ordered by a seeded content hash (a reproducible
-    stand-in for `ORDER BY rand()` — same decorrelation, zero
-    nondeterminism), token offsets are assigned by a cumulative sum over
-    that order, and shard_id = the budget window the document STARTS in.
-    The manifest rows (per shard: docs, token mass, source spread, hash
-    span) are exactly what a trainer's data loader consumes.
+def shard_assignments(
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int = SHARD_TOKENS,
+    carry: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """Per-document shard assignment: every document of the corpus with its
+    56-bit shuffle key, token count, global token start offset, and
+    shard_id = start_off div budget. `carry` lists extra document columns
+    to thread through (the manifest carries only `source`; the shard WRITER
+    carries `text` too, so the layout pass is the corpus's one wide shuffle
+    instead of a second join against the text).
 
     Scale shape: a single global window would serialize the corpus through
     one task, so the prefix sum is two-level — per-doc cumulative sums run
@@ -68,17 +72,16 @@ def shard_manifest(spark: SparkSession, sf_dir: str, budget: int = SHARD_TOKENS)
     table crosses a single-partition window to produce per-bucket base
     offsets, which a broadcast join adds back. One wide shuffle (by bucket)
     + one 256-row window + one broadcast: the TeraSort-style layout pass,
-    linear at 100 TB. The narrow (doc_id, source, hkey, n_tok) projection
+    linear at 100 TB. The narrow (doc_id, carry..., hkey, n_tok) projection
     is persisted so the bucket-total pass and the layout pass share ONE
-    parquet scan — the text column is read exactly once.
-    """
+    parquet scan — the text column is read exactly once."""
     from pyspark import StorageLevel
 
     d = load_table(spark, sf_dir, "documents")
     per = (
         d.select(
             "doc_id",
-            "source",
+            *carry,
             _shard_hkey().alias("hkey"),
             F.size(tokens_col()).cast("long").alias("n_tok"),
         )
@@ -96,17 +99,105 @@ def shard_manifest(spark: SparkSession, sf_dir: str, budget: int = SHARD_TOKENS)
     bases = btot.select("bucket", (F.sum("btok").over(wb) - F.col("btok")).alias("base"))
 
     wd = Window.partitionBy("bucket").orderBy("hkey", "doc_id")
-    offs = (
+    return (
         per.join(F.broadcast(bases), "bucket")
         .withColumn("start_off", F.col("base") + F.sum("n_tok").over(wd) - F.col("n_tok"))
         .withColumn("shard_id", F.expr(f"start_off div {budget}"))
     )
+
+
+def shard_manifest(spark: SparkSession, sf_dir: str, budget: int = SHARD_TOKENS) -> DataFrame:
+    """Deterministic global corpus shuffle → fixed-token-budget shard
+    manifest. Documents are ordered by a seeded content hash (a reproducible
+    stand-in for `ORDER BY rand()` — same decorrelation, zero
+    nondeterminism), token offsets are assigned by a cumulative sum over
+    that order, and shard_id = the budget window the document STARTS in.
+    The manifest rows (per shard: docs, token mass, source spread, hash
+    span) are exactly what a trainer's data loader consumes. Scale shape:
+    see shard_assignments (two-level distributed prefix sum)."""
+    offs = shard_assignments(spark, sf_dir, budget)
     return offs.groupBy("shard_id").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tok").alias("shard_tokens"),
         F.countDistinct("source").alias("n_sources"),
         F.min("hkey").alias("shard_min_hkey"),
         F.max("hkey").alias("shard_max_hkey"),
+    )
+
+
+def write_shards(
+    spark: SparkSession, sf_dir: str, out_path: str, budget: int = SHARD_TOKENS
+) -> dict:
+    """Materialize the shard layout: the trainer-facing WRITE that
+    shard_manifest only plans. Every document lands in exactly one
+    `shard_id=K/` parquet directory, laid out in global hash order —
+    completing the plan→persisted-artifact lifecycle the way
+    build_ivf_index does for ANN serving (similarity.py).
+
+    Physical layout, chosen for the 100 TB case:
+    - `text` rides the assignment plan's one wide shuffle (carry=("text",))
+      instead of being joined back afterwards — the corpus crosses the wire
+      exactly once, TeraSort-style.
+    - `repartitionByRange(n_shards, shard_id)` aligns output tasks with
+      shard boundaries: equal range-partition keys always land in the same
+      task, so every `shard_id=K/` dir is written by EXACTLY one task (one
+      file per shard, no small-file spray; a plain partitionBy off a hash
+      shuffle would scatter every shard across every task, and ranging on
+      (shard_id, hkey) would let a sampled boundary split a shard). Shards
+      are near-equal token mass by construction, so range partitions stay
+      balanced at any scale.
+    - `sortWithinPartitions` makes within-file order the global layout
+      order, so a data loader streaming one shard file reads documents in
+      their assigned sequence without re-sorting.
+    - Readers of one shard touch one directory (partition pruning on the
+      shard_id dir column), e.g. a resumed training job re-reading shard 17.
+
+    Returns {path, n_shards, n_docs} from the write's own plan (no second
+    scan: counts come from the assignment aggregate that also sizes the
+    range partitioner)."""
+    assign = shard_assignments(spark, sf_dir, budget, carry=("source", "text"))
+    stats = assign.agg(
+        F.max("shard_id").alias("max_shard"), F.count("*").alias("n_docs")
+    ).first()
+    n_shards = int(stats["max_shard"]) + 1
+    (
+        assign.select("doc_id", "source", "hkey", "n_tok", "start_off", "text", "shard_id")
+        .repartitionByRange(n_shards, "shard_id")
+        .sortWithinPartitions("shard_id", "hkey", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(out_path)
+    )
+    return {"path": out_path, "n_shards": n_shards, "n_docs": int(stats["n_docs"])}
+
+
+def read_shards(spark: SparkSession, out_path: str) -> DataFrame:
+    """Read a written shard layout back; the shard_id partition-dir column
+    comes back LONG (partition-column inference yields int) so downstream
+    joins against manifest shard_ids are type-stable."""
+    return spark.read.parquet(out_path).withColumn(
+        "shard_id", F.col("shard_id").cast("long")
+    )
+
+
+def shard_readback_audit(spark: SparkSession, out_path: str) -> DataFrame:
+    """Per-shard conservation fingerprint recomputed ENTIRELY from the
+    written payload (doc_id, source, text) — the stored layout metadata
+    (hkey, n_tok, start_off) is deliberately ignored, so a lost, duplicated,
+    misplaced, or corrupted document cannot hide: membership (hash span +
+    content-hash sum), token mass, and doc counts all shift. Compared
+    against the manifest recomputed from the SOURCE table, this is the
+    write-path analogue of snk_compaction_roundtrip's fingerprint check."""
+    back = read_shards(spark, out_path)
+    chash = F.conv(F.substring(F.md5("text"), 1, 14), 16, 10).cast("long")
+    return back.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("doc_id").alias("n_unique_docs"),
+        F.sum(F.size(tokens_col()).cast("long")).alias("shard_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min(_shard_hkey()).alias("shard_min_hkey"),
+        F.max(_shard_hkey()).alias("shard_max_hkey"),
+        F.sum(chash).alias("content_hash_sum"),
     )
 
 

@@ -4253,6 +4253,48 @@ def t_shards(spark, sf_dir):
 
 
 @register(
+    "text_shard_write_conservation",
+    f"""
+    WITH per AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 14))
+                  AS BIGINT) AS hkey,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+             CAST(concat('0x', substr(md5(text), 1, 14)) AS BIGINT) AS chash
+      FROM documents
+    ),
+    off AS (
+      SELECT *, SUM(n_tok) OVER (ORDER BY hkey, doc_id) - n_tok AS start_off FROM per
+    )
+    SELECT CAST(start_off // {corpus.SHARD_TOKENS} AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT doc_id) AS n_unique_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS shard_tokens,
+           COUNT(DISTINCT source) AS n_sources,
+           MIN(hkey) AS shard_min_hkey,
+           MAX(hkey) AS shard_max_hkey,
+           CAST(SUM(chash) AS BIGINT) AS content_hash_sum
+    FROM off GROUP BY 1
+    """,
+)
+def t_shard_write(spark, sf_dir):
+    """Shard WRITE lifecycle (corpus.write_shards): materialize the global
+    hash-shuffled layout to `shard_id=K/` parquet dirs (repartitionByRange
+    aligns output tasks with shard boundaries — ~one file per shard), then
+    audit the READ-BACK: every per-shard fingerprint (doc counts, token
+    mass recomputed from the written text, hash span, content-hash sum) is
+    recomputed from the written payload only and compared by the oracle
+    against the manifest recomputed from the source table — a lost,
+    duplicated, or misplaced document reds the driver row. Completes the
+    plan→persisted-artifact lifecycle the way build_ivf_index did for ANN
+    (trainer-facing: a data loader consumes these dirs one shard at a
+    time, pruned to one directory per read)."""
+    out = tempfile.mkdtemp(prefix="shards_")
+    corpus.write_shards(spark, sf_dir, out)
+    return corpus.shard_readback_audit(spark, out)
+
+
+@register(
     "text_temperature_mix_weights",
     f"""
     WITH per_src AS (
@@ -4384,6 +4426,8 @@ _DRIVER_WINDOW = [
     # --- re-prove: r4 hash-reds, oracle SQL fixed (CAST AS BIGINT) ---------
     "snk_compaction_roundtrip",
     "text_shard_manifest",
+    # --- new r5 registrations ----------------------------------------------
+    "text_shard_write_conservation",
     # --- heavy-plan picks whose newest driver row is r3-or-older -----------
     "simsearch_ivf_topk",
     "training_data_build",
@@ -4429,7 +4473,6 @@ _DRIVER_WINDOW = [
     "ev_asof_last_purchase",
     "ev_range_errors_near_clicks",
     "bucketed_order_revenue",
-    "stream_tumbling_append",
 ]
 
 # Driver-green in CORRECTNESS_r01 ∪ r02 ∪ r03 (still value-hash-checked every

@@ -63,6 +63,54 @@ def test_shard_manifest_budget_bound(spark):
     assert (m.shard_tokens < corpus.SHARD_TOKENS + max_doc).all()
 
 
+def test_write_shards_layout_and_conservation(spark, tmp_path):
+    """The shard WRITE materializes exactly the manifest's layout: one
+    `shard_id=K/` dir per manifest shard, every document in exactly one
+    dir, and no small-file spray (repartitionByRange aligns output tasks
+    with shard boundaries, so each dir holds ~one file — a plain hash
+    shuffle would scatter every shard across every reducer, here up to 32
+    files per dir)."""
+    import os
+
+    out = str(tmp_path / "shards")
+    stats = corpus.write_shards(spark, SF, out)
+    m = corpus.shard_manifest(spark, SF).toPandas()
+    assert stats["n_shards"] == len(m)
+
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard_id="))
+    assert len(dirs) == len(m)
+    files_per_dir = [
+        sum(f.endswith(".parquet") for f in os.listdir(os.path.join(out, d))) for d in dirs
+    ]
+    # equal range-partition keys share one task: exactly one file per shard
+    assert files_per_dir == [1] * len(dirs), files_per_dir
+
+    back = corpus.read_shards(spark, out)
+    src = load_table(spark, SF, "documents")
+    assert back.count() == src.count() == stats["n_docs"]
+    assert back.select("doc_id").distinct().count() == src.count()
+    # per-shard membership equals the manifest exactly
+    got = (
+        back.groupBy("shard_id").count().toPandas().sort_values("shard_id").reset_index(drop=True)
+    )
+    assert list(got["count"]) == list(m.sort_values("shard_id").n_docs)
+
+
+def test_read_one_shard_prunes_partitions(spark, tmp_path):
+    """A reader of one shard (e.g. a training job resuming shard K) must
+    touch only that directory: the shard_id filter lands in the scan's
+    PartitionFilters, not a post-scan Filter over all dirs."""
+    out = str(tmp_path / "shards")
+    corpus.write_shards(spark, SF, out)
+    one = spark.read.parquet(out).filter(F.col("shard_id") == 3)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "shard_id" in plan.split("PartitionFilters", 1)[1][:200]
+    # every surviving row comes from the one pruned directory (inputFiles()
+    # would list the relation pre-pruning, so assert on actual provenance)
+    srcs = [r[0] for r in one.select(F.input_file_name()).distinct().collect()]
+    assert len(srcs) == 1 and "shard_id=3/" in srcs[0], srcs
+
+
 def test_temperature_mix_is_normalized_and_flattening(spark):
     """sample_prob sums to 1; τ=0.5 flattens: every source's sampling
     probability moves toward uniform relative to its raw token share
