@@ -479,7 +479,11 @@ def cluster_assignments(spark: SparkSession, sf_dir: str, max_iter: int = 20) ->
 
 
 def exact_substring_pairs(
-    spark: SparkSession, sf_dir: str, window: int = 40, stride: int = 10
+    spark: SparkSession,
+    sf_dir: str,
+    window: int = 40,
+    stride: int = 10,
+    max_postings: int | None = None,
 ) -> DataFrame:
     """Exact-substring dedup (the char-level companion to the token-shingle
     MinHash tier, after Lee et al., "Deduplicating Training Data Makes
@@ -493,7 +497,20 @@ def exact_substring_pairs(
     Output: (id_a, id_b, n_shared_windows) where n counts DISTINCT shared
     window hashes — duplicate spans inside one doc don't inflate the
     count. One groupBy on the window hash would find the clusters; the
-    pair join keeps parity with the other dedup tiers' pair contract."""
+    pair join keeps parity with the other dedup tiers' pair contract.
+
+    `max_postings` is the scale guard (same role as decontamination's
+    hot-gram df cap): a span hash held by k documents emits k·(k−1)/2
+    pairs, so one piece of boilerplate shared by a million documents is a
+    5·10¹¹-row join output — quadratic blowup no partitioner fixes. With
+    the cap set, hashes whose posting list exceeds it are dropped BEFORE
+    the self-join via one partial-aggregable count (such spans are
+    near-certain boilerplate, not document-pair evidence — Lee et al.
+    discard them the same way), bounding every hash's contribution to
+    cap²/2 pairs. The registered query runs uncapped (the synthetic corpus
+    has no such hot span and the oracle is the naive formulation); the
+    100 TB configuration sets a cap — guard engagement is measured on an
+    adversarial corpus in MEASURED.md."""
     d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= window)
     n_wins = f"int(floor((length(text) - {window}) / {stride}))"
     wins = (
@@ -508,6 +525,14 @@ def exact_substring_pairs(
         )
         .distinct()
     )
+    if max_postings is not None:
+        ok = (
+            wins.groupBy("h")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_postings)
+            .select("h")
+        )
+        wins = wins.join(ok, "h")
     a = wins.alias("a")
     b = wins.alias("b")
     return (
@@ -814,6 +839,36 @@ def paragraph_segments(spark: SparkSession, sf_dir: str, width: int = PARA_WORDS
 MAX_SEGMENTS_PER_DOC = 250_000
 
 
+def first_wins_per_hash(segs: DataFrame) -> DataFrame:
+    """Global first-occurrence winner per para_hash as a hash AGGREGATE:
+    min(struct(doc_id, para_idx)) — lexicographic struct order IS
+    first-occurrence order. Why an aggregate and not a row_number window:
+    the aggregate's partial (map-side) combine is STRUCTURAL — every map
+    task pre-combines its occurrences of a hash to one row before the
+    shuffle, so a hot boilerplate paragraph repeated in millions of
+    documents contributes ≤ n_map_partitions shuffle rows no matter how the
+    query evolves. Spark 4's InferWindowGroupLimit happens to rescue the
+    specific `row_number()==1` filter pattern with an equivalent partial
+    group-limit, but that rescue is pattern-fragile: drift to rank<=k, a
+    reused rank column, or a different rank function silently reverts to
+    shipping EVERY occurrence into one window reducer (window partitions
+    get no combine and no AQE skew-split). Plan note: min over a struct
+    exceeds the hash-agg's fixed-size buffer so Spark picks SortAggregate —
+    the partial combine still engages (partial_min before the exchange,
+    property-tested), and the map-side sort keys only para_hash vs the
+    window's (hash, doc, idx). Shuffle bound is property-tested on an
+    adversarial hot-paragraph corpus; measured in MEASURED.md."""
+    return (
+        segs.groupBy("para_hash")
+        .agg(F.min(F.struct("doc_id", "para_idx")).alias("w"))
+        .select(
+            F.col("w.doc_id").alias("doc_id"),
+            F.col("w.para_idx").alias("para_idx"),
+            "para_hash",
+        )
+    )
+
+
 def paragraph_dedup(spark: SparkSession, sf_dir: str, width: int = PARA_WORDS) -> DataFrame:
     """Dolma-style paragraph-level dedup: every segment whose exact text was
     already seen in an earlier document (or earlier position of the same
@@ -821,11 +876,14 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str, width: int = PARA_WORDS) -
     segments — the reference semantics of corpus-wide line/paragraph dedup,
     where boilerplate repeats get removed from every document but the first.
 
-    First-wins is global and deterministic: rank segments per para_hash by
-    (doc_id, para_idx). One shuffle on the hash for the ranking, one on
-    doc_id for reassembly — both equi-key, linear at 100 TB (the hash
-    shuffle is the same shape as exact doc dedup, just at segment
-    granularity).
+    First-wins is global and deterministic: the winner per para_hash is
+    min(struct(doc_id, para_idx)) via `first_wins_per_hash` — a hash
+    AGGREGATE (r5, replacing a row_number window over
+    partitionBy(para_hash)): the structural map-side combine bounds a hot
+    boilerplate paragraph to ≤ n_map_partitions shuffle rows (see
+    first_wins_per_hash for why this beats relying on Spark's
+    pattern-fragile WindowGroupLimit rescue). One combine-shuffle on the
+    hash, one on doc_id for reassembly — both equi-key, linear at 100 TB.
 
     Bounded memory (r4 hardening): the reassembly aggregate collects the
     kept segments' 32-byte md5s, never their text, so per-group state is
@@ -842,8 +900,7 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str, width: int = PARA_WORDS) -
     Output per document: segment counts, the kept-sequence fingerprint, and
     the retained-fraction — hash-verified against the DuckDB replay."""
     segs = paragraph_segments(spark, sf_dir, width)
-    w = Window.partitionBy("para_hash").orderBy("doc_id", "para_idx")
-    kept = segs.withColumn("occ", F.row_number().over(w)).filter(F.col("occ") == 1)
+    kept = first_wins_per_hash(segs)
     rebuilt = kept.groupBy("doc_id").agg(
         F.count("*").alias("n_kept"),
         F.md5(

@@ -346,3 +346,98 @@ def test_paragraph_dedup_over_cap_doc_fails_loudly(spark_global, tmp_path):
         assert ok.n_paras.iloc[0] == 5 and ok.n_kept.iloc[0] == 5
     finally:
         dd.MAX_SEGMENTS_PER_DOC = orig
+
+
+def test_first_wins_aggregate_bounds_hot_key_shuffle(spark_global, tmp_path):
+    """Adversarial hot-paragraph corpus (the same boilerplate paragraph in
+    EVERY document): first-wins as a hash aggregate must shuffle at most
+    uniq_hashes + n_map_partitions records (the structural map-side combine
+    collapses the hot key per task). The row_number-window formulation is
+    rescued by Spark's InferWindowGroupLimit for exactly this rank==1
+    pattern, but the rescue is pattern-fragile (rank<=k or a reused rank
+    column reverts to shipping every occurrence to one reducer). Pins the
+    shuffle bound, value-equality of both formulations, the partial_min
+    combine in the plan, and that paragraph_dedup contains no Window
+    node."""
+    import sys
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from airdatapipeline_spark.operators import dedup as dd
+
+    sys.path.insert(0, "/root/repo/tools")
+    from measured import summarize
+
+    hot = " ".join(f"hot{j}" for j in range(dd.PARA_WORDS))
+    n_docs = 400
+    rows = [
+        (i, hot + " " + " ".join(f"u{i}x{j}" for j in range(dd.PARA_WORDS)))
+        for i in range(n_docs)
+    ]
+    sf = str(tmp_path / "hotpara")
+    spark_global.createDataFrame(rows, "doc_id long, text string").repartition(
+        8
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    segs = dd.paragraph_segments(spark_global, sf)
+    total_segs = segs.count()  # 2 per doc
+    uniq_hashes = segs.select("para_hash").distinct().count()  # n_docs + 1
+    assert total_segs == 2 * n_docs and uniq_hashes == n_docs + 1
+
+    agg = dd.first_wins_per_hash(dd.paragraph_segments(spark_global, sf))
+    agg_rows = agg.collect()
+    agg_shuffled = summarize(agg)["shuffle_records"]
+    # map-side combine: hot key contributes <= n_map_partitions (<= 8 files)
+    assert agg_shuffled <= uniq_hashes + 8, (agg_shuffled, uniq_hashes)
+    assert agg_shuffled < total_segs
+
+    w = Window.partitionBy("para_hash").orderBy("doc_id", "para_idx")
+    win = (
+        dd.paragraph_segments(spark_global, sf)
+        .withColumn("occ", F.row_number().over(w))
+        .filter(F.col("occ") == 1)
+        .select("doc_id", "para_idx", "para_hash")
+    )
+    win_rows = win.collect()
+    win_shuffled = summarize(win)["shuffle_records"]
+    assert agg_shuffled <= win_shuffled
+    assert sorted(map(tuple, agg_rows)) == sorted(map(tuple, win_rows))
+
+    # plan shapes: the window's bound exists only via the pattern-matched
+    # WindowGroupLimit rescue; the aggregate's bound is the partial_min
+    # combine before the exchange (struct min -> SortAggregate, combine
+    # still engages)
+    win_plan = win._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in win_plan
+    agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in agg_plan, "first-wins lost its map-side partial aggregate"
+    assert "Window" not in agg_plan
+
+    out = dd.paragraph_dedup(spark_global, sf)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in plan, "first-wins lost its map-side partial aggregate"
+    assert "Window" not in plan, "paragraph_dedup regressed to a window over para_hash"
+
+
+def test_substring_posting_cap_drops_hot_span(spark_global, tmp_path):
+    """One 40-char span shared by every document: with max_postings set the
+    hot hash is dropped BEFORE the self-join (its C(n,2) pair blowup never
+    materializes) and only genuine small-posting evidence survives; the
+    registered uncapped run keeps all pairs."""
+    from airdatapipeline_spark.operators import dedup as dd
+
+    n = 12
+    hot = "A" * 40
+    rows = [(i, hot + f"tail-of-doc-{i:04d}-" + "z" * 20) for i in range(n)]
+    sf = str(tmp_path / "hotspan")
+    spark_global.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+
+    uncapped = dd.exact_substring_pairs(spark_global, sf).toPandas()
+    assert len(uncapped) == n * (n - 1) // 2  # every pair shares the hot span
+
+    capped = dd.exact_substring_pairs(spark_global, sf, max_postings=4).toPandas()
+    assert len(capped) == 0, "hot span must be dropped by the posting cap"
