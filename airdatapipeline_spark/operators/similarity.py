@@ -40,14 +40,14 @@ PLANES: list[list[int]] = [[_plane_sign(j, i) for i in range(64)] for j in range
 EMB_DIM = 64  # pinned by the embeddings table schema (array<float>[64])
 
 
-def _dot(a: str, b: str) -> Column:
-    """Sequential left-fold dot product, unrolled over the fixed EMB_DIM so
+def _dot(a: str, b: str, dim: int = EMB_DIM) -> Column:
+    """Sequential left-fold dot product, unrolled over the fixed dim so
     the whole expression is flat codegen arithmetic instead of an
     interpreted higher-order `aggregate` lambda (~64 closure calls per
     pair — the HOF version dominated the similarity family's runtime).
     `0.0 + p1 + p2 + ...` evaluates left-to-right, which is bit-identical
     to the fold and to DuckDB's list_dot_product accumulation order."""
-    terms = " + ".join(f"element_at({a}, {i}) * element_at({b}, {i})" for i in range(1, EMB_DIM + 1))
+    terms = " + ".join(f"element_at({a}, {i}) * element_at({b}, {i})" for i in range(1, dim + 1))
     return F.expr(f"cast(0.0 as double) + {terms}")
 
 
@@ -263,6 +263,200 @@ def recall_at_k(
 def lsh_plane_sql(plane: list[int]) -> str:
     """The same hyperplane as a DuckDB DOUBLE[] literal (for oracle SQL)."""
     return "[" + ",".join(str(s) for s in plane) + "]::DOUBLE[]"
+
+
+# --- clustered-embedding recall scenario (VERDICT-r4 item 8) -----------------
+#
+# The synthetic embeddings table is near-ISOTROPIC — the honest worst case
+# for IVF, where recall tracks the scanned fraction almost linearly and the
+# floor-meeting dial is nprobe=7 of 8 (see recall_at_k). This second
+# scenario is the case IVF is FOR: a mixture of well-separated clusters,
+# where probing 2 of 16 lists keeps recall ~1 while scanning ~1/8 of the
+# corpus. The mixture is generated with the repo's seeded-md5 arithmetic
+# (integer hash -> single division), so corpus, centroids (= the TRUE
+# generating centers — no k-means needed), assignment, truth, recall AND
+# scanned fraction are all bit-replayable in DuckDB: the oracle is a full
+# value-hash, no floor boolean.
+CLU_K = 16  # mixture components == IVF lists
+CLU_DIM = 8  # small dim keeps the unrolled oracle SQL tractable
+CLU_N_PROBE = 2
+
+
+def _h56_sql(s: str) -> str:
+    """Spark-side 56-bit md5 hash of a SQL string expression (the repo's
+    content-addressed idiom; DuckDB twin: CAST(concat('0x', substr(md5(s),
+    1, 14)) AS BIGINT))."""
+    return f"cast(conv(substring(md5({s}), 1, 14), 16, 10) as bigint)"
+
+
+def _clu_center_coord(c_expr: str, j: int) -> str:
+    """Coordinate j of the mixture center for cluster expression `c_expr`:
+    integer hash mod 2001 mapped to [-1, 1] by ONE double division (1e3 is
+    a DOUBLE literal in both engines; 1000.0 would parse as DECIMAL)."""
+    key = f"concat('cctr:', cast({c_expr} as string), ':{j}')"
+    return f"(({_h56_sql(key)} % 2001 - 1000) / 1e3)"
+
+
+def _clu_noise_coord(id_expr: str, j: int) -> str:
+    """Coordinate j of the per-vector noise: same hash map scaled to
+    [-0.15, 0.15] (integer *3, one division by 2e4) — small vs the ~1.6
+    expected inter-center coordinate gap, so clusters are well separated."""
+    key = f"concat('cnoi:', cast({id_expr} as string), ':{j}')"
+    return f"(({_h56_sql(key)} % 2001 - 1000) * 3 / 2e4)"
+
+
+def clu_cluster_expr(id_expr: str = "vec_id") -> str:
+    key = f"concat('cclu:', cast({id_expr} as string))"
+    return f"({_h56_sql(key)} % {CLU_K})"
+
+
+# DuckDB twins of the three generator expressions — kept adjacent so the
+# formulas cannot drift (same policy as text._hash_bucket / registry _TOKS).
+def _h56_duck(s: str) -> str:
+    return f"CAST(concat('0x', substr(md5({s}), 1, 14)) AS BIGINT)"
+
+
+def clu_center_coord_duck(c_expr: str, j: int) -> str:
+    key = f"concat('cctr:', CAST({c_expr} AS VARCHAR), ':{j}')"
+    return f"(({_h56_duck(key)} % 2001 - 1000) / 1e3)"
+
+
+def clu_noise_coord_duck(id_expr: str, j: int) -> str:
+    key = f"concat('cnoi:', CAST({id_expr} AS VARCHAR), ':{j}')"
+    return f"(({_h56_duck(key)} % 2001 - 1000) * 3 / 2e4)"
+
+
+def clu_cluster_duck(id_expr: str = "vec_id") -> str:
+    key = f"concat('cclu:', CAST({id_expr} AS VARCHAR))"
+    return f"({_h56_duck(key)} % {CLU_K})"
+
+
+def clustered_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, emb double[CLU_DIM], norm): the embeddings table's ids with
+    mixture-of-clusters vectors — center[cluster(id)] + noise(id). Scales
+    with the SF like every other query input."""
+    ids = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    with_c = ids.withColumn("__c", F.expr(clu_cluster_expr()))
+    coords = [
+        F.expr(f"{_clu_center_coord('__c', j)} + {_clu_noise_coord('vec_id', j)}")
+        for j in range(CLU_DIM)
+    ]
+    e = with_c.select("vec_id", F.array(*coords).alias("emb"))
+    return e.withColumn("norm", F.sqrt(_dot("emb", "emb", CLU_DIM)))
+
+
+def clu_centroids(spark: SparkSession) -> DataFrame:
+    """The TRUE generating centers as the IVF coarse centroids (16 rows) —
+    deterministic, so the whole scenario value-hashes against DuckDB."""
+    cent = spark.range(CLU_K).select(F.col("id").alias("centroid_id"))
+    coords = [F.expr(_clu_center_coord("centroid_id", j)) for j in range(CLU_DIM)]
+    cent = cent.select("centroid_id", F.array(*coords).alias("emb"))
+    return cent.withColumn("norm", F.sqrt(_dot("emb", "emb", CLU_DIM)))
+
+
+def clustered_recall_panel(
+    spark: SparkSession, sf_dir: str, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Per-query IVF recall@k AND scanned fraction on the clustered corpus,
+    probing CLU_N_PROBE of CLU_K lists. Plan shape is the production IVF
+    serve: broadcast 16-row centroid attach for zero-shuffle assignment,
+    candidate step = equi-join on centroid_id, plus one K-row list-size
+    aggregate for the scanned-rows accounting. Output columns (hits,
+    recall, scanned_rows, scanned_frac) are all exact integer / single-
+    division arithmetic — full value-hash oracle."""
+    from pyspark import StorageLevel
+
+    corpus = clustered_embeddings(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    cent = F.broadcast(
+        clu_centroids(spark).select(
+            F.col("centroid_id"), F.col("emb").alias("c_emb"), F.col("norm").alias("c_norm")
+        )
+    )
+
+    def assign(df: DataFrame, n: int, id_col: str) -> DataFrame:
+        scored = df.crossJoin(cent).select(
+            df["*"],
+            "centroid_id",
+            (_dot("emb", "c_emb", CLU_DIM) / (F.col("norm") * F.col("c_norm"))).alias("c_cos"),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("c_cos"), F.asc("centroid_id"))
+        return scored.withColumn("crank", F.row_number().over(w)).filter(
+            F.col("crank") <= n
+        )
+
+    assigned = assign(corpus, 1, "vec_id").select("vec_id", "emb", "norm", "centroid_id")
+    queries = corpus.filter(F.col("vec_id") < n_queries)
+    probes = assign(queries, CLU_N_PROBE, "vec_id").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        "centroid_id",
+    )
+
+    # IVF candidates: equi-join on centroid_id, exact re-rank to top-k
+    cand = assigned.join(F.broadcast(probes), "centroid_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc((_dot("q_emb", "emb", CLU_DIM) / (F.col("q_norm") * F.col("norm")))),
+        F.asc("vec_id"),
+    )
+    ivfk = (
+        cand.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+
+    # exact truth over the same generated corpus
+    q = F.broadcast(
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+        )
+    )
+    scored = corpus.join(q, F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (_dot("q_emb", "emb", CLU_DIM) / (F.col("q_norm") * F.col("norm"))).alias("cosine"),
+    )
+    wt = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    truth = (
+        scored.withColumn("rank", F.row_number().over(wt))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
+    )
+
+    hits = (
+        truth.join(ivfk, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("ivf_hits"))
+    )
+    # scanned-rows accounting: list sizes of the probed centroids
+    lists = assigned.groupBy("centroid_id").agg(F.count("*").alias("list_n"))
+    scanned = (
+        probes.join(F.broadcast(lists), "centroid_id")
+        .groupBy("query_id")
+        .agg(F.sum("list_n").alias("scanned_rows"))
+    )
+    n_corpus = corpus.count()
+    return (
+        truth.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .join(scanned, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("ivf_hits", F.lit(0)).cast("long").alias("ivf_hits"),
+            (F.coalesce("ivf_hits", F.lit(0)).cast("long") / F.lit(float(k))).alias(
+                "ivf_recall"
+            ),
+            F.coalesce("scanned_rows", F.lit(0)).cast("long").alias("scanned_rows"),
+            (
+                F.coalesce("scanned_rows", F.lit(0)).cast("long") / F.lit(float(n_corpus))
+            ).alias("scanned_frac"),
+        )
+    )
 
 
 # --- persisted IVF index (offline build / online partition-pruned serve) -----

@@ -2016,6 +2016,123 @@ def ss_recall(spark, sf_dir):
     return similarity.recall_at_k(spark, sf_dir)
 
 
+def _clu_emb_list(id_expr: str, c_expr: str) -> str:
+    return (
+        "["
+        + ", ".join(
+            f"{similarity.clu_center_coord_duck(c_expr, j)} + "
+            f"{similarity.clu_noise_coord_duck(id_expr, j)}"
+            for j in range(similarity.CLU_DIM)
+        )
+        + "]::DOUBLE[]"
+    )
+
+
+def _clu_center_list(c_expr: str) -> str:
+    return (
+        "["
+        + ", ".join(
+            similarity.clu_center_coord_duck(c_expr, j) for j in range(similarity.CLU_DIM)
+        )
+        + "]::DOUBLE[]"
+    )
+
+
+_CLU_ASSIGN = """
+  SELECT vec_id, emb, norm, centroid_id FROM (
+    SELECT v.vec_id, v.emb, v.norm, k.centroid_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_dot_product(v.emb, k.emb) / (v.norm * k.norm) DESC,
+                      k.centroid_id
+           ) AS crank
+    FROM {src} v CROSS JOIN centn k
+  ) WHERE crank <= {n}
+"""
+
+
+@register(
+    "simsearch_recall_clustered",
+    f"""
+    WITH ec AS (
+      SELECT vec_id, {similarity.clu_cluster_duck("vec_id")} AS c FROM embeddings
+    ),
+    en AS (
+      SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS norm FROM (
+        SELECT vec_id, {_clu_emb_list("vec_id", "c")} AS emb FROM ec
+      )
+    ),
+    centn AS (
+      SELECT centroid_id, emb, sqrt(list_dot_product(emb, emb)) AS norm FROM (
+        SELECT c AS centroid_id, {_clu_center_list("c")} AS emb
+        FROM range({similarity.CLU_K}) t(c)
+      )
+    ),
+    assigned AS ({_CLU_ASSIGN.format(src="en", n=1)}),
+    probes AS (
+      SELECT vec_id AS query_id, emb AS q_emb, norm AS q_norm, centroid_id
+      FROM ({_CLU_ASSIGN.format(src="(SELECT * FROM en WHERE vec_id < 10)", n=similarity.CLU_N_PROBE)})
+    ),
+    ivfk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY list_dot_product(p.q_emb, a.emb) / (p.q_norm * a.norm) DESC,
+                          a.vec_id
+               ) AS rank
+        FROM assigned a JOIN probes p
+          ON a.centroid_id = p.centroid_id AND a.vec_id <> p.query_id
+      ) WHERE rank <= 5
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(q.emb, c.emb) / (q.norm * c.norm) DESC,
+                          c.vec_id
+               ) AS rank
+        FROM en c, (SELECT * FROM en WHERE vec_id < 10) q
+        WHERE c.vec_id <> q.vec_id
+      ) WHERE rank <= 5
+    ),
+    h AS (
+      SELECT t.query_id, COUNT(*) AS ivf_hits FROM truth t
+      JOIN ivfk i ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id
+      GROUP BY 1
+    ),
+    lists AS (SELECT centroid_id, COUNT(*) AS list_n FROM assigned GROUP BY 1),
+    s AS (
+      SELECT p.query_id, CAST(SUM(l.list_n) AS BIGINT) AS scanned_rows
+      FROM probes p JOIN lists l ON p.centroid_id = l.centroid_id GROUP BY 1
+    ),
+    nc AS (SELECT COUNT(*) AS n FROM en)
+    SELECT q.query_id,
+           CAST(COALESCE(h.ivf_hits, 0) AS BIGINT) AS ivf_hits,
+           CAST(COALESCE(h.ivf_hits, 0) AS BIGINT) / 5.0 AS ivf_recall,
+           CAST(COALESCE(s.scanned_rows, 0) AS BIGINT) AS scanned_rows,
+           CAST(COALESCE(s.scanned_rows, 0) AS BIGINT) / CAST(nc.n AS DOUBLE) AS scanned_frac
+    FROM (SELECT DISTINCT query_id FROM truth) q CROSS JOIN nc
+    LEFT JOIN h ON q.query_id = h.query_id
+    LEFT JOIN s ON q.query_id = s.query_id
+    """,
+)
+def ss_recall_clustered(spark, sf_dir):
+    """Clustered-corpus IVF recall + scanned fraction (VERDICT-r4 item 8):
+    the near-isotropic embeddings table is IVF's honest worst case (recall
+    tracks scanned fraction ~linearly; nprobe=7/8 to meet the floor); this
+    scenario is the case IVF is FOR — a seeded-md5 mixture of 16
+    well-separated clusters, where probing 2 of 16 lists holds recall@5 at
+    1.0 while scanning ~12% of the corpus. Centroids are the TRUE
+    generating centers, so the WHOLE pipeline (corpus, assignment, truth,
+    recall, scanned fraction) is deterministic and fully value-hashed by
+    the oracle — no trained-tier floor boolean. Plan shape is the
+    production serve: broadcast 16-row centroid attach (zero-shuffle
+    assignment), candidate step = equi-join on centroid_id."""
+    return similarity.clustered_recall_panel(spark, sf_dir)
+
+
 @register(
     "tpch_q9_profit_by_nation_year",
     f"""
@@ -4428,6 +4545,7 @@ _DRIVER_WINDOW = [
     "text_shard_manifest",
     # --- new r5 registrations ----------------------------------------------
     "text_shard_write_conservation",
+    "simsearch_recall_clustered",
     # --- heavy-plan picks whose newest driver row is r3-or-older -----------
     "simsearch_ivf_topk",
     "training_data_build",
@@ -4472,7 +4590,6 @@ _DRIVER_WINDOW = [
     "simsearch_lsh_topk",
     "ev_asof_last_purchase",
     "ev_range_errors_near_clicks",
-    "bucketed_order_revenue",
 ]
 
 # Driver-green in CORRECTNESS_r01 ∪ r02 ∪ r03 (still value-hash-checked every

@@ -611,3 +611,17 @@ def test_recall_at_k_floor_column_true(spark):
     assert "Scan parquet" not in plan
     out = df.toPandas()
     assert out.ivf_trained_floor_met.all()
+
+
+def test_clustered_ivf_prunes_and_keeps_recall(spark):
+    """The clustered scenario is where IVF pruning must SHINE, not just
+    hold a floor: on the seeded-md5 mixture of 16 well-separated clusters,
+    probing 2/16 lists keeps recall@5 perfect for every panel query while
+    scanning at most a quarter of the corpus (~12% expected — 2 of 16
+    near-equal lists)."""
+    out = similarity.clustered_recall_panel(spark, SF_SMALL).toPandas()
+    assert len(out) == 10
+    assert (out.ivf_recall == 1.0).all(), out
+    assert (out.scanned_frac <= 0.25).all(), out
+    # clusters are near-balanced: each probed pair of 16 lists is ~2/16
+    assert out.scanned_frac.mean() < 0.2

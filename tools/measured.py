@@ -190,6 +190,40 @@ def skew_lines(spark, sf_dir: str) -> list[str]:
     ]
 
 
+def recall_scenario_lines(spark, sf_dir: str) -> list[str]:
+    """IVF recall vs scanned-fraction in BOTH embedding regimes: the
+    near-isotropic embeddings table (ANN's honest worst case — recall
+    tracks the scanned fraction) and the clustered seeded-md5 mixture
+    (the case IVF is FOR)."""
+    from pyspark.sql import functions as F
+
+    from airdatapipeline_spark.operators import similarity as sim
+
+    iso = sim.recall_at_k(spark, sf_dir).agg(
+        F.avg(F.col("ivf_hits") / 5.0).alias("r")
+    ).first()
+    clu = (
+        sim.clustered_recall_panel(spark, sf_dir)
+        .agg(F.avg("ivf_recall").alias("r"), F.avg("scanned_frac").alias("f"))
+        .first()
+    )
+    iso_frac = sim.TRAINED_N_PROBE / sim.N_CENTROIDS if hasattr(sim, "N_CENTROIDS") else 7 / 8
+    return [
+        "",
+        "## IVF recall vs scanned fraction, by embedding regime",
+        "",
+        "| corpus | lists probed | mean recall@5 | scanned fraction |",
+        "|---|---|---|---|",
+        f"| near-isotropic (embeddings table — ANN worst case) | {sim.N_PROBE} of {sim.N_CENTROIDS} (deterministic centroids) | {float(iso['r']):.2f} | ~{sim.N_PROBE / sim.N_CENTROIDS:.2f} |",
+        f"| clustered md5-mixture (`simsearch_recall_clustered`) | {sim.CLU_N_PROBE} of {sim.CLU_K} (true generating centers) | {float(clu['r']):.2f} | {float(clu['f']):.3f} |",
+        "",
+        "On isotropic data no centroid source can prune and keep recall (the",
+        f"trained tier needs nprobe={sim.TRAINED_N_PROBE}/8 ≈ {iso_frac:.0%} scanned to hold the 0.9",
+        "floor); on clustered data the same plan holds recall 1.0 scanning ~12%",
+        "— the dial (`recall_at_k`) is what retunes nprobe per corpus.",
+    ]
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     import __spark_entry__ as e
@@ -230,6 +264,7 @@ def main() -> None:
         )
         print(name, "ok", file=sys.stderr)
     out.extend(skew_lines(spark, sf_dir))
+    out.extend(recall_scenario_lines(spark, sf_dir))
     with open("/root/repo/MEASURED.md", "w") as f:
         f.write("\n".join(out) + "\n")
     print(f"MEASURED.md written ({len(QUERIES_TO_MEASURE)} queries)")
