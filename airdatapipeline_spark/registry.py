@@ -2467,6 +2467,44 @@ def t_decontam(spark, sf_dir):
 
 
 @register(
+    "text_decontamination_bloom",
+    f"""
+    WITH {_SHINGLES_CTE.format(src="documents")},
+    freq AS (SELECT shingle, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY 1),
+    rare AS (SELECT shingle FROM freq WHERE df <= 20),
+    g AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    ev AS (SELECT doc_id AS eval_id, shingle FROM g WHERE doc_id % 50 = 0),
+    tr AS (SELECT doc_id, shingle FROM g WHERE doc_id % 50 <> 0)
+    SELECT tr.doc_id AS doc_id,
+           COUNT(DISTINCT tr.shingle) AS n_shared_grams,
+           COUNT(DISTINCT ev.eval_id) AS n_eval_docs
+    FROM tr JOIN ev USING (shingle)
+    GROUP BY 1
+    """,
+)
+def t_decontam_bloom(spark, sf_dir):
+    """Decontamination in the BIG-BIG regime (VERDICT-unprompted r5 scale
+    tier): at 100 TB a full benchmark-suite eval side is too large to
+    broadcast, so the gram equi-join pays a full shuffle of the training
+    gram stream. Under `bloom_runtime_filter_scope`, Catalyst builds a
+    runtime Bloom filter from the eval (creation) side and injects
+    might_contain() above the training side, dropping non-leaking grams
+    BEFORE the shuffle. The bloom is a pure pre-filter — false positives
+    still meet the exact join — so results are IDENTICAL to
+    text_decontamination (same oracle SQL, hash-checked), while the
+    shuffle carries only candidate grams. Materialized inside the conf
+    scope so the executed plan carries the filter (same pattern as
+    j_bloom_pruned_urgent_revenue); might_contain injection is
+    plan-asserted in tests."""
+    from .operators.tpch import bloom_runtime_filter_scope
+
+    out_dir = tempfile.mkdtemp(prefix="decon_bloom_")
+    with bloom_runtime_filter_scope(spark):
+        dedup.decontamination_report(spark, sf_dir).write.mode("overwrite").parquet(out_dir)
+    return spark.read.parquet(out_dir)
+
+
+@register(
     "text_training_mix_sample",
     f"""
     SELECT source, COUNT(*) AS n_docs,
@@ -4546,6 +4584,7 @@ _DRIVER_WINDOW = [
     # --- new r5 registrations ----------------------------------------------
     "text_shard_write_conservation",
     "simsearch_recall_clustered",
+    "text_decontamination_bloom",
     # --- heavy-plan picks whose newest driver row is r3-or-older -----------
     "simsearch_ivf_topk",
     "training_data_build",
@@ -4589,7 +4628,6 @@ _DRIVER_WINDOW = [
     "q_expectations_report",
     "simsearch_lsh_topk",
     "ev_asof_last_purchase",
-    "ev_range_errors_near_clicks",
 ]
 
 # Driver-green in CORRECTNESS_r01 ∪ r02 ∪ r03 (still value-hash-checked every

@@ -625,3 +625,32 @@ def test_clustered_ivf_prunes_and_keeps_recall(spark):
     assert (out.scanned_frac <= 0.25).all(), out
     # clusters are near-balanced: each probed pair of 16 lists is ~2/16
     assert out.scanned_frac.mean() < 0.2
+
+
+def test_decontamination_bloom_prunes_and_matches_exact(spark):
+    """The bloom tier must (a) carry might_contain() in its executed plan —
+    the eval-side runtime Bloom filter pruning the training gram stream
+    before the shuffle — and (b) return EXACTLY the exact join's rows
+    (the bloom is a pre-filter; false positives still meet the join)."""
+    from airdatapipeline_spark.operators.tpch import bloom_runtime_filter_scope
+
+    with bloom_runtime_filter_scope(spark):
+        df = dedup.decontamination_report(spark, SF_SMALL)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "might_contain" in plan
+
+    exact = (
+        dedup.decontamination_report(spark, SF_SMALL)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    with bloom_runtime_filter_scope(spark):
+        bloomed = (
+            dedup.decontamination_report(spark, SF_SMALL)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    assert exact.equals(bloomed)
