@@ -152,23 +152,75 @@ def write_shards(
     - Readers of one shard touch one directory (partition pruning on the
       shard_id dir column), e.g. a resumed training job re-reading shard 17.
 
+    Durability contract (same as sources/maintenance.compact_parquet): the
+    layout is written to a sibling staging dir, verified (_SUCCESS + a
+    footer-only row-count match against the assignment count) BEFORE any
+    mutation of `out_path`, then swapped in with the previous layout parked
+    at `<out>.__old__` until the new one is live; `recover_shards` heals a
+    crash between the two renames. A reshard can therefore never destroy a
+    serving layout on failure.
+
     Returns {path, n_shards, n_docs} from the write's own plan (no second
     scan: counts come from the assignment aggregate that also sizes the
     range partitioner)."""
+    import os
+    import shutil
+
+    out_path = out_path.rstrip("/")
+    recover_shards(out_path)
+    staging = out_path + ".__resharding__"
+    shutil.rmtree(staging, ignore_errors=True)
+
     assign = shard_assignments(spark, sf_dir, budget, carry=("source", "text"))
     stats = assign.agg(
         F.max("shard_id").alias("max_shard"), F.count("*").alias("n_docs")
     ).first()
     n_shards = int(stats["max_shard"]) + 1
+    n_docs = int(stats["n_docs"])
     (
         assign.select("doc_id", "source", "hkey", "n_tok", "start_off", "text", "shard_id")
         .repartitionByRange(n_shards, "shard_id")
         .sortWithinPartitions("shard_id", "hkey", "doc_id")
         .write.mode("overwrite")
         .partitionBy("shard_id")
-        .parquet(out_path)
+        .parquet(staging)
     )
-    return {"path": out_path, "n_shards": n_shards, "n_docs": int(stats["n_docs"])}
+    if not os.path.exists(os.path.join(staging, "_SUCCESS")):
+        raise RuntimeError(f"shard write to {staging} did not commit")
+    staged_rows = spark.read.parquet(staging).count()  # footer-only scan
+    if staged_rows != n_docs:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise RuntimeError(
+            f"shard write aborted before swap: staging has {staged_rows} docs, "
+            f"assignment has {n_docs}; existing layout untouched"
+        )
+    old = out_path + ".__old__"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(out_path):
+        os.rename(out_path, old)
+    try:
+        os.rename(staging, out_path)
+    except BaseException:
+        if os.path.exists(old):
+            os.rename(old, out_path)  # roll back rename #1
+        raise
+    shutil.rmtree(old, ignore_errors=True)
+    return {"path": out_path, "n_shards": n_shards, "n_docs": n_docs}
+
+
+def recover_shards(out_path: str) -> bool:
+    """Heal an interrupted shard swap: if a crash hit between the two
+    renames, the live path is missing and the previous layout sits intact
+    at `<out>.__old__` — restore it. Idempotent; called automatically by
+    every write_shards."""
+    import os
+
+    out_path = out_path.rstrip("/")
+    old = out_path + ".__old__"
+    if not os.path.exists(out_path) and os.path.exists(old):
+        os.rename(old, out_path)
+        return True
+    return False
 
 
 def read_shards(spark: SparkSession, out_path: str) -> DataFrame:

@@ -156,3 +156,43 @@ def test_token_rarity_covers_every_document(spark):
     d = load_table(spark, SF, "documents")
     total = d.count()
     assert corpus.token_rarity_scores(spark, SF).count() == total
+
+
+def test_write_shards_staged_swap_is_crash_safe(spark, tmp_path):
+    """A reshard must never destroy a serving layout: (a) re-running
+    write_shards over an existing layout goes through staging + swap and
+    leaves identical data; (b) a crash between the two swap renames (live
+    path gone, previous layout parked at __old__) is healed by
+    recover_shards; (c) the next write_shards heals such a crash itself
+    via its own recover call before staging."""
+    import os
+    import shutil
+
+    out = str(tmp_path / "shards")
+    corpus.write_shards(spark, SF, out)
+    before = sorted(
+        map(tuple, corpus.read_shards(spark, out).select("doc_id", "shard_id").collect())
+    )
+
+    # (a) idempotent rewrite over the live layout
+    corpus.write_shards(spark, SF, out)
+    after = sorted(
+        map(tuple, corpus.read_shards(spark, out).select("doc_id", "shard_id").collect())
+    )
+    assert before == after
+    assert not os.path.exists(out + ".__old__")
+    assert not os.path.exists(out + ".__resharding__")
+
+    # (b) simulate a crash between rename #1 and rename #2
+    os.rename(out, out + ".__old__")
+    assert corpus.recover_shards(out) is True
+    assert os.path.exists(out) and not os.path.exists(out + ".__old__")
+    healed = sorted(
+        map(tuple, corpus.read_shards(spark, out).select("doc_id", "shard_id").collect())
+    )
+    assert healed == before
+
+    # (c) next write also self-heals via its own recover call
+    os.rename(out, out + ".__old__")
+    corpus.write_shards(spark, SF, out)
+    assert os.path.exists(out) and not os.path.exists(out + ".__old__")
