@@ -32,6 +32,14 @@ SHARD_TOKENS = 2048
 # through a single-partition window — the classic two-level distributed scan.
 SHARD_BUCKET_DIV = 1 << 48
 
+# Modulus for content-hash conservation fingerprints: 2^61 - 1 (Mersenne
+# prime). Raw BIGINT sums of ~56-bit md5 hashes silently wrap int64 once a
+# group holds ~256 docs (Spark wraps with ANSI off; DuckDB raises on the
+# out-of-range HUGEINT cast), so both engines accumulate EXACTLY — Spark in
+# decimal(38,0) (good to ~1.4e21 docs/group), DuckDB in HUGEINT — and reduce
+# mod this prime. The fingerprint is scale-stable at any corpus size.
+HASH_SUM_MOD = (1 << 61) - 1
+
 # Temperature for source sampling: τ = 0.5 exactly, i.e. weight = sqrt(share).
 # sqrt is the one non-rational primitive that IEEE 754 requires to be
 # correctly rounded, so Spark (JVM) and DuckDB (libm) agree bit-for-bit —
@@ -175,6 +183,8 @@ def write_shards(
     stats = assign.agg(
         F.max("shard_id").alias("max_shard"), F.count("*").alias("n_docs")
     ).first()
+    if stats["max_shard"] is None:
+        raise ValueError(f"no documents in {sf_dir}; nothing to shard")
     n_shards = int(stats["max_shard"]) + 1
     n_docs = int(stats["n_docs"])
     (
@@ -241,7 +251,6 @@ def shard_readback_audit(spark: SparkSession, out_path: str) -> DataFrame:
     against the manifest recomputed from the SOURCE table, this is the
     write-path analogue of snk_compaction_roundtrip's fingerprint check."""
     back = read_shards(spark, out_path)
-    chash = F.conv(F.substring(F.md5("text"), 1, 14), 16, 10).cast("long")
     return back.groupBy("shard_id").agg(
         F.count("*").alias("n_docs"),
         F.countDistinct("doc_id").alias("n_unique_docs"),
@@ -249,8 +258,21 @@ def shard_readback_audit(spark: SparkSession, out_path: str) -> DataFrame:
         F.countDistinct("source").alias("n_sources"),
         F.min(_shard_hkey()).alias("shard_min_hkey"),
         F.max(_shard_hkey()).alias("shard_max_hkey"),
-        F.sum(chash).alias("content_hash_sum"),
+        content_hash_sum().alias("content_hash_sum"),
     )
+
+
+def content_hash_sum(text_col: str = "text") -> F.Column:
+    """Order-insensitive membership fingerprint of a group's documents:
+    SUM of 56-bit content hashes accumulated exactly in decimal(38,0) and
+    reduced mod HASH_SUM_MOD — never wraps, at any group size (the raw
+    int64 sum silently wrapped past ~256 docs/group; ADVICE-r5). The DuckDB
+    twin is `CAST(SUM(chash) % {HASH_SUM_MOD} AS BIGINT)` (HUGEINT sum is
+    exact there)."""
+    chash = F.conv(F.substring(F.md5(text_col), 1, 14), 16, 10).cast("long")
+    return F.pmod(
+        F.sum(chash.cast("decimal(38,0)")), F.lit(HASH_SUM_MOD).cast("decimal(38,0)")
+    ).cast("long")
 
 
 def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3216,6 +3216,7 @@ def q_scd2_customer(spark, sf_dir):
 
 
 from .operators import expectations, incremental  # noqa: E402
+from .operators import corpus  # noqa: E402
 from .sources import maintenance  # noqa: E402
 
 
@@ -3294,10 +3295,11 @@ def q_salted_hotkey(spark, sf_dir):
 
 @register(
     "snk_compaction_roundtrip",
-    """
+    f"""
     SELECT source, COUNT(*) AS n_docs,
            CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
-           CAST(SUM(CAST(concat('0x', substr(md5(text), 1, 14)) AS BIGINT)) AS BIGINT)
+           CAST(SUM(CAST(concat('0x', substr(md5(text), 1, 14)) AS BIGINT))
+                % {corpus.HASH_SUM_MOD} AS BIGINT)
              AS content_hash_sum
     FROM documents GROUP BY 1
     """,
@@ -3321,13 +3323,13 @@ def q_compaction(spark, sf_dir):
     docs.repartition(64).write.mode("overwrite").parquet(frag)
     maintenance.compact_parquet(spark, frag)
     back = spark.read.parquet(frag)
-    content_hash = F.conv(F.substring(F.md5("text"), 1, 14), 16, 10).cast("long")
 
     def agg_of(df):
+        # mod-prime fingerprint: exact at any group size (corpus.py ADVICE-r5)
         return df.groupBy("source").agg(
             F.count("*").alias("n_docs"),
             F.sum(F.length("text")).alias("total_chars"),
-            F.sum(content_hash).alias("content_hash_sum"),
+            corpus.content_hash_sum().alias("content_hash_sum"),
         )
 
     pre, post = agg_of(docs).alias("pre"), agg_of(back).alias("post")
@@ -4375,9 +4377,6 @@ def q20(spark, sf_dir):
 
 # --- corpus preparation: sharding / temperature mix / token rarity (r4) -----
 
-from .operators import corpus  # noqa: E402
-
-
 @register(
     "text_shard_manifest",
     f"""
@@ -4428,7 +4427,7 @@ def t_shards(spark, sf_dir):
            COUNT(DISTINCT source) AS n_sources,
            MIN(hkey) AS shard_min_hkey,
            MAX(hkey) AS shard_max_hkey,
-           CAST(SUM(chash) AS BIGINT) AS content_hash_sum
+           CAST(SUM(chash) % {corpus.HASH_SUM_MOD} AS BIGINT) AS content_hash_sum
     FROM off GROUP BY 1
     """,
 )

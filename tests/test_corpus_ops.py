@@ -196,3 +196,36 @@ def test_write_shards_staged_swap_is_crash_safe(spark, tmp_path):
     os.rename(out, out + ".__old__")
     corpus.write_shards(spark, SF, out)
     assert os.path.exists(out) and not os.path.exists(out + ".__old__")
+
+
+def test_content_hash_sum_never_wraps_int64(spark):
+    """The conservation fingerprint must be exact at ANY group size: a raw
+    BIGINT sum of 56-bit md5 hashes silently wraps int64 past ~256 docs per
+    group (ADVICE-r5). 3000 copies of one hot doc would overflow 9.2e18;
+    the decimal-accumulate + mod-(2^61-1) path must equal the Python big-int
+    ground truth exactly."""
+    import hashlib
+
+    texts = [f"document body {i % 7} with shared boilerplate" for i in range(3000)]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = df.agg(corpus.content_hash_sum().alias("s")).first()["s"]
+
+    expected = (
+        sum(int(hashlib.md5(t.encode()).hexdigest()[:14], 16) for t in texts)
+        % corpus.HASH_SUM_MOD
+    )
+    # the raw int64 path would have wrapped: the true sum exceeds int64
+    assert sum(int(hashlib.md5(t.encode()).hexdigest()[:14], 16) for t in texts) > 2**63
+    assert got == expected
+
+
+def test_write_shards_empty_corpus_fails_loud(spark, tmp_path):
+    """An empty documents table must fail with a clear message, not an
+    opaque TypeError from int(None) (ADVICE-r5)."""
+    empty_dir = tmp_path / "empty_sf"
+    empty_dir.mkdir()
+    load_table(spark, SF, "documents").limit(0).write.parquet(
+        str(empty_dir / "documents.parquet")
+    )
+    with pytest.raises(ValueError, match="no documents"):
+        corpus.write_shards(spark, str(empty_dir), str(tmp_path / "out"))

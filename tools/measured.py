@@ -207,7 +207,7 @@ def recall_scenario_lines(spark, sf_dir: str) -> list[str]:
         .agg(F.avg("ivf_recall").alias("r"), F.avg("scanned_frac").alias("f"))
         .first()
     )
-    iso_frac = sim.TRAINED_N_PROBE / sim.N_CENTROIDS if hasattr(sim, "N_CENTROIDS") else 7 / 8
+    iso_frac = sim.TRAINED_N_PROBE / sim.N_CENTROIDS
     return [
         "",
         "## IVF recall vs scanned fraction, by embedding regime",
