@@ -273,7 +273,7 @@ def test_dashboard_renderer_covers_reference_sections(spark):
     spec.loader.exec_module(mod)
 
     r = mod.build_sections(spark, "/root/testdata/sf0.001", "2025-08-02", "2025-08-06")
-    titles = [t for t, _c, _r in r.sections]
+    titles = [t for t, _c, _r, _s in r.sections]
     for needle in (
         "Period summary", "Daily sentiment", "area chart", "melted",
         "Category totals", "Top-5 categories", "heatmap",
@@ -283,7 +283,7 @@ def test_dashboard_renderer_covers_reference_sections(spark):
         assert any(needle.lower() in t.lower() for t in titles), needle
 
     # the date filter really constrains the temporal sections
-    daily = next(rows for t, _c, rows in r.sections if t.startswith("Daily sentiment"))
+    daily = next(rows for t, _c, rows, _s in r.sections if t.startswith("Daily sentiment"))
     dates = {row[0] for row in daily}
     assert dates and all("2025-08-02" <= d <= "2025-08-06" for d in dates)
 
@@ -295,6 +295,27 @@ def test_dashboard_renderer_covers_reference_sections(spark):
     for t in titles:
         assert f"<h2>{html_mod.escape(t)}</h2>" in html
     assert html.count("<table>") == len(titles)
+
+    # every chart-backed section carries its reference plotly twin as SVG
+    # (VERDICT-r5 item 1: tools/svgcharts.py must be wired, not an orphan)
+    chart_sections = {
+        "Daily sentiment": "<polyline",          # px.line temporal
+        "melted": "<polygon",                    # px.area stacked
+        "distribution %": "<rect",               # value_counts bar
+        "Category totals": "<rect",              # px.bar
+        "Top-5 categories": "<polyline",         # px.line per category
+        "heatmap": "<rect",                      # px.imshow
+        "Confidence by date": "<polyline",       # px.line confidence
+        "histogram": "<rect",                    # go.Histogram
+    }
+    for needle, mark in chart_sections.items():
+        svg = next(
+            s for t, _c, _r2, s in r.sections if needle.lower() in t.lower()
+        )
+        assert svg and svg.startswith("<svg") and mark in svg, needle
+    assert html.count("<svg") == sum(
+        1 for _t, _c, _r2, s in r.sections if s
+    ) == len(chart_sections)
 
 
 def test_bench_query_names_exist_in_registry():
