@@ -6,7 +6,10 @@ the driver's tail window and produced "parsed": null):
 "sf": ...}. The verifier/scaling sections and notes go to the sidecar
 BENCH_DETAIL.json next to this script instead of stdout.
 
-Three sections:
+Timing statistic: MEDIAN of 3 noop-forced runs per query (r6; best-of-2
+before), with the sorted per-run times recorded in BENCH_DETAIL's
+`dispersion` section so a noisy reading is distinguishable from a plan
+regression. Sections:
 
 - queries/value — the HEADLINE tier: only plans whose shape survives a
   100x scale-up (equi-join candidate generation, pushed filters, partial
@@ -15,6 +18,9 @@ Three sections:
   O(N*Q) full-precision scan). It exists to grade the approximate tiers'
   recall, never to run at corpus scale, so its time is reported separately
   and excluded from the headline total.
+- writes — the I/O lifecycle WRITE paths (shard layout write, parquet
+  compaction, IVF index build) timed at base and on the 10x replica
+  (VERDICT-r5 item 6); detail-only, excluded from the headline total.
 - scaling — every scale-eligible headline query re-measured on a 10x
   replica warehouse (sources/scale.py): empirical time ratios next to the
   10x data ratio, catching any operator whose constant factors hide
@@ -129,21 +135,95 @@ SCALING = [
 ]
 
 
-def _time_best_of_2(fn) -> float:
+N_RUNS = 3  # r6: median-of-3 (VERDICT-r5 item 2 — make regressions
+# attributable: r5's +9% headline and a phantom 3.3x t3 reading were pure
+# ambient noise that best-of-2 could not separate from a plan change).
+
+
+def _run_samples(fn, n: int = N_RUNS) -> list[float]:
     """Force FULL execution of every projected column with a noop write —
     count() lets Catalyst prune projected expressions (map-heavy queries
     were under-measured); noop runs the whole plan and discards rows
-    executor-side (r2 re-baseline). best-of-2: the first run pays one-time
-    Janino codegen compilation; a long-lived cluster is always past that,
-    so steady-state is the honest throughput number."""
-    best = None
-    for _ in range(2):
+    executor-side (r2 re-baseline). Returns the sorted per-run times; the
+    first run pays one-time Janino codegen, so the MEDIAN (not min, not
+    mean) is the headline statistic: robust to one slow outlier AND to one
+    lucky cache hit."""
+    times = []
+    for _ in range(n):
         t0 = time.time()
         df = fn()
         df.write.format("noop").mode("overwrite").save()
-        el = time.time() - t0
-        best = el if best is None else min(best, el)
-    return round(best, 3)
+        times.append(round(time.time() - t0, 3))
+    return sorted(times)
+
+
+def _median(samples: list[float]) -> float:
+    return samples[len(samples) // 2]
+
+
+WRITE_RUNS = 2  # writes are the slowest ops; 2 runs bound the cost while
+# still exposing a gross outlier in the recorded runs
+
+
+def _writes_tier(spark) -> dict:
+    """Measure the I/O lifecycle WRITE paths (VERDICT-r5 item 6) at base
+    and on the 10x replica warehouse: write_shards (the corpus-wide
+    TeraSort-style layout), compact_parquet (small-file maintenance over a
+    64-file fragmented documents table), and build_ivf_index (the ANN
+    offline build). Staging dirs are cleaned between runs; setup
+    (fragmenting the input for compaction) is untimed."""
+    import shutil
+    import tempfile
+
+    from airdatapipeline_spark.io import load_table
+    from airdatapipeline_spark.operators import corpus, similarity
+    from airdatapipeline_spark.sources import maintenance
+
+    root = tempfile.mkdtemp(prefix="bench_writes_")
+    tiers = [("base", SF_DIR)]
+    if os.path.exists(os.path.join(SCALE_DIR, "documents.parquet")):
+        tiers.append(("big", SCALE_DIR))
+
+    def run_once(op: str, sf: str, workdir: str) -> float:
+        if op == "write_shards":
+            out = os.path.join(workdir, "shards")
+            shutil.rmtree(out, ignore_errors=True)
+            t0 = time.time()
+            corpus.write_shards(spark, sf, out)
+            return time.time() - t0
+        if op == "compact_parquet":
+            frag = os.path.join(workdir, "frag")
+            shutil.rmtree(frag, ignore_errors=True)
+            load_table(spark, sf, "documents").repartition(64).write.mode(
+                "overwrite"
+            ).parquet(frag)  # setup: the fragmented state, untimed
+            t0 = time.time()
+            maintenance.compact_parquet(spark, frag)
+            return time.time() - t0
+        if op == "build_ivf_index":
+            out = os.path.join(workdir, "ivf")
+            shutil.rmtree(out, ignore_errors=True)
+            t0 = time.time()
+            similarity.build_ivf_index(spark, sf, out)
+            return time.time() - t0
+        raise ValueError(op)
+
+    result: dict[str, dict] = {}
+    for op in ("write_shards", "compact_parquet", "build_ivf_index"):
+        entry: dict = {}
+        for tier, sf in tiers:
+            workdir = os.path.join(root, f"{op}_{tier}")
+            os.makedirs(workdir, exist_ok=True)
+            runs = sorted(round(run_once(op, sf, workdir), 3) for _ in range(WRITE_RUNS))
+            entry[tier] = {"runs": runs, "med": _median(runs)}
+            sys.stderr.write(f"[writes/{tier}] {op}: {entry[tier]['med']}s (runs {runs})\n")
+        # ratio vs data_ratio: near-linear expected — the shard write's
+        # single wide shuffle and the IVF assign+write are both O(corpus)
+        if "big" in entry and entry["base"]["med"] > 0:
+            entry["ratio"] = round(entry["big"]["med"] / entry["base"]["med"], 2)
+        result[op] = entry
+    shutil.rmtree(root, ignore_errors=True)
+    return {"data_ratio": float(SCALE_COPIES), "ops": result}
 
 
 def main() -> None:
@@ -177,18 +257,23 @@ def main() -> None:
         return lambda: queries[name](spark, sf_dir)
 
     timings: dict[str, float] = {}
+    dispersion: dict[str, list[float]] = {}
     for name in HEADLINE:
         if name != "flagship_pipeline" and name not in queries:
             continue
-        timings[name] = _time_best_of_2(make_fn(name, SF_DIR))
-        sys.stderr.write(f"{name}: {timings[name]}s\n")
+        runs = _run_samples(make_fn(name, SF_DIR))
+        dispersion[name] = runs
+        timings[name] = _median(runs)
+        sys.stderr.write(f"{name}: {timings[name]}s (runs {runs})\n")
 
     verifier: dict[str, float] = {}
     for name in VERIFIER:
         if name not in queries:
             continue
-        verifier[name] = _time_best_of_2(make_fn(name, SF_DIR))
-        sys.stderr.write(f"[verifier] {name}: {verifier[name]}s\n")
+        runs = _run_samples(make_fn(name, SF_DIR))
+        dispersion[name] = runs
+        verifier[name] = _median(runs)
+        sys.stderr.write(f"[verifier] {name}: {verifier[name]}s (runs {runs})\n")
 
     # --- scaling tier: same queries on the replica warehouse ----------------
     scaling: dict | None = None
@@ -196,13 +281,16 @@ def main() -> None:
         from airdatapipeline_spark.sources.scale import build_replica_warehouse
 
         build_replica_warehouse(spark, SF_DIR, SCALE_DIR, SCALE_COPIES)
-        per_query: dict[str, dict[str, float]] = {}
+        per_query: dict[str, dict] = {}
         for name in SCALING:
             if name not in timings:
                 continue
-            big = _time_best_of_2(make_fn(name, SCALE_DIR))
+            runs = _run_samples(make_fn(name, SCALE_DIR))
+            big = _median(runs)
             ratio = round(big / timings[name], 2) if timings[name] > 0 else None
-            per_query[name] = {"base": timings[name], "big": big, "ratio": ratio}
+            per_query[name] = {
+                "base": timings[name], "big": big, "ratio": ratio, "big_runs": runs,
+            }
             sys.stderr.write(f"[x{SCALE_COPIES}] {name}: {big}s (ratio {ratio})\n")
         scaling = {
             "data_ratio": float(SCALE_COPIES),
@@ -213,8 +301,25 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 - bench must still emit its line
         scaling = {"error": f"{type(exc).__name__}: {exc}"}
 
+    # --- writes tier: the I/O lifecycle ops, base + replica (VERDICT-r5 #6) -
+    writes: dict | None = None
+    try:
+        writes = _writes_tier(spark)
+    except Exception as exc:  # noqa: BLE001 - bench must still emit its line
+        writes = {"error": f"{type(exc).__name__}: {exc}"}
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     detail = {
+        "dispersion": {
+            "note": (
+                "sorted per-run times (3 runs) for every headline/verifier "
+                "query; the compact line reports the MEDIAN. A wide spread "
+                "marks a reading as ambient noise, not a plan change "
+                "(r5's +9% headline drift was unattributable under "
+                "best-of-2 — VERDICT-r5 item 2)."
+            ),
+            "runs": dispersion,
+        },
         "verifier": {
             "note": (
                 "quadratic-by-design ground-truth tier (exact brute-force "
@@ -225,17 +330,18 @@ def main() -> None:
             "total": round(sum(verifier.values()), 3),
         },
         "scaling": scaling,
+        "writes": writes,
         "note": (
             "headline contains scale-safe plans only (brute-force ANN "
             "lives in the verifier section); scaling re-measures the "
             "scale-eligible headline queries on a 10x replica warehouse — "
             "near-linear ratios expected (ratio << 10 means fixed "
-            "per-stage overhead still dominates at base scale). Forcing "
-            "unchanged since r2 (noop write, best-of-2). r4 adds "
-            "events_cohort_retention + w_customer_rfm_segments and (late "
-            "r4) text_shard_manifest + text_token_rarity_scores to the "
-            "headline (subtract all four for a like-for-like r3 "
-            "comparison)."
+            "per-stage overhead still dominates at base scale). writes "
+            "measures the I/O lifecycle ops (shard layout write, "
+            "compaction, IVF index build) base + 10x. Forcing unchanged "
+            "since r2 (noop write); r6 switches best-of-2 -> median-of-3 "
+            "with per-run dispersion recorded (expect a small uniform "
+            "headline shift vs r5: median >= min by construction)."
         ),
     }
     detail_path = os.path.join(
