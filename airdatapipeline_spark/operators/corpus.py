@@ -83,9 +83,26 @@ def shard_assignments(
     linear at 100 TB. The narrow (doc_id, carry..., hkey, n_tok) projection
     is persisted so the bucket-total pass and the layout pass share ONE
     parquet scan — the text column is read exactly once."""
+    df, _per = _assignments_for(load_table(spark, sf_dir, "documents"), budget, carry)
+    return df
+
+
+def _assignments_for(
+    d: DataFrame, budget: int, carry: tuple[str, ...]
+) -> tuple[DataFrame, DataFrame]:
+    """The layout pass over an arbitrary documents DataFrame (full corpus
+    for shard_assignments; the not-yet-sharded delta for append_shards).
+    Offsets and shard ids are LOCAL to `d` starting at 0 — append_shards
+    rebases them past the existing layout. Returns (assignments, per) where
+    `per` is the persisted narrow scan: lazy callers leave it cached (LRU
+    reclaims it); the WRITE paths unpersist it after their terminal action,
+    both to release the blocks and because a lingering cache on a plan that
+    reads the layout path would be silently substituted for a LATER
+    equivalent plan by the CacheManager even after the dir's contents
+    changed (observed: append #2's delta anti-join returned append #1's
+    cached rows)."""
     from pyspark import StorageLevel
 
-    d = load_table(spark, sf_dir, "documents")
     per = (
         d.select(
             "doc_id",
@@ -107,11 +124,12 @@ def shard_assignments(
     bases = btot.select("bucket", (F.sum("btok").over(wb) - F.col("btok")).alias("base"))
 
     wd = Window.partitionBy("bucket").orderBy("hkey", "doc_id")
-    return (
+    assignments = (
         per.join(F.broadcast(bases), "bucket")
         .withColumn("start_off", F.col("base") + F.sum("n_tok").over(wd) - F.col("n_tok"))
         .withColumn("shard_id", F.expr(f"start_off div {budget}"))
     )
+    return assignments, per
 
 
 def shard_manifest(spark: SparkSession, sf_dir: str, budget: int = SHARD_TOKENS) -> DataFrame:
@@ -179,11 +197,14 @@ def write_shards(
     staging = out_path + ".__resharding__"
     shutil.rmtree(staging, ignore_errors=True)
 
-    assign = shard_assignments(spark, sf_dir, budget, carry=("source", "text"))
+    assign, per_cache = _assignments_for(
+        load_table(spark, sf_dir, "documents"), budget, carry=("source", "text")
+    )
     stats = assign.agg(
         F.max("shard_id").alias("max_shard"), F.count("*").alias("n_docs")
     ).first()
     if stats["max_shard"] is None:
+        per_cache.unpersist()
         raise ValueError(f"no documents in {sf_dir}; nothing to shard")
     n_shards = int(stats["max_shard"]) + 1
     n_docs = int(stats["n_docs"])
@@ -195,6 +216,7 @@ def write_shards(
         .partitionBy("shard_id")
         .parquet(staging)
     )
+    per_cache.unpersist()
     if not os.path.exists(os.path.join(staging, "_SUCCESS")):
         raise RuntimeError(f"shard write to {staging} did not commit")
     staged_rows = spark.read.parquet(staging).count()  # footer-only scan
@@ -215,6 +237,10 @@ def write_shards(
             os.rename(old, out_path)  # roll back rename #1
         raise
     shutil.rmtree(old, ignore_errors=True)
+    # drop any cached plan/listing over the (now replaced) layout path —
+    # the CacheManager would otherwise serve pre-swap data to an
+    # equivalent later read of the same path
+    spark.catalog.refreshByPath(out_path)
     return {"path": out_path, "n_shards": n_shards, "n_docs": n_docs}
 
 
@@ -231,6 +257,125 @@ def recover_shards(out_path: str) -> bool:
         os.rename(old, out_path)
         return True
     return False
+
+
+def append_shards(
+    spark: SparkSession, sf_dir: str, out_path: str, budget: int = SHARD_TOKENS
+) -> dict:
+    """Incremental shard APPEND: lay out only the documents of `sf_dir` not
+    already in the layout at `out_path`, as NEW `shard_id=K/` dirs after the
+    last existing shard — the production ingest pattern at 100 TB, where a
+    daily delta batch must not re-lay (or even re-read the text of) the
+    full corpus the way write_shards does. Composes with
+    dedup_incremental_candidates the way streaming_index_ingest does for
+    ANN serving.
+
+    Semantics:
+    - Membership: delta = documents LEFT ANTI JOIN layout ON doc_id, so
+      redelivered docs are skipped — append is idempotent under at-least-
+      once delivery. Cost ∝ delta + ONE narrow doc_id column scan of the
+      layout (column pruning; no text is read from existing shards).
+    - Offsets stay contiguous across the boundary: the first delta doc
+      starts at SUM(n_tok) over the layout (== the corpus token total, by
+      the prefix-sum construction), and the delta's own two-level prefix
+      sum continues from there.
+    - Shard ids: delta docs land in fresh shards starting at
+      max(shard_id)+1 even when the boundary shard is under-budget —
+      written shards are IMMUTABLE (a data loader may hold any of them
+      open), so the append trades perfect packing of one boundary shard
+      for never mutating an existing dir. shard_id = start_off div budget
+      therefore holds only within each write generation.
+    - Durability: the delta is staged like write_shards, count-verified,
+      then each new `shard_id=K/` dir is moved in with one atomic rename.
+      A crash mid-move leaves a prefix of whole delta shards live; the
+      next append recomputes the delta (those docs now ARE in the layout)
+      and continues after them — re-entrant, never corrupting.
+
+    Returns {path, n_new_docs, n_new_shards, first_new_shard}. An absent
+    layout degenerates to write_shards."""
+    import os
+    import shutil
+
+    out_path = out_path.rstrip("/")
+    recover_shards(out_path)
+    staging = out_path + ".__appending__"
+    shutil.rmtree(staging, ignore_errors=True)
+    if not os.path.exists(out_path):
+        full = write_shards(spark, sf_dir, out_path, budget)
+        return {
+            "path": out_path,
+            "n_new_docs": full["n_docs"],
+            "n_new_shards": full["n_shards"],
+            "first_new_shard": 0,
+        }
+
+    # the layout path may have grown since a previous read in this session;
+    # refresh before reading so neither a stale file listing nor a cached
+    # equivalent plan (CacheManager substitutes by canonical plan, which
+    # does not see new files) can serve pre-append contents
+    spark.catalog.refreshByPath(out_path)
+    existing = read_shards(spark, out_path)
+    prev = existing.agg(
+        F.max("shard_id").alias("last_shard"),
+        F.sum("n_tok").alias("prev_end"),
+    ).first()
+    last_shard, prev_end = int(prev["last_shard"]), int(prev["prev_end"])
+
+    delta_docs = load_table(spark, sf_dir, "documents").join(
+        existing.select("doc_id"), "doc_id", "left_anti"
+    )
+    delta_assign, per_cache = _assignments_for(
+        delta_docs, budget, carry=("source", "text")
+    )
+    assign = delta_assign.withColumn(
+        "start_off", F.col("start_off") + F.lit(prev_end)
+    ).withColumn("shard_id", F.col("shard_id") + F.lit(last_shard + 1))
+    stats = assign.agg(
+        F.max("shard_id").alias("max_shard"), F.count("*").alias("n_docs")
+    ).first()
+    if stats["max_shard"] is None:
+        per_cache.unpersist()
+        return {
+            "path": out_path,
+            "n_new_docs": 0,
+            "n_new_shards": 0,
+            "first_new_shard": last_shard + 1,
+        }
+    n_new_docs = int(stats["n_docs"])
+    n_new_shards = int(stats["max_shard"]) - last_shard
+    (
+        assign.select("doc_id", "source", "hkey", "n_tok", "start_off", "text", "shard_id")
+        .repartitionByRange(n_new_shards, "shard_id")
+        .sortWithinPartitions("shard_id", "hkey", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(staging)
+    )
+    per_cache.unpersist()
+    if not os.path.exists(os.path.join(staging, "_SUCCESS")):
+        raise RuntimeError(f"shard append to {staging} did not commit")
+    staged_rows = spark.read.parquet(staging).count()  # footer-only scan
+    if staged_rows != n_new_docs:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise RuntimeError(
+            f"shard append aborted before move: staging has {staged_rows} docs, "
+            f"delta has {n_new_docs}; existing layout untouched"
+        )
+    for entry in sorted(os.listdir(staging)):
+        if not entry.startswith("shard_id="):
+            continue
+        dst = os.path.join(out_path, entry)
+        if os.path.exists(dst):  # cannot happen: ids start past max
+            raise RuntimeError(f"append collision on existing {dst}")
+        os.rename(os.path.join(staging, entry), dst)
+    shutil.rmtree(staging, ignore_errors=True)
+    spark.catalog.refreshByPath(out_path)
+    return {
+        "path": out_path,
+        "n_new_docs": n_new_docs,
+        "n_new_shards": n_new_shards,
+        "first_new_shard": last_shard + 1,
+    }
 
 
 def read_shards(spark: SparkSession, out_path: str) -> DataFrame:

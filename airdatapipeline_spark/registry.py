@@ -4449,6 +4449,76 @@ def t_shard_write(spark, sf_dir):
 
 
 @register(
+    "text_shard_append_conservation",
+    f"""
+    WITH per AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 14))
+                  AS BIGINT) AS hkey,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+             CAST(concat('0x', substr(md5(text), 1, 14)) AS BIGINT) AS chash
+      FROM documents
+    ),
+    boff AS (
+      SELECT *, SUM(n_tok) OVER (ORDER BY hkey, doc_id) - n_tok AS start_off
+      FROM per WHERE doc_id % 3 <> 0
+    ),
+    bmax AS (
+      SELECT CAST(MAX(start_off // {corpus.SHARD_TOKENS}) AS BIGINT) AS last_shard
+      FROM boff
+    ),
+    doff AS (
+      SELECT *, SUM(n_tok) OVER (ORDER BY hkey, doc_id) - n_tok AS local_off
+      FROM per WHERE doc_id % 3 = 0
+    ),
+    placed AS (
+      SELECT doc_id, source, hkey, n_tok, chash,
+             CAST(start_off // {corpus.SHARD_TOKENS} AS BIGINT) AS shard_id
+      FROM boff
+      UNION ALL
+      SELECT doc_id, source, hkey, n_tok, chash,
+             CAST(bmax.last_shard + 1 + (local_off // {corpus.SHARD_TOKENS})
+                  AS BIGINT) AS shard_id
+      FROM doff, bmax
+    )
+    SELECT shard_id, COUNT(*) AS n_docs, COUNT(DISTINCT doc_id) AS n_unique_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS shard_tokens,
+           COUNT(DISTINCT source) AS n_sources,
+           MIN(hkey) AS shard_min_hkey, MAX(hkey) AS shard_max_hkey,
+           CAST(SUM(chash) % {corpus.HASH_SUM_MOD} AS BIGINT) AS content_hash_sum
+    FROM placed GROUP BY 1
+    """,
+)
+def t_shard_append(spark, sf_dir):
+    """Incremental shard APPEND lifecycle (corpus.append_shards — the r6
+    feature VERDICT-r5 item 5): write a base layout from two thirds of the
+    corpus (doc_id % 3 != 0), then APPEND the remaining third as a delta
+    batch — only NEW `shard_id=K/` dirs after the last base shard, existing
+    dirs untouched, offsets contiguous across the boundary, redelivered
+    docs skipped by the anti-join membership gate. The audit recomputes
+    every per-shard fingerprint from the WRITTEN payload only; the oracle
+    replays base layout + delta placement policy from the source table, so
+    a delta doc landed in a base shard, a mutated base shard, or a
+    dropped/duplicated delta doc all red the row. Old-dir immutability at
+    the file level and idempotency under redelivery are pytest-asserted
+    (tests/test_corpus_ops.py)."""
+    import os
+
+    from .io import load_table
+
+    root = tempfile.mkdtemp(prefix="shards_append_")
+    base_sf = os.path.join(root, "base_sf")
+    out = os.path.join(root, "layout")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") % 3 != 0).write.mode("overwrite").parquet(
+        os.path.join(base_sf, "documents.parquet")
+    )
+    corpus.write_shards(spark, base_sf, out)
+    corpus.append_shards(spark, sf_dir, out)
+    return corpus.shard_readback_audit(spark, out)
+
+
+@register(
     "text_temperature_mix_weights",
     f"""
     WITH per_src AS (

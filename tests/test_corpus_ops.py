@@ -229,3 +229,109 @@ def test_write_shards_empty_corpus_fails_loud(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="no documents"):
         corpus.write_shards(spark, str(empty_dir), str(tmp_path / "out"))
+
+
+def _append_fixture(spark, tmp_path):
+    """Base layout from doc_id % 3 != 0, delta = the remaining third."""
+    import os
+
+    base_sf = str(tmp_path / "base_sf")
+    out = str(tmp_path / "layout")
+    load_table(spark, SF, "documents").filter(F.col("doc_id") % 3 != 0).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base_sf, "documents.parquet"))
+    corpus.write_shards(spark, base_sf, out)
+    return out
+
+
+def test_append_shards_immutable_contiguous_exactly_once(spark, tmp_path):
+    """The r6 lifecycle contract (VERDICT-r5 item 5): existing shard dirs
+    are byte-untouched, delta docs land exactly once in NEW shards after
+    the last base shard, and start offsets stay contiguous across the
+    write-generation boundary."""
+    import os
+
+    out = _append_fixture(spark, tmp_path)
+    before_files = {}
+    for dirpath, _dirs, files in os.walk(out):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            before_files[p] = (st.st_size, st.st_mtime_ns, st.st_ino)
+    base_ids = {
+        r["shard_id"]
+        for r in corpus.read_shards(spark, out).select("shard_id").distinct().collect()
+    }
+
+    res = corpus.append_shards(spark, SF, out)
+    assert res["n_new_docs"] > 0 and res["n_new_shards"] > 0
+    assert res["first_new_shard"] == max(base_ids) + 1
+
+    # (1) old dirs byte-untouched (same inode, size, mtime)
+    for p, sig in before_files.items():
+        st = os.stat(p)
+        assert (st.st_size, st.st_mtime_ns, st.st_ino) == sig, p
+
+    back = corpus.read_shards(spark, out)
+    full = load_table(spark, SF, "documents")
+    # (2) exactly-once membership: layout == full corpus, no dup doc_ids
+    assert back.count() == full.count()
+    assert back.select("doc_id").distinct().count() == full.count()
+    # (3) delta docs are all in NEW shards
+    delta_in_old = back.filter(
+        (F.col("doc_id") % 3 == 0) & (F.col("shard_id") <= max(base_ids))
+    ).count()
+    assert delta_in_old == 0
+    # (4) offsets contiguous across the boundary: sorted by start_off,
+    # every doc starts exactly where the previous one ended
+    rows = back.select("start_off", "n_tok").orderBy("start_off").collect()
+    pos = 0
+    for r in rows:
+        assert r["start_off"] == pos
+        pos += r["n_tok"]
+
+
+def test_append_shards_idempotent_under_redelivery(spark, tmp_path):
+    """Re-appending the same batch is a no-op: the anti-join membership
+    gate skips every redelivered doc and no new dirs appear."""
+    import os
+
+    out = _append_fixture(spark, tmp_path)
+    corpus.append_shards(spark, SF, out)
+    dirs_before = sorted(os.listdir(out))
+    res2 = corpus.append_shards(spark, SF, out)
+    assert res2["n_new_docs"] == 0 and res2["n_new_shards"] == 0
+    assert sorted(os.listdir(out)) == dirs_before
+
+
+def test_append_shards_reentrant_after_partial_crash(spark, tmp_path):
+    """A crash mid-move leaves a prefix of whole delta shards live; the
+    next append must place only the missing docs, after the current last
+    shard, leaving the layout complete and duplicate-free."""
+    import os
+    import shutil
+
+    out = _append_fixture(spark, tmp_path)
+    res = corpus.append_shards(spark, SF, out)
+    # simulate the crash: drop the LAST appended shard dir (as if the move
+    # loop died before it); docs of that dir are now missing from the layout
+    last_dir = os.path.join(out, f"shard_id={res['first_new_shard'] + res['n_new_shards'] - 1}")
+    shutil.rmtree(last_dir)
+    missing = load_table(spark, SF, "documents").count() - corpus.read_shards(
+        spark, out
+    ).count()
+    assert missing > 0
+
+    res2 = corpus.append_shards(spark, SF, out)
+    assert res2["n_new_docs"] == missing
+    back = corpus.read_shards(spark, out)
+    assert back.count() == load_table(spark, SF, "documents").count()
+    assert back.select("doc_id").distinct().count() == back.count()
+
+
+def test_append_shards_absent_layout_degenerates_to_full_write(spark, tmp_path):
+    out = str(tmp_path / "fresh")
+    res = corpus.append_shards(spark, SF, out)
+    assert res["first_new_shard"] == 0 and res["n_new_docs"] > 0
+    full = corpus.read_shards(spark, out)
+    assert full.count() == load_table(spark, SF, "documents").count()
