@@ -4641,68 +4641,84 @@ def st_curated_ingest(spark, sf_dir):
 # 50 names.
 # ---------------------------------------------------------------------------
 
+# r6 rotation (VERDICT-r5 item 4 — freshness policy): after r5's fully
+# green 50/50 every query is driver-proven, so the window now minimizes
+# max-staleness of the NEWEST driver row per query. Composition:
+#   - 3 family canaries (pinned by the window-integrity test);
+#   - the new r6 registration (append lifecycle);
+#   - all 21 queries whose newest driver row is still r1/r2 (streaming
+#     append family, w_* windows, tpch q1/q3/q5, events_*, the r2 text/
+#     dedup batch, bucketed/asof-range events);
+#   - 25 of the 43 r3-green queries (tpch tail, snk/scd sinks, text corpus
+#     ops, remaining stream/agg/join) — the other 18 rotate in r7.
+# Max driver-row staleness after r6: r3 (was r2).
 _DRIVER_WINDOW = [
     # --- §2 family flagships (regression canaries) -------------------------
     "flagship_enrichment_gold",
     "a2_w1_daily_category_gold",
     "src1_scrape_clean",
-    "u1_union_dedup",
-    # --- re-prove: r4 hash-reds, oracle SQL fixed (CAST AS BIGINT) ---------
-    "snk_compaction_roundtrip",
-    "text_shard_manifest",
-    # --- new r5 registrations ----------------------------------------------
-    "text_shard_write_conservation",
-    "simsearch_recall_clustered",
-    "text_decontamination_bloom",
-    # --- heavy-plan picks whose newest driver row is r3-or-older -----------
-    "simsearch_ivf_topk",
-    "training_data_build",
-    "curation_pipeline",
-    # --- oldest-green r1/r2 §2 queries (reduce max-staleness) --------------
-    "p1_staging_projection",
-    "p2_p3_clean_links",
-    "p5_p6_today_ok_rows",
-    "p7_date_range_filter",
-    "p8_nulldrop_metric",
-    "p9_top5_membership_filter",
-    "p10_validate_domains",
-    "d1_d2_dedup_headlines",
-    "d4_distinct_dates",
-    "j1_pending_antijoin",
-    "j2_j3_pending_metrics",
-    "a1_daily_sentiment_gold",
-    "a3_sentiment_today",
-    "a4_top_categories_today",
-    "a5_a6_a7_today_scalars",
-    "a8_confidence_by_date_sentiment",
-    "a9_sentiment_distribution_pct",
-    "a10_period_kpis",
-    "a11_category_totals",
-    "a12_pivot_date_category",
-    "a13_unpivot_sentiment_long",
-    "a14_collect_confidences",
-    "a15_histogram_bins",
-    "a16_a19_summary_stats",
-    "t1_t2_gold_ordered",
-    "t3_recent_headlines_topk",
-    "t4_t5_batch_limit",
-    "q_scalar_display_functions",
-    "q_validation_gates",
-    "src_csv_roundtrip",
-    "snk_silver_partitioned_prune",
-    "dedup_minhash_lsh_candidates",
-    "dedup_simhash_lsh_candidates",
-    "snk_incremental_gold",
-    "dedup_cluster_assignments",
-    "q_expectations_report",
-    "simsearch_lsh_topk",
-    "ev_asof_last_purchase",
+    # --- new r6 registration -----------------------------------------------
+    "text_shard_append_conservation",
+    # --- newest driver row is r1/r2 ----------------------------------------
+    "ev_range_errors_near_clicks",
+    "bucketed_order_revenue",
+    "stream_tumbling_append",
+    "stream_session_append",
+    "mm_decode_features",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_regional_revenue",
+    "agg_rollup_lineitem",
+    "agg_distinct_customers_per_segment",
+    "w_topk_customers_per_nation",
+    "w_running_daily_revenue",
+    "events_daily_by_type",
+    "events_json_extract",
+    "events_sessionization",
+    "text_token_stats_by_source",
+    "text_quality_scores",
+    "text_langid_confusion",
+    "text_fingerprint_clusters",
+    "dedup_exact_groups",
+    "dedup_ngram_jaccard_pairs",
+    # --- newest driver row is r3 (25 of 43; rest rotate in r7) -------------
+    "tpch_q4_order_priority_exists",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_profit_by_nation_year",
+    "tpch_q12_priority_shipping",
+    "tpch_q13_custdist",
+    "tpch_q14_promo_revenue_pct",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_volume",
+    "snk_merge_upsert_delete",
+    "snk_cdc_apply_changes",
+    "scd2_customer_dim",
+    "snk_targeted_delete",
+    "snk_snapshot_diff",
+    "text_sequence_packing",
+    "text_pii_redaction",
+    "text_decontamination",
+    "text_train_val_split",
+    "text_repetition_filters",
+    "text_chunking",
+    "stream_sliding_append",
+    "stream_dedup_append",
+    "j_salted_hotkey_events",
+    "agg_grouping_sets_orders",
 ]
 
 # Driver-green in CORRECTNESS_r01 ∪ r02 ∪ r03 (still value-hash-checked every
 # round by tests/test_oracle_parity.py) — these yield the window to
 # never-checked queries.
 _PRIOR_GREEN = {
+    # r05 greens (the whole r5 window was green 50/50; names below are the
+    # r5-window members without an earlier _PRIOR_GREEN row, rotated out
+    # for r6)
+    "snk_compaction_roundtrip", "text_shard_manifest",
+    "text_shard_write_conservation", "simsearch_recall_clustered",
+    "text_decontamination_bloom",
     # r04 greens (rotated out of the window for r5; every name below has a
     # green CORRECTNESS_r04 row — the only two r4 reds are back IN the
     # window to re-prove after their oracle CAST fixes)

@@ -39,6 +39,25 @@ def test_compare_rejects_int_vs_lossy_float():
     assert not compare("synthetic_ok", spark_pdf, spark_pdf.copy())
 
 
+def test_compare_rejects_any_float_tolerance():
+    """Float columns must be BIT-EQUAL: a 1-ulp / 1e-12-relative drift that
+    any tolerance comparator would wave through must FAIL, because the
+    driver's value hash is exact (VERDICT-r5 item 3 closed the last 1e-9
+    escape hatch). Structural mirror of the int-vs-float dtype gate."""
+    import pandas as pd
+
+    base = 1.0 / 3.0
+    drifted = base * (1.0 + 1e-12)
+    assert base != drifted
+    spark_pdf = pd.DataFrame({"k": [1], "v": pd.array([base], dtype="float64")})
+    oracle_pdf = pd.DataFrame({"k": [1], "v": pd.array([drifted], dtype="float64")})
+    problems = compare("synthetic_float", spark_pdf, oracle_pdf)
+    assert problems and "not bit-equal" in problems[0], problems
+    # bit-identical floats (and NaN==NaN) still pass
+    nan_pdf = pd.DataFrame({"k": [1, 2], "v": pd.array([base, float("nan")], dtype="float64")})
+    assert not compare("synthetic_float_ok", nan_pdf, nan_pdf.copy())
+
+
 def test_no_oracle_column_types_as_hugeint(duck):
     """DuckDB types SUM(BIGINT), windowed SUM, and // thereof as HUGEINT,
     which pandas converts to lossy float64 — the sole cause of both r4

@@ -63,24 +63,30 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
             )
             continue
         if sv.dtype.kind == "f" or ov.dtype.kind == "f":
+            # STRICT: bit-equality or failure — the driver's value hash is
+            # exact, so any tolerance here is a local-green/driver-red
+            # channel (r3/r4 lesson; the last 1e-9 escape hatch was removed
+            # per VERDICT-r5 item 3). The near/far split below is
+            # DIAGNOSTIC wording only: both append a failure.
             sv_f = pd.to_numeric(sv, errors="coerce")
             ov_f = pd.to_numeric(ov, errors="coerce")
             both_nan = sv_f.isna() & ov_f.isna()
             exact = (sv_f == ov_f) | both_nan
             if not exact.all():
-                close = (
-                    ((sv_f - ov_f).abs() <= 1e-9 + 1e-9 * ov_f.abs()) | both_nan
+                n = (~exact).sum()
+                i = (~exact).idxmax()
+                ulp_only = bool(
+                    (((sv_f - ov_f).abs() <= 1e-9 + 1e-9 * ov_f.abs()) | both_nan).all()
                 )
-                bad = (~close).sum()
-                if bad:
-                    i = (~close).idxmax()
-                    problems.append(f"col {c}: {bad} values differ, e.g. {sv_f[i]} vs {ov_f[i]}")
-                else:
-                    n = (~exact).sum()
-                    i = (~exact).idxmax()
-                    problems.append(
-                        f"col {c}: FLOAT-ULP {n} values not bit-equal (hash would fail), e.g. {sv_f[i]!r} vs {ov_f[i]!r}"
-                    )
+                kind = (
+                    "FLOAT-ULP (mirror IEEE op order / decimal accumulation"
+                    " on the Spark side; never round)"
+                    if ulp_only
+                    else "values differ"
+                )
+                problems.append(
+                    f"col {c}: {kind}: {n} not bit-equal, e.g. {sv_f[i]!r} vs {ov_f[i]!r}"
+                )
         else:
             if not sv.equals(ov):
                 neq = (sv != ov)
