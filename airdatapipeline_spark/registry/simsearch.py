@@ -1,0 +1,519 @@
+"""Similarity search: brute-force verifier, LSH, IVF (inline + persisted
+index), SQ8/PQ-ADC/IVFPQ compressed tiers, recall scenarios."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from ..operators import similarity
+from ..operators import corpus
+from .core import register
+from ._shared import _EMB_CTE, _IVF_ASSIGN_SQL, _PQ_X2, _PQ_XDOT, _SQ8_COSINE
+
+
+# SQ8 quantization fragments shared by emb_quantize_sq8, simsearch_sq8_topk
+# and simsearch_recall — single source of truth for the quantization formula
+# and the quantized ranking (expects the `e` CTE in scope).
+_SQ8_Q_CTE = """
+sq8 AS (
+      SELECT vec_id, emb, scale,
+             list_transform(emb, x -> CAST(round(x * scale) AS INT)) AS q
+      FROM (SELECT vec_id, emb,
+                   127.0 / list_max(list_transform(emb, x -> abs(x))) AS scale
+            FROM e)
+    )
+""".strip()
+
+_SQ8_RANKED = f"""
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               {_SQ8_COSINE} AS q_cosine,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {_SQ8_COSINE} DESC, b.vec_id
+               ) AS rank
+        FROM sq8 b JOIN (SELECT * FROM sq8 WHERE vec_id < 10) a
+          ON a.vec_id <> b.vec_id
+""".strip()
+
+
+@register(
+    "simsearch_bruteforce_topk",
+    f"""
+    WITH {_EMB_CTE}
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.emb, c.emb) / (q.norm * c.norm) AS cosine,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_dot_product(q.emb, c.emb) / (q.norm * c.norm) DESC, c.vec_id
+             ) AS rank
+      FROM e c, (SELECT * FROM e WHERE vec_id < 10) q
+      WHERE c.vec_id <> q.vec_id
+    ) WHERE rank <= 10
+    """,
+)
+def ss_brute(spark, sf_dir):
+    return similarity.brute_force_topk(spark, sf_dir)
+
+
+_BUCKET_SQL = "concat(" + ", ".join(
+    f"CASE WHEN list_dot_product(embedding::DOUBLE[], {similarity.lsh_plane_sql(p)}) > 0 "
+    "THEN '1' ELSE '0' END"
+    for p in similarity.PLANES
+) + ")"
+
+
+_PROBE_FLIPS_SQL = "[bucket, " + ", ".join(
+    f"substr(bucket, 1, {i}) || "
+    f"(CASE WHEN substr(bucket, {i + 1}, 1) = '1' THEN '0' ELSE '1' END) || "
+    f"substr(bucket, {i + 2})"
+    for i in range(similarity.N_PLANES)
+) + "]"
+
+
+@register(
+    "simsearch_lsh_topk",
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm,
+             {_BUCKET_SQL} AS bucket
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, emb, norm, unnest({_PROBE_FLIPS_SQL}) AS bucket
+      FROM e WHERE vec_id < 10
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.emb, c.emb) / (q.norm * c.norm) AS cosine,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_dot_product(q.emb, c.emb) / (q.norm * c.norm) DESC, c.vec_id
+             ) AS rank
+      FROM e c JOIN q
+        ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+    ) WHERE rank <= 5
+    """,
+)
+def ss_lsh(spark, sf_dir):
+    return similarity.lsh_bucketed_topk(spark, sf_dir)
+
+
+@register(
+    "simsearch_ivf_topk",
+    f"""
+    WITH {_EMB_CTE},
+    cent AS (
+      SELECT vec_id AS centroid_id, emb, norm FROM e
+      WHERE vec_id >= {similarity.CENTROID_ID_LO}
+        AND vec_id < {similarity.CENTROID_ID_LO + similarity.N_CENTROIDS}
+    ),
+    assigned AS ({_IVF_ASSIGN_SQL.format(src="e", n=1)}),
+    probes AS (
+      SELECT vec_id AS query_id, emb AS q_emb, norm AS q_norm, centroid_id
+      FROM ({_IVF_ASSIGN_SQL.format(src="(SELECT * FROM e WHERE vec_id < 10)", n=similarity.N_PROBE)})
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             list_dot_product(p.q_emb, a.emb) / (p.q_norm * a.norm) AS cosine,
+             row_number() OVER (
+               PARTITION BY p.query_id
+               ORDER BY list_dot_product(p.q_emb, a.emb) / (p.q_norm * a.norm) DESC,
+                        a.vec_id
+             ) AS rank
+      FROM assigned a
+      JOIN probes p ON a.centroid_id = p.centroid_id AND a.vec_id <> p.query_id
+    ) WHERE rank <= 5
+    """,
+)
+def ss_ivf(spark, sf_dir):
+    return similarity.ivf_topk(spark, sf_dir)
+
+
+_TOPK_RANK = """
+    SELECT query_id, neighbor_id FROM (
+      SELECT {q}.vec_id AS query_id, {c}.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY {q}.vec_id
+               ORDER BY list_dot_product({q}.emb, {c}.emb) / ({q}.norm * {c}.norm) DESC,
+                        {c}.vec_id
+             ) AS rank
+      {from_clause}
+    ) WHERE rank <= 5
+"""
+
+
+@register(
+    "simsearch_recall",
+    f"""
+    WITH eb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm,
+             {_BUCKET_SQL} AS bucket
+      FROM embeddings
+    ),
+    e AS (SELECT vec_id, emb, norm FROM eb),
+    cent AS (
+      SELECT vec_id AS centroid_id, emb, norm FROM e
+      WHERE vec_id >= {similarity.CENTROID_ID_LO}
+        AND vec_id < {similarity.CENTROID_ID_LO + similarity.N_CENTROIDS}
+    ),
+    assigned AS ({_IVF_ASSIGN_SQL.format(src="e", n=1)}),
+    probes AS (
+      SELECT vec_id AS query_id, emb AS q_emb, norm AS q_norm, centroid_id
+      FROM ({_IVF_ASSIGN_SQL.format(src="(SELECT * FROM e WHERE vec_id < 10)", n=similarity.N_PROBE)})
+    ),
+    truth AS ({_TOPK_RANK.format(q="q", c="c", from_clause=
+        "FROM e c, (SELECT * FROM e WHERE vec_id < 10) q WHERE c.vec_id <> q.vec_id")}),
+    qprobe AS (
+      SELECT vec_id, emb, norm, unnest({_PROBE_FLIPS_SQL}) AS bucket
+      FROM eb WHERE vec_id < 10
+    ),
+    lshk AS ({_TOPK_RANK.format(q="q", c="c", from_clause=
+        "FROM eb c JOIN qprobe q "
+        "ON c.bucket = q.bucket AND c.vec_id <> q.vec_id")}),
+    ivfk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY list_dot_product(p.q_emb, a.emb) / (p.q_norm * a.norm) DESC, a.vec_id
+               ) AS rank
+        FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id AND a.vec_id <> p.query_id
+      ) WHERE rank <= 5
+    ),
+    {_SQ8_Q_CTE},
+    sq8k AS (
+      SELECT query_id, neighbor_id FROM ({_SQ8_RANKED}) WHERE rank <= 5
+    ),
+    hl AS (SELECT t.query_id, COUNT(*) AS lsh_hits FROM truth t JOIN lshk l
+           ON t.query_id = l.query_id AND t.neighbor_id = l.neighbor_id GROUP BY 1),
+    hi AS (SELECT t.query_id, COUNT(*) AS ivf_hits FROM truth t JOIN ivfk i
+           ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id GROUP BY 1),
+    hq AS (SELECT t.query_id, COUNT(*) AS sq8_hits FROM truth t JOIN sq8k s
+           ON t.query_id = s.query_id AND t.neighbor_id = s.neighbor_id GROUP BY 1)
+    SELECT q.query_id,
+           CAST(COALESCE(hl.lsh_hits, 0) AS BIGINT) AS lsh_hits,
+           CAST(COALESCE(hi.ivf_hits, 0) AS BIGINT) AS ivf_hits,
+           CAST(COALESCE(hq.sq8_hits, 0) AS BIGINT) AS sq8_hits,
+           CAST(COALESCE(hl.lsh_hits, 0) AS BIGINT) / 5.0 AS lsh_recall,
+           CAST(COALESCE(hi.ivf_hits, 0) AS BIGINT) / 5.0 AS ivf_recall,
+           CAST(COALESCE(hq.sq8_hits, 0) AS BIGINT) / 5.0 AS sq8_recall,
+           -- trained-k-means IVF tier: k-means is not replayable in DuckDB,
+           -- so the oracle pins the CONTRACT — panel-mean recall@5 must meet
+           -- RECALL_FLOOR (0.9). Spark computes the recall honestly against
+           -- in-plan brute-force truth; a floor miss turns this row red.
+           TRUE AS ivf_trained_floor_met
+    FROM (SELECT DISTINCT query_id FROM truth) q
+    LEFT JOIN hl ON q.query_id = hl.query_id
+    LEFT JOIN hi ON q.query_id = hi.query_id
+    LEFT JOIN hq ON q.query_id = hq.query_id
+    """,
+)
+def ss_recall(spark, sf_dir):
+    """recall@5 of the LSH, IVF, SQ8 and trained-k-means-IVF tiers vs exact
+    brute force — makes the ANN family self-grading (tune N_PLANES / N_PROBE
+    against a measured number, assert the trained tier's 0.9 recall floor)."""
+    return similarity.recall_at_k(spark, sf_dir)
+
+
+def _clu_emb_list(id_expr: str, c_expr: str) -> str:
+    return (
+        "["
+        + ", ".join(
+            f"{similarity.clu_center_coord_duck(c_expr, j)} + "
+            f"{similarity.clu_noise_coord_duck(id_expr, j)}"
+            for j in range(similarity.CLU_DIM)
+        )
+        + "]::DOUBLE[]"
+    )
+
+
+def _clu_center_list(c_expr: str) -> str:
+    return (
+        "["
+        + ", ".join(
+            similarity.clu_center_coord_duck(c_expr, j) for j in range(similarity.CLU_DIM)
+        )
+        + "]::DOUBLE[]"
+    )
+
+
+_CLU_ASSIGN = """
+  SELECT vec_id, emb, norm, centroid_id FROM (
+    SELECT v.vec_id, v.emb, v.norm, k.centroid_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_dot_product(v.emb, k.emb) / (v.norm * k.norm) DESC,
+                      k.centroid_id
+           ) AS crank
+    FROM {src} v CROSS JOIN centn k
+  ) WHERE crank <= {n}
+"""
+
+
+@register(
+    "simsearch_recall_clustered",
+    f"""
+    WITH ec AS (
+      SELECT vec_id, {similarity.clu_cluster_duck("vec_id")} AS c FROM embeddings
+    ),
+    en AS (
+      SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS norm FROM (
+        SELECT vec_id, {_clu_emb_list("vec_id", "c")} AS emb FROM ec
+      )
+    ),
+    centn AS (
+      SELECT centroid_id, emb, sqrt(list_dot_product(emb, emb)) AS norm FROM (
+        SELECT c AS centroid_id, {_clu_center_list("c")} AS emb
+        FROM range({similarity.CLU_K}) t(c)
+      )
+    ),
+    assigned AS ({_CLU_ASSIGN.format(src="en", n=1)}),
+    probes AS (
+      SELECT vec_id AS query_id, emb AS q_emb, norm AS q_norm, centroid_id
+      FROM ({_CLU_ASSIGN.format(src="(SELECT * FROM en WHERE vec_id < 10)", n=similarity.CLU_N_PROBE)})
+    ),
+    ivfk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY list_dot_product(p.q_emb, a.emb) / (p.q_norm * a.norm) DESC,
+                          a.vec_id
+               ) AS rank
+        FROM assigned a JOIN probes p
+          ON a.centroid_id = p.centroid_id AND a.vec_id <> p.query_id
+      ) WHERE rank <= 5
+    ),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(q.emb, c.emb) / (q.norm * c.norm) DESC,
+                          c.vec_id
+               ) AS rank
+        FROM en c, (SELECT * FROM en WHERE vec_id < 10) q
+        WHERE c.vec_id <> q.vec_id
+      ) WHERE rank <= 5
+    ),
+    h AS (
+      SELECT t.query_id, COUNT(*) AS ivf_hits FROM truth t
+      JOIN ivfk i ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id
+      GROUP BY 1
+    ),
+    lists AS (SELECT centroid_id, COUNT(*) AS list_n FROM assigned GROUP BY 1),
+    s AS (
+      SELECT p.query_id, CAST(SUM(l.list_n) AS BIGINT) AS scanned_rows
+      FROM probes p JOIN lists l ON p.centroid_id = l.centroid_id GROUP BY 1
+    ),
+    nc AS (SELECT COUNT(*) AS n FROM en)
+    SELECT q.query_id,
+           CAST(COALESCE(h.ivf_hits, 0) AS BIGINT) AS ivf_hits,
+           CAST(COALESCE(h.ivf_hits, 0) AS BIGINT) / 5.0 AS ivf_recall,
+           CAST(COALESCE(s.scanned_rows, 0) AS BIGINT) AS scanned_rows,
+           CAST(COALESCE(s.scanned_rows, 0) AS BIGINT) / CAST(nc.n AS DOUBLE) AS scanned_frac
+    FROM (SELECT DISTINCT query_id FROM truth) q CROSS JOIN nc
+    LEFT JOIN h ON q.query_id = h.query_id
+    LEFT JOIN s ON q.query_id = s.query_id
+    """,
+)
+def ss_recall_clustered(spark, sf_dir):
+    """Clustered-corpus IVF recall + scanned fraction (VERDICT-r4 item 8):
+    the near-isotropic embeddings table is IVF's honest worst case (recall
+    tracks scanned fraction ~linearly; nprobe=7/8 to meet the floor); this
+    scenario is the case IVF is FOR — a seeded-md5 mixture of 16
+    well-separated clusters, where probing 2 of 16 lists holds recall@5 at
+    1.0 while scanning ~12% of the corpus. Centroids are the TRUE
+    generating centers, so the WHOLE pipeline (corpus, assignment, truth,
+    recall, scanned fraction) is deterministic and fully value-hashed by
+    the oracle — no trained-tier floor boolean. Plan shape is the
+    production serve: broadcast 16-row centroid attach (zero-shuffle
+    assignment), candidate step = equi-join on centroid_id."""
+    return similarity.clustered_recall_panel(spark, sf_dir)
+
+
+@register(
+    "emb_quantize_sq8",
+    f"""
+    WITH {_EMB_CTE},
+    {_SQ8_Q_CTE}
+    SELECT vec_id, scale,
+           md5(array_to_string(q, ',')) AS codes_md5,
+           list_max(list_transform(range(1, {similarity.EMB_DIM + 1}),
+                    i -> abs(emb[i] - q[i] / scale))) AS max_abs_err
+    FROM sq8
+    """,
+)
+def emb_sq8(spark, sf_dir):
+    """Int8 scalar quantization audit — codes hash-verified byte-for-byte."""
+    return similarity.quantize_sq8(spark, sf_dir)
+
+
+@register(
+    "simsearch_sq8_topk",
+    f"""
+    WITH {_EMB_CTE},
+    {_SQ8_Q_CTE}
+    SELECT query_id, neighbor_id, q_cosine, CAST(rank AS INTEGER) AS rank
+    FROM ({_SQ8_RANKED}) WHERE rank <= 5
+    """,
+)
+def sq8_topk_q(spark, sf_dir):
+    """Top-k over the 4×-compressed int8 corpus (exact integer dots)."""
+    return similarity.sq8_topk(spark, sf_dir)
+_PQ_SUBDIST_SQL = (
+    f"(({_PQ_X2.format(v='e')}) - 2.0 * ({_PQ_XDOT})) + ({_PQ_X2.format(v='cb')})"
+)
+
+_PQ_DIST_PIVOT = "CAST(0.0 AS DOUBLE) + " + " + ".join(
+    f"MAX(CASE WHEN m = {m} THEN d END)" for m in range(similarity.PQ_M)
+)
+
+
+@register(
+    "simsearch_pq_adc_topk",
+    f"""
+    WITH {_EMB_CTE},
+    cb AS (
+      SELECT vec_id - {similarity.PQ_CB_LO} AS k, emb FROM e
+      WHERE vec_id >= {similarity.PQ_CB_LO}
+        AND vec_id < {similarity.PQ_CB_LO + similarity.PQ_K}
+    ),
+    g AS (SELECT unnest(generate_series(0, {similarity.PQ_M - 1})) AS m),
+    sub AS (
+      SELECT e.vec_id, g.m, cb.k, {_PQ_SUBDIST_SQL} AS d
+      FROM e CROSS JOIN cb CROSS JOIN g
+    ),
+    codes AS (
+      SELECT vec_id, m, k AS code FROM (
+        SELECT vec_id, m, k,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+        FROM sub
+      ) WHERE rn = 1
+    ),
+    pair AS (
+      SELECT s.vec_id AS query_id, c.vec_id AS neighbor_id, c.m, s.d
+      FROM codes c JOIN sub s ON s.m = c.m AND s.k = c.code
+      WHERE s.vec_id < 10 AND c.vec_id <> s.vec_id
+    ),
+    dists AS (
+      SELECT query_id, neighbor_id, {_PQ_DIST_PIVOT} AS adc_dist
+      FROM pair GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT query_id, neighbor_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id)
+               AS rank
+      FROM dists
+    ) WHERE rank <= 5
+    """,
+)
+def q_pq_adc(spark, sf_dir):
+    """Product-quantization ADC top-k: corpus scanned as 4-byte codes
+    (64× compression), per-query M×K distance table, candidate distance =
+    M lookups summed in fixed order — exact arithmetic, hash-matched."""
+    return similarity.pq_adc_topk(spark, sf_dir)
+
+
+@register(
+    "simsearch_ivfpq_topk",
+    f"""
+    WITH {_EMB_CTE},
+    cent AS (
+      SELECT vec_id AS centroid_id, emb, norm FROM e
+      WHERE vec_id >= {similarity.CENTROID_ID_LO}
+        AND vec_id < {similarity.CENTROID_ID_LO + similarity.N_CENTROIDS}
+    ),
+    cb AS (
+      SELECT vec_id - {similarity.PQ_CB_LO} AS k, emb FROM e
+      WHERE vec_id >= {similarity.PQ_CB_LO}
+        AND vec_id < {similarity.PQ_CB_LO + similarity.PQ_K}
+    ),
+    g AS (SELECT unnest(generate_series(0, {similarity.PQ_M - 1})) AS m),
+    sub AS (
+      SELECT e.vec_id, g.m, cb.k, {_PQ_SUBDIST_SQL} AS d
+      FROM e CROSS JOIN cb CROSS JOIN g
+    ),
+    codes AS (
+      SELECT vec_id, m, k AS code FROM (
+        SELECT vec_id, m, k,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+        FROM sub
+      ) WHERE rn = 1
+    ),
+    assigned AS ({_IVF_ASSIGN_SQL.format(src="e", n=1)}),
+    probes AS (
+      SELECT vec_id AS query_id, centroid_id
+      FROM ({_IVF_ASSIGN_SQL.format(
+          src="(SELECT * FROM e WHERE vec_id < 10)", n=similarity.N_PROBE
+      )})
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+      WHERE a.vec_id <> p.query_id
+    ),
+    pair AS (
+      SELECT cand.query_id, cand.neighbor_id, c.m, s.d
+      FROM cand
+      JOIN codes c ON c.vec_id = cand.neighbor_id
+      JOIN sub s ON s.vec_id = cand.query_id AND s.m = c.m AND s.k = c.code
+    ),
+    dists AS (
+      SELECT query_id, neighbor_id, {_PQ_DIST_PIVOT} AS adc_dist
+      FROM pair GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT query_id, neighbor_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id)
+               AS rank
+      FROM dists
+    ) WHERE rank <= 5
+    """,
+)
+def q_ivfpq(spark, sf_dir):
+    """Full IVFPQ (FAISS-style): IVF probe pruning (nprobe/K of the corpus
+    touched, equi-join on centroid_id) × PQ 4-byte-code ADC ranking within
+    the probed lists."""
+    return similarity.ivfpq_topk(spark, sf_dir)
+
+
+@register(
+    "simsearch_ivf_list_stats",
+    f"""
+    WITH {_EMB_CTE},
+    cent AS (
+      SELECT vec_id AS centroid_id, emb, norm FROM e
+      WHERE vec_id >= {similarity.CENTROID_ID_LO}
+        AND vec_id < {similarity.CENTROID_ID_LO + similarity.N_CENTROIDS}
+    ),
+    assigned AS ({_IVF_ASSIGN_SQL.format(src="e", n=1)})
+    SELECT centroid_id, COUNT(*) AS n_vectors,
+           COUNT(*) / CAST((SELECT COUNT(*) FROM assigned) AS DOUBLE) AS share
+    FROM assigned GROUP BY 1
+    """,
+)
+def q_ivf_list_stats(spark, sf_dir):
+    """IVF index observability: per-inverted-list sizes and corpus share —
+    the imbalance dial that triggers re-clustering (a list holding far
+    more than 1/K of the corpus means probes scan too much and the
+    centroids no longer fit the data). One assignment map + one agg."""
+    from ..io import load_table
+
+    corpus = similarity.with_norm(
+        load_table(spark, sf_dir, "embeddings")
+    ).select("vec_id", "emb", "norm")
+    centroids = corpus.filter(
+        (F.col("vec_id") >= similarity.CENTROID_ID_LO)
+        & (F.col("vec_id") < similarity.CENTROID_ID_LO + similarity.N_CENTROIDS)
+    ).select(F.col("vec_id").alias("centroid_id"), "emb", "norm")
+    assigned = similarity._ivf_assign(corpus, centroids, 1)
+    total = assigned.count()
+    return assigned.groupBy(
+        F.col("centroid_id").cast("long").alias("centroid_id")
+    ).agg(
+        F.count("*").alias("n_vectors"),
+        (F.count("*") / F.lit(float(total))).alias("share"),
+    )

@@ -1,0 +1,199 @@
+"""Structured Streaming extensions: windowed appends, stream-stream joins,
+watermarked dedup, stateful counts, curated ingest."""
+
+from __future__ import annotations
+
+from ..operators import text
+from ..streaming import events as streaming_events
+from .core import register
+from ._shared import _SQL_LIST, _TOKS, _langid_case
+
+
+
+@register(
+    "stream_tumbling_append",
+    """
+    WITH ev AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+    agg AS (
+      SELECT (us // 3600000000) * 3600000000 AS hour_us, event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+      FROM ev GROUP BY 1, 2
+    )
+    SELECT make_timestamp(hour_us) AS window_start, event_type, n, total_value
+    FROM agg
+    WHERE hour_us + 3600000000 <= (SELECT MAX(us) - 600000000 FROM ev)
+    """,
+)
+def st_tumbling_append(spark, sf_dir):
+    """Append-mode + watermark-evicted tumbling windows to a FILE sink —
+    the scale path (bounded state, no driver materialization). The oracle
+    keeps only windows finalized by the terminal watermark:
+    window_end <= max(event_time) - 10min (inclusive boundary, verified)."""
+    return streaming_events.tumbling_counts_append(spark, sf_dir)
+
+
+@register(
+    "stream_session_append",
+    """
+    WITH gapped AS (
+      SELECT user_id, event_id, ts,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS gap_us
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN gap_us IS NULL OR gap_us >= 1800 * 1000000 THEN 1 ELSE 0 END AS new_session
+      FROM gapped
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, MIN(ts) AS session_start, MAX(epoch_us(ts)) AS end_us, COUNT(*) AS n_events
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT user_id, session_start, n_events
+    FROM sessions
+    WHERE end_us + 1800000000 <= (SELECT MAX(epoch_us(ts)) - 3600000000 FROM events)
+    """,
+)
+def st_sessions_append(spark, sf_dir):
+    """Append-mode session windows: a session (end = last event + 30min gap)
+    is emitted and evicted once the 1-hour watermark passes its end."""
+    return streaming_events.session_counts_append(spark, sf_dir)
+
+
+@register(
+    "stream_stateful_user_counts",
+    """
+    SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1
+    """,
+)
+def st_stateful(spark, sf_dir):
+    """applyInPandasWithState running counter; final state ≡ batch count."""
+    return streaming_events.stateful_user_counts(spark, sf_dir)
+
+
+@register(
+    "stream_sliding_append",
+    """
+    WITH ev AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+    expanded AS (
+      SELECT (us // 1800000000 - o.k) * 1800000000 AS start_us, event_type, value
+      FROM ev CROSS JOIN (SELECT unnest([0, 1]) AS k) o
+    ),
+    agg AS (
+      SELECT start_us, event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+      FROM expanded GROUP BY 1, 2
+    )
+    SELECT make_timestamp(start_us) AS window_start,
+           make_timestamp(start_us + 3600000000) AS window_end,
+           event_type, n, total_value
+    FROM agg
+    WHERE start_us + 3600000000 <= (SELECT MAX(us) - 600000000 FROM ev)
+    """,
+)
+def st_sliding_append(spark, sf_dir):
+    """Append-mode sliding windows (1h size / 30m slide): each event expands
+    into its 2 containing windows JVM-side; only watermark-finalized windows
+    are emitted to the file sink."""
+    return streaming_events.sliding_counts_append(spark, sf_dir)
+
+
+@register(
+    "stream_dedup_append",
+    """
+    SELECT DISTINCT CAST(ts AS DATE) AS day, user_id, event_type FROM events
+    """,
+)
+def st_dedup_append(spark, sf_dir):
+    """Watermark-bounded streaming dedup (dropDuplicatesWithinWatermark) to
+    a file sink; single-replay output = DISTINCT keys."""
+    return streaming_events.dedup_keys_append(spark, sf_dir)
+
+
+@register(
+    "stream_join_append",
+    """
+    SELECT c.user_id AS user_id, c.event_id AS click_id, e.event_id AS error_id,
+           c.ts AS click_ts, e.ts AS error_ts
+    FROM events c JOIN events e
+      ON c.user_id = e.user_id
+     AND c.ts <= e.ts AND c.ts >= e.ts - INTERVAL 5 MINUTE
+    WHERE c.event_type = 'click' AND e.event_type = 'error'
+    """,
+)
+def st_join_append(spark, sf_dir):
+    """Watermarked stream-stream interval inner join (bounded buffers on
+    both sides); committed file output = the batch interval join."""
+    return streaming_events.clicks_errors_join_append(spark, sf_dir)
+
+
+@register(
+    "stream_join_outer_append",
+    """
+    WITH ck AS (
+      SELECT user_id AS c_user, ts AS click_ts, event_id AS click_id
+      FROM events WHERE event_type = 'click'
+    ),
+    er AS (
+      SELECT user_id AS e_user, ts AS error_ts, event_id AS error_id
+      FROM events WHERE event_type = 'error'
+    ),
+    j AS (
+      SELECT er.e_user AS user_id, er.error_id, ck.click_id, er.error_ts
+      FROM er LEFT JOIN ck
+        ON ck.c_user = er.e_user
+       AND ck.click_ts <= er.error_ts
+       AND ck.click_ts >= er.error_ts - INTERVAL 5 MINUTE
+    ),
+    wm AS (
+      SELECT LEAST((SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+                   (SELECT MAX(ts) FROM events WHERE event_type = 'error'))
+             - INTERVAL 10 MINUTE AS w
+    )
+    SELECT user_id, error_id, click_id, error_ts
+    FROM j, wm
+    WHERE click_id IS NOT NULL OR error_ts < wm.w
+    """,
+)
+def q_stream_outer_join(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join, append mode: matched pairs
+    emit immediately; null-joined errors emit at state eviction (error_ts
+    below the final global watermark) — the oracle replays exactly that
+    emission rule."""
+    return streaming_events.clicks_errors_left_join_append(spark, sf_dir)
+
+
+@register(
+    "stream_curated_ingest",
+    f"""
+    WITH scored AS (
+      SELECT md5(text) AS fingerprint, len(t) AS word_count,
+             length(text) AS char_count,
+             {", ".join(
+                 f"len(list_filter(t, x -> list_contains({_SQL_LIST(text.LANG_STOPWORDS[lg])}, x))) AS hits_{lg}"
+                 for lg in text.LANG_PRIORITY
+             )}
+      FROM (SELECT text, {_TOKS} AS t FROM documents)
+    ),
+    gated AS (
+      SELECT fingerprint, word_count,
+             least(word_count / 100.0, 1.0) * 0.4 + (hits_en / word_count) * 0.4
+               + least((char_count / word_count) / 8.0, 1.0) * 0.2 AS quality_score,
+             {_langid_case()} AS predicted_lang
+      FROM scored
+    )
+    SELECT DISTINCT fingerprint, word_count, quality_score, predicted_lang
+    FROM gated
+    WHERE quality_score >= 0.5 AND predicted_lang = 'en' AND word_count >= 20
+    """,
+)
+def st_curated_ingest(spark, sf_dir):
+    """The batch curation gate as continuous Structured Streaming ingest:
+    quality + language ID + exact content dedup at the landing zone, append
+    parquet sink. Every output column is a pure function of text, so the
+    committed set equals the batch DISTINCT the oracle replays."""
+    return streaming_events.curated_ingest_append(spark, sf_dir)

@@ -1,0 +1,813 @@
+"""LLM corpus preparation: token/quality stats, chunking, packing, splits,
+decontamination, mixes, shard layout/write/append lifecycle, rarity scores."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+import tempfile
+from ..operators import dedup
+from ..operators import text
+from ..operators import corpus
+from .core import register
+from ._shared import _BAND_SELECTS, _MINHASH_AGGS, _SHINGLES_CTE, _SQL_LIST, _TOKS, _langid_case
+
+
+
+@register(
+    "text_token_stats_by_source",
+    f"""
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(len({_TOKS})) AS BIGINT) AS total_ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{text.BPE_ISH_PATTERN}'))) AS BIGINT)
+             AS total_bpe_tokens,
+           AVG(len({_TOKS})) AS avg_ws_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def t_tokstats(spark, sf_dir):
+    return text.token_stats_by_source(spark, sf_dir)
+
+
+@register(
+    "text_quality_scores",
+    f"""
+    SELECT doc_id, source, word_count, char_count, punct_count,
+           stop_hits / word_count AS stopword_ratio,
+           char_count / word_count AS avg_word_len,
+           least(word_count / 100.0, 1.0) * 0.4 + (stop_hits / word_count) * 0.4
+             + least((char_count / word_count) / 8.0, 1.0) * 0.2 AS quality_score
+    FROM (
+      SELECT doc_id, source, len(t) AS word_count, length(text) AS char_count,
+             len(list_filter(t, x -> list_contains({_SQL_LIST(text.LANG_STOPWORDS['en'])}, x)))
+               AS stop_hits,
+             length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS punct_count
+      FROM (SELECT doc_id, source, text, {_TOKS} AS t FROM documents)
+    )
+    """,
+)
+def t_quality(spark, sf_dir):
+    return text.quality_scores(spark, sf_dir)
+
+
+@register(
+    "text_langid_confusion",
+    f"""
+    SELECT lang, {_langid_case()} AS predicted_lang, COUNT(*) AS n
+    FROM (
+      SELECT lang,
+             {", ".join(
+                 f"len(list_filter(t, x -> list_contains({_SQL_LIST(text.LANG_STOPWORDS[lg])}, x))) AS hits_{lg}"
+                 for lg in text.LANG_PRIORITY
+             )}
+      FROM (SELECT lang, {_TOKS} AS t FROM documents)
+    ) GROUP BY 1, 2
+    """,
+)
+def t_langid(spark, sf_dir):
+    return text.langid_confusion(spark, sf_dir)
+
+
+@register(
+    "text_fingerprint_clusters",
+    f"""
+    SELECT md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fingerprint,
+           COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
+    FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+)
+def t_fingerprint(spark, sf_dir):
+    return text.fingerprint_clusters(spark, sf_dir)
+
+
+_CC_CTES = f"""{_SHINGLES_CTE.format(src="documents")},
+    hashed AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(shingle), 1, 14)) AS BIGINT) % 1073741824 AS h
+      FROM sh
+    ),
+    sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM hashed GROUP BY 1),
+    bands AS (
+      {_BAND_SELECTS}
+    ),
+    pairs AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.bx = y.bx AND x.by = y.by AND x.doc_id < y.doc_id
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, node) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src
+    )"""
+
+
+# curation CTE chain (requires the RECURSIVE _CC_CTES in scope) — shared by
+# curation_pipeline and training_data_build so the filter chain has one
+# source of truth
+_CURATED_CTES = f"""
+losers AS (
+      SELECT src AS doc_id FROM (
+        SELECT src, MIN(node) AS cluster_id FROM reach GROUP BY 1
+      ) WHERE cluster_id <> src
+    ),
+    scored AS (
+      SELECT doc_id, source, len(t) AS word_count, length(text) AS char_count,
+             {", ".join(
+                 f"len(list_filter(t, x -> list_contains({_SQL_LIST(text.LANG_STOPWORDS[lg])}, x))) AS hits_{lg}"
+                 for lg in text.LANG_PRIORITY
+             )}
+      FROM (SELECT doc_id, source, text, {_TOKS} AS t FROM documents)
+    ),
+    final AS (
+      SELECT doc_id, source, word_count,
+             least(word_count / 100.0, 1.0) * 0.4 + (hits_en / word_count) * 0.4
+               + least((char_count / word_count) / 8.0, 1.0) * 0.2 AS quality_score,
+             {_langid_case()} AS predicted_lang
+      FROM scored
+    ),
+    curated AS (
+      SELECT doc_id, source, word_count, quality_score, predicted_lang
+      FROM final
+      WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        AND quality_score >= 0.5 AND predicted_lang = 'en' AND word_count >= 20
+    )
+""".strip()
+
+
+@register(
+    "curation_pipeline",
+    f"""
+    WITH RECURSIVE {_CC_CTES},
+    {_CURATED_CTES}
+    SELECT doc_id, source, word_count, quality_score, predicted_lang FROM curated
+    """,
+)
+def curation(spark, sf_dir):
+    return text.curated_documents(spark, sf_dir)
+
+
+@register(
+    "text_train_val_split",
+    f"""
+    SELECT source,
+           CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
+                     % 100 < 90
+                THEN 'train' ELSE 'val' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def t_split(spark, sf_dir):
+    return text.train_val_split_counts(spark, sf_dir)
+
+
+@register(
+    "text_decontamination",
+    f"""
+    WITH {_SHINGLES_CTE.format(src="documents")},
+    freq AS (SELECT shingle, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY 1),
+    rare AS (SELECT shingle FROM freq WHERE df <= 20),
+    g AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    ev AS (SELECT doc_id AS eval_id, shingle FROM g WHERE doc_id % 50 = 0),
+    tr AS (SELECT doc_id, shingle FROM g WHERE doc_id % 50 <> 0)
+    SELECT tr.doc_id AS doc_id,
+           COUNT(DISTINCT tr.shingle) AS n_shared_grams,
+           COUNT(DISTINCT ev.eval_id) AS n_eval_docs
+    FROM tr JOIN ev USING (shingle)
+    GROUP BY 1
+    """,
+)
+def t_decontam(spark, sf_dir):
+    return dedup.decontamination_report(spark, sf_dir)
+
+
+@register(
+    "text_decontamination_bloom",
+    f"""
+    WITH {_SHINGLES_CTE.format(src="documents")},
+    freq AS (SELECT shingle, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY 1),
+    rare AS (SELECT shingle FROM freq WHERE df <= 20),
+    g AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    ev AS (SELECT doc_id AS eval_id, shingle FROM g WHERE doc_id % 50 = 0),
+    tr AS (SELECT doc_id, shingle FROM g WHERE doc_id % 50 <> 0)
+    SELECT tr.doc_id AS doc_id,
+           COUNT(DISTINCT tr.shingle) AS n_shared_grams,
+           COUNT(DISTINCT ev.eval_id) AS n_eval_docs
+    FROM tr JOIN ev USING (shingle)
+    GROUP BY 1
+    """,
+)
+def t_decontam_bloom(spark, sf_dir):
+    """Decontamination in the BIG-BIG regime (VERDICT-unprompted r5 scale
+    tier): at 100 TB a full benchmark-suite eval side is too large to
+    broadcast, so the gram equi-join pays a full shuffle of the training
+    gram stream. Under `bloom_runtime_filter_scope`, Catalyst builds a
+    runtime Bloom filter from the eval (creation) side and injects
+    might_contain() above the training side, dropping non-leaking grams
+    BEFORE the shuffle. The bloom is a pure pre-filter — false positives
+    still meet the exact join — so results are IDENTICAL to
+    text_decontamination (same oracle SQL, hash-checked), while the
+    shuffle carries only candidate grams. Materialized inside the conf
+    scope so the executed plan carries the filter (same pattern as
+    j_bloom_pruned_urgent_revenue); might_contain injection is
+    plan-asserted in tests."""
+    from ..operators.tpch import bloom_runtime_filter_scope
+
+    out_dir = tempfile.mkdtemp(prefix="decon_bloom_")
+    with bloom_runtime_filter_scope(spark):
+        dedup.decontamination_report(spark, sf_dir).write.mode("overwrite").parquet(out_dir)
+    return spark.read.parquet(out_dir)
+
+
+@register(
+    "text_training_mix_sample",
+    f"""
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(keep) AS BIGINT) AS n_sampled,
+           CAST(SUM(keep * n_tok) AS BIGINT) AS sampled_tokens
+    FROM (
+      SELECT source,
+             CASE WHEN CAST(concat('0x', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 14))
+                            AS BIGINT) % 100
+                       < 100 - 4 * CAST(substr(source, 4) AS INT)
+                  THEN 1 ELSE 0 END AS keep,
+             len({_TOKS}) AS n_tok
+      FROM documents
+    ) GROUP BY 1
+    """,
+)
+def t_mix(spark, sf_dir):
+    return text.training_mix_sample(spark, sf_dir)
+
+
+@register(
+    "text_repetition_filters",
+    f"""
+    WITH tok AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+    g AS (
+      SELECT doc_id, source,
+             list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]) AS bg,
+             list_transform(range(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) AS tg
+      FROM tok
+    ),
+    top AS (
+      SELECT doc_id, MAX(c) AS top_bigram_n FROM (
+        SELECT doc_id, b, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(bg) AS b FROM g) GROUP BY 1, 2
+      ) GROUP BY 1
+    )
+    SELECT g.doc_id, source,
+           CAST(len(bg) AS BIGINT) AS n_bigrams,
+           CAST(top.top_bigram_n AS BIGINT) AS top_bigram_n,
+           top.top_bigram_n / len(bg) AS top_bigram_frac,
+           CAST(len(tg) AS BIGINT) AS n_trigrams,
+           CAST(len(tg) - len(list_distinct(tg)) AS BIGINT) AS dup_trigram_n,
+           (len(tg) - len(list_distinct(tg))) / len(tg) AS dup_trigram_frac,
+           top.top_bigram_n / len(bg) <= 0.18
+             AND (len(tg) - len(list_distinct(tg))) / len(tg) <= 0.30 AS keep
+    FROM g JOIN top ON g.doc_id = top.doc_id
+    """,
+)
+def t_repetition(spark, sf_dir):
+    """Gopher-style repetition filters; Spark side is a zero-shuffle
+    higher-order-function fold, oracle is the set-based unnest+GROUP BY."""
+    return text.repetition_scores(spark, sf_dir)
+
+
+@register(
+    "text_pii_redaction",
+    f"""
+    SELECT doc_id, source,
+           CAST(len(regexp_extract_all(blob, '{text.PII_EMAIL}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(blob, '{text.PII_IPV4}')) AS BIGINT) AS n_ip,
+           CAST(len(regexp_extract_all(blob, '{text.PII_PHONE}')) AS BIGINT) AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(
+               blob, '{text.PII_EMAIL}', '<EMAIL>', 'g'),
+               '{text.PII_IPV4}', '<IP>', 'g'),
+               '{text.PII_PHONE}', '<PHONE>', 'g')) AS redacted_md5,
+           CAST(length(blob) - length(regexp_replace(regexp_replace(regexp_replace(
+               blob, '{text.PII_EMAIL}', '<EMAIL>', 'g'),
+               '{text.PII_IPV4}', '<IP>', 'g'),
+               '{text.PII_PHONE}', '<PHONE>', 'g')) AS BIGINT) AS chars_removed
+    FROM (
+      SELECT doc_id, source,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.1 phone 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS blob
+      FROM documents
+    )
+    """,
+)
+def t_pii(spark, sf_dir):
+    """PII detect/redact chain, hash-verified byte-for-byte via the
+    redacted-text md5 (patterns restricted to the Java-regex ∩ RE2 dialect)."""
+    return text.pii_redaction(spark, sf_dir)
+
+
+_PACK_TOKS_CTE = f"""
+toks AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
+           % {text.PACK_BUCKETS} AS bucket,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tok
+  FROM documents
+)
+""".strip()
+
+
+@register(
+    "text_sequence_packing",
+    f"""
+    WITH {_PACK_TOKS_CTE},
+    off AS (
+      SELECT bucket, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id) - n_tok AS start
+      FROM toks
+    )
+    SELECT bucket, CAST(FLOOR(start / {text.PACK_BUDGET}) AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS pack_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM off GROUP BY 1, 2
+    """,
+)
+def t_packing(spark, sf_dir):
+    """Concatenate-and-split sequence packing (one window pass per bucket)."""
+    return text.sequence_packing(spark, sf_dir)
+
+
+@register(
+    "text_pack_greedy",
+    f"""
+    WITH RECURSIVE {_PACK_TOKS_CTE},
+    seq AS (
+      SELECT bucket, doc_id, n_tok,
+             ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+      FROM toks
+    ),
+    rec(bucket, rn, doc_id, n_tok, pack_id, running) AS (
+      SELECT bucket, rn, doc_id, n_tok, CAST(0 AS BIGINT), n_tok
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT t.bucket, t.rn, t.doc_id, t.n_tok,
+             CASE WHEN r.running + t.n_tok > {text.PACK_BUDGET}
+                  THEN r.pack_id + 1 ELSE r.pack_id END,
+             CASE WHEN r.running + t.n_tok > {text.PACK_BUDGET}
+                  THEN t.n_tok ELSE r.running + t.n_tok END
+      FROM rec r JOIN seq t ON t.bucket = r.bucket AND t.rn = r.rn + 1
+    )
+    SELECT bucket, doc_id, n_tok, pack_id FROM rec
+    """,
+)
+def t_pack_greedy(spark, sf_dir):
+    """First-fit greedy packing: stateful applyInPandas per bucket on the
+    Spark side, verified against a row-at-a-time recursive-CTE replay of
+    the same greedy scan in DuckDB (depth = docs per bucket — an oracle
+    device, not a scale path; the Spark side IS the scale path)."""
+    return text.pack_greedy(spark, sf_dir)
+
+
+@register(
+    "training_data_build",
+    f"""
+    WITH RECURSIVE {_CC_CTES},
+    {_CURATED_CTES},
+    ctok AS (
+      SELECT d.doc_id, {_TOKS} AS t
+      FROM documents d JOIN curated c ON d.doc_id = c.doc_id
+    ),
+    cch AS (
+      SELECT doc_id, t,
+             unnest(range(0, 1 + (greatest(len(t) - {text.CHUNK_TOKENS}, 0)
+                                   + {text.CHUNK_STRIDE - 1}) // {text.CHUNK_STRIDE}))
+               AS chunk_id
+      FROM ctok
+    ),
+    cchunks AS (
+      SELECT doc_id, chunk_id,
+             CAST(len(t[chunk_id * {text.CHUNK_STRIDE} + 1
+                        : chunk_id * {text.CHUNK_STRIDE} + {text.CHUNK_TOKENS}]) AS BIGINT)
+               AS chunk_tokens
+      FROM cch
+    ),
+    keyed AS (
+      SELECT CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
+                       % 100 < 90
+                  THEN 'train' ELSE 'val' END AS split,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 14)) AS BIGINT)
+               % {text.PACK_BUCKETS} AS bucket,
+             doc_id, chunk_id, chunk_tokens
+      FROM cchunks
+    ),
+    off AS (
+      SELECT split, bucket, chunk_tokens,
+             SUM(chunk_tokens) OVER (PARTITION BY split, bucket ORDER BY doc_id, chunk_id)
+               - chunk_tokens AS start
+      FROM keyed
+    )
+    SELECT split, bucket, CAST(FLOOR(start / {text.PACK_BUDGET}) AS BIGINT) AS pack_id,
+           COUNT(*) AS n_chunks, CAST(SUM(chunk_tokens) AS BIGINT) AS pack_tokens
+    FROM off GROUP BY 1, 2, 3
+    """,
+)
+def t_training_build(spark, sf_dir):
+    """curate → chunk → doc-level split → pack, one declarative plan."""
+    return text.training_data_build(spark, sf_dir)
+
+
+@register(
+    "text_chunking",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, {_TOKS} AS t FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tokens, t,
+             unnest(range(0, 1 + (greatest(len(t) - {text.CHUNK_TOKENS}, 0)
+                                   + {text.CHUNK_STRIDE - 1}) // {text.CHUNK_STRIDE}))
+               AS chunk_id
+      FROM tok
+    )
+    SELECT doc_id, source, n_tokens, CAST(chunk_id AS INTEGER) AS chunk_id,
+           CAST(len(t[chunk_id * {text.CHUNK_STRIDE} + 1
+                      : chunk_id * {text.CHUNK_STRIDE} + {text.CHUNK_TOKENS}]) AS BIGINT)
+             AS chunk_tokens,
+           md5(array_to_string(t[chunk_id * {text.CHUNK_STRIDE} + 1
+                                 : chunk_id * {text.CHUNK_STRIDE} + {text.CHUNK_TOKENS}], ' '))
+             AS chunk_md5
+    FROM ch
+    """,
+)
+def t_chunking(spark, sf_dir):
+    """Overlapping fixed-size token chunks (pretraining/RAG chunker)."""
+    return text.chunk_documents(spark, sf_dir)
+
+_QUALITY_AGG_SCORE = """
+    least((sum_wc / n_docs) / 100.0, 1.0) * 0.4
+      + (sum_sh / sum_wc) * 0.4
+      + least((sum_cc / sum_wc) / 8.0, 1.0) * 0.2
+""".strip()
+
+
+@register(
+    "text_source_quality_report",
+    f"""
+    WITH per_doc AS (
+      SELECT source, text, len(t) AS wc, length(text) AS cc,
+             len(list_filter(t, x -> list_contains({_SQL_LIST(text.LANG_STOPWORDS['en'])}, x)))
+               AS sh
+      FROM (SELECT source, text, {_TOKS} AS t FROM documents)
+    ),
+    agg AS (
+      SELECT source, COUNT(*) AS n_docs,
+             COUNT(*) - COUNT(DISTINCT text) AS n_dup_excess,
+             CAST(SUM(CASE WHEN
+                 least(wc / 100.0, 1.0) * 0.4 + (sh / wc) * 0.4
+                   + least((cc / wc) / 8.0, 1.0) * 0.2 < 0.5
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+             CAST(SUM(wc) AS BIGINT) AS sum_wc, CAST(SUM(cc) AS BIGINT) AS sum_cc,
+             CAST(SUM(sh) AS BIGINT) AS sum_sh
+      FROM per_doc GROUP BY 1
+    )
+    SELECT source, n_docs, n_dup_excess, n_low_quality,
+           n_dup_excess / n_docs AS dup_rate,
+           n_low_quality / n_docs AS low_quality_rate,
+           {_QUALITY_AGG_SCORE} AS source_quality,
+           (n_dup_excess / n_docs > 0.05) OR ({_QUALITY_AGG_SCORE} < 0.5) AS flagged
+    FROM agg
+    """,
+)
+def t_source_report(spark, sf_dir):
+    """Per-source curation triage: dup burden + low-quality share + an
+    aggregate-ratio quality score -> keep/flag decision per source."""
+    return text.source_quality_report(spark, sf_dir)
+
+
+_MODEL_W_SQL = str(text.MODEL_WEIGHTS)
+
+
+@register(
+    "text_quality_model_scores",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    h AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(tok), 1, 4)) AS INT) % {text.MODEL_HASH_DIM} AS j
+      FROM tok
+    ),
+    s AS (
+      SELECT doc_id, COUNT(*) AS n_tok,
+             CAST(SUM(list_extract({_MODEL_W_SQL}, j + 1)) AS BIGINT) AS score_sum
+      FROM h GROUP BY 1
+    )
+    SELECT doc_id, n_tok, score_sum,
+           CAST(score_sum AS DOUBLE) / n_tok AS mean_weight,
+           CAST(score_sum AS DOUBLE) / n_tok >= 0.0 AS keep
+    FROM s
+    """,
+)
+def q_quality_model(spark, sf_dir):
+    """Hashed-bag-of-words linear quality model scored JVM-side: integer
+    weight sums (exact, partitioning-independent) + one final division."""
+    return text.quality_model_scores(spark, sf_dir)
+
+
+@register(
+    "text_length_quantiles_by_lang",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           quantile_cont(n_chars, 0.25) AS p25_chars,
+           quantile_cont(n_chars, 0.5) AS median_chars,
+           quantile_cont(n_chars, 0.95) AS p95_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def q_length_quantiles(spark, sf_dir):
+    """Per-language document-length distribution — the cut-point source
+    for length filters (exact interpolated quantiles; the integral n_chars
+    domain keeps the interpolation arithmetic engine-identical, same
+    posture as agg_quantiles_quantity)."""
+    from ..io import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.expr("percentile(n_chars, 0.25)").alias("p25_chars"),
+        F.expr("percentile(n_chars, 0.5)").alias("median_chars"),
+        F.expr("percentile(n_chars, 0.95)").alias("p95_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "text_postings_phrase_search",
+    f"""
+    WITH p AS (
+      SELECT doc_id, unnest(t) AS term, generate_subscripts(t, 1) - 1 AS pos
+      FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+    ),
+    dfc AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM p GROUP BY 1),
+    top2 AS (
+      SELECT term, row_number() OVER (ORDER BY df DESC, term) AS qrank
+      FROM dfc ORDER BY df DESC, term LIMIT 2
+    ),
+    t1 AS (SELECT p.doc_id, p.pos FROM p JOIN top2 ON p.term = top2.term AND qrank = 1),
+    t2 AS (SELECT p.doc_id, p.pos FROM p JOIN top2 ON p.term = top2.term AND qrank = 2),
+    counts AS (
+      SELECT c1.doc_id, n_t1, n_t2
+      FROM (SELECT doc_id, COUNT(*) AS n_t1 FROM t1 GROUP BY 1) c1
+      JOIN (SELECT doc_id, COUNT(*) AS n_t2 FROM t2 GROUP BY 1) c2 USING (doc_id)
+    ),
+    ph AS (
+      SELECT t1.doc_id, COUNT(*) AS n_phrase
+      FROM t1 JOIN t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+      GROUP BY 1
+    )
+    SELECT counts.doc_id, n_t1, n_t2,
+           CAST(COALESCE(n_phrase, 0) AS BIGINT) AS n_phrase
+    FROM counts LEFT JOIN ph ON counts.doc_id = ph.doc_id
+    """,
+)
+def q_postings_search(spark, sf_dir):
+    """Inverted-index retrieval: positional postings → two-term AND via
+    postings intersection (equi-join on the index's partitioning key) →
+    adjacent-phrase hits via pos+1 — integer joins end to end. Query terms
+    are the corpus's top-2 df terms so the oracle derives the same query."""
+    return text.conjunctive_phrase_search(spark, sf_dir)
+
+
+@register(
+    "text_adaptive_source_filter",
+    f"""
+    WITH feat AS (
+      SELECT doc_id, source, len(t) AS word_count, length(text) AS char_count,
+             len(list_filter(t, x -> list_contains({_SQL_LIST(text.LANG_STOPWORDS['en'])}, x)))
+               AS stop_hits
+      FROM (SELECT doc_id, source, text, {_TOKS} AS t FROM documents)
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             least(word_count / 100.0, 1.0) * 0.4 + (stop_hits / word_count) * 0.4
+               + least((char_count / word_count) / 8.0, 1.0) * 0.2 AS quality_score
+      FROM feat
+    )
+    SELECT doc_id, source, quality_score,
+           row_number() OVER (
+             PARTITION BY source ORDER BY quality_score DESC, doc_id
+           ) * 2 <= COUNT(*) OVER (PARTITION BY source) + 1 AS is_kept
+    FROM scored
+    """,
+)
+def q_adaptive_source_filter(spark, sf_dir):
+    """Per-source adaptive quality cutoff: each source keeps its own top
+    half by composite quality — rank-based (exactly deterministic), not an
+    interpolated percentile threshold."""
+    return text.adaptive_source_filter(spark, sf_dir)
+
+
+# --- corpus preparation: sharding / temperature mix / token rarity (r4) -----
+
+@register(
+    "text_shard_manifest",
+    f"""
+    WITH per AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 14))
+                  AS BIGINT) AS hkey,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    off AS (
+      SELECT *, SUM(n_tok) OVER (ORDER BY hkey, doc_id) - n_tok AS start_off FROM per
+    )
+    SELECT CAST(start_off // {corpus.SHARD_TOKENS} AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS shard_tokens,
+           COUNT(DISTINCT source) AS n_sources,
+           MIN(hkey) AS shard_min_hkey,
+           MAX(hkey) AS shard_max_hkey
+    FROM off GROUP BY 1
+    """,
+)
+def t_shards(spark, sf_dir):
+    """Global hash-shuffled shard layout; the oracle replays the two-level
+    distributed prefix sum as one flat cumulative SUM (same order: the
+    bucket is the hash's top byte, so (bucket, hkey) ≡ hkey)."""
+    return corpus.shard_manifest(spark, sf_dir)
+
+
+@register(
+    "text_shard_write_conservation",
+    f"""
+    WITH per AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 14))
+                  AS BIGINT) AS hkey,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+             CAST(concat('0x', substr(md5(text), 1, 14)) AS BIGINT) AS chash
+      FROM documents
+    ),
+    off AS (
+      SELECT *, SUM(n_tok) OVER (ORDER BY hkey, doc_id) - n_tok AS start_off FROM per
+    )
+    SELECT CAST(start_off // {corpus.SHARD_TOKENS} AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT doc_id) AS n_unique_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS shard_tokens,
+           COUNT(DISTINCT source) AS n_sources,
+           MIN(hkey) AS shard_min_hkey,
+           MAX(hkey) AS shard_max_hkey,
+           CAST(SUM(chash) % {corpus.HASH_SUM_MOD} AS BIGINT) AS content_hash_sum
+    FROM off GROUP BY 1
+    """,
+)
+def t_shard_write(spark, sf_dir):
+    """Shard WRITE lifecycle (corpus.write_shards): materialize the global
+    hash-shuffled layout to `shard_id=K/` parquet dirs (repartitionByRange
+    aligns output tasks with shard boundaries — ~one file per shard), then
+    audit the READ-BACK: every per-shard fingerprint (doc counts, token
+    mass recomputed from the written text, hash span, content-hash sum) is
+    recomputed from the written payload only and compared by the oracle
+    against the manifest recomputed from the source table — a lost,
+    duplicated, or misplaced document reds the driver row. Completes the
+    plan→persisted-artifact lifecycle the way build_ivf_index did for ANN
+    (trainer-facing: a data loader consumes these dirs one shard at a
+    time, pruned to one directory per read)."""
+    out = tempfile.mkdtemp(prefix="shards_")
+    corpus.write_shards(spark, sf_dir, out)
+    return corpus.shard_readback_audit(spark, out)
+
+
+@register(
+    "text_shard_append_conservation",
+    f"""
+    WITH per AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 14))
+                  AS BIGINT) AS hkey,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+             CAST(concat('0x', substr(md5(text), 1, 14)) AS BIGINT) AS chash
+      FROM documents
+    ),
+    boff AS (
+      SELECT *, SUM(n_tok) OVER (ORDER BY hkey, doc_id) - n_tok AS start_off
+      FROM per WHERE doc_id % 3 <> 0
+    ),
+    bmax AS (
+      SELECT CAST(MAX(start_off // {corpus.SHARD_TOKENS}) AS BIGINT) AS last_shard
+      FROM boff
+    ),
+    doff AS (
+      SELECT *, SUM(n_tok) OVER (ORDER BY hkey, doc_id) - n_tok AS local_off
+      FROM per WHERE doc_id % 3 = 0
+    ),
+    placed AS (
+      SELECT doc_id, source, hkey, n_tok, chash,
+             CAST(start_off // {corpus.SHARD_TOKENS} AS BIGINT) AS shard_id
+      FROM boff
+      UNION ALL
+      SELECT doc_id, source, hkey, n_tok, chash,
+             CAST(bmax.last_shard + 1 + (local_off // {corpus.SHARD_TOKENS})
+                  AS BIGINT) AS shard_id
+      FROM doff, bmax
+    )
+    SELECT shard_id, COUNT(*) AS n_docs, COUNT(DISTINCT doc_id) AS n_unique_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS shard_tokens,
+           COUNT(DISTINCT source) AS n_sources,
+           MIN(hkey) AS shard_min_hkey, MAX(hkey) AS shard_max_hkey,
+           CAST(SUM(chash) % {corpus.HASH_SUM_MOD} AS BIGINT) AS content_hash_sum
+    FROM placed GROUP BY 1
+    """,
+)
+def t_shard_append(spark, sf_dir):
+    """Incremental shard APPEND lifecycle (corpus.append_shards — the r6
+    feature VERDICT-r5 item 5): write a base layout from two thirds of the
+    corpus (doc_id % 3 != 0), then APPEND the remaining third as a delta
+    batch — only NEW `shard_id=K/` dirs after the last base shard, existing
+    dirs untouched, offsets contiguous across the boundary, redelivered
+    docs skipped by the anti-join membership gate. The audit recomputes
+    every per-shard fingerprint from the WRITTEN payload only; the oracle
+    replays base layout + delta placement policy from the source table, so
+    a delta doc landed in a base shard, a mutated base shard, or a
+    dropped/duplicated delta doc all red the row. Old-dir immutability at
+    the file level and idempotency under redelivery are pytest-asserted
+    (tests/test_corpus_ops.py)."""
+    import os
+
+    from ..io import load_table
+
+    root = tempfile.mkdtemp(prefix="shards_append_")
+    base_sf = os.path.join(root, "base_sf")
+    out = os.path.join(root, "layout")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") % 3 != 0).write.mode("overwrite").parquet(
+        os.path.join(base_sf, "documents.parquet")
+    )
+    corpus.write_shards(spark, base_sf, out)
+    corpus.append_shards(spark, sf_dir, out)
+    return corpus.shard_readback_audit(spark, out)
+
+
+@register(
+    "text_temperature_mix_weights",
+    f"""
+    WITH per_src AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len({_TOKS})) AS BIGINT) AS src_tokens,
+             CAST(FLOOR(SQRT(CAST(SUM(len({_TOKS})) AS DOUBLE))) AS BIGINT) AS weight
+      FROM documents GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(src_tokens) AS BIGINT) AS corpus_tokens,
+             CAST(SUM(weight) AS BIGINT) AS weight_denom
+      FROM per_src
+    )
+    SELECT source, n_docs, src_tokens,
+           src_tokens / corpus_tokens AS token_share,
+           weight,
+           weight / weight_denom AS sample_prob,
+           (weight / weight_denom) * corpus_tokens AS target_tokens,
+           ((weight / weight_denom) * corpus_tokens) / src_tokens AS epochs
+    FROM per_src, tot
+    """,
+)
+def t_mix_weights(spark, sf_dir):
+    """τ=0.5 temperature sampling plan — integer sqrt weights so the
+    normalizer stays in exact arithmetic (see corpus.py docstring)."""
+    return corpus.temperature_mix_weights(spark, sf_dir)
+
+
+@register(
+    "text_token_rarity_scores",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest({_TOKS}) AS token FROM documents
+    ),
+    v AS (SELECT token, COUNT(*) AS tf FROM tok GROUP BY 1)
+    SELECT tok.doc_id, tok.source,
+           COUNT(*) AS n_tok,
+           CAST(SUM(tf) AS BIGINT) AS sum_tf,
+           CAST(SUM(CASE WHEN tf <= {corpus.MIX_RARE_MAX} THEN 1 ELSE 0 END) AS BIGINT)
+             AS rare_n,
+           SUM(tf) / COUNT(*) AS mean_tok_freq,
+           SUM(CASE WHEN tf <= {corpus.MIX_RARE_MAX} THEN 1 ELSE 0 END) / COUNT(*)
+             AS rare_frac,
+           SUM(CASE WHEN tf <= {corpus.MIX_RARE_MAX} THEN 1 ELSE 0 END) / COUNT(*) > 0.5
+             AS rare_suspect
+    FROM tok JOIN v USING (token)
+    GROUP BY 1, 2
+    """,
+)
+def t_rarity(spark, sf_dir):
+    """Corpus-frequency join-back with the Zipf-head broadcast split; the
+    oracle's plain join is value-identical (same frequency table)."""
+    return corpus.token_rarity_scores(spark, sf_dir)

@@ -190,6 +190,93 @@ def skew_lines(spark, sf_dir: str) -> list[str]:
     ]
 
 
+def sf1_stress_lines(spark, sf_dir: str) -> list[str]:
+    """sf1-equivalent stress (VERDICT-r5 item 8): the bench's 10x replica
+    multiplies ROWS but its copies are near-dups of each other, so
+    distinct-value cardinality (paragraph hashes, span postings, shingles)
+    barely grows — the quantity that actually drives the dedup shuffles.
+    Here each of the 10 copies gets a DIFFERENT token rotation of the text
+    (same token multiset, disjoint shingles/spans/paragraphs), so distinct
+    keys grow ~10x like a real sf1 corpus. Reports wall-time ratios of the
+    heaviest corpus-prep plans; near-linear (ratio ~10 or less) means the
+    skew guards and candidate bounds hold another decade of scale."""
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as e
+    from airdatapipeline_spark.io import load_table
+
+    tmp = tempfile.mkdtemp(prefix="sf1corpus_")
+    toks = "split(trim(text), '\\\\s+')"
+    (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(9))))
+        .select(
+            (F.col("doc_id") * 16 + F.col("r")).alias("doc_id"),
+            F.expr(
+                # rotate the token sequence by r*17+1 positions: same
+                # multiset (token stats preserved), different shingle/
+                # span/paragraph keys per copy
+                f"concat_ws(' ', flatten(array("
+                f"slice({toks}, (r * 17 + 1) % size({toks}) + 1, size({toks})),"
+                f"slice({toks}, 1, (r * 17 + 1) % size({toks})))))"
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        .repartition(16)
+        .write.mode("overwrite")
+        .parquet(f"{tmp}/documents.parquet")
+    )
+
+    queries = e.queries()
+    heavy = [
+        "dedup_exact_substring_pairs",
+        "dedup_paragraph_rebuild",
+        "curation_pipeline",
+        "training_data_build",
+    ]
+
+    def best_of_2(name, d):
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            queries[name](spark, d).write.format("noop").mode("overwrite").save()
+            el = time.time() - t0
+            best = el if best is None else min(best, el)
+        return best
+
+    rows = []
+    for name in heavy:
+        base = best_of_2(name, sf_dir)
+        big = best_of_2(name, tmp)
+        rows.append((name, base, big, big / base if base > 0 else float("nan")))
+
+    base_docs = load_table(spark, sf_dir, "documents").count()
+    return [
+        "",
+        "## sf1-equivalent stress (10x docs, DISTINCT content per copy — token rotation)",
+        "",
+        f"Corpus: {sf_dir} documents x10 = {base_docs * 10} docs; unlike the bench",
+        "replica, every copy's shingles/spans/paragraph hashes are distinct, so",
+        "key cardinality scales with the data (the honest sf1 shape).",
+        "",
+        "| query | base s | 10x-distinct s | ratio (data 10x) |",
+        "|---|---|---|---|",
+        *[
+            f"| {n} | {b:.2f} | {g:.2f} | {r:.2f} |"
+            for n, b, g, r in rows
+        ],
+        "",
+        "Ratios at-or-below the 10x data ratio mean no quadratic key blowup:",
+        "the posting caps, map-side combines, and doc-level splits bound the",
+        "work per distinct key even when the key population itself grows 10x.",
+    ]
+
+
 def recall_scenario_lines(spark, sf_dir: str) -> list[str]:
     """IVF recall vs scanned-fraction in BOTH embedding regimes: the
     near-isotropic embeddings table (ANN's honest worst case — recall
@@ -264,6 +351,7 @@ def main() -> None:
         )
         print(name, "ok", file=sys.stderr)
     out.extend(skew_lines(spark, sf_dir))
+    out.extend(sf1_stress_lines(spark, sf_dir))
     out.extend(recall_scenario_lines(spark, sf_dir))
     with open("/root/repo/MEASURED.md", "w") as f:
         f.write("\n".join(out) + "\n")
