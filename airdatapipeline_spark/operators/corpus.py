@@ -294,12 +294,9 @@ def append_shards(
     Returns {path, n_new_docs, n_new_shards, first_new_shard}. An absent
     layout degenerates to write_shards."""
     import os
-    import shutil
 
     out_path = out_path.rstrip("/")
     recover_shards(out_path)
-    staging = out_path + ".__appending__"
-    shutil.rmtree(staging, ignore_errors=True)
     if not os.path.exists(out_path):
         full = write_shards(spark, sf_dir, out_path, budget)
         return {
@@ -308,22 +305,45 @@ def append_shards(
             "n_new_shards": full["n_shards"],
             "first_new_shard": 0,
         }
-
-    # the layout path may have grown since a previous read in this session;
-    # refresh before reading so neither a stale file listing nor a cached
-    # equivalent plan (CacheManager substitutes by canonical plan, which
-    # does not see new files) can serve pre-append contents
-    spark.catalog.refreshByPath(out_path)
-    existing = read_shards(spark, out_path)
-    prev = existing.agg(
-        F.max("shard_id").alias("last_shard"),
-        F.sum("n_tok").alias("prev_end"),
-    ).first()
-    last_shard, prev_end = int(prev["last_shard"]), int(prev["prev_end"])
-
-    delta_docs = load_table(spark, sf_dir, "documents").join(
-        existing.select("doc_id"), "doc_id", "left_anti"
+    return append_docs(
+        spark, load_table(spark, sf_dir, "documents"), out_path, budget
     )
+
+
+def append_docs(
+    spark: SparkSession, docs: DataFrame, out_path: str, budget: int = SHARD_TOKENS
+) -> dict:
+    """append_shards over an arbitrary documents DataFrame — the entry point
+    a streaming ingest's foreachBatch calls with each micro-batch
+    (streaming/events.shard_ingest_append). Same semantics/durability as
+    append_shards; additionally bootstraps an ABSENT layout in-place (the
+    first batch creates `out_path` with shards starting at 0)."""
+    import os
+    import shutil
+
+    out_path = out_path.rstrip("/")
+    recover_shards(out_path)
+    staging = out_path + ".__appending__"
+    shutil.rmtree(staging, ignore_errors=True)
+
+    if os.path.exists(out_path):
+        # the layout path may have grown since a previous read in this
+        # session; refresh before reading so neither a stale file listing
+        # nor a cached equivalent plan (CacheManager substitutes by
+        # canonical plan, which does not see new files) can serve
+        # pre-append contents
+        spark.catalog.refreshByPath(out_path)
+        existing = read_shards(spark, out_path)
+        prev = existing.agg(
+            F.max("shard_id").alias("last_shard"),
+            F.sum("n_tok").alias("prev_end"),
+        ).first()
+        last_shard, prev_end = int(prev["last_shard"]), int(prev["prev_end"])
+        delta_docs = docs.join(existing.select("doc_id"), "doc_id", "left_anti")
+    else:
+        last_shard, prev_end = -1, 0
+        delta_docs = docs
+        os.makedirs(out_path)
     delta_assign, per_cache = _assignments_for(
         delta_docs, budget, carry=("source", "text")
     )

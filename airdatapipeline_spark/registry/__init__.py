@@ -70,8 +70,9 @@ from . import sources_sinks  # noqa: F401,E402
 #   - all 21 queries whose newest driver row is still r1/r2 (streaming
 #     append family, w_* windows, tpch q1/q3/q5, events_*, the r2 text/
 #     dedup batch, bucketed/asof-range events);
-#   - 25 of the 43 r3-green queries (tpch tail, snk/scd sinks, text corpus
-#     ops, remaining stream/agg/join) — the other 18 rotate in r7.
+#   - 24 of the 43 r3-green queries (tpch tail, snk/scd sinks, text corpus
+#     ops, remaining stream/agg/join) — the other 19 rotate in r7;
+#   - the second r6 registration, stream_shard_ingest (late r6).
 # Max driver-row staleness after r6: r3 (was r2).
 _DRIVER_WINDOW = [
     # --- §2 family flagships (regression canaries) -------------------------
@@ -127,7 +128,9 @@ _DRIVER_WINDOW = [
     "stream_sliding_append",
     "stream_dedup_append",
     "j_salted_hotkey_events",
-    "agg_grouping_sets_orders",
+    # --- new r6 registration (late): streaming shard ingest ---------------
+    # (takes the 25th r3 slot; agg_grouping_sets_orders rotates in r7)
+    "stream_shard_ingest",
 ]
 
 # Driver-green in CORRECTNESS_r01 ∪ r02 ∪ r03 (still value-hash-checked every

@@ -3,6 +3,7 @@ watermarked dedup, stateful counts, curated ingest."""
 
 from __future__ import annotations
 
+from ..operators import corpus
 from ..operators import text
 from ..streaming import events as streaming_events
 from .core import register
@@ -197,3 +198,32 @@ def st_curated_ingest(spark, sf_dir):
     parquet sink. Every output column is a pure function of text, so the
     committed set equals the batch DISTINCT the oracle replays."""
     return streaming_events.curated_ingest_append(spark, sf_dir)
+
+
+@register(
+    "stream_shard_ingest",
+    f"""
+    WITH per AS (
+      SELECT doc_id, len({_TOKS}) AS n_tok,
+             CAST(concat('0x', substr(md5(text), 1, 14)) AS BIGINT) AS chash
+      FROM documents
+    )
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT doc_id) AS n_unique_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(chash) % {corpus.HASH_SUM_MOD} AS BIGINT) AS content_hash_sum,
+           CAST(0 AS BIGINT) AS contiguity_violations
+    FROM per
+    """,
+)
+def st_shard_ingest(spark, sf_dir):
+    """The r6 incremental shard lifecycle as CONTINUOUS ingest: three
+    deterministic delta files stream through foreachBatch ->
+    corpus.append_docs, growing one layout through three real appends.
+    Shard placement depends on batch arrival order, so the checked surface
+    is the batch-order-INVARIANT global contract: every document exactly
+    once (counts + mod-prime content fingerprint), token mass conserved,
+    and offsets contiguous (zero gaps/overlaps walking the layout in
+    offset order — the oracle pins that count at literal 0, so a single
+    misplaced append reds the row)."""
+    return streaming_events.shard_ingest_append(spark, sf_dir)

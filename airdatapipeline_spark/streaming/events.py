@@ -546,3 +546,95 @@ def curated_ingest_append(
         )
     )
     return _run_append_to_files(gated)
+
+
+def shard_ingest_append(
+    spark: SparkSession, sf_dir: str, out_path: str | None = None
+) -> DataFrame:
+    """Continuous shard-layout maintenance: document files land in a
+    staging zone and each micro-batch APPENDS to the serving layout via
+    `operators/corpus.append_docs` — the streaming face of the r6
+    incremental shard lifecycle, composing with the batch append exactly
+    the way `similarity.streaming_index_ingest` composes with
+    `build_ivf_index` for ANN.
+
+    The landing zone is split into three deterministic delta files
+    (doc_id % 3) processed one per micro-batch (maxFilesPerTrigger=1), so
+    the layout grows through three real appends with live membership
+    gates. Exactly-once does NOT lean on the checkpoint alone: the
+    anti-join membership gate in append_docs makes a REDELIVERED batch a
+    no-op even with the checkpoint wiped (tested), which is the property
+    that matters when a sink retries outside Spark's control.
+
+    Shard PLACEMENT depends on batch arrival order (whichever delta lands
+    first occupies the earlier shard ids), so the returned audit is the
+    batch-ORDER-INVARIANT global contract a trainer actually needs:
+    exactly-once membership (doc counts + mod-prime content-hash
+    fingerprint), token-mass conservation, and offset contiguity (zero
+    gaps/overlaps when the layout is walked in offset order). The
+    contiguity walk uses one global-order window — audit-only, n_docs
+    rows; at 100 TB it would run per hash-bucket like the layout pass
+    itself."""
+    from ..operators import corpus
+
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    landing = tempfile.mkdtemp(prefix="shard_landing_")
+    for r in range(3):
+        tmp = tempfile.mkdtemp(prefix="shard_delta_")
+        batch.filter(F.col("doc_id") % 3 == r).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = next(
+            f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
+        )
+        shutil.copy(
+            os.path.join(tmp, part), os.path.join(landing, f"batch_{r}.parquet")
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    out = out_path or os.path.join(tempfile.mkdtemp(prefix="shard_layout_"), "layout")
+    ckpt = tempfile.mkdtemp(prefix="shard_ckpt_")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+
+    def ingest(bdf: DataFrame, _bid: int) -> None:
+        corpus.append_docs(spark, bdf, out)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return shard_layout_audit(spark, out)
+
+
+def shard_layout_audit(spark: SparkSession, out_path: str) -> DataFrame:
+    """Batch-order-invariant global audit of a shard layout: one row with
+    exactly-once membership counts, the mod-prime content fingerprint,
+    token mass, and the number of contiguity violations (start offsets
+    that do not equal the previous document's end when walked in offset
+    order — 0 for any sequence of correct appends)."""
+    from pyspark.sql import Window
+
+    from ..operators import corpus
+    from ..operators.text import tokens_col
+
+    back = corpus.read_shards(spark, out_path)
+    w = Window.orderBy("start_off")
+    walked = back.withColumn(
+        "prev_end", F.lag(F.col("start_off") + F.col("n_tok"), 1, 0).over(w)
+    )
+    return walked.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("doc_id").alias("n_unique_docs"),
+        F.sum(F.size(tokens_col()).cast("long")).alias("total_tokens"),
+        corpus.content_hash_sum().alias("content_hash_sum"),
+        F.sum(
+            F.when(F.col("start_off") != F.col("prev_end"), F.lit(1)).otherwise(F.lit(0))
+        ).cast("bigint").alias("contiguity_violations"),
+    )

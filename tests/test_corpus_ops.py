@@ -335,3 +335,23 @@ def test_append_shards_absent_layout_degenerates_to_full_write(spark, tmp_path):
     assert res["first_new_shard"] == 0 and res["n_new_docs"] > 0
     full = corpus.read_shards(spark, out)
     assert full.count() == load_table(spark, SF, "documents").count()
+
+
+def test_stream_shard_ingest_redelivery_safe_without_checkpoint(spark, tmp_path):
+    """The streaming shard ingest must stay exactly-once even when the
+    CHECKPOINT is gone (a sink retry outside Spark's control): re-running
+    the whole 3-batch stream against the same layout with a fresh
+    checkpoint must change nothing — the append_docs membership gate, not
+    the checkpoint, is the idempotency mechanism."""
+    from airdatapipeline_spark.streaming import events as streaming_events
+
+    out = str(tmp_path / "layout")
+    audit1 = streaming_events.shard_ingest_append(spark, SF, out_path=out).first()
+    assert audit1["contiguity_violations"] == 0
+    assert audit1["n_docs"] == audit1["n_unique_docs"] == load_table(
+        spark, SF, "documents"
+    ).count()
+
+    # full redelivery: fresh landing + fresh checkpoint, same layout
+    audit2 = streaming_events.shard_ingest_append(spark, SF, out_path=out).first()
+    assert audit2 == audit1
