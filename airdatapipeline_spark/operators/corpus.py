@@ -398,6 +398,139 @@ def append_docs(
     }
 
 
+def compact_shards(
+    spark: SparkSession,
+    out_path: str,
+    budget: int = SHARD_TOKENS,
+    min_fill: float = 0.5,
+) -> dict:
+    """Compact the under-full shards appends accumulate: every append
+    generation ends in one boundary shard below budget, so after K delta
+    batches the layout carries K fragment shards — the small-file problem
+    at the shard granularity. This re-lays ONLY those shards' documents
+    (laid in global hash order, budget-cut) into fresh full shards at the
+    tail, and retires the fragment dirs.
+
+    Durability/scale shape:
+    - The new generation is built as a SIBLING root: every kept shard dir
+      is HARD-LINKED file-by-file (metadata-only — the Iceberg-snapshot
+      idiom of reusing data files across table versions; on object
+      storage this is a manifest copy), and only the fragment docs are
+      rewritten. IO ∝ fragments, not corpus.
+    - One atomic root swap serves the new generation (same parked-__old__
+      contract as write_shards; recover_shards heals a crash between the
+      renames). Readers hold the old root until the swap, then see a
+      complete layout — never a mid-compaction hole.
+    - Re-offsetting: compacted docs continue after the layout's max end,
+      so offsets stay a strictly-ordered, non-overlapping global sort key
+      — but are no longer DENSE once a compaction (or any deletion)
+      retires spans. Density is an append-generation property; the loader
+      contract is the order.
+    - No-op below 2 fragments (re-labelling a single fragment would churn
+      an id without reducing fragment count).
+
+    Returns {path, n_compacted_shards, n_new_shards, n_moved_docs}."""
+    import os
+    import shutil
+
+    out_path = out_path.rstrip("/")
+    recover_shards(out_path)
+    staging = out_path + ".__compacting__"
+    shutil.rmtree(staging, ignore_errors=True)
+    spark.catalog.refreshByPath(out_path)
+    layout = read_shards(spark, out_path)
+
+    sizes = layout.groupBy("shard_id").agg(F.sum("n_tok").alias("tok"))
+    threshold = int(budget * min_fill)
+    under = sorted(
+        int(r["shard_id"]) for r in sizes.filter(F.col("tok") < threshold).collect()
+    )
+    if len(under) < 2:
+        return {
+            "path": out_path,
+            "n_compacted_shards": 0,
+            "n_new_shards": 0,
+            "n_moved_docs": 0,
+        }
+    prev = layout.agg(
+        F.max("shard_id").alias("max_id"),
+        F.max(F.col("start_off") + F.col("n_tok")).alias("max_end"),
+        F.count("*").alias("n_docs"),
+    ).first()
+    next_id, prev_end, total_docs = (
+        int(prev["max_id"]) + 1,
+        int(prev["max_end"]),
+        int(prev["n_docs"]),
+    )
+
+    # stage: hard-link every kept shard dir (metadata-only)
+    os.makedirs(staging)
+    for entry in sorted(os.listdir(out_path)):
+        src = os.path.join(out_path, entry)
+        if not entry.startswith("shard_id="):
+            if os.path.isfile(src):  # root _SUCCESS markers
+                os.link(src, os.path.join(staging, entry))
+            continue
+        sid = int(entry.split("=", 1)[1])
+        if sid in under:
+            continue
+        os.makedirs(os.path.join(staging, entry))
+        for f in os.listdir(src):
+            os.link(os.path.join(src, f), os.path.join(staging, entry, f))
+
+    # re-lay the fragment docs (partition pruning reads only those dirs)
+    moved = layout.filter(F.col("shard_id").isin(under)).select(
+        "doc_id", "source", "text"
+    )
+    assign, per_cache = _assignments_for(moved, budget, carry=("source", "text"))
+    assign = assign.withColumn(
+        "start_off", F.col("start_off") + F.lit(prev_end)
+    ).withColumn("shard_id", F.col("shard_id") + F.lit(next_id))
+    stats = assign.agg(
+        F.max("shard_id").alias("max_shard"), F.count("*").alias("n_moved")
+    ).first()
+    n_moved, n_new = int(stats["n_moved"]), int(stats["max_shard"]) - next_id + 1
+    tmp_delta = staging + ".__delta__"
+    (
+        assign.select("doc_id", "source", "hkey", "n_tok", "start_off", "text", "shard_id")
+        .repartitionByRange(n_new, "shard_id")
+        .sortWithinPartitions("shard_id", "hkey", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(tmp_delta)
+    )
+    per_cache.unpersist()
+    for entry in sorted(os.listdir(tmp_delta)):
+        if entry.startswith("shard_id="):
+            os.rename(os.path.join(tmp_delta, entry), os.path.join(staging, entry))
+    shutil.rmtree(tmp_delta, ignore_errors=True)
+
+    # verify BEFORE any mutation of the live root (write_shards contract)
+    staged_docs = spark.read.parquet(staging).count()
+    if staged_docs != total_docs:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise RuntimeError(
+            f"compaction aborted before swap: staging has {staged_docs} docs, "
+            f"layout has {total_docs}; existing layout untouched"
+        )
+    old = out_path + ".__old__"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(out_path, old)
+    try:
+        os.rename(staging, out_path)
+    except BaseException:
+        os.rename(old, out_path)  # roll back rename #1
+        raise
+    shutil.rmtree(old, ignore_errors=True)
+    spark.catalog.refreshByPath(out_path)
+    return {
+        "path": out_path,
+        "n_compacted_shards": len(under),
+        "n_new_shards": n_new,
+        "n_moved_docs": n_moved,
+    }
+
+
 def read_shards(spark: SparkSession, out_path: str) -> DataFrame:
     """Read a written shard layout back; the shard_id partition-dir column
     comes back LONG (partition-column inference yields int) so downstream

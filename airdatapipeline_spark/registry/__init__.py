@@ -112,7 +112,6 @@ _DRIVER_WINDOW = [
     "tpch_q12_priority_shipping",
     "tpch_q13_custdist",
     "tpch_q14_promo_revenue_pct",
-    "tpch_q17_small_quantity",
     "tpch_q18_large_volume",
     "snk_merge_upsert_delete",
     "snk_cdc_apply_changes",
@@ -128,9 +127,11 @@ _DRIVER_WINDOW = [
     "stream_sliding_append",
     "stream_dedup_append",
     "j_salted_hotkey_events",
-    # --- new r6 registration (late): streaming shard ingest ---------------
-    # (takes the 25th r3 slot; agg_grouping_sets_orders rotates in r7)
+    # --- new r6 registrations (late): streaming shard ingest + compaction --
+    # (take two r3 slots; agg_grouping_sets_orders and
+    # tpch_q17_small_quantity rotate in r7)
     "stream_shard_ingest",
+    "text_shard_compact_conservation",
 ]
 
 # Driver-green in CORRECTNESS_r01 ∪ r02 ∪ r03 (still value-hash-checked every

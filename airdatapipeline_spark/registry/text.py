@@ -811,3 +811,96 @@ def t_rarity(spark, sf_dir):
     """Corpus-frequency join-back with the Zipf-head broadcast split; the
     oracle's plain join is value-identical (same frequency table)."""
     return corpus.token_rarity_scores(spark, sf_dir)
+
+
+@register(
+    "text_shard_compact_conservation",
+    f"""
+    WITH per AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 14))
+                  AS BIGINT) AS hkey,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+             CAST(concat('0x', substr(md5(text), 1, 14)) AS BIGINT) AS chash
+      FROM documents
+    ),
+    boff AS (
+      SELECT *, SUM(n_tok) OVER (ORDER BY hkey, doc_id) - n_tok AS start_off
+      FROM per WHERE doc_id % 3 <> 0
+    ),
+    bmax AS (
+      SELECT CAST(MAX(start_off // {corpus.SHARD_TOKENS}) AS BIGINT) AS last_shard
+      FROM boff
+    ),
+    doff AS (
+      SELECT *, SUM(n_tok) OVER (ORDER BY hkey, doc_id) - n_tok AS local_off
+      FROM per WHERE doc_id % 3 = 0
+    ),
+    placed AS (
+      SELECT doc_id, source, hkey, n_tok, chash,
+             CAST(start_off // {corpus.SHARD_TOKENS} AS BIGINT) AS shard_id
+      FROM boff
+      UNION ALL
+      SELECT doc_id, source, hkey, n_tok, chash,
+             CAST(bmax.last_shard + 1 + (local_off // {corpus.SHARD_TOKENS})
+                  AS BIGINT) AS shard_id
+      FROM doff, bmax
+    ),
+    under AS (
+      SELECT shard_id FROM placed GROUP BY 1
+      HAVING SUM(n_tok) < {int(corpus.SHARD_TOKENS * 0.85)}
+    ),
+    ucount AS (SELECT COUNT(*) AS c FROM under),
+    maxid AS (SELECT MAX(shard_id) AS m FROM placed),
+    kept AS (
+      SELECT p.* FROM placed p, ucount u
+      WHERE u.c < 2 OR p.shard_id NOT IN (SELECT shard_id FROM under)
+    ),
+    moved AS (
+      SELECT p.*, SUM(n_tok) OVER (ORDER BY hkey, doc_id) - n_tok AS local_off
+      FROM placed p, ucount u
+      WHERE u.c >= 2 AND p.shard_id IN (SELECT shard_id FROM under)
+    ),
+    final AS (
+      SELECT doc_id, source, hkey, n_tok, chash, shard_id FROM kept
+      UNION ALL
+      SELECT doc_id, source, hkey, n_tok, chash,
+             CAST(maxid.m + 1 + (local_off // {corpus.SHARD_TOKENS}) AS BIGINT)
+      FROM moved, maxid
+    )
+    SELECT shard_id, COUNT(*) AS n_docs, COUNT(DISTINCT doc_id) AS n_unique_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS shard_tokens,
+           COUNT(DISTINCT source) AS n_sources,
+           MIN(hkey) AS shard_min_hkey, MAX(hkey) AS shard_max_hkey,
+           CAST(SUM(chash) % {corpus.HASH_SUM_MOD} AS BIGINT) AS content_hash_sum
+    FROM final GROUP BY 1
+    """,
+)
+def t_shard_compact(spark, sf_dir):
+    """Fragment-shard compaction (corpus.compact_shards — the lifecycle
+    step after r6's append: every append generation leaves one under-full
+    boundary shard, the small-file problem at shard granularity). Base
+    layout from doc_id % 3 != 0, append the rest (two generations, two
+    boundary fragments at min_fill=0.85), then compact: fragment docs
+    re-lay into fresh full shards at the tail while every KEPT shard dir
+    is hard-linked into the new snapshot root (metadata-only, Iceberg
+    style) and one atomic root swap serves it. The audit recomputes every
+    per-shard fingerprint from the written payload; the oracle replays
+    base + delta + the gated compaction policy, so a doc lost/duplicated
+    in the re-lay, a mutated kept shard, or a mis-gated no-op all red the
+    row. Hard-link inode identity and the no-op gate are pytest-asserted."""
+    import os
+
+    root = tempfile.mkdtemp(prefix="shards_compact_")
+    base_sf = os.path.join(root, "base_sf")
+    out = os.path.join(root, "layout")
+    from ..io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") % 3 != 0).write.mode("overwrite").parquet(
+        os.path.join(base_sf, "documents.parquet")
+    )
+    corpus.write_shards(spark, base_sf, out)
+    corpus.append_shards(spark, sf_dir, out)
+    corpus.compact_shards(spark, out, min_fill=0.85)
+    return corpus.shard_readback_audit(spark, out)

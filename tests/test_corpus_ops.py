@@ -355,3 +355,64 @@ def test_stream_shard_ingest_redelivery_safe_without_checkpoint(spark, tmp_path)
     # full redelivery: fresh landing + fresh checkpoint, same layout
     audit2 = streaming_events.shard_ingest_append(spark, SF, out_path=out).first()
     assert audit2 == audit1
+
+
+def test_compact_shards_merges_fragments_metadata_only(spark, tmp_path):
+    """Compaction re-lays ONLY the under-full generation-boundary shards:
+    membership conserved, at most one under-full shard remains (the new
+    tail remainder), kept shard files are HARD-LINKED (same inode —
+    metadata-only reuse, no data rewrite), and retired fragment ids are
+    gone."""
+    import os
+
+    out = _append_fixture(spark, tmp_path)   # base gen: doc_id % 3 != 0
+    corpus.append_shards(spark, SF, out)     # gen 2: the remaining third
+    before = corpus.read_shards(spark, out)
+    n_docs = before.count()
+    sizes = before.groupBy("shard_id").agg(F.sum("n_tok").alias("tok")).collect()
+    threshold = int(corpus.SHARD_TOKENS * 0.85)
+    frag_ids = sorted(int(r["shard_id"]) for r in sizes if r["tok"] < threshold)
+    assert len(frag_ids) >= 2, "fixture must produce >=2 fragment shards"
+    kept_inodes = {}
+    for entry in os.listdir(out):
+        if entry.startswith("shard_id=") and int(entry.split("=")[1]) not in frag_ids:
+            d = os.path.join(out, entry)
+            kept_inodes[entry] = {f: os.stat(os.path.join(d, f)).st_ino for f in os.listdir(d)}
+
+    res = corpus.compact_shards(spark, out, min_fill=0.85)
+    assert res["n_compacted_shards"] == len(frag_ids)
+    after = corpus.read_shards(spark, out)
+    assert after.count() == n_docs
+    assert after.select("doc_id").distinct().count() == n_docs
+    after_sizes = after.groupBy("shard_id").agg(F.sum("n_tok").alias("tok")).collect()
+    assert sum(1 for r in after_sizes if r["tok"] < threshold) <= 1
+    live_ids = {int(r["shard_id"]) for r in after_sizes}
+    assert not (set(frag_ids) & live_ids), "retired fragment ids still live"
+    for entry, files in kept_inodes.items():
+        d = os.path.join(out, entry)
+        for f, ino in files.items():
+            assert os.stat(os.path.join(d, f)).st_ino == ino, f"{entry}/{f} rewritten"
+    # offsets remain strictly ordered and non-overlapping (density is gone
+    # by design once spans retire)
+    rows = after.select("start_off", "n_tok").orderBy("start_off").collect()
+    pos = -1
+    for r in rows:
+        assert r["start_off"] > pos
+        pos = r["start_off"] + r["n_tok"] - 1
+
+
+def test_compact_shards_noop_below_two_fragments(spark, tmp_path):
+    """A single fragment is left alone — re-labelling it would churn an id
+    without reducing fragment count."""
+    base_sf = str(tmp_path / "sf")
+    out = str(tmp_path / "layout")
+    load_table(spark, SF, "documents").write.parquet(
+        str(tmp_path / "sf" / "documents.parquet")
+    )
+    corpus.write_shards(spark, base_sf, out)   # one generation: <=1 fragment
+    import os
+
+    dirs_before = sorted(os.listdir(out))
+    res = corpus.compact_shards(spark, out)
+    assert res["n_compacted_shards"] == 0 and res["n_moved_docs"] == 0
+    assert sorted(os.listdir(out)) == dirs_before
