@@ -531,6 +531,116 @@ def compact_shards(
     }
 
 
+def delete_from_shards(
+    spark: SparkSession, doc_ids: DataFrame, out_path: str
+) -> dict:
+    """Targeted document deletion from a shard layout — right-to-be-
+    forgotten applied to the trainer-facing artifact itself (the analogue
+    of sources/maintenance.delete_keys for parquet tables). Rewrites ONLY
+    the shards that hold doomed doc_ids; every untouched shard dir is
+    hard-linked into a sibling snapshot root (metadata-only, same idiom
+    as compact_shards) and one atomic root swap serves the new generation
+    (recover_shards heals crashes).
+
+    Semantics:
+    - affected = layout SEMI JOIN ids on doc_id → distinct shard ids; the
+      membership probe reads one narrow column and the id batch
+      broadcasts when small. IO ∝ affected shards, not corpus.
+    - survivors of affected shards keep their shard_id AND offsets —
+      deletion leaves offset holes (like compaction retirement, density
+      is an append-generation property; the loader contract is order).
+    - a shard emptied entirely is RETIRED: absent from the new root (the
+      emptied-partition case a naive dynamic overwrite silently gets
+      wrong — maintenance.py's lesson, applied here).
+    - ids not present in the layout are ignored (idempotent re-delete).
+
+    Returns {path, n_deleted, n_rewritten_shards, n_retired_shards}."""
+    import os
+    import shutil
+
+    out_path = out_path.rstrip("/")
+    recover_shards(out_path)
+    staging = out_path + ".__deleting__"
+    shutil.rmtree(staging, ignore_errors=True)
+    spark.catalog.refreshByPath(out_path)
+    layout = read_shards(spark, out_path)
+    ids = doc_ids.select("doc_id").distinct()
+
+    doomed = layout.join(F.broadcast(ids), "doc_id", "left_semi")
+    affected = sorted(
+        int(r["shard_id"]) for r in doomed.select("shard_id").distinct().collect()
+    )
+    n_deleted = doomed.count()
+    if not affected:
+        return {
+            "path": out_path,
+            "n_deleted": 0,
+            "n_rewritten_shards": 0,
+            "n_retired_shards": 0,
+        }
+    total_docs = layout.count()
+
+    os.makedirs(staging)
+    for entry in sorted(os.listdir(out_path)):
+        src = os.path.join(out_path, entry)
+        if not entry.startswith("shard_id="):
+            if os.path.isfile(src):
+                os.link(src, os.path.join(staging, entry))
+            continue
+        if int(entry.split("=", 1)[1]) in affected:
+            continue
+        os.makedirs(os.path.join(staging, entry))
+        for f in os.listdir(src):
+            os.link(os.path.join(src, f), os.path.join(staging, entry, f))
+
+    survivors = layout.filter(F.col("shard_id").isin(affected)).join(
+        F.broadcast(ids), "doc_id", "left_anti"
+    )
+    tmp_delta = staging + ".__rewrite__"
+    (
+        survivors.select(
+            "doc_id", "source", "hkey", "n_tok", "start_off", "text", "shard_id"
+        )
+        .repartitionByRange(max(len(affected), 1), "shard_id")
+        .sortWithinPartitions("shard_id", "hkey", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(tmp_delta)
+    )
+    rewritten = 0
+    for entry in sorted(os.listdir(tmp_delta)):
+        if entry.startswith("shard_id="):
+            os.rename(os.path.join(tmp_delta, entry), os.path.join(staging, entry))
+            rewritten += 1
+    shutil.rmtree(tmp_delta, ignore_errors=True)
+
+    expected = total_docs - n_deleted
+    # a fully-emptied layout has no files left to infer a schema from
+    staged_docs = spark.read.parquet(staging).count() if expected > 0 else 0
+    if staged_docs != expected:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise RuntimeError(
+            f"deletion aborted before swap: staging has {staged_docs} docs, "
+            f"expected {expected}; existing layout untouched"
+        )
+    old = out_path + ".__old__"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(out_path, old)
+    try:
+        os.rename(staging, out_path)
+    except BaseException:
+        os.rename(old, out_path)  # roll back rename #1
+        raise
+    shutil.rmtree(old, ignore_errors=True)
+    spark.catalog.refreshByPath(out_path)
+    return {
+        "path": out_path,
+        "n_deleted": n_deleted,
+        "n_rewritten_shards": rewritten,
+        "n_retired_shards": len(affected) - rewritten,
+    }
+
+
 def read_shards(spark: SparkSession, out_path: str) -> DataFrame:
     """Read a written shard layout back; the shard_id partition-dir column
     comes back LONG (partition-column inference yields int) so downstream

@@ -112,7 +112,6 @@ _DRIVER_WINDOW = [
     "tpch_q12_priority_shipping",
     "tpch_q13_custdist",
     "tpch_q14_promo_revenue_pct",
-    "tpch_q18_large_volume",
     "snk_merge_upsert_delete",
     "snk_cdc_apply_changes",
     "scd2_customer_dim",
@@ -127,11 +126,12 @@ _DRIVER_WINDOW = [
     "stream_sliding_append",
     "stream_dedup_append",
     "j_salted_hotkey_events",
-    # --- new r6 registrations (late): streaming shard ingest + compaction --
-    # (take two r3 slots; agg_grouping_sets_orders and
-    # tpch_q17_small_quantity rotate in r7)
+    # --- new r6 registrations (late): streaming shard ingest + the
+    # compact/delete lifecycle (take three r3 slots; agg_grouping_sets_orders,
+    # tpch_q17_small_quantity and tpch_q18_large_volume rotate in r7)
     "stream_shard_ingest",
     "text_shard_compact_conservation",
+    "text_shard_delete_conservation",
 ]
 
 # Driver-green in CORRECTNESS_r01 ∪ r02 ∪ r03 (still value-hash-checked every

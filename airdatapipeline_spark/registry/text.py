@@ -904,3 +904,78 @@ def t_shard_compact(spark, sf_dir):
     corpus.append_shards(spark, sf_dir, out)
     corpus.compact_shards(spark, out, min_fill=0.85)
     return corpus.shard_readback_audit(spark, out)
+
+
+@register(
+    "text_shard_delete_conservation",
+    f"""
+    WITH per AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 14))
+                  AS BIGINT) AS hkey,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+             CAST(concat('0x', substr(md5(text), 1, 14)) AS BIGINT) AS chash
+      FROM documents
+    ),
+    boff AS (
+      SELECT *, SUM(n_tok) OVER (ORDER BY hkey, doc_id) - n_tok AS start_off
+      FROM per WHERE doc_id % 3 <> 0
+    ),
+    bmax AS (
+      SELECT CAST(MAX(start_off // {corpus.SHARD_TOKENS}) AS BIGINT) AS last_shard
+      FROM boff
+    ),
+    doff AS (
+      SELECT *, SUM(n_tok) OVER (ORDER BY hkey, doc_id) - n_tok AS local_off
+      FROM per WHERE doc_id % 3 = 0
+    ),
+    placed AS (
+      SELECT doc_id, source, hkey, n_tok, chash,
+             CAST(start_off // {corpus.SHARD_TOKENS} AS BIGINT) AS shard_id
+      FROM boff
+      UNION ALL
+      SELECT doc_id, source, hkey, n_tok, chash,
+             CAST(bmax.last_shard + 1 + (local_off // {corpus.SHARD_TOKENS})
+                  AS BIGINT) AS shard_id
+      FROM doff, bmax
+    )
+    SELECT shard_id, COUNT(*) AS n_docs, COUNT(DISTINCT doc_id) AS n_unique_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS shard_tokens,
+           COUNT(DISTINCT source) AS n_sources,
+           MIN(hkey) AS shard_min_hkey, MAX(hkey) AS shard_max_hkey,
+           CAST(SUM(chash) % {corpus.HASH_SUM_MOD} AS BIGINT) AS content_hash_sum
+    FROM placed
+    WHERE doc_id % 7 <> 0
+    GROUP BY 1
+    """,
+)
+def t_shard_delete(spark, sf_dir):
+    """Targeted deletion from the shard layout (corpus.delete_from_shards
+    — right-to-be-forgotten on the trainer-facing artifact, completing
+    the r6 lifecycle triple write→append→compact/delete). Base layout
+    from doc_id % 3 != 0, append the rest, then delete every doc_id % 7
+    == 0: only shards holding doomed docs are rewritten (survivors keep
+    shard_id and offsets — deletion leaves offset holes by design),
+    untouched dirs hard-link into the new snapshot root, emptied shards
+    retire. The audit recomputes per-shard fingerprints from the written
+    payload; the oracle replays base + delta placement minus the doomed
+    set, so a surviving doomed doc, a dropped survivor, or a shard that
+    moved all red the row. Inode identity, offset stability, and
+    re-delete idempotency are pytest-asserted."""
+    import os
+
+    from ..io import load_table
+
+    root = tempfile.mkdtemp(prefix="shards_delete_")
+    base_sf = os.path.join(root, "base_sf")
+    out = os.path.join(root, "layout")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") % 3 != 0).write.mode("overwrite").parquet(
+        os.path.join(base_sf, "documents.parquet")
+    )
+    corpus.write_shards(spark, base_sf, out)
+    corpus.append_shards(spark, sf_dir, out)
+    corpus.delete_from_shards(
+        spark, docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"), out
+    )
+    return corpus.shard_readback_audit(spark, out)

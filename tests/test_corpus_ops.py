@@ -416,3 +416,54 @@ def test_compact_shards_noop_below_two_fragments(spark, tmp_path):
     res = corpus.compact_shards(spark, out)
     assert res["n_compacted_shards"] == 0 and res["n_moved_docs"] == 0
     assert sorted(os.listdir(out)) == dirs_before
+
+
+def test_delete_from_shards_rewrites_only_affected(spark, tmp_path):
+    """Right-to-be-forgotten on the layout: doomed docs vanish, survivors
+    of affected shards keep their shard_id and offsets, UNAFFECTED shard
+    files keep their inodes (hard-linked, not rewritten), and a re-delete
+    of the same ids is a no-op."""
+    import os
+
+    out = _append_fixture(spark, tmp_path)
+    corpus.append_shards(spark, SF, out)
+    before = corpus.read_shards(spark, out)
+    n_docs = before.count()
+    doomed_ids = load_table(spark, SF, "documents").filter(
+        F.col("doc_id") % 7 == 0
+    ).select("doc_id")
+    n_doomed = doomed_ids.count()
+    affected = {
+        int(r["shard_id"])
+        for r in before.join(doomed_ids, "doc_id", "left_semi")
+        .select("shard_id").distinct().collect()
+    }
+    keep_pos = {
+        (r["doc_id"], r["shard_id"], r["start_off"])
+        for r in before.join(doomed_ids, "doc_id", "left_anti")
+        .select("doc_id", "shard_id", "start_off").collect()
+    }
+    inodes = {}
+    for entry in os.listdir(out):
+        if entry.startswith("shard_id=") and int(entry.split("=")[1]) not in affected:
+            d = os.path.join(out, entry)
+            inodes[entry] = {f: os.stat(os.path.join(d, f)).st_ino for f in os.listdir(d)}
+
+    res = corpus.delete_from_shards(spark, doomed_ids, out)
+    assert res["n_deleted"] == n_doomed
+    after = corpus.read_shards(spark, out)
+    assert after.count() == n_docs - n_doomed
+    assert after.join(doomed_ids, "doc_id", "left_semi").count() == 0
+    # survivors keep shard_id AND offsets
+    after_pos = {
+        (r["doc_id"], r["shard_id"], r["start_off"])
+        for r in after.select("doc_id", "shard_id", "start_off").collect()
+    }
+    assert after_pos == keep_pos
+    for entry, files in inodes.items():
+        d = os.path.join(out, entry)
+        for f, ino in files.items():
+            assert os.stat(os.path.join(d, f)).st_ino == ino, f"{entry}/{f} rewritten"
+    # idempotent re-delete
+    res2 = corpus.delete_from_shards(spark, doomed_ids, out)
+    assert res2["n_deleted"] == 0 and res2["n_rewritten_shards"] == 0
