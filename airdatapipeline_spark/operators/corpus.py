@@ -310,6 +310,40 @@ def append_shards(
     )
 
 
+def _membership_delta(
+    spark: SparkSession, docs: DataFrame, existing: DataFrame
+) -> DataFrame:
+    """The append membership gate (delta = docs not already in the layout),
+    shaped so the layout side never pays an O(corpus) shuffle the way the
+    naive `docs LEFT ANTI existing_ids` does (LeftAnti cannot broadcast its
+    preserved side, and Catalyst's runtime-Bloom injection skips ANTI joins
+    and filterless creation sides — both measured on this Spark). Three
+    composed shapes, all exact:
+
+      1. A RANGE prefilter [min_id, max_id] derived from the batch (one
+         2-scalar agg) drops layout ids outside the batch's id span AT THE
+         SCAN (parquet row-group min/max skipping). Under the production
+         high-water-mark pattern — new doc ids minted past the corpus max
+         — this eliminates the layout side almost entirely; for arbitrary
+         ids it is a no-op, never wrong.
+      2. Surviving layout ids LEFT SEMI the batch ids — broadcastable
+         (unlike ANTI's preserved side), so the common small-batch case
+         shuffles nothing.
+      3. docs LEFT ANTI the (at most batch-sized) hit set — broadcastable
+         again.
+
+    Identical result to the direct anti-join: layout ids matching nothing
+    in the batch can never affect it."""
+    b = docs.agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")).first()
+    if b["mn"] is None:
+        return docs
+    in_span = existing.select("doc_id").filter(
+        F.col("doc_id").between(F.lit(b["mn"]), F.lit(b["mx"]))
+    )
+    hits = in_span.join(docs.select("doc_id").distinct(), "doc_id", "left_semi")
+    return docs.join(hits, "doc_id", "left_anti")
+
+
 def append_docs(
     spark: SparkSession, docs: DataFrame, out_path: str, budget: int = SHARD_TOKENS
 ) -> dict:
@@ -339,7 +373,7 @@ def append_docs(
             F.sum("n_tok").alias("prev_end"),
         ).first()
         last_shard, prev_end = int(prev["last_shard"]), int(prev["prev_end"])
-        delta_docs = docs.join(existing.select("doc_id"), "doc_id", "left_anti")
+        delta_docs = _membership_delta(spark, docs, existing)
     else:
         last_shard, prev_end = -1, 0
         delta_docs = docs

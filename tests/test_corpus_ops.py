@@ -467,3 +467,30 @@ def test_delete_from_shards_rewrites_only_affected(spark, tmp_path):
     # idempotent re-delete
     res2 = corpus.delete_from_shards(spark, doomed_ids, out)
     assert res2["n_deleted"] == 0 and res2["n_rewritten_shards"] == 0
+
+
+def test_append_membership_gate_prunes_layout_scan(spark, tmp_path):
+    """The membership gate must never shuffle the layout's full id column:
+    (a) the batch-derived RANGE predicate reaches the layout's parquet
+    scan as a pushed filter (row-group min/max skipping — under the
+    high-water-mark id pattern the layout side dies at the scan), and
+    (b) the semi+anti reformulation returns exactly the direct
+    anti-join's rows."""
+    out = _append_fixture(spark, tmp_path)
+    existing = corpus.read_shards(spark, out)
+    # a high-water-mark batch: ids past everything in the layout
+    batch = load_table(spark, SF, "documents").select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "source", "text"
+    )
+    delta = corpus._membership_delta(spark, batch, existing)
+    plan = delta._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThanOrEqual(doc_id,1000000" in plan.replace(" ", ""), plan
+    assert delta.count() == batch.count()  # nothing redelivered
+
+    # equivalence on a genuinely overlapping batch
+    docs = load_table(spark, SF, "documents")
+    delta2 = corpus._membership_delta(spark, docs, existing)
+    direct = docs.join(existing.select("doc_id"), "doc_id", "left_anti")
+    assert sorted(r["doc_id"] for r in delta2.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in direct.select("doc_id").collect()
+    )
