@@ -158,7 +158,10 @@ def _run_samples(fn, n: int = N_RUNS) -> list[float]:
 
 
 def _median(samples: list[float]) -> float:
-    return samples[len(samples) // 2]
+    # lower median: for 3 runs the true median; for the 2-run writes tier
+    # the SMALLER run (steady-state), so one cold outlier cannot become
+    # the headline number
+    return samples[(len(samples) - 1) // 2]
 
 
 WRITE_RUNS = 2  # writes are the slowest ops; 2 runs bound the cost while
@@ -168,10 +171,13 @@ WRITE_RUNS = 2  # writes are the slowest ops; 2 runs bound the cost while
 def _writes_tier(spark) -> dict:
     """Measure the I/O lifecycle WRITE paths (VERDICT-r5 item 6) at base
     and on the 10x replica warehouse: write_shards (the corpus-wide
-    TeraSort-style layout), compact_parquet (small-file maintenance over a
-    64-file fragmented documents table), and build_ivf_index (the ANN
-    offline build). Staging dirs are cleaned between runs; setup
-    (fragmenting the input for compaction) is untimed."""
+    TeraSort-style layout), the r6 incremental ops (append_shards /
+    compact_shards / delete_from_shards over a 90%-corpus layout — their
+    claim is cost ∝ delta/fragments/affected, so compare their rows to
+    write_shards' full re-lay at the same tier), compact_parquet
+    (small-file maintenance over a 64-file fragmented documents table),
+    and build_ivf_index (the ANN offline build). Staging dirs are cleaned
+    between runs; setup (base layouts, fragmenting) is untimed."""
     import shutil
     import tempfile
 
@@ -184,12 +190,52 @@ def _writes_tier(spark) -> dict:
     if os.path.exists(os.path.join(SCALE_DIR, "documents.parquet")):
         tiers.append(("big", SCALE_DIR))
 
+    def _base_layout(sf: str, workdir: str) -> str:
+        """Untimed setup for the incremental ops: a layout holding 90% of
+        the corpus (doc_id % 10 != 0), so the timed op works a 10% delta."""
+        out = os.path.join(workdir, "layout")
+        shutil.rmtree(out, ignore_errors=True)
+        base_sf = os.path.join(workdir, "base_sf")
+        if not os.path.exists(base_sf):
+            from pyspark.sql import functions as F
+
+            load_table(spark, sf, "documents").filter(
+                F.col("doc_id") % 10 != 0
+            ).write.mode("overwrite").parquet(
+                os.path.join(base_sf, "documents.parquet")
+            )
+        corpus.write_shards(spark, base_sf, out)
+        return out
+
     def run_once(op: str, sf: str, workdir: str) -> float:
+        from pyspark.sql import functions as F
+
         if op == "write_shards":
             out = os.path.join(workdir, "shards")
             shutil.rmtree(out, ignore_errors=True)
             t0 = time.time()
             corpus.write_shards(spark, sf, out)
+            return time.time() - t0
+        if op == "append_shards":
+            # the delta-vs-corpus claim: appending a 10% delta should cost
+            # a fraction of write_shards' full re-lay at the same tier
+            out = _base_layout(sf, workdir)
+            t0 = time.time()
+            corpus.append_shards(spark, sf, out)
+            return time.time() - t0
+        if op == "compact_shards":
+            out = _base_layout(sf, workdir)
+            corpus.append_shards(spark, sf, out)  # setup: 2nd generation
+            t0 = time.time()
+            corpus.compact_shards(spark, out, min_fill=0.85)
+            return time.time() - t0
+        if op == "delete_from_shards":
+            out = _base_layout(sf, workdir)
+            doomed = load_table(spark, sf, "documents").filter(
+                F.col("doc_id") % 70 == 0
+            ).select("doc_id")
+            t0 = time.time()
+            corpus.delete_from_shards(spark, doomed, out)
             return time.time() - t0
         if op == "compact_parquet":
             frag = os.path.join(workdir, "frag")
@@ -209,7 +255,14 @@ def _writes_tier(spark) -> dict:
         raise ValueError(op)
 
     result: dict[str, dict] = {}
-    for op in ("write_shards", "compact_parquet", "build_ivf_index"):
+    for op in (
+        "write_shards",
+        "append_shards",
+        "compact_shards",
+        "delete_from_shards",
+        "compact_parquet",
+        "build_ivf_index",
+    ):
         entry: dict = {}
         for tier, sf in tiers:
             workdir = os.path.join(root, f"{op}_{tier}")
