@@ -1,12 +1,16 @@
-"""Corpus-preparation operators: global deterministic sharding, temperature
-mix planning, and corpus-frequency token statistics.
+"""Corpus-preparation operators: the full shard-layout lifecycle plus
+temperature mix planning and corpus-frequency token statistics.
 
 These close the gap between a curated document set and what actually feeds a
 trainer at 100 TB: a *globally shuffled*, fixed-token-budget shard layout
 (decorrelating sources/crawl order without a nondeterministic `ORDER BY
-rand()`), a temperature-scaled source-sampling plan (the mT5/XLM-R
-`p_i ∝ share_i^τ` schedule), and per-document corpus-frequency scores (the
-inverted-index statistic behind rare-token/gibberish filters).
+rand()`) with its whole serving lifecycle — full write (`write_shards`),
+incremental delta append (`append_shards`/`append_docs`), fragment
+compaction (`compact_shards`), targeted deletion (`delete_from_shards`),
+crash healing (`recover_shards`) and payload-only conservation audits
+(`shard_readback_audit`) — a temperature-scaled source-sampling plan (the
+mT5/XLM-R `p_i ∝ share_i^τ` schedule), and per-document corpus-frequency
+scores (the inverted-index statistic behind rare-token/gibberish filters).
 
 Everything is pure `pyspark.sql.functions` (no Python UDFs) and follows the
 repo's determinism rules: integer sums, single-division ratios, and only
