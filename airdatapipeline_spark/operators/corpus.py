@@ -280,9 +280,10 @@ def append_shards(
       once delivery. Cost ∝ delta + ONE narrow doc_id column scan of the
       layout (column pruning; no text is read from existing shards).
     - Offsets stay contiguous across the boundary: the first delta doc
-      starts at SUM(n_tok) over the layout (== the corpus token total, by
-      the prefix-sum construction), and the delta's own two-level prefix
-      sum continues from there.
+      starts at the layout's max end offset (== the corpus token total
+      while the layout is dense; strictly beyond every retired span once
+      a compaction or deletion has run), and the delta's own two-level
+      prefix sum continues from there.
     - Shard ids: delta docs land in fresh shards starting at
       max(shard_id)+1 even when the boundary shard is under-budget —
       written shards are IMMUTABLE (a data loader may hold any of them
@@ -364,7 +365,13 @@ def append_docs(
     staging = out_path + ".__appending__"
     shutil.rmtree(staging, ignore_errors=True)
 
-    if os.path.exists(out_path):
+    # "has a layout" means shard dirs exist — an empty root (a crashed
+    # bootstrap, or a delete that emptied every shard) re-bootstraps
+    # instead of failing schema inference on a file-less read
+    has_layout = os.path.exists(out_path) and any(
+        e.startswith("shard_id=") for e in os.listdir(out_path)
+    )
+    if has_layout:
         # the layout path may have grown since a previous read in this
         # session; refresh before reading so neither a stale file listing
         # nor a cached equivalent plan (CacheManager substitutes by
@@ -372,16 +379,19 @@ def append_docs(
         # pre-append contents
         spark.catalog.refreshByPath(out_path)
         existing = read_shards(spark, out_path)
+        # prev_end must be the layout's MAX END, not SUM(n_tok): the two
+        # agree only while offsets are dense, and compaction/deletion
+        # retire spans — a sum-based rebase would overlap the relocated
+        # tail (caught by the lifecycle scenario test)
         prev = existing.agg(
             F.max("shard_id").alias("last_shard"),
-            F.sum("n_tok").alias("prev_end"),
+            F.max(F.col("start_off") + F.col("n_tok")).alias("prev_end"),
         ).first()
         last_shard, prev_end = int(prev["last_shard"]), int(prev["prev_end"])
         delta_docs = _membership_delta(spark, docs, existing)
     else:
         last_shard, prev_end = -1, 0
         delta_docs = docs
-        os.makedirs(out_path)
     delta_assign, per_cache = _assignments_for(
         delta_docs, budget, carry=("source", "text")
     )
@@ -419,6 +429,10 @@ def append_docs(
             f"shard append aborted before move: staging has {staged_rows} docs, "
             f"delta has {n_new_docs}; existing layout untouched"
         )
+    # the live root is only created (or first populated) AFTER the staging
+    # verification above, so a failed staged write can never leave a
+    # poisoned empty layout behind
+    os.makedirs(out_path, exist_ok=True)
     for entry in sorted(os.listdir(staging)):
         if not entry.startswith("shard_id="):
             continue
@@ -591,6 +605,11 @@ def delete_from_shards(
       emptied-partition case a naive dynamic overwrite silently gets
       wrong — maintenance.py's lesson, applied here).
     - ids not present in the layout are ignored (idempotent re-delete).
+    - deletion does NOT tombstone: a later append that redelivers a
+      deleted doc_id re-admits it (the membership gate only knows the
+      layout). Right-to-be-forgotten therefore also requires dropping the
+      ids from the ingest stream — the standard split of responsibilities
+      between the artifact store and the pipeline feeding it.
 
     Returns {path, n_deleted, n_rewritten_shards, n_retired_shards}."""
     import os

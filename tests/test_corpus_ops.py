@@ -494,3 +494,44 @@ def test_append_membership_gate_prunes_layout_scan(spark, tmp_path):
     assert sorted(r["doc_id"] for r in delta2.select("doc_id").collect()) == sorted(
         r["doc_id"] for r in direct.select("doc_id").collect()
     )
+
+
+def test_shard_lifecycle_scenario_append_compact_append_delete(spark, tmp_path):
+    """Full lifecycle integration: bootstrap → append → compact → append →
+    delete, asserting at the end that membership equals the set algebra of
+    the operations, doc_ids are unique, and offsets remain strictly
+    ordered and non-overlapping (density is not promised once spans
+    retire). Also pins the bootstrap-via-append_docs path and that a
+    crashed bootstrap cannot poison the root."""
+    import os
+
+    docs = load_table(spark, SF, "documents")
+    out = str(tmp_path / "layout")
+
+    # gen A: bootstrap through append_docs (absent layout)
+    res = corpus.append_docs(spark, docs.filter(F.col("doc_id") % 5 <= 1), out)
+    assert res["first_new_shard"] == 0
+    # gen B: delta = %5 == 2
+    corpus.append_docs(spark, docs.filter(F.col("doc_id") % 5 <= 2), out)
+    # compact fragments (if ≥2), then another delta, then delete
+    corpus.compact_shards(spark, out, min_fill=0.85)
+    corpus.append_docs(spark, docs, out)  # delta = %5 in {3,4}
+    doomed = docs.filter(F.col("doc_id") % 10 == 1).select("doc_id")
+    corpus.delete_from_shards(spark, doomed, out)
+
+    back = corpus.read_shards(spark, out)
+    expect = docs.join(doomed, "doc_id", "left_anti")
+    assert back.count() == expect.count()
+    assert back.select("doc_id").distinct().count() == back.count()
+    assert back.join(expect.select("doc_id"), "doc_id", "left_anti").count() == 0
+    rows = back.select("start_off", "n_tok").orderBy("start_off").collect()
+    end = -1
+    for r in rows:
+        assert r["start_off"] > end
+        end = r["start_off"] + r["n_tok"] - 1
+
+    # poisoned-bootstrap guard: an empty root left by a crash re-bootstraps
+    empty = str(tmp_path / "empty_root")
+    os.makedirs(empty)
+    res2 = corpus.append_docs(spark, docs.limit(10), empty)
+    assert res2["first_new_shard"] == 0 and res2["n_new_docs"] == 10
