@@ -441,3 +441,64 @@ def test_substring_posting_cap_drops_hot_span(spark_global, tmp_path):
 
     capped = dd.exact_substring_pairs(spark_global, sf, max_postings=4).toPandas()
     assert len(capped) == 0, "hot span must be dropped by the posting cap"
+
+
+# ---------------------------------------------------------------------------
+# Shard lifecycle vs a set-model (r6): random op sequences
+# ---------------------------------------------------------------------------
+
+_LIFECYCLE_OP = st.one_of(
+    st.tuples(st.just("append"), st.integers(min_value=0, max_value=6)),
+    st.tuples(st.just("delete"), st.integers(min_value=2, max_value=9)),
+    st.tuples(st.just("compact"), st.just(0)),
+)
+
+
+@given(ops=st.lists(_LIFECYCLE_OP, min_size=2, max_size=5))
+@settings(max_examples=6, deadline=None)
+def test_shard_lifecycle_matches_set_model(spark_global, ops, tmp_path_factory):
+    """Model-based check of the r6 shard lifecycle: run a random sequence
+    of append(subset)/delete(subset)/compact against a plain Python set
+    model of membership. After every sequence the layout must hold exactly
+    the model's doc_ids (appends re-admit previously deleted ids — the
+    documented no-tombstone semantics), with unique ids and strictly
+    ordered, non-overlapping offsets. This generalizes the deterministic
+    scenario test that caught the sum-vs-max-end rebase overlap."""
+    import pyspark.sql.functions as F
+
+    from airdatapipeline_spark.io import load_table
+    from airdatapipeline_spark.operators import corpus
+
+    spark = spark_global
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    all_ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    out = str(tmp_path_factory.mktemp("lifecycle") / "layout")
+
+    model: set[int] = set()
+    for kind, sel in ops:
+        if kind == "append":
+            batch = docs.filter(F.col("doc_id") % 7 <= sel)
+            corpus.append_docs(spark, batch, out)
+            model |= {i for i in all_ids if i % 7 <= sel}
+        elif kind == "delete":
+            if not model:
+                continue
+            doomed = docs.filter(F.col("doc_id") % sel == 0).select("doc_id")
+            corpus.delete_from_shards(spark, doomed, out)
+            model -= {i for i in all_ids if i % sel == 0}
+        else:
+            if not model:
+                continue
+            corpus.compact_shards(spark, out, min_fill=0.85)
+            # membership unchanged
+
+    if not model:
+        return
+    back = corpus.read_shards(spark, out)
+    got = [r["doc_id"] for r in back.select("doc_id").collect()]
+    assert sorted(got) == sorted(model)
+    rows = back.select("start_off", "n_tok").orderBy("start_off").collect()
+    end = -1
+    for r in rows:
+        assert r["start_off"] > end
+        end = r["start_off"] + r["n_tok"] - 1
