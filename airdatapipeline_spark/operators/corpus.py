@@ -441,6 +441,11 @@ def append_docs(
             raise RuntimeError(f"append collision on existing {dst}")
         os.rename(os.path.join(staging, entry), dst)
     shutil.rmtree(staging, ignore_errors=True)
+    # a persisted manifest describes a generation; this append created a
+    # new one, so invalidate rather than leave a stale inventory (compact/
+    # delete drop it implicitly — their snapshot roots link shard dirs
+    # only). Callers re-run write_layout_manifest when they want one.
+    shutil.rmtree(os.path.join(out_path, "_manifest"), ignore_errors=True)
     spark.catalog.refreshByPath(out_path)
     return {
         "path": out_path,
@@ -738,6 +743,63 @@ def content_hash_sum(text_col: str = "text") -> F.Column:
     return F.pmod(
         F.sum(chash.cast("decimal(38,0)")), F.lit(HASH_SUM_MOD).cast("decimal(38,0)")
     ).cast("long")
+
+
+def write_layout_manifest(spark: SparkSession, out_path: str) -> str:
+    """Persist the layout's per-shard conservation fingerprints as a
+    `_manifest` parquet INSIDE the layout root (underscore-prefixed, so
+    Spark's file listing ignores it — read_shards never sees it). The
+    manifest is what a trainer's loader trusts at job start: instead of
+    re-fingerprinting 100 TB, it verifies the (tiny) shard inventory, and
+    `verify_shards` re-fingerprints payloads on demand (spot checks, or
+    after an incident). Every mutating lifecycle op INVALIDATES the
+    manifest (append removes it; compact/delete's snapshot roots link
+    shard dirs only), so a stale inventory can never verify — re-run this
+    after the op; it is K rows for K shards, negligible next to the op."""
+    import os
+
+    manifest_dir = os.path.join(out_path.rstrip("/"), "_manifest")
+    audit = shard_readback_audit(spark, out_path)
+    audit.coalesce(1).write.mode("overwrite").parquet(manifest_dir)
+    return manifest_dir
+
+
+def read_layout_manifest(spark: SparkSession, out_path: str) -> DataFrame:
+    import os
+
+    return spark.read.parquet(os.path.join(out_path.rstrip("/"), "_manifest"))
+
+
+def verify_shards(spark: SparkSession, out_path: str) -> DataFrame:
+    """Reader-side integrity check: re-fingerprint every shard from the
+    WRITTEN payload and full-outer join against the persisted manifest.
+    One row per shard with a boolean per fingerprint column plus `shard_ok`
+    — a lost/extra/corrupted/swapped shard file shows up as a false (or a
+    null-joined row) naming exactly which invariant broke. This is the
+    check a training job runs before trusting a layout it did not just
+    write (the write paths self-verify only their own generation)."""
+    cols = [
+        "n_docs", "n_unique_docs", "shard_tokens", "n_sources",
+        "shard_min_hkey", "shard_max_hkey", "content_hash_sum",
+    ]
+    actual = shard_readback_audit(spark, out_path).alias("a")
+    stored = read_layout_manifest(spark, out_path).alias("m")
+    j = actual.join(stored, F.col("a.shard_id") == F.col("m.shard_id"), "full_outer")
+    checks = [
+        (F.col(f"a.{c}") == F.col(f"m.{c}")).alias(f"{c}_ok") for c in cols
+    ]
+    present = (
+        F.col("a.shard_id").isNotNull() & F.col("m.shard_id").isNotNull()
+    ).alias("present_ok")
+    out = j.select(
+        F.coalesce(F.col("a.shard_id"), F.col("m.shard_id")).alias("shard_id"),
+        present,
+        *checks,
+    )
+    shard_ok = F.lit(True)
+    for c in ["present_ok"] + [f"{c}_ok" for c in cols]:
+        shard_ok = shard_ok & F.coalesce(F.col(c), F.lit(False))
+    return out.withColumn("shard_ok", shard_ok)
 
 
 def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -116,7 +116,6 @@ _DRIVER_WINDOW = [
     "snk_cdc_apply_changes",
     "scd2_customer_dim",
     "snk_targeted_delete",
-    "snk_snapshot_diff",
     "text_sequence_packing",
     "text_pii_redaction",
     "text_decontamination",
@@ -127,11 +126,13 @@ _DRIVER_WINDOW = [
     "stream_dedup_append",
     "j_salted_hotkey_events",
     # --- new r6 registrations (late): streaming shard ingest + the
-    # compact/delete lifecycle (take three r3 slots; agg_grouping_sets_orders,
-    # tpch_q17_small_quantity and tpch_q18_large_volume rotate in r7)
+    # compact/delete/verify lifecycle (take four r3 slots;
+    # agg_grouping_sets_orders, tpch_q17_small_quantity,
+    # tpch_q18_large_volume and snk_snapshot_diff rotate in r7)
     "stream_shard_ingest",
     "text_shard_compact_conservation",
     "text_shard_delete_conservation",
+    "text_shard_verify_report",
 ]
 
 # Driver-green in CORRECTNESS_r01 ∪ r02 ∪ r03 (still value-hash-checked every

@@ -979,3 +979,74 @@ def t_shard_delete(spark, sf_dir):
         spark, docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"), out
     )
     return corpus.shard_readback_audit(spark, out)
+
+
+@register(
+    "text_shard_verify_report",
+    f"""
+    WITH per AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 14))
+                  AS BIGINT) AS hkey,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+             CAST(concat('0x', substr(md5(text), 1, 14)) AS BIGINT) AS chash
+      FROM documents
+    ),
+    boff AS (
+      SELECT *, SUM(n_tok) OVER (ORDER BY hkey, doc_id) - n_tok AS start_off
+      FROM per WHERE doc_id % 3 <> 0
+    ),
+    bmax AS (
+      SELECT CAST(MAX(start_off // {corpus.SHARD_TOKENS}) AS BIGINT) AS last_shard
+      FROM boff
+    ),
+    doff AS (
+      SELECT *, SUM(n_tok) OVER (ORDER BY hkey, doc_id) - n_tok AS local_off
+      FROM per WHERE doc_id % 3 = 0
+    ),
+    placed AS (
+      SELECT doc_id, source, hkey, n_tok, chash,
+             CAST(start_off // {corpus.SHARD_TOKENS} AS BIGINT) AS shard_id
+      FROM boff
+      UNION ALL
+      SELECT doc_id, source, hkey, n_tok, chash,
+             CAST(bmax.last_shard + 1 + (local_off // {corpus.SHARD_TOKENS})
+                  AS BIGINT) AS shard_id
+      FROM doff, bmax
+    )
+    SELECT shard_id, COUNT(*) AS n_docs, COUNT(DISTINCT doc_id) AS n_unique_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS shard_tokens,
+           COUNT(DISTINCT source) AS n_sources,
+           MIN(hkey) AS shard_min_hkey, MAX(hkey) AS shard_max_hkey,
+           CAST(SUM(chash) % {corpus.HASH_SUM_MOD} AS BIGINT) AS content_hash_sum,
+           TRUE AS shard_ok
+    FROM placed GROUP BY 1
+    """,
+)
+def t_shard_verify(spark, sf_dir):
+    """Manifest + reader-side verification (corpus.write_layout_manifest /
+    verify_shards): after base + append, persist the shard inventory as
+    the in-layout `_manifest` and re-verify every shard's payload against
+    it — the check a training job runs before trusting a layout it did
+    not just write. The returned report carries the full recomputed
+    fingerprints PLUS the verifier's verdict, so the oracle value-hashes
+    the fingerprints (same strength as the conservation queries) and pins
+    every verdict TRUE on an untampered layout; detection of a
+    checksum-consistent file swap and manifest invalidation by mutating
+    ops are pytest-asserted."""
+    import os
+
+    from ..io import load_table
+
+    root = tempfile.mkdtemp(prefix="shards_verify_")
+    base_sf = os.path.join(root, "base_sf")
+    out = os.path.join(root, "layout")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") % 3 != 0).write.mode("overwrite").parquet(
+        os.path.join(base_sf, "documents.parquet")
+    )
+    corpus.write_shards(spark, base_sf, out)
+    corpus.append_shards(spark, sf_dir, out)
+    corpus.write_layout_manifest(spark, out)
+    rep = corpus.verify_shards(spark, out).select("shard_id", "shard_ok")
+    return corpus.shard_readback_audit(spark, out).join(rep, "shard_id")

@@ -535,3 +535,48 @@ def test_shard_lifecycle_scenario_append_compact_append_delete(spark, tmp_path):
     os.makedirs(empty)
     res2 = corpus.append_docs(spark, docs.limit(10), empty)
     assert res2["first_new_shard"] == 0 and res2["n_new_docs"] == 10
+
+
+def test_manifest_verify_detects_corruption_and_staleness(spark, tmp_path):
+    """The manifest/verify pair: (a) a fresh manifest verifies all-ok;
+    (b) swapping one shard's parquet file for another shard's reds exactly
+    the tampered shards (membership/hash-span/fingerprint columns flip);
+    (c) a mutating op invalidates the manifest so a stale inventory can
+    never silently verify."""
+    import os
+    import shutil
+
+    out = _append_fixture(spark, tmp_path)
+    corpus.write_layout_manifest(spark, out)
+    rep = corpus.verify_shards(spark, out)
+    assert rep.filter(~F.col("shard_ok")).count() == 0
+
+    # (b) corrupt: overwrite shard 0's data file with shard 1's — including
+    # the Hadoop .crc sidecar, so the swap is checksum-CONSISTENT (the
+    # filesystem layer cannot catch it; only content fingerprints can)
+    def data_file(sid):
+        d = os.path.join(out, f"shard_id={sid}")
+        return os.path.join(d, next(f for f in os.listdir(d) if f.endswith(".parquet")))
+
+    src, dst = data_file(1), data_file(0)
+    shutil.copyfile(src, dst)
+    src_crc = os.path.join(os.path.dirname(src), "." + os.path.basename(src) + ".crc")
+    dst_crc = os.path.join(os.path.dirname(dst), "." + os.path.basename(dst) + ".crc")
+    if os.path.exists(src_crc):
+        shutil.copyfile(src_crc, dst_crc)
+    spark.catalog.refreshByPath(out)
+    bad = corpus.verify_shards(spark, out)
+    bad_rows = {r["shard_id"]: r for r in bad.collect()}
+    assert not bad_rows[0]["shard_ok"], "tampered shard must red"
+    assert not bad_rows[0]["content_hash_sum_ok"]
+    assert bad_rows[2]["shard_ok"], "untouched shard must stay green"
+
+    # (c) append invalidates the manifest
+    out2 = _append_fixture(spark, tmp_path / "second")
+    corpus.write_layout_manifest(spark, out2)
+    corpus.append_shards(spark, SF, out2)
+    assert not os.path.exists(os.path.join(out2, "_manifest"))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        corpus.read_layout_manifest(spark, out2).collect()
