@@ -802,6 +802,56 @@ def verify_shards(spark: SparkSession, out_path: str) -> DataFrame:
     return out.withColumn("shard_ok", shard_ok)
 
 
+def epoch_schedule(
+    spark: SparkSession, sf_dir: str, n_epochs: int = 3, budget: int = SHARD_TOKENS
+) -> DataFrame:
+    """Per-epoch shard reading order: each training epoch visits every
+    shard exactly once, in an epoch-specific deterministic permutation
+    (order key = content hash of 'epoch:<e>:<shard_id>'), with the
+    epoch-local cumulative token offset a resuming loader seeks by. This
+    is the piece between the layout and the trainer: re-shuffling shard
+    ORDER per epoch decorrelates batch composition across epochs without
+    touching the (expensive, globally-shuffled-once) shard payloads —
+    the standard large-scale practice, and exactly reproducible on any
+    engine (no seeded RNG; the hash IS the permutation).
+
+    Scale shape: operates on the K-row manifest aggregate, never the
+    corpus — one tiny explode (K shards x epochs) + per-epoch windows
+    over K rows."""
+    m = shard_manifest(spark, sf_dir, budget).select("shard_id", "shard_tokens")
+    e = m.withColumn(
+        "epoch", F.explode(F.sequence(F.lit(0), F.lit(n_epochs - 1)))
+    ).withColumn(
+        "order_key",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("epoch:"),
+                        F.col("epoch").cast("string"),
+                        F.lit(":"),
+                        F.col("shard_id").cast("string"),
+                    )
+                ),
+                1,
+                14,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    w = Window.partitionBy("epoch").orderBy("order_key", "shard_id")
+    return e.select(
+        "epoch",
+        "shard_id",
+        "shard_tokens",
+        "order_key",
+        F.row_number().over(w).alias("order_rank"),
+        (F.sum("shard_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0))
+         - F.col("shard_tokens")).alias("epoch_start_off"),
+    )
+
+
 def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled source-sampling plan (mT5/XLM-R style): sampling
     weight w_i = floor(sqrt(tokens_i)) — i.e. p_i ∝ share_i^0.5, flattening

@@ -115,7 +115,6 @@ _DRIVER_WINDOW = [
     "snk_merge_upsert_delete",
     "snk_cdc_apply_changes",
     "scd2_customer_dim",
-    "snk_targeted_delete",
     "text_sequence_packing",
     "text_pii_redaction",
     "text_decontamination",
@@ -126,13 +125,15 @@ _DRIVER_WINDOW = [
     "stream_dedup_append",
     "j_salted_hotkey_events",
     # --- new r6 registrations (late): streaming shard ingest + the
-    # compact/delete/verify lifecycle (take four r3 slots;
-    # agg_grouping_sets_orders, tpch_q17_small_quantity,
-    # tpch_q18_large_volume and snk_snapshot_diff rotate in r7)
+    # compact/delete/verify lifecycle + epoch schedule (take five r3
+    # slots; agg_grouping_sets_orders, tpch_q17_small_quantity,
+    # tpch_q18_large_volume, snk_snapshot_diff and snk_targeted_delete
+    # rotate in r7)
     "stream_shard_ingest",
     "text_shard_compact_conservation",
     "text_shard_delete_conservation",
     "text_shard_verify_report",
+    "text_epoch_schedule",
 ]
 
 # Driver-green in CORRECTNESS_r01 ∪ r02 ∪ r03 (still value-hash-checked every

@@ -1050,3 +1050,45 @@ def t_shard_verify(spark, sf_dir):
     corpus.write_layout_manifest(spark, out)
     rep = corpus.verify_shards(spark, out).select("shard_id", "shard_ok")
     return corpus.shard_readback_audit(spark, out).join(rep, "shard_id")
+
+
+@register(
+    "text_epoch_schedule",
+    f"""
+    WITH per AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 14))
+                  AS BIGINT) AS hkey,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    off AS (
+      SELECT *, SUM(n_tok) OVER (ORDER BY hkey, doc_id) - n_tok AS start_off FROM per
+    ),
+    shards AS (
+      SELECT CAST(start_off // {corpus.SHARD_TOKENS} AS BIGINT) AS shard_id,
+             CAST(SUM(n_tok) AS BIGINT) AS shard_tokens
+      FROM off GROUP BY 1
+    ),
+    sched AS (
+      SELECT e.epoch, s.shard_id, s.shard_tokens,
+             CAST(concat('0x', substr(md5('epoch:' || CAST(e.epoch AS VARCHAR) || ':'
+                                          || CAST(s.shard_id AS VARCHAR)), 1, 14))
+                  AS BIGINT) AS order_key
+      FROM shards s, (SELECT UNNEST([0, 1, 2]) AS epoch) e
+    )
+    SELECT epoch, shard_id, shard_tokens, order_key,
+           CAST(ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY order_key, shard_id)
+                AS INT) AS order_rank,
+           CAST(SUM(shard_tokens) OVER (PARTITION BY epoch ORDER BY order_key, shard_id)
+                - shard_tokens AS BIGINT) AS epoch_start_off
+    FROM sched
+    """,
+)
+def t_epoch_schedule(spark, sf_dir):
+    """Deterministic per-epoch shard reading order (corpus.epoch_schedule):
+    every epoch permutes shard ORDER by a content-addressed hash — batch
+    composition decorrelates across epochs without touching the shard
+    payloads — with the epoch-local cumulative token offset a resuming
+    loader seeks by. Operates on the K-row manifest, never the corpus."""
+    return corpus.epoch_schedule(spark, sf_dir)

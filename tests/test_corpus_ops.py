@@ -580,3 +580,25 @@ def test_manifest_verify_detects_corruption_and_staleness(spark, tmp_path):
 
     with _pytest.raises(Exception):
         corpus.read_layout_manifest(spark, out2).collect()
+
+
+def test_epoch_schedule_permutes_per_epoch(spark):
+    """Each epoch visits every shard exactly once; different epochs visit
+    them in different orders (the decorrelation the schedule exists for);
+    epoch offsets are an exact prefix sum of the visited shards."""
+    sched = corpus.epoch_schedule(spark, SF, n_epochs=3).collect()
+    by_epoch = {}
+    for r in sched:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    shard_ids = {r["shard_id"] for r in by_epoch[0]}
+    orders = {}
+    for e, rows in by_epoch.items():
+        rows.sort(key=lambda r: r["order_rank"])
+        assert {r["shard_id"] for r in rows} == shard_ids  # permutation
+        assert [r["order_rank"] for r in rows] == list(range(1, len(rows) + 1))
+        pos = 0
+        for r in rows:
+            assert r["epoch_start_off"] == pos
+            pos += r["shard_tokens"]
+        orders[e] = [r["shard_id"] for r in rows]
+    assert orders[0] != orders[1] or orders[1] != orders[2], "epochs must differ"
