@@ -9,6 +9,10 @@ SparkSubmitOperator, cron, or any scheduler at these).
     python -m airdatapipeline_spark.jobs report  --sf-dir DIR
     python -m airdatapipeline_spark.jobs curate  --sf-dir DIR [--out DIR]
     python -m airdatapipeline_spark.jobs expectations --sf-dir DIR [--strict]
+    python -m airdatapipeline_spark.jobs shards  ACTION --layout DIR [...]
+        (ACTION: write | append | compact | delete | manifest | verify —
+         the trainer shard-layout lifecycle; verify exits nonzero on any
+         red shard, the pre-training integrity gate)
 
 Task mapping to the reference (file:line in /root/reference/):
   scrape   = g1_scraping_pipeline (dags/g1_scraping_dag.py:86)
@@ -74,6 +78,26 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--min-quality", type=float, default=0.5)
     c.add_argument("--min-words", type=int, default=20)
     c.add_argument("--lang", default="en")
+
+    sh = sub.add_parser(
+        "shards",
+        help="trainer shard-layout lifecycle: write a fresh layout, append "
+        "a delta batch, compact fragment shards, delete doc ids "
+        "(right-to-be-forgotten), or (re)build + verify the integrity "
+        "manifest. Single-writer per layout (the staged swaps serialize "
+        "on dir renames; run one lifecycle op at a time).",
+    )
+    sh.add_argument(
+        "action", choices=["write", "append", "compact", "delete", "manifest", "verify"]
+    )
+    sh.add_argument("--layout", required=True, help="shard layout root directory")
+    sh.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                    help="documents source (write/append)")
+    sh.add_argument("--budget", type=int, default=None, help="tokens per shard")
+    sh.add_argument("--min-fill", type=float, default=0.5,
+                    help="compact shards below this fill fraction")
+    sh.add_argument("--ids", default=None,
+                    help="delete: parquet path with a doc_id column")
 
     x = sub.add_parser(
         "expectations",
@@ -154,6 +178,33 @@ def main(argv: list[str] | None = None) -> int:
         failed = [r["rule_id"] for r in gated if not r["passed"]]
         print(json.dumps({"job": "expectations", "rules": rows, "failed": failed}))
         return 1 if failed else 0
+    elif args.job == "shards":
+        from .operators import corpus
+
+        budget = args.budget or corpus.SHARD_TOKENS
+        if args.action == "write":
+            res = corpus.write_shards(spark, args.sf_dir, args.layout, budget)
+        elif args.action == "append":
+            res = corpus.append_shards(spark, args.sf_dir, args.layout, budget)
+        elif args.action == "compact":
+            res = corpus.compact_shards(
+                spark, args.layout, budget, min_fill=args.min_fill
+            )
+        elif args.action == "delete":
+            if not args.ids:
+                p.error("shards delete requires --ids PARQUET_PATH")
+            res = corpus.delete_from_shards(
+                spark, spark.read.parquet(args.ids), args.layout
+            )
+        elif args.action == "manifest":
+            res = {"manifest": corpus.write_layout_manifest(spark, args.layout)}
+        else:  # verify
+            rep = corpus.verify_shards(spark, args.layout)
+            bad = [r.asDict() for r in rep.filter(~rep.shard_ok).collect()]
+            res = {"shards": rep.count(), "bad": bad}
+            print(json.dumps({"job": "shards", "action": "verify", **res}, default=str))
+            return 1 if bad else 0
+        print(json.dumps({"job": "shards", "action": args.action, **res}))
     elif args.job == "curate":
         from .operators import text as text_ops
 

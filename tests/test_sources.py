@@ -871,3 +871,46 @@ def test_curated_ingest_dedups_across_micro_batches(spark, tmp_path):
     sh.copy(one_file(first.unionByName(rest), "all"), combined / "all.parquet")
     truth = se.curated_ingest_append(spark, sf, landing_dir=str(combined)).toPandas()
     assert sorted(out.fingerprint) == sorted(truth.fingerprint)
+
+
+def test_jobs_cli_shard_lifecycle(spark, tmp_path):
+    """The shards CLI verb drives the whole lifecycle end to end: write ->
+    append (no-op redelivery) -> manifest -> verify (exit 0) -> delete ->
+    stale manifest gone -> manifest -> verify again."""
+    import contextlib
+    import io as _io
+    import json
+    import os
+
+    import pyspark.sql.functions as F
+
+    from airdatapipeline_spark import jobs
+    from airdatapipeline_spark.io import load_table
+
+    layout = str(tmp_path / "layout")
+    ids_path = str(tmp_path / "doomed.parquet")
+    load_table(spark, SF_SMALL, "documents").filter(
+        F.col("doc_id") % 9 == 0
+    ).select("doc_id").write.parquet(ids_path)
+
+    def run(argv):
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = jobs.main(argv)
+        return rc, json.loads(buf.getvalue())
+
+    rc, out = run(["shards", "write", "--layout", layout, "--sf-dir", SF_SMALL])
+    assert rc == 0 and out["n_shards"] > 0
+    rc, out = run(["shards", "append", "--layout", layout, "--sf-dir", SF_SMALL])
+    assert rc == 0 and out["n_new_docs"] == 0  # full redelivery is a no-op
+    rc, out = run(["shards", "manifest", "--layout", layout])
+    assert rc == 0 and os.path.exists(out["manifest"])
+    rc, out = run(["shards", "verify", "--layout", layout])
+    assert rc == 0 and out["bad"] == []
+    rc, out = run(["shards", "delete", "--layout", layout, "--ids", ids_path])
+    assert rc == 0 and out["n_deleted"] > 0
+    assert not os.path.exists(os.path.join(layout, "_manifest"))  # invalidated
+    rc, _ = run(["shards", "manifest", "--layout", layout])
+    assert rc == 0
+    rc, out = run(["shards", "verify", "--layout", layout])
+    assert rc == 0 and out["bad"] == []
