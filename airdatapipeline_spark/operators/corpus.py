@@ -852,6 +852,44 @@ def epoch_schedule(
     )
 
 
+def epoch_token_slice(
+    spark: SparkSession,
+    sf_dir: str,
+    epoch: int,
+    start_tok: int,
+    end_tok: int,
+    budget: int = SHARD_TOKENS,
+) -> DataFrame:
+    """The resuming loader's seek: for epoch `epoch` and the token window
+    [start_tok, end_tok), the ordered set of shards whose epoch-local span
+    intersects the window — exactly the directories a restarted training
+    job re-opens (half-open interval overlap against the schedule's
+    prefix sums), with per-shard doc counts from the manifest. Paired with
+    a written layout, the covering shard_ids prune to their dirs at
+    file-listing time (same mechanism as test_read_one_shard_prunes_
+    partitions); the slice computation itself touches only the K-row
+    schedule."""
+    sched = epoch_schedule(spark, sf_dir, n_epochs=epoch + 1, budget=budget).filter(
+        F.col("epoch") == epoch
+    )
+    docs = shard_manifest(spark, sf_dir, budget).select("shard_id", "n_docs")
+    end = F.col("epoch_start_off") + F.col("shard_tokens")
+    return (
+        sched.filter(
+            (F.col("epoch_start_off") < F.lit(end_tok)) & (end > F.lit(start_tok))
+        )
+        .join(docs, "shard_id")
+        .select(
+            "epoch",
+            "shard_id",
+            "order_rank",
+            "epoch_start_off",
+            "shard_tokens",
+            "n_docs",
+        )
+    )
+
+
 def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled source-sampling plan (mT5/XLM-R style): sampling
     weight w_i = floor(sqrt(tokens_i)) — i.e. p_i ∝ share_i^0.5, flattening

@@ -113,7 +113,6 @@ _DRIVER_WINDOW = [
     "tpch_q13_custdist",
     "tpch_q14_promo_revenue_pct",
     "snk_merge_upsert_delete",
-    "snk_cdc_apply_changes",
     "scd2_customer_dim",
     "text_sequence_packing",
     "text_pii_redaction",
@@ -125,15 +124,16 @@ _DRIVER_WINDOW = [
     "stream_dedup_append",
     "j_salted_hotkey_events",
     # --- new r6 registrations (late): streaming shard ingest + the
-    # compact/delete/verify lifecycle + epoch schedule (take five r3
+    # compact/delete/verify lifecycle + epoch schedule/slice (take six r3
     # slots; agg_grouping_sets_orders, tpch_q17_small_quantity,
-    # tpch_q18_large_volume, snk_snapshot_diff and snk_targeted_delete
-    # rotate in r7)
+    # tpch_q18_large_volume, snk_snapshot_diff, snk_targeted_delete and
+    # snk_cdc_apply_changes rotate in r7)
     "stream_shard_ingest",
     "text_shard_compact_conservation",
     "text_shard_delete_conservation",
     "text_shard_verify_report",
     "text_epoch_schedule",
+    "text_epoch_token_slice",
 ]
 
 # Driver-green in CORRECTNESS_r01 ∪ r02 ∪ r03 (still value-hash-checked every

@@ -1092,3 +1092,49 @@ def t_epoch_schedule(spark, sf_dir):
     payloads — with the epoch-local cumulative token offset a resuming
     loader seeks by. Operates on the K-row manifest, never the corpus."""
     return corpus.epoch_schedule(spark, sf_dir)
+
+
+@register(
+    "text_epoch_token_slice",
+    f"""
+    WITH per AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 14))
+                  AS BIGINT) AS hkey,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    off AS (
+      SELECT *, SUM(n_tok) OVER (ORDER BY hkey, doc_id) - n_tok AS start_off FROM per
+    ),
+    shards AS (
+      SELECT CAST(start_off // {corpus.SHARD_TOKENS} AS BIGINT) AS shard_id,
+             CAST(SUM(n_tok) AS BIGINT) AS shard_tokens,
+             COUNT(*) AS n_docs
+      FROM off GROUP BY 1
+    ),
+    sched AS (
+      SELECT CAST(1 AS INT) AS epoch, shard_id, shard_tokens, n_docs,
+             CAST(concat('0x', substr(md5('epoch:1:' || CAST(shard_id AS VARCHAR)), 1, 14))
+                  AS BIGINT) AS order_key
+      FROM shards
+    ),
+    ranked AS (
+      SELECT epoch, shard_id, shard_tokens, n_docs,
+             CAST(ROW_NUMBER() OVER (ORDER BY order_key, shard_id) AS INT) AS order_rank,
+             CAST(SUM(shard_tokens) OVER (ORDER BY order_key, shard_id)
+                  - shard_tokens AS BIGINT) AS epoch_start_off
+      FROM sched
+    )
+    SELECT epoch, shard_id, order_rank, epoch_start_off, shard_tokens, n_docs
+    FROM ranked
+    WHERE epoch_start_off < 9000 AND epoch_start_off + shard_tokens > 1500
+    """,
+)
+def t_epoch_slice(spark, sf_dir):
+    """The resuming loader's seek (corpus.epoch_token_slice): epoch 1,
+    token window [1500, 9000) — the ordered covering shards with their
+    epoch-local offsets and doc counts, computed entirely on the K-row
+    schedule (half-open interval overlap against the prefix sums). The
+    covering shard_ids are what a restarted job prunes its reads to."""
+    return corpus.epoch_token_slice(spark, sf_dir, epoch=1, start_tok=1500, end_tok=9000)

@@ -602,3 +602,21 @@ def test_epoch_schedule_permutes_per_epoch(spark):
             pos += r["shard_tokens"]
         orders[e] = [r["shard_id"] for r in rows]
     assert orders[0] != orders[1] or orders[1] != orders[2], "epochs must differ"
+
+
+def test_epoch_token_slice_covers_exactly_the_window(spark):
+    """Slice invariants: the covering shards are contiguous in rank order,
+    their union span contains [start, end), and shrinking the window
+    never adds shards."""
+    a, b = 1500, 9000
+    s = corpus.epoch_token_slice(spark, SF, epoch=1, start_tok=a, end_tok=b).collect()
+    s.sort(key=lambda r: r["order_rank"])
+    ranks = [r["order_rank"] for r in s]
+    assert ranks == list(range(ranks[0], ranks[0] + len(ranks)))  # contiguous
+    assert s[0]["epoch_start_off"] <= a
+    assert s[-1]["epoch_start_off"] + s[-1]["shard_tokens"] >= b
+    for prev, cur in zip(s, s[1:]):  # schedule prefix sums are gapless
+        assert cur["epoch_start_off"] == prev["epoch_start_off"] + prev["shard_tokens"]
+
+    inner = corpus.epoch_token_slice(spark, SF, epoch=1, start_tok=a + 500, end_tok=b - 500)
+    assert {r["shard_id"] for r in inner.collect()} <= {r["shard_id"] for r in s}
