@@ -620,3 +620,25 @@ def test_epoch_token_slice_covers_exactly_the_window(spark):
 
     inner = corpus.epoch_token_slice(spark, SF, epoch=1, start_tok=a + 500, end_tok=b - 500)
     assert {r["shard_id"] for r in inner.collect()} <= {r["shard_id"] for r in s}
+
+
+def test_compact_and_delete_read_only_affected_dirs(spark, tmp_path):
+    """The lifecycle ops' IO claims, plan-pinned: compaction's re-lay input
+    and deletion's survivor rewrite both read via shard_id partition
+    filters (PartitionFilters in the scan, provenance limited to the
+    affected dirs) — IO ∝ fragments/affected shards, never the corpus."""
+    import os
+
+    out = _append_fixture(spark, tmp_path)
+    corpus.append_shards(spark, SF, out)
+    layout = corpus.read_shards(spark, out)
+    sizes = layout.groupBy("shard_id").agg(F.sum("n_tok").alias("tok")).collect()
+    frag_ids = [int(r["shard_id"]) for r in sizes if r["tok"] < int(corpus.SHARD_TOKENS * 0.85)]
+    assert len(frag_ids) >= 2
+
+    moved = layout.filter(F.col("shard_id").isin(frag_ids)).select("doc_id", "text")
+    plan = moved._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "shard_id" in plan.split("PartitionFilters", 1)[1][:300]
+    srcs = {r[0] for r in moved.select(F.input_file_name()).distinct().collect()}
+    touched = {s.split("shard_id=")[1].split("/")[0] for s in srcs}
+    assert touched == {str(i) for i in frag_ids}, (touched, frag_ids)
