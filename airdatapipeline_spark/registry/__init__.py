@@ -112,7 +112,6 @@ _DRIVER_WINDOW = [
     "tpch_q12_priority_shipping",
     "tpch_q13_custdist",
     "tpch_q14_promo_revenue_pct",
-    "snk_merge_upsert_delete",
     "scd2_customer_dim",
     "text_sequence_packing",
     "text_pii_redaction",
@@ -124,16 +123,18 @@ _DRIVER_WINDOW = [
     "stream_dedup_append",
     "j_salted_hotkey_events",
     # --- new r6 registrations (late): streaming shard ingest + the
-    # compact/delete/verify lifecycle + epoch schedule/slice (take six r3
-    # slots; agg_grouping_sets_orders, tpch_q17_small_quantity,
-    # tpch_q18_large_volume, snk_snapshot_diff, snk_targeted_delete and
-    # snk_cdc_apply_changes rotate in r7)
+    # compact/delete/verify lifecycle + epoch schedule/slice + curated
+    # append (take seven r3 slots; agg_grouping_sets_orders,
+    # tpch_q17_small_quantity, tpch_q18_large_volume, snk_snapshot_diff,
+    # snk_targeted_delete, snk_cdc_apply_changes and
+    # snk_merge_upsert_delete rotate in r7)
     "stream_shard_ingest",
     "text_shard_compact_conservation",
     "text_shard_delete_conservation",
     "text_shard_verify_report",
     "text_epoch_schedule",
     "text_epoch_token_slice",
+    "text_curated_append",
 ]
 
 # Driver-green in CORRECTNESS_r01 ∪ r02 ∪ r03 (still value-hash-checked every

@@ -1138,3 +1138,95 @@ def t_epoch_slice(spark, sf_dir):
     schedule (half-open interval overlap against the prefix sums). The
     covering shard_ids are what a restarted job prunes its reads to."""
     return corpus.epoch_token_slice(spark, sf_dir, epoch=1, start_tok=1500, end_tok=9000)
+
+
+@register(
+    "text_curated_append",
+    f"""
+    WITH {_SHINGLES_CTE.format(src="documents")},
+    hashed AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(shingle), 1, 14)) AS BIGINT) % 1073741824 AS h
+      FROM sh
+    ),
+    sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM hashed GROUP BY 1),
+    bands AS (
+      {_BAND_SELECTS}
+    ),
+    neardups AS (
+      SELECT DISTINCT n.doc_id
+      FROM bands n JOIN bands c
+        ON n.band = c.band AND n.bx = c.bx AND n.by = c.by
+      WHERE n.doc_id % 10 = 7 AND c.doc_id % 10 <> 7
+    ),
+    per AS (
+      SELECT doc_id, source,
+             CAST(concat('0x', substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 14))
+                  AS BIGINT) AS hkey,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+             CAST(concat('0x', substr(md5(text), 1, 14)) AS BIGINT) AS chash
+      FROM documents
+    ),
+    boff AS (
+      SELECT *, SUM(n_tok) OVER (ORDER BY hkey, doc_id) - n_tok AS start_off
+      FROM per WHERE doc_id % 10 <> 7
+    ),
+    bmax AS (
+      SELECT CAST(MAX(start_off // {corpus.SHARD_TOKENS}) AS BIGINT) AS last_shard
+      FROM boff
+    ),
+    doff AS (
+      SELECT *, SUM(n_tok) OVER (ORDER BY hkey, doc_id) - n_tok AS local_off
+      FROM per
+      WHERE doc_id % 10 = 7 AND doc_id NOT IN (SELECT doc_id FROM neardups)
+    ),
+    placed AS (
+      SELECT doc_id, source, hkey, n_tok, chash,
+             CAST(start_off // {corpus.SHARD_TOKENS} AS BIGINT) AS shard_id
+      FROM boff
+      UNION ALL
+      SELECT doc_id, source, hkey, n_tok, chash,
+             CAST(bmax.last_shard + 1 + (local_off // {corpus.SHARD_TOKENS})
+                  AS BIGINT) AS shard_id
+      FROM doff, bmax
+    )
+    SELECT shard_id, COUNT(*) AS n_docs, COUNT(DISTINCT doc_id) AS n_unique_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS shard_tokens,
+           COUNT(DISTINCT source) AS n_sources,
+           MIN(hkey) AS shard_min_hkey, MAX(hkey) AS shard_max_hkey,
+           CAST(SUM(chash) % {corpus.HASH_SUM_MOD} AS BIGINT) AS content_hash_sum
+    FROM placed GROUP BY 1
+    """,
+)
+def t_curated_append(spark, sf_dir):
+    """Curated ingest to the trainer artifact — the composition a crawl
+    pipeline actually runs: today's batch (doc_id % 10 == 7) is first
+    checked against the corpus with the INCREMENTAL MinHash tier (banded
+    new x corpus join, work ∝ batch — dedup_incremental_candidates'
+    operator), near-dups of existing content are dropped, and only the
+    survivors append to the shard layout as new immutable shards. The
+    audit fingerprints the final layout; the oracle replays LSH banding,
+    the near-dup gate, and both layout generations — so an admitted
+    near-dup, a lost survivor, or a misplaced shard all red the row."""
+    import os
+
+    from ..io import load_table
+
+    root = tempfile.mkdtemp(prefix="curated_append_")
+    base_sf = os.path.join(root, "base_sf")
+    out = os.path.join(root, "layout")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") % 10 != 7).write.mode("overwrite").parquet(
+        os.path.join(base_sf, "documents.parquet")
+    )
+    corpus.write_shards(spark, base_sf, out)
+    neardups = (
+        dedup.incremental_minhash_candidates(spark, sf_dir)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
+    survivors = docs.filter(F.col("doc_id") % 10 == 7).join(
+        neardups, "doc_id", "left_anti"
+    )
+    corpus.append_docs(spark, survivors, out)
+    return corpus.shard_readback_audit(spark, out)
