@@ -199,9 +199,11 @@ def main(argv: list[str] | None = None) -> int:
         elif args.action == "manifest":
             res = {"manifest": corpus.write_layout_manifest(spark, args.layout)}
         else:  # verify
-            rep = corpus.verify_shards(spark, args.layout)
-            bad = [r.asDict() for r in rep.filter(~rep.shard_ok).collect()]
-            res = {"shards": rep.count(), "bad": bad}
+            # collect the K-row report once — the verify plan re-fingerprints
+            # every shard payload, so a second action would double the scan
+            rows = corpus.verify_shards(spark, args.layout).collect()
+            bad = [r.asDict() for r in rows if not r["shard_ok"]]
+            res = {"shards": len(rows), "bad": bad}
             print(json.dumps({"job": "shards", "action": "verify", **res}, default=str))
             return 1 if bad else 0
         print(json.dumps({"job": "shards", "action": args.action, **res}))

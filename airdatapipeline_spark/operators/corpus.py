@@ -204,23 +204,27 @@ def write_shards(
     assign, per_cache = _assignments_for(
         load_table(spark, sf_dir, "documents"), budget, carry=("source", "text")
     )
-    stats = assign.agg(
-        F.max("shard_id").alias("max_shard"), F.count("*").alias("n_docs")
-    ).first()
-    if stats["max_shard"] is None:
+    # unpersist even on a failed write: a leaked cache over a plan that
+    # reads the layout path is exactly the CacheManager stale-substitution
+    # hazard documented in _assignments_for
+    try:
+        stats = assign.agg(
+            F.max("shard_id").alias("max_shard"), F.count("*").alias("n_docs")
+        ).first()
+        if stats["max_shard"] is None:
+            raise ValueError(f"no documents in {sf_dir}; nothing to shard")
+        n_shards = int(stats["max_shard"]) + 1
+        n_docs = int(stats["n_docs"])
+        (
+            assign.select("doc_id", "source", "hkey", "n_tok", "start_off", "text", "shard_id")
+            .repartitionByRange(n_shards, "shard_id")
+            .sortWithinPartitions("shard_id", "hkey", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("shard_id")
+            .parquet(staging)
+        )
+    finally:
         per_cache.unpersist()
-        raise ValueError(f"no documents in {sf_dir}; nothing to shard")
-    n_shards = int(stats["max_shard"]) + 1
-    n_docs = int(stats["n_docs"])
-    (
-        assign.select("doc_id", "source", "hkey", "n_tok", "start_off", "text", "shard_id")
-        .repartitionByRange(n_shards, "shard_id")
-        .sortWithinPartitions("shard_id", "hkey", "doc_id")
-        .write.mode("overwrite")
-        .partitionBy("shard_id")
-        .parquet(staging)
-    )
-    per_cache.unpersist()
     if not os.path.exists(os.path.join(staging, "_SUCCESS")):
         raise RuntimeError(f"shard write to {staging} did not commit")
     staged_rows = spark.read.parquet(staging).count()  # footer-only scan
@@ -392,34 +396,40 @@ def append_docs(
     else:
         last_shard, prev_end = -1, 0
         delta_docs = docs
+    # intra-batch dedup: the membership gate only screens against the
+    # LAYOUT, so a doc redelivered twice within one batch would otherwise
+    # be laid out twice — keep exactly one row per doc_id (at-least-once
+    # redelivery carries identical content, so any survivor is the row)
+    delta_docs = delta_docs.dropDuplicates(["doc_id"])
     delta_assign, per_cache = _assignments_for(
         delta_docs, budget, carry=("source", "text")
     )
-    assign = delta_assign.withColumn(
-        "start_off", F.col("start_off") + F.lit(prev_end)
-    ).withColumn("shard_id", F.col("shard_id") + F.lit(last_shard + 1))
-    stats = assign.agg(
-        F.max("shard_id").alias("max_shard"), F.count("*").alias("n_docs")
-    ).first()
-    if stats["max_shard"] is None:
+    try:
+        assign = delta_assign.withColumn(
+            "start_off", F.col("start_off") + F.lit(prev_end)
+        ).withColumn("shard_id", F.col("shard_id") + F.lit(last_shard + 1))
+        stats = assign.agg(
+            F.max("shard_id").alias("max_shard"), F.count("*").alias("n_docs")
+        ).first()
+        if stats["max_shard"] is None:
+            return {
+                "path": out_path,
+                "n_new_docs": 0,
+                "n_new_shards": 0,
+                "first_new_shard": last_shard + 1,
+            }
+        n_new_docs = int(stats["n_docs"])
+        n_new_shards = int(stats["max_shard"]) - last_shard
+        (
+            assign.select("doc_id", "source", "hkey", "n_tok", "start_off", "text", "shard_id")
+            .repartitionByRange(n_new_shards, "shard_id")
+            .sortWithinPartitions("shard_id", "hkey", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("shard_id")
+            .parquet(staging)
+        )
+    finally:
         per_cache.unpersist()
-        return {
-            "path": out_path,
-            "n_new_docs": 0,
-            "n_new_shards": 0,
-            "first_new_shard": last_shard + 1,
-        }
-    n_new_docs = int(stats["n_docs"])
-    n_new_shards = int(stats["max_shard"]) - last_shard
-    (
-        assign.select("doc_id", "source", "hkey", "n_tok", "start_off", "text", "shard_id")
-        .repartitionByRange(n_new_shards, "shard_id")
-        .sortWithinPartitions("shard_id", "hkey", "doc_id")
-        .write.mode("overwrite")
-        .partitionBy("shard_id")
-        .parquet(staging)
-    )
-    per_cache.unpersist()
     if not os.path.exists(os.path.join(staging, "_SUCCESS")):
         raise RuntimeError(f"shard append to {staging} did not commit")
     staged_rows = spark.read.parquet(staging).count()  # footer-only scan
@@ -540,23 +550,25 @@ def compact_shards(
         "doc_id", "source", "text"
     )
     assign, per_cache = _assignments_for(moved, budget, carry=("source", "text"))
-    assign = assign.withColumn(
-        "start_off", F.col("start_off") + F.lit(prev_end)
-    ).withColumn("shard_id", F.col("shard_id") + F.lit(next_id))
-    stats = assign.agg(
-        F.max("shard_id").alias("max_shard"), F.count("*").alias("n_moved")
-    ).first()
-    n_moved, n_new = int(stats["n_moved"]), int(stats["max_shard"]) - next_id + 1
     tmp_delta = staging + ".__delta__"
-    (
-        assign.select("doc_id", "source", "hkey", "n_tok", "start_off", "text", "shard_id")
-        .repartitionByRange(n_new, "shard_id")
-        .sortWithinPartitions("shard_id", "hkey", "doc_id")
-        .write.mode("overwrite")
-        .partitionBy("shard_id")
-        .parquet(tmp_delta)
-    )
-    per_cache.unpersist()
+    try:
+        assign = assign.withColumn(
+            "start_off", F.col("start_off") + F.lit(prev_end)
+        ).withColumn("shard_id", F.col("shard_id") + F.lit(next_id))
+        stats = assign.agg(
+            F.max("shard_id").alias("max_shard"), F.count("*").alias("n_moved")
+        ).first()
+        n_moved, n_new = int(stats["n_moved"]), int(stats["max_shard"]) - next_id + 1
+        (
+            assign.select("doc_id", "source", "hkey", "n_tok", "start_off", "text", "shard_id")
+            .repartitionByRange(n_new, "shard_id")
+            .sortWithinPartitions("shard_id", "hkey", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("shard_id")
+            .parquet(tmp_delta)
+        )
+    finally:
+        per_cache.unpersist()
     for entry in sorted(os.listdir(tmp_delta)):
         if entry.startswith("shard_id="):
             os.rename(os.path.join(tmp_delta, entry), os.path.join(staging, entry))
@@ -628,11 +640,17 @@ def delete_from_shards(
     layout = read_shards(spark, out_path)
     ids = doc_ids.select("doc_id").distinct()
 
-    doomed = layout.join(F.broadcast(ids), "doc_id", "left_semi")
-    affected = sorted(
-        int(r["shard_id"]) for r in doomed.select("shard_id").distinct().collect()
-    )
-    n_deleted = doomed.count()
+    # one membership probe answers both questions (affected shard set AND
+    # doomed count); no broadcast hint — Catalyst broadcasts a small id
+    # batch on its own, and a huge right-to-be-forgotten batch must be
+    # allowed to shuffle instead of OOMing the driver
+    doomed = layout.join(ids, "doc_id", "left_semi")
+    probe = doomed.agg(
+        F.count("*").alias("n_doomed"),
+        F.collect_set("shard_id").alias("shards"),
+    ).first()
+    n_deleted = int(probe["n_doomed"])
+    affected = sorted(int(s) for s in probe["shards"])
     if not affected:
         return {
             "path": out_path,
@@ -640,7 +658,7 @@ def delete_from_shards(
             "n_rewritten_shards": 0,
             "n_retired_shards": 0,
         }
-    total_docs = layout.count()
+    total_docs = layout.count()  # parquet footer count, no payload read
 
     os.makedirs(staging)
     for entry in sorted(os.listdir(out_path)):
@@ -656,7 +674,7 @@ def delete_from_shards(
             os.link(os.path.join(src, f), os.path.join(staging, entry, f))
 
     survivors = layout.filter(F.col("shard_id").isin(affected)).join(
-        F.broadcast(ids), "doc_id", "left_anti"
+        ids, "doc_id", "left_anti"
     )
     tmp_delta = staging + ".__rewrite__"
     (
@@ -817,9 +835,35 @@ def epoch_schedule(
 
     Scale shape: operates on the K-row manifest aggregate, never the
     corpus — one tiny explode (K shards x epochs) + per-epoch windows
-    over K rows."""
-    m = shard_manifest(spark, sf_dir, budget).select("shard_id", "shard_tokens")
-    e = m.withColumn(
+    over K rows.
+
+    This variant schedules the PLANNED layout (shard_manifest over the
+    source table — shard ids as a fresh full write lays them). For a
+    layout that has lived through the append/compact/delete lifecycle
+    (generation-local ids, retired spans), schedule the WRITTEN artifact
+    instead: `epoch_schedule_for_layout` / `epoch_token_slice_for_layout`
+    derive the same K-row table from the layout dirs."""
+    m = shard_manifest(spark, sf_dir, budget).select(
+        "shard_id", "shard_tokens", "n_docs"
+    )
+    return _schedule_over(m, n_epochs)
+
+
+def epoch_schedule_for_layout(
+    spark: SparkSession, out_path: str, n_epochs: int = 3
+) -> DataFrame:
+    """epoch_schedule over a WRITTEN layout: the per-shard table comes
+    from the artifact itself (footer-count + n_tok sums per shard dir),
+    so generation-local shard ids and post-compaction/deletion span
+    retirement are scheduled as they actually exist on storage."""
+    m = read_shards(spark, out_path).groupBy("shard_id").agg(
+        F.sum("n_tok").alias("shard_tokens"), F.count("*").alias("n_docs")
+    )
+    return _schedule_over(m, n_epochs)
+
+
+def _schedule_over(shards: DataFrame, n_epochs: int) -> DataFrame:
+    e = shards.withColumn(
         "epoch", F.explode(F.sequence(F.lit(0), F.lit(n_epochs - 1)))
     ).withColumn(
         "order_key",
@@ -845,6 +889,7 @@ def epoch_schedule(
         "epoch",
         "shard_id",
         "shard_tokens",
+        "n_docs",
         "order_key",
         F.row_number().over(w).alias("order_rank"),
         (F.sum("shard_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0))
@@ -864,21 +909,35 @@ def epoch_token_slice(
     [start_tok, end_tok), the ordered set of shards whose epoch-local span
     intersects the window — exactly the directories a restarted training
     job re-opens (half-open interval overlap against the schedule's
-    prefix sums), with per-shard doc counts from the manifest. Paired with
-    a written layout, the covering shard_ids prune to their dirs at
-    file-listing time (same mechanism as test_read_one_shard_prunes_
-    partitions); the slice computation itself touches only the K-row
-    schedule."""
-    sched = epoch_schedule(spark, sf_dir, n_epochs=epoch + 1, budget=budget).filter(
-        F.col("epoch") == epoch
-    )
-    docs = shard_manifest(spark, sf_dir, budget).select("shard_id", "n_docs")
+    prefix sums), with per-shard doc counts. Paired with a written layout,
+    the covering shard_ids prune to their dirs at file-listing time (same
+    mechanism as test_read_one_shard_prunes_partitions); the slice
+    computation itself touches only the K-row schedule. Plan-level like
+    epoch_schedule; `epoch_token_slice_for_layout` is the written-artifact
+    twin."""
+    sched = epoch_schedule(spark, sf_dir, n_epochs=epoch + 1, budget=budget)
+    return _slice_over(sched, epoch, start_tok, end_tok)
+
+
+def epoch_token_slice_for_layout(
+    spark: SparkSession, out_path: str, epoch: int, start_tok: int, end_tok: int
+) -> DataFrame:
+    """epoch_token_slice over a WRITTEN layout (see
+    epoch_schedule_for_layout): the seek a restarted job runs against the
+    artifact it is actually reading."""
+    sched = epoch_schedule_for_layout(spark, out_path, n_epochs=epoch + 1)
+    return _slice_over(sched, epoch, start_tok, end_tok)
+
+
+def _slice_over(
+    sched: DataFrame, epoch: int, start_tok: int, end_tok: int
+) -> DataFrame:
     end = F.col("epoch_start_off") + F.col("shard_tokens")
     return (
-        sched.filter(
+        sched.filter(F.col("epoch") == epoch)
+        .filter(
             (F.col("epoch_start_off") < F.lit(end_tok)) & (end > F.lit(start_tok))
         )
-        .join(docs, "shard_id")
         .select(
             "epoch",
             "shard_id",

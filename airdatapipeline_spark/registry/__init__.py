@@ -70,9 +70,10 @@ from . import sources_sinks  # noqa: F401,E402
 #   - all 21 queries whose newest driver row is still r1/r2 (streaming
 #     append family, w_* windows, tpch q1/q3/q5, events_*, the r2 text/
 #     dedup batch, bucketed/asof-range events);
-#   - 24 of the 43 r3-green queries (tpch tail, snk/scd sinks, text corpus
-#     ops, remaining stream/agg/join) — the other 19 rotate in r7;
-#   - the second r6 registration, stream_shard_ingest (late r6).
+#   - 18 of the 43 r3-green queries (tpch tail, snk/scd sinks, text corpus
+#     ops, remaining stream/agg/join) — the other 25 rotate in r7 (seven
+#     of the original 25 r3 slots went to the late-r6 registrations
+#     below).
 # Max driver-row staleness after r6: r3 (was r2).
 _DRIVER_WINDOW = [
     # --- §2 family flagships (regression canaries) -------------------------
@@ -124,10 +125,10 @@ _DRIVER_WINDOW = [
     "j_salted_hotkey_events",
     # --- new r6 registrations (late): streaming shard ingest + the
     # compact/delete/verify lifecycle + epoch schedule/slice + curated
-    # append (take seven r3 slots; agg_grouping_sets_orders,
-    # tpch_q17_small_quantity, tpch_q18_large_volume, snk_snapshot_diff,
-    # snk_targeted_delete, snk_cdc_apply_changes and
-    # snk_merge_upsert_delete rotate in r7)
+    # append. These took seven of the r3 slots; the displaced r3 names
+    # (agg_grouping_sets_orders, tpch_q17_small_quantity,
+    # tpch_q18_large_volume, snk_snapshot_diff, snk_targeted_delete,
+    # snk_cdc_apply_changes, snk_merge_upsert_delete) rotate in r7.
     "stream_shard_ingest",
     "text_shard_compact_conservation",
     "text_shard_delete_conservation",

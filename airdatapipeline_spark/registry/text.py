@@ -1067,17 +1067,18 @@ def t_shard_verify(spark, sf_dir):
     ),
     shards AS (
       SELECT CAST(start_off // {corpus.SHARD_TOKENS} AS BIGINT) AS shard_id,
-             CAST(SUM(n_tok) AS BIGINT) AS shard_tokens
+             CAST(SUM(n_tok) AS BIGINT) AS shard_tokens,
+             COUNT(*) AS n_docs
       FROM off GROUP BY 1
     ),
     sched AS (
-      SELECT e.epoch, s.shard_id, s.shard_tokens,
+      SELECT e.epoch, s.shard_id, s.shard_tokens, s.n_docs,
              CAST(concat('0x', substr(md5('epoch:' || CAST(e.epoch AS VARCHAR) || ':'
                                           || CAST(s.shard_id AS VARCHAR)), 1, 14))
                   AS BIGINT) AS order_key
       FROM shards s, (SELECT UNNEST([0, 1, 2]) AS epoch) e
     )
-    SELECT epoch, shard_id, shard_tokens, order_key,
+    SELECT epoch, shard_id, shard_tokens, n_docs, order_key,
            CAST(ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY order_key, shard_id)
                 AS INT) AS order_rank,
            CAST(SUM(shard_tokens) OVER (PARTITION BY epoch ORDER BY order_key, shard_id)

@@ -642,3 +642,54 @@ def test_compact_and_delete_read_only_affected_dirs(spark, tmp_path):
     srcs = {r[0] for r in moved.select(F.input_file_name()).distinct().collect()}
     touched = {s.split("shard_id=")[1].split("/")[0] for s in srcs}
     assert touched == {str(i) for i in frag_ids}, (touched, frag_ids)
+
+
+def test_append_dedups_within_batch(spark, tmp_path):
+    """A doc redelivered twice WITHIN one batch must land exactly once —
+    the membership gate screens only against the layout, so append itself
+    dedups the batch on doc_id (code-review finding)."""
+    docs = load_table(spark, SF, "documents").limit(20)
+    doubled = docs.unionByName(docs)  # every doc twice in the same batch
+    out = str(tmp_path / "layout")
+    res = corpus.append_docs(spark, doubled, out)
+    assert res["n_new_docs"] == 20
+    back = corpus.read_shards(spark, out)
+    assert back.count() == back.select("doc_id").distinct().count() == 20
+
+
+def test_epoch_schedule_for_layout_matches_lived_layout(spark, tmp_path):
+    """The written-artifact schedule must describe the layout as it exists
+    after the lifecycle (generation-local ids), not the fresh-write plan:
+    after base+append the plan-level schedule and the layout schedule
+    disagree on shard ids, and the layout one matches read_shards exactly."""
+    out = _append_fixture(spark, tmp_path)
+    corpus.append_shards(spark, SF, out)
+
+    lay = corpus.epoch_schedule_for_layout(spark, out, n_epochs=2)
+    real = {
+        (int(r["shard_id"]), int(r["tok"]), int(r["n"]))
+        for r in corpus.read_shards(spark, out)
+        .groupBy("shard_id")
+        .agg(F.sum("n_tok").alias("tok"), F.count("*").alias("n"))
+        .collect()
+    }
+    got = {
+        (int(r["shard_id"]), int(r["shard_tokens"]), int(r["n_docs"]))
+        for r in lay.filter(F.col("epoch") == 0).collect()
+    }
+    assert got == real
+
+    plan = {
+        (int(r["shard_id"]), int(r["shard_tokens"]))
+        for r in corpus.epoch_schedule(spark, SF, n_epochs=1).collect()
+    }
+    assert {(s, t) for s, t, _n in real} != plan, (
+        "fixture should exercise a lived layout whose per-shard placement "
+        "differs from the fresh-write plan"
+    )
+
+    # the layout-based slice covers its window against the REAL offsets
+    s = corpus.epoch_token_slice_for_layout(spark, out, epoch=0, start_tok=100, end_tok=4000)
+    rows = sorted(s.collect(), key=lambda r: r["order_rank"])
+    assert rows[0]["epoch_start_off"] <= 100
+    assert rows[-1]["epoch_start_off"] + rows[-1]["shard_tokens"] >= 4000
