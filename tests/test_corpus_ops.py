@@ -693,3 +693,41 @@ def test_epoch_schedule_for_layout_matches_lived_layout(spark, tmp_path):
     rows = sorted(s.collect(), key=lambda r: r["order_rank"])
     assert rows[0]["epoch_start_off"] <= 100
     assert rows[-1]["epoch_start_off"] + rows[-1]["shard_tokens"] >= 4000
+
+
+def test_compact_and_delete_heal_interrupted_swaps(spark, tmp_path):
+    """The snapshot ops share write_shards' two-rename swap: a crash
+    between rename #1 (live -> __old__) and rename #2 (staging -> live)
+    leaves the live path missing and a stale staging dir. The next op (or
+    recover_shards) must restore the parked layout and clear the staging
+    leftovers, with the data bit-identical to pre-crash."""
+    import os
+    import shutil
+
+    out = _append_fixture(spark, tmp_path)
+    corpus.append_shards(spark, SF, out)
+    before = sorted(
+        map(tuple, corpus.read_shards(spark, out).select("doc_id", "shard_id").collect())
+    )
+
+    # simulate the compact crash window
+    os.rename(out, out + ".__old__")
+    os.makedirs(out + ".__compacting__")
+    res = corpus.compact_shards(spark, out, min_fill=0.85)  # self-heals first
+    assert not os.path.exists(out + ".__old__")
+    assert not os.path.exists(out + ".__compacting__")
+    healed = corpus.read_shards(spark, out)
+    assert healed.count() == len(before)
+
+    # simulate the delete crash window on the (now compacted) layout
+    current = sorted(
+        map(tuple, healed.select("doc_id", "shard_id").collect())
+    )
+    os.rename(out, out + ".__old__")
+    os.makedirs(out + ".__deleting__")
+    assert corpus.recover_shards(out) is True
+    shutil.rmtree(out + ".__deleting__")
+    after = sorted(
+        map(tuple, corpus.read_shards(spark, out).select("doc_id", "shard_id").collect())
+    )
+    assert after == current
