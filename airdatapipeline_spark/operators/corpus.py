@@ -267,6 +267,56 @@ def recover_shards(out_path: str) -> bool:
     return False
 
 
+def _shard_dirs_exist(out_path: str) -> bool:
+    """True iff the layout root holds at least one `shard_id=K/` dir.
+    An existing-but-empty root (a crashed bootstrap, or a delete that
+    retired every shard) has no parquet files, so a read would fail
+    schema inference — every lifecycle op gates on this instead
+    (ADVICE-r6: compact/delete previously read unconditionally)."""
+    import os
+
+    return os.path.exists(out_path) and any(
+        e.startswith("shard_id=") for e in os.listdir(out_path)
+    )
+
+
+def read_tombstones(spark: SparkSession, out_path: str) -> DataFrame | None:
+    """The layout's tombstone table: doc_ids barred from (re-)admission,
+    persisted as an APPEND-ONLY parquet dir `_deleted/` inside the root
+    (underscore-prefixed — invisible to data reads, like `_manifest`).
+    Append-only is the object-storage-friendly shape: each delete adds
+    one uniquely-named file, no swap needed, and duplicate ids across
+    files are harmless under anti-join semantics. Returns None when no
+    tombstones exist."""
+    import os
+
+    d = os.path.join(out_path.rstrip("/"), "_deleted")
+    if not os.path.isdir(d) or not any(
+        f.endswith(".parquet") for f in os.listdir(d)
+    ):
+        return None
+    # same staleness hazard as the layout itself: the dir gains files
+    # across deletes, and a cached equivalent plan would not see them
+    spark.catalog.refreshByPath(d)
+    return spark.read.parquet(d).select("doc_id")
+
+
+def _link_tombstones(out_path: str, staging: str) -> None:
+    """Carry the tombstone dir into a snapshot root file-by-file
+    (metadata-only, same hard-link idiom as the kept shard dirs) —
+    compaction/deletion must not lose the bar on deleted ids."""
+    import os
+
+    src = os.path.join(out_path, "_deleted")
+    if not os.path.isdir(src):
+        return
+    dst = os.path.join(staging, "_deleted")
+    os.makedirs(dst, exist_ok=True)
+    for f in os.listdir(src):
+        if os.path.isfile(os.path.join(src, f)):
+            os.link(os.path.join(src, f), os.path.join(dst, f))
+
+
 def append_shards(
     spark: SparkSession, sf_dir: str, out_path: str, budget: int = SHARD_TOKENS
 ) -> dict:
@@ -354,13 +404,33 @@ def _membership_delta(
 
 
 def append_docs(
-    spark: SparkSession, docs: DataFrame, out_path: str, budget: int = SHARD_TOKENS
+    spark: SparkSession,
+    docs: DataFrame,
+    out_path: str,
+    budget: int = SHARD_TOKENS,
+    honor_tombstones: bool = True,
+    check_redelivery_content: bool = True,
 ) -> dict:
     """append_shards over an arbitrary documents DataFrame — the entry point
     a streaming ingest's foreachBatch calls with each micro-batch
     (streaming/events.shard_ingest_append). Same semantics/durability as
     append_shards; additionally bootstraps an ABSENT layout in-place (the
-    first batch creates `out_path` with shards starting at 0)."""
+    first batch creates `out_path` with shards starting at 0).
+
+    `honor_tombstones` (default on) bars doc_ids recorded by
+    `delete_from_shards(..., tombstone=True)` from re-admission: the
+    `_deleted/` table joins the membership gate as a second broadcastable
+    anti-join (same range-prefiltered shape, cost ∝ batch), closing the
+    right-to-be-forgotten seam where a redelivered deleted doc would
+    silently re-enter the corpus. Pass False to keep the old re-admission
+    semantics (e.g. a deliberate re-ingest after a takedown reversal).
+
+    `check_redelivery_content` (default on) asserts the at-least-once
+    contract this function's dedup relies on — redelivered doc_ids carry
+    IDENTICAL text. One cheap agg over the batch (countDistinct(doc_id)
+    vs countDistinct(doc_id, md5(text))) fails loud on divergence instead
+    of letting dropDuplicates keep an arbitrary survivor and silently
+    poison every conservation fingerprint (ADVICE-r6)."""
     import os
     import shutil
 
@@ -372,9 +442,7 @@ def append_docs(
     # "has a layout" means shard dirs exist — an empty root (a crashed
     # bootstrap, or a delete that emptied every shard) re-bootstraps
     # instead of failing schema inference on a file-less read
-    has_layout = os.path.exists(out_path) and any(
-        e.startswith("shard_id=") for e in os.listdir(out_path)
-    )
+    has_layout = _shard_dirs_exist(out_path)
     if has_layout:
         # the layout path may have grown since a previous read in this
         # session; refresh before reading so neither a stale file listing
@@ -396,10 +464,29 @@ def append_docs(
     else:
         last_shard, prev_end = -1, 0
         delta_docs = docs
+    if honor_tombstones:
+        tombs = read_tombstones(spark, out_path)
+        if tombs is not None:
+            # second membership gate, same scale shape as the layout one:
+            # range-prefiltered + broadcastable semi/anti, cost ∝ batch
+            delta_docs = _membership_delta(spark, delta_docs, tombs)
+    if check_redelivery_content:
+        chk = delta_docs.agg(
+            F.countDistinct("doc_id").alias("ids"),
+            F.countDistinct("doc_id", F.md5("text")).alias("contents"),
+        ).first()
+        if chk["contents"] != chk["ids"]:
+            raise ValueError(
+                f"append batch violates at-least-once redelivery contract: "
+                f"{chk['contents'] - chk['ids']} doc_id(s) arrive with "
+                f"divergent text in one batch; refusing to pick an "
+                f"arbitrary survivor"
+            )
     # intra-batch dedup: the membership gate only screens against the
     # LAYOUT, so a doc redelivered twice within one batch would otherwise
     # be laid out twice — keep exactly one row per doc_id (at-least-once
-    # redelivery carries identical content, so any survivor is the row)
+    # redelivery carries identical content — asserted above — so any
+    # survivor is the row)
     delta_docs = delta_docs.dropDuplicates(["doc_id"])
     delta_assign, per_cache = _assignments_for(
         delta_docs, budget, carry=("source", "text")
@@ -502,6 +589,16 @@ def compact_shards(
 
     out_path = out_path.rstrip("/")
     recover_shards(out_path)
+    # a root whose shards were all retired by a prior delete is a state
+    # the lifecycle explicitly permits — graceful no-op instead of a
+    # schema-inference failure on a file-less read (ADVICE-r6)
+    if not _shard_dirs_exist(out_path):
+        return {
+            "path": out_path,
+            "n_compacted_shards": 0,
+            "n_new_shards": 0,
+            "n_moved_docs": 0,
+        }
     staging = out_path + ".__compacting__"
     shutil.rmtree(staging, ignore_errors=True)
     spark.catalog.refreshByPath(out_path)
@@ -544,6 +641,10 @@ def compact_shards(
         os.makedirs(os.path.join(staging, entry))
         for f in os.listdir(src):
             os.link(os.path.join(src, f), os.path.join(staging, entry, f))
+    # tombstones survive compaction (the bar on deleted ids is a property
+    # of the corpus, not of one generation); _manifest deliberately does
+    # NOT carry — a compaction invalidates the shard inventory
+    _link_tombstones(out_path, staging)
 
     # re-lay the fragment docs (partition pruning reads only those dirs)
     moved = layout.filter(F.col("shard_id").isin(under)).select(
@@ -601,7 +702,7 @@ def compact_shards(
 
 
 def delete_from_shards(
-    spark: SparkSession, doc_ids: DataFrame, out_path: str
+    spark: SparkSession, doc_ids: DataFrame, out_path: str, tombstone: bool = True
 ) -> dict:
     """Targeted document deletion from a shard layout — right-to-be-
     forgotten applied to the trainer-facing artifact itself (the analogue
@@ -621,42 +722,79 @@ def delete_from_shards(
     - a shard emptied entirely is RETIRED: absent from the new root (the
       emptied-partition case a naive dynamic overwrite silently gets
       wrong — maintenance.py's lesson, applied here).
-    - ids not present in the layout are ignored (idempotent re-delete).
-    - deletion does NOT tombstone: a later append that redelivers a
-      deleted doc_id re-admits it (the membership gate only knows the
-      layout). Right-to-be-forgotten therefore also requires dropping the
-      ids from the ingest stream — the standard split of responsibilities
-      between the artifact store and the pipeline feeding it.
+    - ids not present in the layout are ignored for the REWRITE
+      (idempotent re-delete) but still tombstoned (below) — a takedown
+      request must bar an id that has not arrived yet.
+    - `tombstone` (default on) records EVERY requested id in the layout's
+      append-only `_deleted/` table (one new uniquely-named parquet file
+      per delete; carried across compact/delete snapshot roots by the
+      same hard-link pass as the kept shards). `append_docs` consults it
+      as a second broadcastable anti-join, so a later append that
+      redelivers a deleted doc_id admits NOTHING — right-to-be-forgotten
+      holds end-to-end without trusting the ingest stream to drop the
+      ids. Pass tombstone=False for the old artifact-only semantics
+      (re-admission allowed).
 
-    Returns {path, n_deleted, n_rewritten_shards, n_retired_shards}."""
+    Returns {path, n_deleted, n_rewritten_shards, n_retired_shards,
+    n_tombstoned}."""
     import os
     import shutil
 
     out_path = out_path.rstrip("/")
     recover_shards(out_path)
-    staging = out_path + ".__deleting__"
-    shutil.rmtree(staging, ignore_errors=True)
-    spark.catalog.refreshByPath(out_path)
-    layout = read_shards(spark, out_path)
     ids = doc_ids.select("doc_id").distinct()
 
-    # one membership probe answers both questions (affected shard set AND
-    # doomed count); no broadcast hint — Catalyst broadcasts a small id
-    # batch on its own, and a huge right-to-be-forgotten batch must be
-    # allowed to shuffle instead of OOMing the driver
-    doomed = layout.join(ids, "doc_id", "left_semi")
-    probe = doomed.agg(
-        F.count("*").alias("n_doomed"),
-        F.collect_set("shard_id").alias("shards"),
-    ).first()
-    n_deleted = int(probe["n_doomed"])
-    affected = sorted(int(s) for s in probe["shards"])
-    if not affected:
+    def _write_tombstones(root: str) -> int:
+        if not tombstone:
+            return 0
+        n = ids.count()
+        if n:
+            ids.coalesce(1).write.mode("append").parquet(
+                os.path.join(root, "_deleted")
+            )
+        return int(n)
+
+    # a root whose shards were all retired by a prior delete is a state
+    # the lifecycle explicitly permits — no rewrite work, but the
+    # tombstone record still lands (ADVICE-r6 no-op guard + item 2)
+    if not _shard_dirs_exist(out_path):
+        n_tomb = _write_tombstones(out_path) if os.path.exists(out_path) else 0
         return {
             "path": out_path,
             "n_deleted": 0,
             "n_rewritten_shards": 0,
             "n_retired_shards": 0,
+            "n_tombstoned": n_tomb,
+        }
+    staging = out_path + ".__deleting__"
+    shutil.rmtree(staging, ignore_errors=True)
+    spark.catalog.refreshByPath(out_path)
+    layout = read_shards(spark, out_path)
+
+    # one membership probe answers both questions (affected shard set AND
+    # doomed count) as a per-shard count — NOT collect_set into a single
+    # array row (ADVICE-r6: that funnels every affected shard id through
+    # one agg row). The driver does hold one (shard_id, count) row per
+    # affected shard: bounded by the layout's shard count (corpus tokens /
+    # budget — ~10^5 rows for 100 TB at a production 10^8-token budget),
+    # and inherently needed here because the hard-link snapshot loop below
+    # is a driver-side filesystem pass; on object storage this whole block
+    # is a manifest rewrite (see DESIGN.md). No broadcast hint — Catalyst
+    # broadcasts a small id batch on its own, and a huge right-to-be-
+    # forgotten batch must be allowed to shuffle instead of OOMing the
+    # driver.
+    doomed = layout.join(ids, "doc_id", "left_semi")
+    aff_rows = doomed.groupBy("shard_id").agg(F.count("*").alias("n")).collect()
+    n_deleted = int(sum(r["n"] for r in aff_rows))
+    affected = sorted(int(r["shard_id"]) for r in aff_rows)
+    if not affected:
+        n_tomb = _write_tombstones(out_path)
+        return {
+            "path": out_path,
+            "n_deleted": 0,
+            "n_rewritten_shards": 0,
+            "n_retired_shards": 0,
+            "n_tombstoned": n_tomb,
         }
     total_docs = layout.count()  # parquet footer count, no payload read
 
@@ -672,10 +810,19 @@ def delete_from_shards(
         os.makedirs(os.path.join(staging, entry))
         for f in os.listdir(src):
             os.link(os.path.join(src, f), os.path.join(staging, entry, f))
+    _link_tombstones(out_path, staging)
+    n_tombstoned = _write_tombstones(staging)
 
-    survivors = layout.filter(F.col("shard_id").isin(affected)).join(
-        ids, "doc_id", "left_anti"
+    # the affected-shard scan joins a K-row DataFrame rather than
+    # inlining a giant IN-expression (ADVICE-r6): dynamic partition
+    # pruning on the broadcast build side prunes the shard dirs the same
+    # way the static isin() did, without a 10^5-term predicate at scale
+    affected_df = spark.createDataFrame(
+        [(s,) for s in affected], "shard_id long"
     )
+    survivors = layout.join(
+        F.broadcast(affected_df), "shard_id", "left_semi"
+    ).join(ids, "doc_id", "left_anti")
     tmp_delta = staging + ".__rewrite__"
     (
         survivors.select(
@@ -718,6 +865,7 @@ def delete_from_shards(
         "n_deleted": n_deleted,
         "n_rewritten_shards": rewritten,
         "n_retired_shards": len(affected) - rewritten,
+        "n_tombstoned": n_tombstoned,
     }
 
 

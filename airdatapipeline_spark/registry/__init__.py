@@ -62,86 +62,92 @@ from . import sources_sinks  # noqa: F401,E402
 # 50 names.
 # ---------------------------------------------------------------------------
 
-# r6 rotation (VERDICT-r5 item 4 — freshness policy): after r5's fully
-# green 50/50 every query is driver-proven, so the window now minimizes
+# r7 rotation (VERDICT-r6 item 1 — finish the freshness sweep): after two
+# consecutive fully green rounds the window's only job is minimizing
 # max-staleness of the NEWEST driver row per query. Composition:
 #   - 3 family canaries (pinned by the window-integrity test);
-#   - the new r6 registration (append lifecycle);
-#   - all 21 queries whose newest driver row is still r1/r2 (streaming
-#     append family, w_* windows, tpch q1/q3/q5, events_*, the r2 text/
-#     dedup batch, bucketed/asof-range events);
-#   - 18 of the 43 r3-green queries (tpch tail, snk/scd sinks, text corpus
-#     ops, remaining stream/agg/join) — the other 25 rotate in r7 (seven
-#     of the original 25 r3 slots went to the late-r6 registrations
-#     below).
-# Max driver-row staleness after r6: r3 (was r2).
+#   - the new r7 registration (text_shard_delete_tombstone — the
+#     delete→append seam close, VERDICT-r6 item 2);
+#   - all 25 queries whose newest driver row is still r3 (computed from
+#     CORRECTNESS_r01–r06: tpch tail, snk/scd change-capture sinks, the
+#     r3 text/stream/agg/join batch, simsearch_recall,
+#     dedup_prefix_jaccard_pairs, events_transition_matrix);
+#   - 21 of the 45 r4-green queries (the dedup decision/clustering family,
+#     the simsearch quantization tiers, multimodal, stream_curated_ingest)
+#     — the remaining 24 r4-greens rotate in r8 (events_*, sql_api_*,
+#     w_* windows, tpch q2/q10r/q11/q20, text mix/pack/quality reports,
+#     src1_datasource_scrape, stream_join_append, table_profile_documents,
+#     agg_approx_family_check).
+# Max driver-row staleness after r7: r4 everywhere except the r5/r6-green
+# core (fresher by construction).
 _DRIVER_WINDOW = [
     # --- §2 family flagships (regression canaries) -------------------------
     "flagship_enrichment_gold",
     "a2_w1_daily_category_gold",
     "src1_scrape_clean",
-    # --- new r6 registration -----------------------------------------------
-    "text_shard_append_conservation",
-    # --- newest driver row is r1/r2 ----------------------------------------
-    "ev_range_errors_near_clicks",
-    "bucketed_order_revenue",
-    "stream_tumbling_append",
-    "stream_session_append",
-    "mm_decode_features",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_regional_revenue",
-    "agg_rollup_lineitem",
-    "agg_distinct_customers_per_segment",
-    "w_topk_customers_per_nation",
-    "w_running_daily_revenue",
-    "events_daily_by_type",
-    "events_json_extract",
-    "events_sessionization",
-    "text_token_stats_by_source",
-    "text_quality_scores",
-    "text_langid_confusion",
-    "text_fingerprint_clusters",
-    "dedup_exact_groups",
-    "dedup_ngram_jaccard_pairs",
-    # --- newest driver row is r3 (25 of 43; rest rotate in r7) -------------
-    "tpch_q4_order_priority_exists",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_profit_by_nation_year",
-    "tpch_q12_priority_shipping",
-    "tpch_q13_custdist",
-    "tpch_q14_promo_revenue_pct",
-    "scd2_customer_dim",
-    "text_sequence_packing",
-    "text_pii_redaction",
-    "text_decontamination",
-    "text_train_val_split",
-    "text_repetition_filters",
-    "text_chunking",
-    "stream_sliding_append",
-    "stream_dedup_append",
-    "j_salted_hotkey_events",
-    # --- new r6 registrations (late): streaming shard ingest + the
-    # compact/delete/verify lifecycle + epoch schedule/slice + curated
-    # append. These took seven of the r3 slots; the displaced r3 names
-    # (agg_grouping_sets_orders, tpch_q17_small_quantity,
-    # tpch_q18_large_volume, snk_snapshot_diff, snk_targeted_delete,
-    # snk_cdc_apply_changes, snk_merge_upsert_delete) rotate in r7.
-    "stream_shard_ingest",
-    "text_shard_compact_conservation",
-    "text_shard_delete_conservation",
-    "text_shard_verify_report",
-    "text_epoch_schedule",
-    "text_epoch_token_slice",
-    "text_curated_append",
+    # --- new r7 registration -----------------------------------------------
+    "text_shard_delete_tombstone",
+    # --- newest driver row is r3 (all 25) ----------------------------------
+    "agg_cube_orders",
+    "agg_grouping_sets_orders",
+    "agg_quantiles_quantity",
+    "dedup_prefix_jaccard_pairs",
+    "events_transition_matrix",
+    "j_bloom_pruned_urgent_revenue",
+    "simsearch_recall",
+    "snk_cdc_apply_changes",
+    "snk_merge_upsert_delete",
+    "snk_snapshot_diff",
+    "snk_targeted_delete",
+    "stream_join_outer_append",
+    "stream_stateful_user_counts",
+    "text_adaptive_source_filter",
+    "text_length_quantiles_by_lang",
+    "text_postings_phrase_search",
+    "text_training_mix_sample",
+    "tpch_q10_returned_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_count",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_volume",
+    "tpch_q19_bracketed_revenue",
+    "tpch_q21_sole_returned_supplier",
+    "tpch_q22_idle_customers",
+    # --- newest driver row is r4 (21 of 45; rest rotate in r8) -------------
+    "dedup_candidate_triangles",
+    "dedup_cluster_assignments_star",
+    "dedup_embedding_cosine_pairs",
+    "dedup_exact_substring_pairs",
+    "dedup_fingerprint_quality_decisions",
+    "dedup_incremental_candidates",
+    "dedup_paragraph_rebuild",
+    "dedup_semantic_decisions",
+    "dedup_simhash_pairs",
+    "dedup_substring_clusters",
+    "simsearch_bruteforce_topk",
+    "simsearch_ivf_list_stats",
+    "simsearch_ivfpq_topk",
+    "simsearch_pq_adc_topk",
+    "simsearch_sq8_topk",
+    "emb_quantize_sq8",
+    "mm_audio_features",
+    "mm_binary_features",
+    "mm_frame_sample",
+    "mm_resize_roundtrip",
+    "stream_curated_ingest",
 ]
 
 # Driver-green in CORRECTNESS_r01 ∪ r02 ∪ r03 (still value-hash-checked every
 # round by tests/test_oracle_parity.py) — these yield the window to
 # never-checked queries.
 _PRIOR_GREEN = {
+    # r06 greens (the whole r6 window was green 50/50; names below are the
+    # r6-window members without an earlier _PRIOR_GREEN row, rotated out
+    # for r7 — the shard lifecycle family registered and proven in r6)
+    "text_shard_append_conservation", "stream_shard_ingest",
+    "text_shard_compact_conservation", "text_shard_delete_conservation",
+    "text_shard_verify_report", "text_epoch_schedule",
+    "text_epoch_token_slice", "text_curated_append",
     # r05 greens (the whole r5 window was green 50/50; names below are the
     # r5-window members without an earlier _PRIOR_GREEN row, rotated out
     # for r6)

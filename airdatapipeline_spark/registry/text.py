@@ -982,6 +982,80 @@ def t_shard_delete(spark, sf_dir):
 
 
 @register(
+    "text_shard_delete_tombstone",
+    f"""
+    WITH fin AS (
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+             CAST(concat('0x', substr(md5(text), 1, 14)) AS BIGINT) AS chash
+      FROM documents WHERE doc_id % 5 <> 0
+    ),
+    t AS (
+      SELECT COUNT(DISTINCT doc_id) AS n_tombstones
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT doc_id) AS n_unique_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(chash) % {corpus.HASH_SUM_MOD} AS BIGINT) AS content_hash_sum,
+           t.n_tombstones,
+           CAST(0 AS BIGINT) AS n_tombstoned_present
+    FROM fin, t
+    GROUP BY t.n_tombstones
+    """,
+)
+def t_shard_delete_tombstone(spark, sf_dir):
+    """The delete→append seam closed (VERDICT-r6 item 2): deletion with
+    `tombstone=True` records EVERY requested id in the layout's append-only
+    `_deleted/` table, and `append_docs`' membership gate consults it as a
+    second broadcastable anti-join — so right-to-be-forgotten holds even
+    when the ingest stream redelivers a deleted document.
+
+    Scenario (closed form the oracle replays without simulating the
+    lifecycle): base layout from doc_id % 3 != 0; delete ALL doc_id % 5 ==
+    0 (including ids NOT in the layout — a takedown must bar ids that have
+    not arrived yet); then append the FULL corpus. The layout gate blocks
+    live members, the tombstone gate blocks every multiple of 5, so the
+    final membership is exactly {{doc_id % 5 != 0}} — admitted delta =
+    {{doc_id % 3 == 0 AND doc_id % 5 != 0}}. The audit row carries
+    exactly-once membership counts, token mass and the mod-prime content
+    fingerprint recomputed from the WRITTEN payload, the tombstone-table
+    cardinality, and the count of tombstoned ids present in the layout
+    (must be 0). Tombstone survival across compact/delete snapshot roots
+    and the opt-out flag are pytest-asserted (tests/test_corpus_ops.py)."""
+    import os
+
+    from ..io import load_table
+    from ..operators.text import tokens_col
+
+    root = tempfile.mkdtemp(prefix="shards_tomb_")
+    base_sf = os.path.join(root, "base_sf")
+    out = os.path.join(root, "layout")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") % 3 != 0).write.mode("overwrite").parquet(
+        os.path.join(base_sf, "documents.parquet")
+    )
+    corpus.write_shards(spark, base_sf, out)
+    corpus.delete_from_shards(
+        spark, docs.filter(F.col("doc_id") % 5 == 0).select("doc_id"), out
+    )
+    corpus.append_shards(spark, sf_dir, out)
+    back = corpus.read_shards(spark, out)
+    tombs = corpus.read_tombstones(spark, out)
+    audit = back.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("doc_id").alias("n_unique_docs"),
+        F.sum(F.size(tokens_col()).cast("long")).alias("total_tokens"),
+        corpus.content_hash_sum().alias("content_hash_sum"),
+    )
+    n_t = tombs.agg(F.countDistinct("doc_id").alias("n_tombstones"))
+    n_p = back.join(tombs, "doc_id", "left_semi").agg(
+        F.count("*").alias("n_tombstoned_present")
+    )
+    return audit.crossJoin(n_t).crossJoin(n_p)
+
+
+@register(
     "text_shard_verify_report",
     f"""
     WITH per AS (

@@ -594,22 +594,30 @@ def shard_ingest_append(
 
     out = out_path or os.path.join(tempfile.mkdtemp(prefix="shard_layout_"), "layout")
     ckpt = tempfile.mkdtemp(prefix="shard_ckpt_")
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(landing)
-    )
+    try:
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
 
-    def ingest(bdf: DataFrame, _bid: int) -> None:
-        corpus.append_docs(spark, bdf, out)
+        def ingest(bdf: DataFrame, _bid: int) -> None:
+            corpus.append_docs(spark, bdf, out)
 
-    q = (
-        stream.writeStream.foreachBatch(ingest)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q = (
+            stream.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # the layout must outlive this call (the returned audit reads it
+        # lazily), but the landing zone holds a full corpus copy and the
+        # checkpoint is dead after availableNow terminates — repeated
+        # registry sweeps/bench runs must not accumulate them (ADVICE-r6)
+        shutil.rmtree(landing, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return shard_layout_audit(spark, out)
 
 

@@ -731,3 +731,145 @@ def test_compact_and_delete_heal_interrupted_swaps(spark, tmp_path):
         map(tuple, corpus.read_shards(spark, out).select("doc_id", "shard_id").collect())
     )
     assert after == current
+
+
+def test_delete_tombstones_bar_readmission(spark, tmp_path):
+    """The r7 seam close (VERDICT-r6 item 2): delete with tombstone=True
+    records EVERY requested id (including ids not yet in the layout), and
+    a later append that redelivers them admits nothing; honor_tombstones=
+    False restores the old re-admission semantics explicitly."""
+    out = _append_fixture(spark, tmp_path)  # members: doc_id % 3 != 0
+    docs = load_table(spark, SF, "documents")
+    requested = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    n_requested = requested.count()
+
+    res = corpus.delete_from_shards(spark, requested, out)
+    assert res["n_tombstoned"] == n_requested
+    # tombstones hold the full request, not just the ids that were present
+    tombs = corpus.read_tombstones(spark, out)
+    assert tombs.distinct().count() == n_requested
+
+    # redeliver the FULL corpus: layout gate blocks members, tombstone
+    # gate blocks every multiple of 5 -> final membership {id % 5 != 0}
+    corpus.append_docs(spark, docs, out)
+    back = corpus.read_shards(spark, out)
+    assert back.filter(F.col("doc_id") % 5 == 0).count() == 0
+    expected = docs.filter(F.col("doc_id") % 5 != 0).count()
+    assert back.count() == expected
+    assert back.select("doc_id").distinct().count() == expected
+
+    # explicit opt-out re-admits (takedown reversal path)
+    corpus.append_docs(spark, docs, out, honor_tombstones=False)
+    back2 = corpus.read_shards(spark, out)
+    assert back2.count() == docs.count()
+    # the tombstone record itself is untouched by the opt-out append
+    assert corpus.read_tombstones(spark, out).distinct().count() == n_requested
+
+
+def test_tombstones_survive_compact_and_delete_swaps(spark, tmp_path):
+    """The `_deleted/` table is corpus metadata, not generation metadata:
+    both snapshot-swap ops (compact, a second delete) must carry it into
+    the new root file-by-file (hard-link: same inode), and a second delete
+    appends to it rather than replacing it."""
+    import os
+
+    out = _append_fixture(spark, tmp_path)
+    corpus.append_shards(spark, SF, out)  # creates >=2 fragments to compact
+    docs = load_table(spark, SF, "documents")
+    first = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    corpus.delete_from_shards(spark, first, out)
+    tomb_files = {
+        f: os.stat(os.path.join(out, "_deleted", f)).st_ino
+        for f in os.listdir(os.path.join(out, "_deleted"))
+        if f.endswith(".parquet")
+    }
+    n_first = first.count()
+
+    res = corpus.compact_shards(spark, out, min_fill=0.85)
+    assert res["n_compacted_shards"] >= 2, "fixture must actually compact"
+    after = {
+        f: os.stat(os.path.join(out, "_deleted", f)).st_ino
+        for f in os.listdir(os.path.join(out, "_deleted"))
+        if f.endswith(".parquet")
+    }
+    assert after == tomb_files, "compaction must hard-link tombstones unchanged"
+    assert corpus.read_tombstones(spark, out).distinct().count() == n_first
+
+    second = docs.filter(F.col("doc_id") % 11 == 0).select("doc_id")
+    corpus.delete_from_shards(spark, second, out)
+    merged = corpus.read_tombstones(spark, out)
+    want = docs.filter(
+        (F.col("doc_id") % 7 == 0) | (F.col("doc_id") % 11 == 0)
+    ).count()
+    assert merged.distinct().count() == want
+    # append-only: the first delete's files are still there (same inodes)
+    now = {
+        f: os.stat(os.path.join(out, "_deleted", f)).st_ino
+        for f in os.listdir(os.path.join(out, "_deleted"))
+        if f.endswith(".parquet")
+    }
+    assert set(tomb_files) <= set(now)
+    assert all(now[f] == ino for f, ino in tomb_files.items())
+
+
+def test_append_rejects_divergent_redelivery_content(spark, tmp_path):
+    """ADVICE-r6: the at-least-once contract (redelivered doc_ids carry
+    identical text) is asserted, not assumed — a batch where one doc_id
+    arrives with two different texts fails loud instead of letting
+    dropDuplicates keep an arbitrary survivor."""
+    import pyspark.sql.types as T
+
+    out = str(tmp_path / "layout")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    bad = spark.createDataFrame(
+        [(1, "web", "the text"), (1, "web", "DIFFERENT text"), (2, "web", "ok")],
+        schema,
+    )
+    with pytest.raises(ValueError, match="divergent text"):
+        corpus.append_docs(spark, bad, out)
+    import os
+
+    assert not any(
+        e.startswith("shard_id=") for e in os.listdir(out)
+    ) if os.path.exists(out) else True, "failed batch must not create shards"
+
+    # identical-content redelivery stays fine, and the check can be waived
+    ok = spark.createDataFrame(
+        [(1, "web", "the text"), (1, "web", "the text"), (2, "web", "ok")], schema
+    )
+    res = corpus.append_docs(spark, ok, out)
+    assert res["n_new_docs"] == 2
+    res2 = corpus.append_docs(spark, bad, out, check_redelivery_content=False)
+    assert res2["n_new_docs"] == 0  # both ids already members
+
+
+def test_compact_delete_noop_on_fully_retired_layout(spark, tmp_path):
+    """ADVICE-r6: a root whose shards were ALL retired by a prior delete is
+    a legal lifecycle state — compact and a re-delete must no-op gracefully
+    (no schema-inference crash on a file-less read), and the re-delete
+    still records its tombstones."""
+    import os
+
+    out = _append_fixture(spark, tmp_path)
+    docs = load_table(spark, SF, "documents")
+    all_ids = docs.select("doc_id")
+    corpus.delete_from_shards(spark, all_ids, out)
+    assert not any(e.startswith("shard_id=") for e in os.listdir(out))
+
+    res_c = corpus.compact_shards(spark, out)
+    assert res_c == {
+        "path": out, "n_compacted_shards": 0, "n_new_shards": 0, "n_moved_docs": 0,
+    }
+    res_d = corpus.delete_from_shards(spark, all_ids, out)
+    assert res_d["n_deleted"] == 0 and res_d["n_rewritten_shards"] == 0
+    assert res_d["n_tombstoned"] == all_ids.count()
+
+    # and the retired-but-tombstoned root still bars everything on append
+    corpus.append_docs(spark, docs, out)
+    assert not any(e.startswith("shard_id=") for e in os.listdir(out))

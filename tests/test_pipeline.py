@@ -157,18 +157,24 @@ def test_driver_window_invariants():
 
 
 def test_readme_counts_match_registry():
-    """README's query counts are pinned to the registry — the count appears
-    as 'N queries' exactly twice and N must equal len(QUERIES)."""
+    """The hand-written query counts are pinned to the registry — every
+    'N queries' / 'N-query' / 'N registered queries' mention in README.md
+    AND COVERAGE.md must equal len(QUERIES) (VERDICT-r6 item 4: the count
+    lived in four hand-synced places and went stale twice in r6)."""
     import re
 
     from airdatapipeline_spark import registry
 
-    text = open("README.md").read()
-    counts = [int(m) for m in re.findall(r"(\d+) queries", text)]
-    assert counts, "README no longer states the query count"
-    assert all(c == len(registry.QUERIES) for c in counts), (
-        f"README says {counts} queries; registry has {len(registry.QUERIES)}"
-    )
+    for fname in ("README.md", "COVERAGE.md"):
+        text = open(fname).read()
+        counts = [
+            int(m) for m in re.findall(r"(\d+)[ -](?:registered )?quer(?:ies|y)", text)
+        ]
+        assert counts, f"{fname} no longer states the query count"
+        assert all(c == len(registry.QUERIES) for c in counts), (
+            f"{fname} says {sorted(set(counts))} queries; "
+            f"registry has {len(registry.QUERIES)}"
+        )
 
 
 def test_openai_classifier_recorded_transport_end_to_end(spark):
