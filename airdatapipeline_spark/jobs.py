@@ -88,7 +88,11 @@ def main(argv: list[str] | None = None) -> int:
         "on dir renames; run one lifecycle op at a time).",
     )
     sh.add_argument(
-        "action", choices=["write", "append", "compact", "delete", "manifest", "verify"]
+        "action",
+        choices=[
+            "write", "append", "compact", "delete", "manifest", "verify",
+            "schedule", "slice",
+        ],
     )
     sh.add_argument("--layout", required=True, help="shard layout root directory")
     sh.add_argument("--sf-dir", default="/root/testdata/sf0.01",
@@ -98,6 +102,17 @@ def main(argv: list[str] | None = None) -> int:
                     help="compact shards below this fill fraction")
     sh.add_argument("--ids", default=None,
                     help="delete: parquet path with a doc_id column")
+    sh.add_argument("--epochs", type=int, default=3,
+                    help="schedule: number of training epochs to plan")
+    sh.add_argument("--epoch", type=int, default=0,
+                    help="slice: which epoch the resuming loader is in")
+    sh.add_argument("--start-tok", type=int, default=0,
+                    help="slice: epoch-local token offset to resume from")
+    sh.add_argument("--end-tok", type=int, default=None,
+                    help="slice: epoch-local token offset to read to "
+                    "(default: start-tok + one shard budget)")
+    sh.add_argument("--out", default=None,
+                    help="schedule: also persist the schedule parquet here")
 
     x = sub.add_parser(
         "expectations",
@@ -198,6 +213,37 @@ def main(argv: list[str] | None = None) -> int:
             )
         elif args.action == "manifest":
             res = {"manifest": corpus.write_layout_manifest(spark, args.layout)}
+        elif args.action == "schedule":
+            # the trainer-facing restart path: per-epoch shard reading
+            # order over the WRITTEN artifact (generation-local ids,
+            # post-compaction/deletion retirement included) — K rows per
+            # epoch, never the corpus
+            sched = corpus.epoch_schedule_for_layout(
+                spark, args.layout, n_epochs=args.epochs
+            )
+            if args.out:
+                sched.coalesce(1).write.mode("overwrite").parquet(args.out)
+            agg = sched.groupBy("epoch").count().orderBy("epoch").collect()
+            res = {
+                "epochs": len(agg),
+                "shards_per_epoch": {int(r["epoch"]): int(r["count"]) for r in agg},
+            }
+            if args.out:
+                res["out"] = args.out
+        elif args.action == "slice":
+            budget = args.budget or corpus.SHARD_TOKENS
+            end_tok = (
+                args.end_tok if args.end_tok is not None else args.start_tok + budget
+            )
+            rows = corpus.epoch_token_slice_for_layout(
+                spark, args.layout, args.epoch, args.start_tok, end_tok
+            ).orderBy("order_rank").collect()
+            res = {
+                "epoch": args.epoch,
+                "start_tok": args.start_tok,
+                "end_tok": end_tok,
+                "covering_shards": [r.asDict() for r in rows],
+            }
         else:  # verify
             # collect the K-row report once — the verify plan re-fingerprints
             # every shard payload, so a second action would double the scan

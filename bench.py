@@ -158,14 +158,16 @@ def _run_samples(fn, n: int = N_RUNS) -> list[float]:
 
 
 def _median(samples: list[float]) -> float:
-    # lower median: for 3 runs the true median; for the 2-run writes tier
-    # the SMALLER run (steady-state), so one cold outlier cannot become
-    # the headline number
+    # lower median: the true median for odd run counts; for an even count
+    # the SMALLER middle run (steady-state), so one cold outlier cannot
+    # become the headline number
     return samples[(len(samples) - 1) // 2]
 
 
-WRITE_RUNS = 2  # writes are the slowest ops; 2 runs bound the cost while
-# still exposing a gross outlier in the recorded runs
+WRITE_RUNS = 3  # same median-of-3 + dispersion treatment as the headline
+# tier (VERDICT-r6 item 3): the lifecycle ops are the newest code and the
+# most likely to regress, so a real regression must be attributable
+# against recorded per-run spread rather than hiding in a 2-run min
 
 
 def _writes_tier(spark) -> dict:

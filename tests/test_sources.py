@@ -914,3 +914,20 @@ def test_jobs_cli_shard_lifecycle(spark, tmp_path):
     assert rc == 0
     rc, out = run(["shards", "verify", "--layout", layout])
     assert rc == 0 and out["bad"] == []
+    # trainer-facing restart path (VERDICT-r6 item 7): schedule the lived
+    # layout (post-delete generation ids), then seek a resume window
+    sched_out = str(tmp_path / "sched")
+    rc, out = run([
+        "shards", "schedule", "--layout", layout,
+        "--epochs", "2", "--out", sched_out,
+    ])
+    assert rc == 0 and out["epochs"] == 2 and os.path.exists(sched_out)
+    per_epoch = set(out["shards_per_epoch"].values())
+    assert len(per_epoch) == 1, "every epoch must visit every shard exactly once"
+    rc, out = run([
+        "shards", "slice", "--layout", layout,
+        "--epoch", "1", "--start-tok", "0", "--end-tok", "4096",
+    ])
+    assert rc == 0 and out["covering_shards"]
+    first = out["covering_shards"][0]
+    assert first["order_rank"] == 1 and first["epoch_start_off"] == 0
