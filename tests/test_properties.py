@@ -449,6 +449,7 @@ def test_substring_posting_cap_drops_hot_span(spark_global, tmp_path):
 
 _LIFECYCLE_OP = st.one_of(
     st.tuples(st.just("append"), st.integers(min_value=0, max_value=6)),
+    st.tuples(st.just("append_readmit"), st.integers(min_value=0, max_value=6)),
     st.tuples(st.just("delete"), st.integers(min_value=2, max_value=9)),
     st.tuples(st.just("compact"), st.just(0)),
 )
@@ -457,13 +458,15 @@ _LIFECYCLE_OP = st.one_of(
 @given(ops=st.lists(_LIFECYCLE_OP, min_size=2, max_size=5))
 @settings(max_examples=6, deadline=None)
 def test_shard_lifecycle_matches_set_model(spark_global, ops, tmp_path_factory):
-    """Model-based check of the r6 shard lifecycle: run a random sequence
-    of append(subset)/delete(subset)/compact against a plain Python set
-    model of membership. After every sequence the layout must hold exactly
-    the model's doc_ids (appends re-admit previously deleted ids — the
-    documented no-tombstone semantics), with unique ids and strictly
-    ordered, non-overlapping offsets. This generalizes the deterministic
-    scenario test that caught the sum-vs-max-end rebase overlap."""
+    """Model-based check of the shard lifecycle: run a random sequence of
+    append(subset)/delete(subset)/compact against a plain Python model of
+    (membership, tombstones). Default appends must NOT re-admit tombstoned
+    ids (the r7 seam close); `append_readmit` exercises the explicit
+    honor_tombstones=False opt-out, which does. After every sequence the
+    layout must hold exactly the model's doc_ids, with unique ids and
+    strictly ordered, non-overlapping offsets. This generalizes the
+    deterministic scenario test that caught the sum-vs-max-end rebase
+    overlap (r6) and now pins the tombstone algebra too."""
     import pyspark.sql.functions as F
 
     from airdatapipeline_spark.io import load_table
@@ -475,22 +478,29 @@ def test_shard_lifecycle_matches_set_model(spark_global, ops, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("lifecycle") / "layout")
 
     model: set[int] = set()
+    tombs: set[int] = set()
     for kind, sel in ops:
         if kind == "append":
             batch = docs.filter(F.col("doc_id") % 7 <= sel)
             corpus.append_docs(spark, batch, out)
+            model |= {i for i in all_ids if i % 7 <= sel} - tombs
+        elif kind == "append_readmit":
+            batch = docs.filter(F.col("doc_id") % 7 <= sel)
+            corpus.append_docs(spark, batch, out, honor_tombstones=False)
             model |= {i for i in all_ids if i % 7 <= sel}
         elif kind == "delete":
             if not model:
                 continue
             doomed = docs.filter(F.col("doc_id") % sel == 0).select("doc_id")
             corpus.delete_from_shards(spark, doomed, out)
-            model -= {i for i in all_ids if i % sel == 0}
+            doomed_ids = {i for i in all_ids if i % sel == 0}
+            model -= doomed_ids
+            tombs |= doomed_ids
         else:
             if not model:
                 continue
             corpus.compact_shards(spark, out, min_fill=0.85)
-            # membership unchanged
+            # membership and tombstones unchanged
 
     if not model:
         return
