@@ -102,6 +102,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="compact shards below this fill fraction")
     sh.add_argument("--ids", default=None,
                     help="delete: parquet path with a doc_id column")
+    sh.add_argument("--no-tombstone", action="store_true",
+                    help="delete: do NOT record the ids in the layout's "
+                    "_deleted/ table (allows later re-admission; default "
+                    "records every requested id so appends bar them)")
     sh.add_argument("--epochs", type=int, default=3,
                     help="schedule: number of training epochs to plan")
     sh.add_argument("--epoch", type=int, default=0,
@@ -209,7 +213,8 @@ def main(argv: list[str] | None = None) -> int:
             if not args.ids:
                 p.error("shards delete requires --ids PARQUET_PATH")
             res = corpus.delete_from_shards(
-                spark, spark.read.parquet(args.ids), args.layout
+                spark, spark.read.parquet(args.ids), args.layout,
+                tombstone=not args.no_tombstone,
             )
         elif args.action == "manifest":
             res = {"manifest": corpus.write_layout_manifest(spark, args.layout)}

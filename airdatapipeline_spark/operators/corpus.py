@@ -471,9 +471,14 @@ def append_docs(
             # range-prefiltered + broadcastable semi/anti, cost ∝ batch
             delta_docs = _membership_delta(spark, delta_docs, tombs)
     if check_redelivery_content:
+        # NULL-safe content key: countDistinct drops rows with a null in
+        # ANY column, so a bare md5(text) would make a null-text doc
+        # vanish from `contents` and spuriously trip the check
         chk = delta_docs.agg(
             F.countDistinct("doc_id").alias("ids"),
-            F.countDistinct("doc_id", F.md5("text")).alias("contents"),
+            F.countDistinct(
+                "doc_id", F.coalesce(F.md5("text"), F.lit("<null-text>"))
+            ).alias("contents"),
         ).first()
         if chk["contents"] != chk["ids"]:
             raise ValueError(
