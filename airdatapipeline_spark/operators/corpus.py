@@ -201,9 +201,16 @@ def write_shards(
     staging = out_path + ".__resharding__"
     shutil.rmtree(staging, ignore_errors=True)
 
-    assign, per_cache = _assignments_for(
-        load_table(spark, sf_dir, "documents"), budget, carry=("source", "text")
-    )
+    docs = load_table(spark, sf_dir, "documents")
+    # a full rewrite is an admission path like any other: if the target
+    # layout carries tombstones, the rewrite must honor them (filter the
+    # source) AND carry them forward (link below) — otherwise one
+    # write_shards over a tombstoned root would silently undo every
+    # right-to-be-forgotten bar
+    tombs = read_tombstones(spark, out_path)
+    if tombs is not None:
+        docs = _membership_delta(spark, docs, tombs)
+    assign, per_cache = _assignments_for(docs, budget, carry=("source", "text"))
     # unpersist even on a failed write: a leaked cache over a plan that
     # reads the layout path is exactly the CacheManager stale-substitution
     # hazard documented in _assignments_for
@@ -234,6 +241,7 @@ def write_shards(
             f"shard write aborted before swap: staging has {staged_rows} docs, "
             f"assignment has {n_docs}; existing layout untouched"
         )
+    _link_tombstones(out_path, staging)
     old = out_path + ".__old__"
     shutil.rmtree(old, ignore_errors=True)
     if os.path.exists(out_path):
@@ -370,7 +378,10 @@ def append_shards(
 
 
 def _membership_delta(
-    spark: SparkSession, docs: DataFrame, existing: DataFrame
+    spark: SparkSession,
+    docs: DataFrame,
+    existing: DataFrame,
+    span: tuple[int, int] | None = None,
 ) -> DataFrame:
     """The append membership gate (delta = docs not already in the layout),
     shaped so the layout side never pays an O(corpus) shuffle the way the
@@ -392,12 +403,21 @@ def _membership_delta(
          again.
 
     Identical result to the direct anti-join: layout ids matching nothing
-    in the batch can never affect it."""
-    b = docs.agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")).first()
-    if b["mn"] is None:
+    in the batch can never affect it.
+
+    `span` is an optional precomputed (min_id, max_id) of the batch — a
+    caller gating the same batch against several membership tables (layout
+    + tombstones) passes the RAW batch's span once instead of paying one
+    agg job per gate (the raw span is a valid superset for any gated
+    subset of the batch, and the prefilter is only ever a superset
+    optimization)."""
+    if span is None:
+        b = docs.agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")).first()
+        span = (b["mn"], b["mx"])
+    if span[0] is None:
         return docs
     in_span = existing.select("doc_id").filter(
-        F.col("doc_id").between(F.lit(b["mn"]), F.lit(b["mx"]))
+        F.col("doc_id").between(F.lit(span[0]), F.lit(span[1]))
     )
     hits = in_span.join(docs.select("doc_id").distinct(), "doc_id", "left_semi")
     return docs.join(hits, "doc_id", "left_anti")
@@ -427,10 +447,12 @@ def append_docs(
 
     `check_redelivery_content` (default on) asserts the at-least-once
     contract this function's dedup relies on — redelivered doc_ids carry
-    IDENTICAL text. One cheap agg over the batch (countDistinct(doc_id)
-    vs countDistinct(doc_id, md5(text))) fails loud on divergence instead
-    of letting dropDuplicates keep an arbitrary survivor and silently
-    poison every conservation fingerprint (ADVICE-r6)."""
+    IDENTICAL text. The check (countDistinct(doc_id) vs
+    countDistinct(doc_id, md5(text))) rides the single raw-batch agg that
+    also computes the gates' range prefilter, so it adds no extra job;
+    it fails loud on divergence instead of letting dropDuplicates keep an
+    arbitrary survivor and silently poison every conservation fingerprint
+    (ADVICE-r6)."""
     import os
     import shutil
 
@@ -438,6 +460,31 @@ def append_docs(
     recover_shards(out_path)
     staging = out_path + ".__appending__"
     shutil.rmtree(staging, ignore_errors=True)
+
+    # ONE agg over the RAW batch serves everything scalar the gates need:
+    # the [min,max] range prefilter reused by BOTH membership gates (the
+    # raw span is a valid superset for any gated subset), and the
+    # divergence check — no per-gate agg jobs, no layout scan here.
+    # NULL-safe content key: countDistinct drops rows with a null in ANY
+    # column, so a bare md5(text) would make a null-text doc vanish from
+    # `contents` and spuriously trip the check.
+    batch_aggs = [F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")]
+    if check_redelivery_content:
+        batch_aggs += [
+            F.countDistinct("doc_id").alias("ids"),
+            F.countDistinct(
+                "doc_id", F.coalesce(F.md5("text"), F.lit("<null-text>"))
+            ).alias("contents"),
+        ]
+    b = docs.agg(*batch_aggs).first()
+    span = (b["mn"], b["mx"])
+    if check_redelivery_content and b["contents"] != b["ids"]:
+        raise ValueError(
+            f"append batch violates at-least-once redelivery contract: "
+            f"{b['contents'] - b['ids']} extra (doc_id, text) pairing(s) "
+            f"beyond one text per doc_id; refusing to pick an arbitrary "
+            f"survivor"
+        )
 
     # "has a layout" means shard dirs exist — an empty root (a crashed
     # bootstrap, or a delete that emptied every shard) re-bootstraps
@@ -460,7 +507,7 @@ def append_docs(
             F.max(F.col("start_off") + F.col("n_tok")).alias("prev_end"),
         ).first()
         last_shard, prev_end = int(prev["last_shard"]), int(prev["prev_end"])
-        delta_docs = _membership_delta(spark, docs, existing)
+        delta_docs = _membership_delta(spark, docs, existing, span)
     else:
         last_shard, prev_end = -1, 0
         delta_docs = docs
@@ -469,24 +516,7 @@ def append_docs(
         if tombs is not None:
             # second membership gate, same scale shape as the layout one:
             # range-prefiltered + broadcastable semi/anti, cost ∝ batch
-            delta_docs = _membership_delta(spark, delta_docs, tombs)
-    if check_redelivery_content:
-        # NULL-safe content key: countDistinct drops rows with a null in
-        # ANY column, so a bare md5(text) would make a null-text doc
-        # vanish from `contents` and spuriously trip the check
-        chk = delta_docs.agg(
-            F.countDistinct("doc_id").alias("ids"),
-            F.countDistinct(
-                "doc_id", F.coalesce(F.md5("text"), F.lit("<null-text>"))
-            ).alias("contents"),
-        ).first()
-        if chk["contents"] != chk["ids"]:
-            raise ValueError(
-                f"append batch violates at-least-once redelivery contract: "
-                f"{chk['contents'] - chk['ids']} doc_id(s) arrive with "
-                f"divergent text in one batch; refusing to pick an "
-                f"arbitrary survivor"
-            )
+            delta_docs = _membership_delta(spark, delta_docs, tombs, span)
     # intra-batch dedup: the membership gate only screens against the
     # LAYOUT, so a doc redelivered twice within one batch would otherwise
     # be laid out twice — keep exactly one row per doc_id (at-least-once
@@ -754,16 +784,19 @@ def delete_from_shards(
             return 0
         n = ids.count()
         if n:
+            os.makedirs(root, exist_ok=True)
             ids.coalesce(1).write.mode("append").parquet(
                 os.path.join(root, "_deleted")
             )
         return int(n)
 
-    # a root whose shards were all retired by a prior delete is a state
-    # the lifecycle explicitly permits — no rewrite work, but the
-    # tombstone record still lands (ADVICE-r6 no-op guard + item 2)
+    # a root whose shards were all retired by a prior delete — or that
+    # does not exist yet (a takedown arriving AHEAD of first ingest) —
+    # is a legal state: no rewrite work, but the tombstone record still
+    # lands, creating the root if needed so write_shards/append_docs
+    # find and honor the bar when the data does arrive
     if not _shard_dirs_exist(out_path):
-        n_tomb = _write_tombstones(out_path) if os.path.exists(out_path) else 0
+        n_tomb = _write_tombstones(out_path)
         return {
             "path": out_path,
             "n_deleted": 0,

@@ -831,7 +831,7 @@ def test_append_rejects_divergent_redelivery_content(spark, tmp_path):
         [(1, "web", "the text"), (1, "web", "DIFFERENT text"), (2, "web", "ok")],
         schema,
     )
-    with pytest.raises(ValueError, match="divergent text"):
+    with pytest.raises(ValueError, match="redelivery contract"):
         corpus.append_docs(spark, bad, out)
     import os
 
@@ -873,3 +873,37 @@ def test_compact_delete_noop_on_fully_retired_layout(spark, tmp_path):
     # and the retired-but-tombstoned root still bars everything on append
     corpus.append_docs(spark, docs, out)
     assert not any(e.startswith("shard_id=") for e in os.listdir(out))
+
+
+def test_tombstones_before_first_ingest_and_across_full_rewrite(spark, tmp_path):
+    """The two r7 self-review seams: (1) a takedown arriving AHEAD of the
+    first ingest still records its tombstones (creating the root), and the
+    eventual bootstrap honors them; (2) a full write_shards over a
+    tombstoned root filters the source AND carries _deleted/ forward —
+    a rewrite is an admission path like any other."""
+    import os
+
+    out = str(tmp_path / "layout")
+    docs = load_table(spark, SF, "documents")
+    barred = docs.filter(F.col("doc_id") % 4 == 0).select("doc_id")
+    n_barred = barred.count()
+
+    # (1) delete before the layout exists: tombstones land, nothing else
+    res = corpus.delete_from_shards(spark, barred, out)
+    assert res["n_tombstoned"] == n_barred and res["n_deleted"] == 0
+    assert corpus.read_tombstones(spark, out).distinct().count() == n_barred
+    assert not any(e.startswith("shard_id=") for e in os.listdir(out))
+
+    corpus.append_docs(spark, docs, out)  # bootstrap through the bar
+    back = corpus.read_shards(spark, out)
+    assert back.filter(F.col("doc_id") % 4 == 0).count() == 0
+    assert back.count() == docs.filter(F.col("doc_id") % 4 != 0).count()
+
+    # (2) full rewrite over the tombstoned root: bar survives and applies
+    sf2 = str(tmp_path / "sf2")
+    docs.write.mode("overwrite").parquet(os.path.join(sf2, "documents.parquet"))
+    corpus.write_shards(spark, sf2, out)
+    back2 = corpus.read_shards(spark, out)
+    assert back2.filter(F.col("doc_id") % 4 == 0).count() == 0
+    assert back2.count() == docs.filter(F.col("doc_id") % 4 != 0).count()
+    assert corpus.read_tombstones(spark, out).distinct().count() == n_barred

@@ -228,7 +228,7 @@ def _build_distinct_10x(spark, sf_dir: str) -> str:
     return tmp
 
 
-def lifecycle_stress_lines(spark, sf_dir: str) -> list[str]:
+def lifecycle_stress_lines(spark, sf_dir: str, big: str | None = None) -> list[str]:
     """Lifecycle writes under the 10x-DISTINCT corpus (VERDICT-r6 item 6):
     the bench writes tier's 10x replica multiplies rows but not the hash
     spread of distinct doc_ids the way real ingest does. Here the full
@@ -248,7 +248,9 @@ def lifecycle_stress_lines(spark, sf_dir: str) -> list[str]:
     from airdatapipeline_spark.io import load_table
     from airdatapipeline_spark.operators import corpus
 
-    big = _build_distinct_10x(spark, sf_dir)
+    own_corpus = big is None
+    if own_corpus:
+        big = _build_distinct_10x(spark, sf_dir)
 
     def scenario(d: str) -> dict[str, float]:
         """One full lifecycle pass over corpus dir `d`; setup (base-layout
@@ -289,7 +291,8 @@ def lifecycle_stress_lines(spark, sf_dir: str) -> list[str]:
         return {k: min(a[k], b[k]) for k in a}
 
     base_t, big_t = best(sf_dir), best(big)
-    shutil.rmtree(big, ignore_errors=True)
+    if own_corpus:
+        shutil.rmtree(big, ignore_errors=True)
     return [
         "",
         "## lifecycle writes under 10x-DISTINCT ingest (token rotation)",
@@ -314,7 +317,7 @@ def lifecycle_stress_lines(spark, sf_dir: str) -> list[str]:
     ]
 
 
-def sf1_stress_lines(spark, sf_dir: str) -> list[str]:
+def sf1_stress_lines(spark, sf_dir: str, big: str | None = None) -> list[str]:
     """sf1-equivalent stress (VERDICT-r5 item 8): the bench's 10x replica
     multiplies ROWS but its copies are near-dups of each other, so
     distinct-value cardinality (paragraph hashes, span postings, shingles)
@@ -324,15 +327,14 @@ def sf1_stress_lines(spark, sf_dir: str) -> list[str]:
     keys grow ~10x like a real sf1 corpus. Reports wall-time ratios of the
     heaviest corpus-prep plans; near-linear (ratio ~10 or less) means the
     skew guards and candidate bounds hold another decade of scale."""
-    import tempfile
+    import shutil
     import time
-
-    from pyspark.sql import functions as F
 
     import __spark_entry__ as e
     from airdatapipeline_spark.io import load_table
 
-    tmp = _build_distinct_10x(spark, sf_dir)
+    own_corpus = big is None
+    tmp = _build_distinct_10x(spark, sf_dir) if own_corpus else big
 
     queries = e.queries()
     heavy = [
@@ -353,11 +355,13 @@ def sf1_stress_lines(spark, sf_dir: str) -> list[str]:
 
     rows = []
     for name in heavy:
-        base = best_of_2(name, sf_dir)
-        big = best_of_2(name, tmp)
-        rows.append((name, base, big, big / base if base > 0 else float("nan")))
+        base_s = best_of_2(name, sf_dir)
+        big_s = best_of_2(name, tmp)
+        rows.append((name, base_s, big_s, big_s / base_s if base_s > 0 else float("nan")))
 
     base_docs = load_table(spark, sf_dir, "documents").count()
+    if own_corpus:
+        shutil.rmtree(tmp, ignore_errors=True)
     return [
         "",
         "## sf1-equivalent stress (10x docs, DISTINCT content per copy — token rotation)",
@@ -453,8 +457,17 @@ def main() -> None:
         )
         print(name, "ok", file=sys.stderr)
     out.extend(skew_lines(spark, sf_dir))
-    out.extend(sf1_stress_lines(spark, sf_dir))
-    out.extend(lifecycle_stress_lines(spark, sf_dir))
+    # build the 10x-distinct corpus ONCE for both stress sections, and
+    # clean it up afterwards (each section also self-builds when called
+    # standalone)
+    import shutil
+
+    big = _build_distinct_10x(spark, sf_dir)
+    try:
+        out.extend(sf1_stress_lines(spark, sf_dir, big=big))
+        out.extend(lifecycle_stress_lines(spark, sf_dir, big=big))
+    finally:
+        shutil.rmtree(big, ignore_errors=True)
     out.extend(recall_scenario_lines(spark, sf_dir))
     with open("/root/repo/MEASURED.md", "w") as f:
         f.write("\n".join(out) + "\n")
