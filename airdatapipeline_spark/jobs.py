@@ -84,8 +84,9 @@ def main(argv: list[str] | None = None) -> int:
         help="trainer shard-layout lifecycle: write a fresh layout, append "
         "a delta batch, compact fragment shards, delete doc ids "
         "(right-to-be-forgotten), or (re)build + verify the integrity "
-        "manifest. Single-writer per layout (the staged swaps serialize "
-        "on dir renames; run one lifecycle op at a time).",
+        "manifest. Single-writer per layout, ENFORCED by an advisory "
+        "flock on <layout>.__lock__ — a concurrent mutating op fails "
+        "loud instead of interleaving staged swaps.",
     )
     sh.add_argument(
         "action",

@@ -155,6 +155,71 @@ def shard_manifest(spark: SparkSession, sf_dir: str, budget: int = SHARD_TOKENS)
     )
 
 
+_HELD_LAYOUT_LOCKS: set[str] = set()
+
+
+def _layout_write_lock(out_path: str):
+    """Advisory single-writer lock for a layout root, ENFORCING the
+    documented 'one lifecycle op at a time' contract instead of trusting
+    it: every mutating op flocks `<out>.__lock__` (a sibling file — the
+    root itself gets swapped) non-blocking and fails loud with a clear
+    error if another writer holds it, rather than letting two staged
+    swaps interleave into a corrupted root. flock releases on fd close
+    AND on process death, so a crashed writer never leaves a stale lock.
+    Re-entrant within one driver process (append_shards → write_shards /
+    append_docs compose under one hold); driver-side single-threaded use
+    assumed, like the rest of the lifecycle. On object storage this role
+    is played by optimistic manifest CAS — the commit that detects a
+    concurrent committer and aborts (DESIGN.md §6)."""
+    import contextlib
+    import fcntl
+    import os
+
+    @contextlib.contextmanager
+    def _cm():
+        key = os.path.abspath(out_path.rstrip("/"))
+        if key in _HELD_LAYOUT_LOCKS:
+            yield
+            return
+        fd = os.open(key + ".__lock__", os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except BlockingIOError:
+                raise RuntimeError(
+                    f"layout {out_path} is locked by another lifecycle "
+                    f"writer; the shard ops are single-writer per layout "
+                    f"— retry after it finishes"
+                ) from None
+            _HELD_LAYOUT_LOCKS.add(key)
+            try:
+                yield
+            finally:
+                _HELD_LAYOUT_LOCKS.discard(key)
+        finally:
+            os.close(fd)
+
+    return _cm()
+
+
+def _single_writer(fn):
+    """Decorator: run the wrapped lifecycle op under the layout's
+    advisory write lock (the op's `out_path` argument names the root)."""
+    import functools
+    import inspect
+
+    sig = inspect.signature(fn)
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        bound = sig.bind(*args, **kwargs)
+        with _layout_write_lock(bound.arguments["out_path"]):
+            return fn(*args, **kwargs)
+
+    return wrapper
+
+
+@_single_writer
 def write_shards(
     spark: SparkSession, sf_dir: str, out_path: str, budget: int = SHARD_TOKENS
 ) -> dict:
@@ -325,6 +390,7 @@ def _link_tombstones(out_path: str, staging: str) -> None:
             os.link(os.path.join(src, f), os.path.join(dst, f))
 
 
+@_single_writer
 def append_shards(
     spark: SparkSession, sf_dir: str, out_path: str, budget: int = SHARD_TOKENS
 ) -> dict:
@@ -423,6 +489,7 @@ def _membership_delta(
     return docs.join(hits, "doc_id", "left_anti")
 
 
+@_single_writer
 def append_docs(
     spark: SparkSession,
     docs: DataFrame,
@@ -587,6 +654,7 @@ def append_docs(
     }
 
 
+@_single_writer
 def compact_shards(
     spark: SparkSession,
     out_path: str,
@@ -736,6 +804,7 @@ def compact_shards(
     }
 
 
+@_single_writer
 def delete_from_shards(
     spark: SparkSession, doc_ids: DataFrame, out_path: str, tombstone: bool = True
 ) -> dict:
@@ -949,6 +1018,7 @@ def content_hash_sum(text_col: str = "text") -> F.Column:
     ).cast("long")
 
 
+@_single_writer
 def write_layout_manifest(spark: SparkSession, out_path: str) -> str:
     """Persist the layout's per-shard conservation fingerprints as a
     `_manifest` parquet INSIDE the layout root (underscore-prefixed, so

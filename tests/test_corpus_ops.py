@@ -907,3 +907,39 @@ def test_tombstones_before_first_ingest_and_across_full_rewrite(spark, tmp_path)
     assert back2.filter(F.col("doc_id") % 4 == 0).count() == 0
     assert back2.count() == docs.filter(F.col("doc_id") % 4 != 0).count()
     assert corpus.read_tombstones(spark, out).distinct().count() == n_barred
+
+
+def test_layout_write_lock_excludes_second_writer(spark, tmp_path):
+    """The single-writer contract is ENFORCED, not just documented: while
+    one writer holds the layout's advisory flock, every mutating op fails
+    loud; the lock releases with the op (and with writer death — flock
+    semantics), and composed ops (append_shards -> write_shards) re-enter
+    the same process's hold rather than self-deadlocking."""
+    import fcntl
+    import os
+
+    out = _append_fixture(spark, tmp_path)
+    docs = load_table(spark, SF, "documents")
+
+    # simulate a foreign writer: a raw flock on another fd is exactly what
+    # a second driver process would hold
+    fd = os.open(out + ".__lock__", os.O_CREAT | os.O_RDWR, 0o644)
+    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    try:
+        with pytest.raises(RuntimeError, match="locked by another"):
+            corpus.append_docs(spark, docs, out)
+        with pytest.raises(RuntimeError, match="locked by another"):
+            corpus.compact_shards(spark, out)
+        with pytest.raises(RuntimeError, match="locked by another"):
+            corpus.delete_from_shards(spark, docs.limit(1).select("doc_id"), out)
+    finally:
+        os.close(fd)  # releases the foreign hold
+
+    # lock is free again: ops proceed, and the composed append_shards
+    # (which calls write_shards/append_docs under its own hold) re-enters
+    res = corpus.append_shards(spark, SF, out)
+    assert res["n_new_docs"] > 0
+    # and the lock actually released after the op
+    fd2 = os.open(out + ".__lock__", os.O_CREAT | os.O_RDWR, 0o644)
+    fcntl.flock(fd2, fcntl.LOCK_EX | fcntl.LOCK_NB)  # would raise if held
+    os.close(fd2)
