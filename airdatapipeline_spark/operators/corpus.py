@@ -390,6 +390,27 @@ def _link_tombstones(out_path: str, staging: str) -> None:
             os.link(os.path.join(src, f), os.path.join(dst, f))
 
 
+def _carry_tombstones_compacted(spark: SparkSession, out_path: str, staging: str) -> None:
+    """Carry tombstones into a snapshot root, MERGING the append-only
+    files into one distinct-id parquet when more than one has accumulated
+    — the `_deleted/` analogue of the fragment-shard compaction itself
+    (each delete adds a file; compaction is the designated merge point).
+    A single file is hard-linked unchanged (metadata-only)."""
+    import os
+
+    src = os.path.join(out_path, "_deleted")
+    if not os.path.isdir(src):
+        return
+    files = [f for f in os.listdir(src) if f.endswith(".parquet")]
+    if len(files) <= 1:
+        _link_tombstones(out_path, staging)
+        return
+    tombs = read_tombstones(spark, out_path)
+    tombs.distinct().coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(staging, "_deleted")
+    )
+
+
 @_single_writer
 def append_shards(
     spark: SparkSession, sf_dir: str, out_path: str, budget: int = SHARD_TOKENS
@@ -745,9 +766,10 @@ def compact_shards(
         for f in os.listdir(src):
             os.link(os.path.join(src, f), os.path.join(staging, entry, f))
     # tombstones survive compaction (the bar on deleted ids is a property
-    # of the corpus, not of one generation); _manifest deliberately does
-    # NOT carry — a compaction invalidates the shard inventory
-    _link_tombstones(out_path, staging)
+    # of the corpus, not of one generation) and get their own small-file
+    # merge here; _manifest deliberately does NOT carry — a compaction
+    # invalidates the shard inventory
+    _carry_tombstones_compacted(spark, out_path, staging)
 
     # re-lay the fragment docs (partition pruning reads only those dirs)
     moved = layout.filter(F.col("shard_id").isin(under)).select(

@@ -943,3 +943,28 @@ def test_layout_write_lock_excludes_second_writer(spark, tmp_path):
     fd2 = os.open(out + ".__lock__", os.O_CREAT | os.O_RDWR, 0o644)
     fcntl.flock(fd2, fcntl.LOCK_EX | fcntl.LOCK_NB)  # would raise if held
     os.close(fd2)
+
+
+def test_compact_merges_tombstone_files(spark, tmp_path):
+    """Each delete appends one tombstone file; compaction is the
+    designated merge point — after a real compaction the `_deleted/` dir
+    holds ONE parquet file whose distinct ids are the union of every
+    prior delete (the small-file problem solved at the metadata tier
+    too)."""
+    import os
+
+    out = _append_fixture(spark, tmp_path)
+    corpus.append_shards(spark, SF, out)  # >=2 fragments for a real compact
+    docs = load_table(spark, SF, "documents")
+    corpus.delete_from_shards(spark, docs.filter(F.col("doc_id") % 13 == 0).select("doc_id"), out)
+    corpus.delete_from_shards(spark, docs.filter(F.col("doc_id") % 17 == 0).select("doc_id"), out)
+    tomb_dir = os.path.join(out, "_deleted")
+    assert sum(f.endswith(".parquet") for f in os.listdir(tomb_dir)) == 2
+
+    res = corpus.compact_shards(spark, out, min_fill=0.85)
+    assert res["n_compacted_shards"] >= 2, "fixture must actually compact"
+    assert sum(f.endswith(".parquet") for f in os.listdir(tomb_dir)) == 1
+    want = docs.filter(
+        (F.col("doc_id") % 13 == 0) | (F.col("doc_id") % 17 == 0)
+    ).count()
+    assert corpus.read_tombstones(spark, out).distinct().count() == want
