@@ -21,6 +21,9 @@ against its DuckDB oracle on any session config.
 
 from __future__ import annotations
 
+import contextlib
+import threading
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -155,9 +158,15 @@ def shard_manifest(spark: SparkSession, sf_dir: str, budget: int = SHARD_TOKENS)
     )
 
 
-_HELD_LAYOUT_LOCKS: set[str] = set()
+# per-THREAD re-entrancy record: a call-stack-scoped set (threading.local)
+# rather than a process-global one, so a second thread in the same process
+# (e.g. a foreachBatch callback ingesting while the main thread compacts)
+# does NOT ride the first thread's hold — it opens its own fd and flock
+# correctly rejects it (flock conflicts across fds even within a process)
+_HELD_LAYOUT_LOCKS = threading.local()
 
 
+@contextlib.contextmanager
 def _layout_write_lock(out_path: str):
     """Advisory single-writer lock for a layout root, ENFORCING the
     documented 'one lifecycle op at a time' contract instead of trusting
@@ -166,40 +175,40 @@ def _layout_write_lock(out_path: str):
     error if another writer holds it, rather than letting two staged
     swaps interleave into a corrupted root. flock releases on fd close
     AND on process death, so a crashed writer never leaves a stale lock.
-    Re-entrant within one driver process (append_shards → write_shards /
-    append_docs compose under one hold); driver-side single-threaded use
-    assumed, like the rest of the lifecycle. On object storage this role
-    is played by optimistic manifest CAS — the commit that detects a
-    concurrent committer and aborts (DESIGN.md §6)."""
-    import contextlib
+    Re-entrant within one call stack (append_shards → write_shards /
+    append_docs compose under one hold); a concurrent thread or process
+    is correctly excluded. On object storage this role is played by
+    optimistic manifest CAS — the commit that detects a concurrent
+    committer and aborts (DESIGN.md §6)."""
     import fcntl
     import os
 
-    @contextlib.contextmanager
-    def _cm():
-        key = os.path.abspath(out_path.rstrip("/"))
-        if key in _HELD_LAYOUT_LOCKS:
-            yield
-            return
-        fd = os.open(key + ".__lock__", os.O_CREAT | os.O_RDWR, 0o644)
+    held: set[str] = getattr(_HELD_LAYOUT_LOCKS, "held", None) or set()
+    _HELD_LAYOUT_LOCKS.held = held
+    key = os.path.abspath(out_path.rstrip("/"))
+    if key in held:
+        yield
+        return
+    # O_CREAT does not create parents; a fresh nested layout path must
+    # not fail here when the op itself would have created the dirs
+    os.makedirs(os.path.dirname(key), exist_ok=True)
+    fd = os.open(key + ".__lock__", os.O_CREAT | os.O_RDWR, 0o644)
+    try:
         try:
-            try:
-                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-            except BlockingIOError:
-                raise RuntimeError(
-                    f"layout {out_path} is locked by another lifecycle "
-                    f"writer; the shard ops are single-writer per layout "
-                    f"— retry after it finishes"
-                ) from None
-            _HELD_LAYOUT_LOCKS.add(key)
-            try:
-                yield
-            finally:
-                _HELD_LAYOUT_LOCKS.discard(key)
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except BlockingIOError:
+            raise RuntimeError(
+                f"layout {out_path} is locked by another lifecycle "
+                f"writer; the shard ops are single-writer per layout "
+                f"— retry after it finishes"
+            ) from None
+        held.add(key)
+        try:
+            yield
         finally:
-            os.close(fd)
-
-    return _cm()
+            held.discard(key)
+    finally:
+        os.close(fd)
 
 
 def _single_writer(fn):
@@ -271,10 +280,14 @@ def write_shards(
     # layout carries tombstones, the rewrite must honor them (filter the
     # source) AND carry them forward (link below) — otherwise one
     # write_shards over a tombstoned root would silently undo every
-    # right-to-be-forgotten bar
+    # right-to-be-forgotten bar. Shape note: unlike append's gate, the
+    # sizes here are REVERSED (big corpus vs small tombstone table), so
+    # the direct anti-join is the right plan — ANTI can broadcast its
+    # build side, and _membership_delta's distinct+semi would shuffle the
+    # full corpus id column for nothing.
     tombs = read_tombstones(spark, out_path)
     if tombs is not None:
-        docs = _membership_delta(spark, docs, tombs)
+        docs = docs.join(tombs, "doc_id", "left_anti")
     assign, per_cache = _assignments_for(docs, budget, carry=("source", "text"))
     # unpersist even on a failed write: a leaked cache over a plan that
     # reads the layout path is exactly the CacheManager stale-substitution
@@ -284,28 +297,36 @@ def write_shards(
             F.max("shard_id").alias("max_shard"), F.count("*").alias("n_docs")
         ).first()
         if stats["max_shard"] is None:
-            raise ValueError(f"no documents in {sf_dir}; nothing to shard")
-        n_shards = int(stats["max_shard"]) + 1
-        n_docs = int(stats["n_docs"])
-        (
-            assign.select("doc_id", "source", "hkey", "n_tok", "start_off", "text", "shard_id")
-            .repartitionByRange(n_shards, "shard_id")
-            .sortWithinPartitions("shard_id", "hkey", "doc_id")
-            .write.mode("overwrite")
-            .partitionBy("shard_id")
-            .parquet(staging)
-        )
+            if tombs is None:
+                raise ValueError(f"no documents in {sf_dir}; nothing to shard")
+            # every source doc is barred: the rewrite's honest result is a
+            # shard-less root that still carries the bar — the same legal
+            # state a delete-everything leaves, not a crash
+            os.makedirs(staging)
+            n_shards, n_docs = 0, 0
+        else:
+            n_shards = int(stats["max_shard"]) + 1
+            n_docs = int(stats["n_docs"])
+            (
+                assign.select("doc_id", "source", "hkey", "n_tok", "start_off", "text", "shard_id")
+                .repartitionByRange(n_shards, "shard_id")
+                .sortWithinPartitions("shard_id", "hkey", "doc_id")
+                .write.mode("overwrite")
+                .partitionBy("shard_id")
+                .parquet(staging)
+            )
     finally:
         per_cache.unpersist()
-    if not os.path.exists(os.path.join(staging, "_SUCCESS")):
-        raise RuntimeError(f"shard write to {staging} did not commit")
-    staged_rows = spark.read.parquet(staging).count()  # footer-only scan
-    if staged_rows != n_docs:
-        shutil.rmtree(staging, ignore_errors=True)
-        raise RuntimeError(
-            f"shard write aborted before swap: staging has {staged_rows} docs, "
-            f"assignment has {n_docs}; existing layout untouched"
-        )
+    if n_shards > 0:
+        if not os.path.exists(os.path.join(staging, "_SUCCESS")):
+            raise RuntimeError(f"shard write to {staging} did not commit")
+        staged_rows = spark.read.parquet(staging).count()  # footer-only scan
+        if staged_rows != n_docs:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise RuntimeError(
+                f"shard write aborted before swap: staging has {staged_rows} docs, "
+                f"assignment has {n_docs}; existing layout untouched"
+            )
     _link_tombstones(out_path, staging)
     old = out_path + ".__old__"
     shutil.rmtree(old, ignore_errors=True)
@@ -540,7 +561,14 @@ def append_docs(
     also computes the gates' range prefilter, so it adds no extra job;
     it fails loud on divergence instead of letting dropDuplicates keep an
     arbitrary survivor and silently poison every conservation fingerprint
-    (ADVICE-r6)."""
+    (ADVICE-r6). Deliberate tradeoff: the check runs on the RAW batch, so
+    it fires even when the poisoned id would have been screened out by
+    the membership gates — divergence is an upstream integrity bug either
+    way, and surfacing it beats half-ingesting around it. A streaming
+    sink retrying a poison batch will therefore fail repeatedly BY DESIGN
+    until the ids are dropped upstream (or the batch is re-run with
+    check_redelivery_content=False after triage, accepting an arbitrary
+    survivor for the divergent ids)."""
     import os
     import shutil
 

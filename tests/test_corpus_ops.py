@@ -968,3 +968,32 @@ def test_compact_merges_tombstone_files(spark, tmp_path):
         (F.col("doc_id") % 13 == 0) | (F.col("doc_id") % 17 == 0)
     ).count()
     assert corpus.read_tombstones(spark, out).distinct().count() == want
+
+
+def test_write_shards_fully_tombstoned_source_yields_shardless_root(spark, tmp_path):
+    """A full rewrite whose source is entirely barred must produce the
+    same legal state a delete-everything leaves — a shard-less root still
+    carrying the tombstones — not a misleading 'no documents' crash; and
+    a fresh NESTED layout path must not trip on the lock file's parent
+    dir."""
+    import os
+
+    # nested path whose parents don't exist yet (lock-file regression)
+    out = str(tmp_path / "a" / "b" / "layout")
+    docs = load_table(spark, SF, "documents")
+    corpus.delete_from_shards(spark, docs.select("doc_id"), out)  # bar ALL
+    sf2 = str(tmp_path / "sf2")
+    docs.write.mode("overwrite").parquet(os.path.join(sf2, "documents.parquet"))
+
+    res = corpus.write_shards(spark, sf2, out)
+    assert res == {"path": out, "n_shards": 0, "n_docs": 0}
+    assert not any(e.startswith("shard_id=") for e in os.listdir(out))
+    assert corpus.read_tombstones(spark, out).distinct().count() == docs.count()
+
+    # an empty source with NO tombstones still fails loud (old contract)
+    empty_sf = str(tmp_path / "empty_sf")
+    docs.limit(0).write.mode("overwrite").parquet(
+        os.path.join(empty_sf, "documents.parquet")
+    )
+    with pytest.raises(ValueError, match="no documents"):
+        corpus.write_shards(spark, empty_sf, str(tmp_path / "fresh"))
