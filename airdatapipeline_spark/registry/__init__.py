@@ -62,85 +62,88 @@ from . import sources_sinks  # noqa: F401,E402
 # 50 names.
 # ---------------------------------------------------------------------------
 
-# r7 rotation (VERDICT-r6 item 1 — finish the freshness sweep): after two
-# consecutive fully green rounds the window's only job is minimizing
-# max-staleness of the NEWEST driver row per query. Composition:
+# r8 rotation (VERDICT-r7 item 2 — continue the freshness ladder): after
+# three consecutive fully green rounds the window's only job is minimizing
+# max-staleness of the NEWEST green driver row per query (computed from
+# CORRECTNESS_r01-r07: 24 queries newest-green at r4, 47 at r5, rest r6+).
+# Composition:
 #   - 3 family canaries (pinned by the window-integrity test);
-#   - the new r7 registration (text_shard_delete_tombstone — the
-#     delete→append seam close, VERDICT-r6 item 2);
-#   - all 25 queries whose newest driver row is still r3 (computed from
-#     CORRECTNESS_r01–r06: tpch tail, snk/scd change-capture sinks, the
-#     r3 text/stream/agg/join batch, simsearch_recall,
-#     dedup_prefix_jaccard_pairs, events_transition_matrix);
-#   - 21 of the 45 r4-green queries (the dedup decision/clustering family,
-#     the simsearch quantization tiers, multimodal, stream_curated_ingest)
-#     — the remaining 24 r4-greens rotate in r8 (events_*, sql_api_*,
-#     w_* windows, tpch q2/q10r/q11/q20, text mix/pack/quality reports,
-#     src1_datasource_scrape, stream_join_append, table_profile_documents,
-#     agg_approx_family_check).
-# Max driver-row staleness after r7: r4 everywhere except the r5/r6-green
+#   - all 24 queries whose newest driver row is still r4 (events_*,
+#     sql_api_*, w_* windows, tpch q2/q10r/q11/q20, text mix/pack/quality
+#     reports, src1_datasource_scrape, stream_join_append,
+#     table_profile_documents, agg_approx_family_check);
+#   - 23 of the 47 r5-green queries, heavy-plan/flagship picks first
+#     (curation_pipeline, training_data_build, the simsearch serving tier,
+#     the shard-layout conservation pair, the snk/sink family, the LSH
+#     candidate generators) — the remaining 24 r5-greens (the short
+#     P/A/T/J relational scalars) rotate in r9.
+# Max driver-row staleness after r8: r5 everywhere except the r6+-green
 # core (fresher by construction).
 _DRIVER_WINDOW = [
     # --- §2 family flagships (regression canaries) -------------------------
     "flagship_enrichment_gold",
     "a2_w1_daily_category_gold",
     "src1_scrape_clean",
-    # --- new r7 registration -----------------------------------------------
-    "text_shard_delete_tombstone",
-    # --- newest driver row is r3 (all 25) ----------------------------------
-    "agg_cube_orders",
-    "agg_grouping_sets_orders",
-    "agg_quantiles_quantity",
-    "dedup_prefix_jaccard_pairs",
-    "events_transition_matrix",
-    "j_bloom_pruned_urgent_revenue",
-    "simsearch_recall",
-    "snk_cdc_apply_changes",
-    "snk_merge_upsert_delete",
-    "snk_snapshot_diff",
-    "snk_targeted_delete",
-    "stream_join_outer_append",
-    "stream_stateful_user_counts",
-    "text_adaptive_source_filter",
-    "text_length_quantiles_by_lang",
-    "text_postings_phrase_search",
-    "text_training_mix_sample",
-    "tpch_q10_returned_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_count",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_volume",
-    "tpch_q19_bracketed_revenue",
-    "tpch_q21_sole_returned_supplier",
-    "tpch_q22_idle_customers",
-    # --- newest driver row is r4 (21 of 45; rest rotate in r8) -------------
-    "dedup_candidate_triangles",
-    "dedup_cluster_assignments_star",
-    "dedup_embedding_cosine_pairs",
-    "dedup_exact_substring_pairs",
-    "dedup_fingerprint_quality_decisions",
-    "dedup_incremental_candidates",
-    "dedup_paragraph_rebuild",
-    "dedup_semantic_decisions",
-    "dedup_simhash_pairs",
-    "dedup_substring_clusters",
-    "simsearch_bruteforce_topk",
-    "simsearch_ivf_list_stats",
-    "simsearch_ivfpq_topk",
-    "simsearch_pq_adc_topk",
-    "simsearch_sq8_topk",
-    "emb_quantize_sq8",
-    "mm_audio_features",
-    "mm_binary_features",
-    "mm_frame_sample",
-    "mm_resize_roundtrip",
-    "stream_curated_ingest",
+    # --- newest driver row is r4 (all 24) ----------------------------------
+    "agg_approx_family_check",
+    "events_cohort_retention",
+    "events_daily_anomalies",
+    "events_funnel",
+    "events_multires_rollup",
+    "events_user_features",
+    "sql_api_daily_sentiment",
+    "sql_api_error_cascades",
+    "src1_datasource_scrape",
+    "stream_join_append",
+    "table_profile_documents",
+    "text_pack_greedy",
+    "text_quality_model_scores",
+    "text_source_quality_report",
+    "text_temperature_mix_weights",
+    "text_token_rarity_scores",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q20_excess_shipments",
+    "w_customer_rfm_segments",
+    "w_daily_revenue_deltas",
+    "w_trailing_week_revenue",
+    "w_user_gap_median",
+    # --- newest driver row is r5 (23 of 47; rest rotate in r9) -------------
+    "curation_pipeline",
+    "training_data_build",
+    "simsearch_ivf_topk",
+    "simsearch_lsh_topk",
+    "simsearch_recall_clustered",
+    "text_shard_manifest",
+    "text_shard_write_conservation",
+    "text_decontamination_bloom",
+    "snk_compaction_roundtrip",
+    "snk_incremental_gold",
+    "snk_silver_partitioned_prune",
+    "src_csv_roundtrip",
+    "u1_union_dedup",
+    "q_expectations_report",
+    "q_validation_gates",
+    "ev_asof_last_purchase",
+    "dedup_cluster_assignments",
+    "dedup_minhash_lsh_candidates",
+    "dedup_simhash_lsh_candidates",
+    "a1_daily_sentiment_gold",
+    "a9_sentiment_distribution_pct",
+    "p1_staging_projection",
+    "t3_recent_headlines_topk",
 ]
 
-# Driver-green in CORRECTNESS_r01 ∪ r02 ∪ r03 (still value-hash-checked every
-# round by tests/test_oracle_parity.py) — these yield the window to
-# never-checked queries.
+# All previously driver-proven names (newest green driver row in some
+# CORRECTNESS_r0N.json; still value-hash-checked every round by
+# tests/test_oracle_parity.py) — these yield the window to never-checked
+# queries. Grouped below by the round whose rotation moved them out.
 _PRIOR_GREEN = {
+    # r07 greens (the whole r7 window was green 50/50; the name below is
+    # the only r7-window member without an earlier _PRIOR_GREEN row —
+    # the tombstone seam query registered and proven in r7)
+    "text_shard_delete_tombstone",
     # r06 greens (the whole r6 window was green 50/50; names below are the
     # r6-window members without an earlier _PRIOR_GREEN row, rotated out
     # for r7 — the shard lifecycle family registered and proven in r6)

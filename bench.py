@@ -164,6 +164,20 @@ def _median(samples: list[float]) -> float:
     return samples[(len(samples) - 1) // 2]
 
 
+def _calibrate(spark) -> dict[str, float]:
+    """Fixed-workload machine-speed probe on the warm session: a pure-Python
+    loop (driver/worker CPU) and a JVM whole-stage-codegen range-sum
+    (executor CPU). `id % 1000000` keeps the sum inside a long under ANSI
+    arithmetic (sum(id*id) over this range overflows)."""
+    t0 = time.time()
+    _ = sum(i * i for i in range(5_000_000))
+    py_cal = round(time.time() - t0, 3)
+    t0 = time.time()
+    spark.range(200_000_000).selectExpr("sum(id % 1000000)").collect()
+    jvm_cal = round(time.time() - t0, 3)
+    return {"python_loop_s": py_cal, "jvm_range_sum_s": jvm_cal}
+
+
 WRITE_RUNS = 3  # same median-of-3 + dispersion treatment as the headline
 # tier (VERDICT-r6 item 3): the lifecycle ops are the newest code and the
 # most likely to regress, so a real regression must be attributable
@@ -281,6 +295,48 @@ def _writes_tier(spark) -> dict:
     return {"data_ratio": float(SCALE_COPIES), "ops": result}
 
 
+def _writes_distinct_tier(spark) -> dict:
+    """The honest-cardinality lifecycle stress (VERDICT-r7 item 6, promoted
+    from tools/measured.py so it re-measures every round): the `writes`
+    tier's 10x replica multiplies ROWS but its copies share doc_ids'
+    hash spread; real ingest grows distinct keys WITH the data. This tier
+    runs the full append(3 live-gated batches) → compact → delete →
+    manifest+verify scenario on the base corpus and on a token-rotated
+    10x-DISTINCT corpus (10x docs AND 10x distinct doc_ids/content
+    hashes), median-of-3 with dispersion. Ratios at or below the 10x data
+    ratio mean the membership gates, fragment re-lays, and affected-shard
+    rewrites stay IO-proportional when key cardinality actually grows;
+    verify_shards is asserted all-OK inside every scenario pass."""
+    import shutil
+
+    from tools.measured import _build_distinct_10x, lifecycle_scenario
+
+    big = _build_distinct_10x(spark, SF_DIR)
+    try:
+        def tier(d: str) -> dict[str, dict]:
+            passes = [lifecycle_scenario(spark, d) for _ in range(WRITE_RUNS)]
+            out: dict[str, dict] = {}
+            for op in passes[0]:
+                runs = sorted(round(p[op], 3) for p in passes)
+                out[op] = {"runs": runs, "med": _median(runs)}
+            return out
+
+        base_t, big_t = tier(SF_DIR), tier(big)
+        ops: dict[str, dict] = {}
+        for op in base_t:
+            entry = {"base": base_t[op], "big": big_t[op]}
+            if base_t[op]["med"] > 0:
+                entry["ratio"] = round(big_t[op]["med"] / base_t[op]["med"], 2)
+            ops[op] = entry
+            sys.stderr.write(
+                f"[writes_distinct] {op}: base {base_t[op]['med']}s, "
+                f"10x-distinct {big_t[op]['med']}s (ratio {entry.get('ratio')})\n"
+            )
+        return {"data_ratio": 10.0, "distinct_ratio": 10.0, "ops": ops}
+    finally:
+        shutil.rmtree(big, ignore_errors=True)
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from airdatapipeline_spark.session import get_spark
@@ -308,17 +364,15 @@ def main() -> None:
     # JVM whole-stage-codegen) timed on the warm session. Query timings
     # only compare fairly across runs/rounds when the HOST was equally
     # fast — identical-HEAD runs have been observed to drift uniformly
-    # ~1.3x under ambient host throttling (r7) — so every BENCH_DETAIL
-    # carries its own reference: divide query medians by the calibration
-    # ratio of two runs before attributing a cross-run delta to a plan.
-    t0 = time.time()
-    _ = sum(i * i for i in range(5_000_000))
-    py_cal = round(time.time() - t0, 3)
-    t0 = time.time()
-    spark.range(200_000_000).selectExpr("sum(id % 1000000)").collect()
-    jvm_cal = round(time.time() - t0, 3)
-    calibration = {"python_loop_s": py_cal, "jvm_range_sum_s": jvm_cal}
-    sys.stderr.write(f"[calibration] python {py_cal}s, jvm {jvm_cal}s\n")
+    # ~1.3x under ambient host throttling (r7) — so the bench carries its
+    # own reference IN THE COMPACT LINE (VERDICT-r7 item 1): probes at
+    # suite start AND end bracket the run, so a mid-run throttle window is
+    # visible, and a `throttled` flag (probe drift > 1.15 in either
+    # direction) marks the whole reading untrustworthy for cross-round
+    # comparison. Divide two runs' query medians by their jvm-probe ratio
+    # before attributing a delta to a plan.
+    cal_start = _calibrate(spark)
+    sys.stderr.write(f"[calibration/start] {cal_start}\n")
 
     def make_fn(name: str, sf_dir: str):
         if name == "flagship_pipeline":
@@ -379,17 +433,48 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 - bench must still emit its line
         writes = {"error": f"{type(exc).__name__}: {exc}"}
 
+    # --- writes_distinct tier: the lifecycle scenario under 10x-DISTINCT
+    # ingest (VERDICT-r7 item 6, promoted from tools/measured.py so the
+    # honest-cardinality ratios are re-measured every round, not once) ----
+    writes_distinct: dict | None = None
+    try:
+        writes_distinct = _writes_distinct_tier(spark)
+    except Exception as exc:  # noqa: BLE001 - bench must still emit its line
+        writes_distinct = {"error": f"{type(exc).__name__}: {exc}"}
+
+    # end-of-suite probe: brackets the run so a mid-suite throttle window
+    # is visible (a single start-of-run sample cannot attribute third-run
+    # outliers in `dispersion` to host drift)
+    cal_end = _calibrate(spark)
+    sys.stderr.write(f"[calibration/end] {cal_end}\n")
+    jvm_pair = sorted((cal_start["jvm_range_sum_s"], cal_end["jvm_range_sum_s"]))
+    py_pair = sorted((cal_start["python_loop_s"], cal_end["python_loop_s"]))
+    jvm_drift = round(jvm_pair[1] / jvm_pair[0], 3) if jvm_pair[0] > 0 else None
+    py_drift = round(py_pair[1] / py_pair[0], 3) if py_pair[0] > 0 else None
+    throttled = bool(jvm_drift and jvm_drift > 1.15)
+    calibration_line = {
+        "start": cal_start,
+        "end": cal_end,
+        "jvm_drift": jvm_drift,
+        "py_drift": py_drift,
+        "throttled": throttled,
+    }
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     detail = {
         "calibration": {
             "note": (
                 "fixed-workload machine-speed reference (pure-Python loop "
-                "+ JVM codegen range-sum on the warm session). Compare two "
-                "runs' query medians only after dividing by their "
-                "calibration ratio: identical-HEAD runs drift uniformly "
-                "~1.3x under ambient host throttling (observed r7)."
+                "+ JVM codegen range-sum on the warm session), probed at "
+                "suite START and END — same dict as the compact line's "
+                "`calibration` key. Compare two runs' query medians only "
+                "after dividing by their jvm-probe ratio: identical-HEAD "
+                "runs drift uniformly ~1.3x under ambient host throttling "
+                "(observed r7). throttled = start/end jvm drift > 1.15 "
+                "(either direction): the reading is not comparable "
+                "cross-round without normalizing."
             ),
-            **calibration,
+            **calibration_line,
         },
         "dispersion": {
             "note": (
@@ -412,6 +497,7 @@ def main() -> None:
         },
         "scaling": scaling,
         "writes": writes,
+        "writes_distinct": writes_distinct,
         "note": (
             "headline contains scale-safe plans only (brute-force ANN "
             "lives in the verifier section); scaling re-measures the "
@@ -433,6 +519,9 @@ def main() -> None:
     sys.stderr.write(f"verifier/scaling detail written to {detail_path}\n")
 
     # The compact line is the LAST stdout line (driver parses the tail).
+    # `calibration` rides in-band (VERDICT-r7 item 1) so BENCH_r0N.json is
+    # self-normalizing: cross-round deltas divide by the jvm probe ratio,
+    # and `throttled` flags a run whose own start/end probes disagree.
     print(
         json.dumps(
             {
@@ -441,6 +530,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
+                "calibration": calibration_line,
             }
         )
     )

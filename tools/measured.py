@@ -228,6 +228,52 @@ def _build_distinct_10x(spark, sf_dir: str) -> str:
     return tmp
 
 
+def lifecycle_scenario(spark, corpus_dir: str) -> dict[str, float]:
+    """One full lifecycle pass over corpus dir `corpus_dir`: untimed setup
+    (base-layout write from the 90% slice), then timed append(3 live-gated
+    batches) → compact → delete → manifest+verify. verify_shards is
+    asserted all-OK — conservation under stress, not just speed. Shared by
+    MEASURED.md's stress section and bench.py's writes_distinct tier."""
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from airdatapipeline_spark.io import load_table
+    from airdatapipeline_spark.operators import corpus
+
+    work = tempfile.mkdtemp(prefix="lifecycle_stress_")
+    docs = load_table(spark, corpus_dir, "documents")
+    base_sf = f"{work}/base_sf"
+    docs.filter(F.col("doc_id") % 10 != 0).write.mode("overwrite").parquet(
+        f"{base_sf}/documents.parquet"
+    )
+    out = f"{work}/layout"
+    corpus.write_shards(spark, base_sf, out)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    t: dict[str, float] = {}
+    t0 = time.time()
+    for k in range(3):  # K delta batches, each through the live gate
+        corpus.append_docs(spark, delta.filter(F.pmod("doc_id", F.lit(30)) == 10 * k), out)
+    t["append_3_batches"] = time.time() - t0
+    t0 = time.time()
+    corpus.compact_shards(spark, out, min_fill=0.85)
+    t["compact_shards"] = time.time() - t0
+    doomed = docs.filter(F.col("doc_id") % 70 == 0).select("doc_id")
+    t0 = time.time()
+    corpus.delete_from_shards(spark, doomed, out)
+    t["delete_from_shards"] = time.time() - t0
+    t0 = time.time()
+    corpus.write_layout_manifest(spark, out)
+    report = corpus.verify_shards(spark, out).collect()
+    t["manifest_verify"] = time.time() - t0
+    bad = [r for r in report if not r["shard_ok"]]
+    assert not bad, f"verify_shards red under stress at {corpus_dir}: {bad[:3]}"
+    shutil.rmtree(work, ignore_errors=True)
+    return t
+
+
 def lifecycle_stress_lines(spark, sf_dir: str, big: str | None = None) -> list[str]:
     """Lifecycle writes under the 10x-DISTINCT corpus (VERDICT-r6 item 6):
     the bench writes tier's 10x replica multiplies rows but not the hash
@@ -240,54 +286,14 @@ def lifecycle_stress_lines(spark, sf_dir: str, big: str | None = None) -> list[s
     cardinality actually grows. verify_shards must also come back all-OK
     on the distinct corpus — conservation under stress, not just speed."""
     import shutil
-    import tempfile
-    import time
-
-    from pyspark.sql import functions as F
-
-    from airdatapipeline_spark.io import load_table
-    from airdatapipeline_spark.operators import corpus
 
     own_corpus = big is None
     if own_corpus:
         big = _build_distinct_10x(spark, sf_dir)
 
-    def scenario(d: str) -> dict[str, float]:
-        """One full lifecycle pass over corpus dir `d`; setup (base-layout
-        write from the 90% slice) is untimed, each op is timed."""
-        work = tempfile.mkdtemp(prefix="lifecycle_stress_")
-        docs = load_table(spark, d, "documents")
-        base_sf = f"{work}/base_sf"
-        docs.filter(F.col("doc_id") % 10 != 0).write.mode("overwrite").parquet(
-            f"{base_sf}/documents.parquet"
-        )
-        out = f"{work}/layout"
-        corpus.write_shards(spark, base_sf, out)
-        delta = docs.filter(F.col("doc_id") % 10 == 0)
-        t: dict[str, float] = {}
-        t0 = time.time()
-        for k in range(3):  # K delta batches, each through the live gate
-            corpus.append_docs(spark, delta.filter(F.pmod("doc_id", F.lit(30)) == 10 * k), out)
-        t["append_3_batches"] = time.time() - t0
-        t0 = time.time()
-        corpus.compact_shards(spark, out, min_fill=0.85)
-        t["compact_shards"] = time.time() - t0
-        doomed = docs.filter(F.col("doc_id") % 70 == 0).select("doc_id")
-        t0 = time.time()
-        corpus.delete_from_shards(spark, doomed, out)
-        t["delete_from_shards"] = time.time() - t0
-        t0 = time.time()
-        corpus.write_layout_manifest(spark, out)
-        report = corpus.verify_shards(spark, out).collect()
-        t["manifest_verify"] = time.time() - t0
-        bad = [r for r in report if not r["shard_ok"]]
-        assert not bad, f"verify_shards red under stress at {d}: {bad[:3]}"
-        shutil.rmtree(work, ignore_errors=True)
-        return t
-
     # best-of-2 per corpus (fresh layout each pass: writes mutate state)
     def best(d: str) -> dict[str, float]:
-        a, b = scenario(d), scenario(d)
+        a, b = lifecycle_scenario(spark, d), lifecycle_scenario(spark, d)
         return {k: min(a[k], b[k]) for k in a}
 
     base_t, big_t = best(sf_dir), best(big)
