@@ -201,7 +201,11 @@ def main(argv: list[str] | None = None) -> int:
     elif args.job == "shards":
         from .operators import corpus
 
-        budget = args.budget or corpus.SHARD_TOKENS
+        # `is not None`, not `or`: an explicit --budget 0 must error below,
+        # not silently become the default (ADVICE-r7)
+        budget = args.budget if args.budget is not None else corpus.SHARD_TOKENS
+        if budget <= 0:
+            p.error(f"--budget must be a positive token count, got {budget}")
         if args.action == "write":
             res = corpus.write_shards(spark, args.sf_dir, args.layout, budget)
         elif args.action == "append":
@@ -237,7 +241,6 @@ def main(argv: list[str] | None = None) -> int:
             if args.out:
                 res["out"] = args.out
         elif args.action == "slice":
-            budget = args.budget or corpus.SHARD_TOKENS
             end_tok = (
                 args.end_tok if args.end_tok is not None else args.start_tok + budget
             )

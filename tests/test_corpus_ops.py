@@ -997,3 +997,135 @@ def test_write_shards_fully_tombstoned_source_yields_shardless_root(spark, tmp_p
     )
     with pytest.raises(ValueError, match="no documents"):
         corpus.write_shards(spark, empty_sf, str(tmp_path / "fresh"))
+
+
+def test_reader_survives_swap_window(spark, tmp_path, monkeypatch):
+    """The read-side swap contract (VERDICT-r7 item 3): the root swap's
+    two renames open an ENOENT window the writer flock does NOT cover
+    (it excludes only writers). A reader whose first attempt lands inside
+    the window — provoked here by holding the window open via the
+    `_between_swap_renames` test seam — must retry and return a complete
+    generation, never a hole; the local analogue of Postgres MVCC, which
+    gives the reference this for free."""
+    import threading
+    import time
+
+    out = _append_fixture(spark, tmp_path)
+    expected = corpus.read_shards(spark, out).count()
+
+    window_open = threading.Event()
+    got: list[int] = []
+    err: list[BaseException] = []
+
+    def reader():
+        window_open.wait(timeout=30)
+        try:
+            got.append(corpus.read_shards(spark, out).count())
+        except BaseException as e:  # noqa: BLE001 - surfaced by the assert
+            err.append(e)
+
+    def hook():
+        window_open.set()
+        time.sleep(0.6)  # hold the window across the reader's first attempt
+
+    t = threading.Thread(target=reader)
+    t.start()
+    monkeypatch.setattr(corpus, "_between_swap_renames", hook)
+    try:
+        corpus.write_shards(spark, str(tmp_path / "base_sf"), out)
+    finally:
+        t.join(timeout=30)
+    assert not err, f"reader died inside the swap window: {err[0]!r}"
+    assert got == [expected]
+
+
+def test_recover_sweeps_stray_lock_only_when_root_gone(spark, tmp_path):
+    """Lock-file hygiene (VERDICT-r7 item 5): a `<out>.__lock__` sibling
+    outliving its retired layout root is swept by recover_shards — but
+    never while any writer holds the flock (including a bootstrapping
+    write_shards' own recover call), so the sweep cannot reopen the
+    single-writer contract."""
+    import fcntl
+    import os
+    import shutil
+
+    out = _append_fixture(spark, tmp_path)
+    lock = os.path.realpath(out) + ".__lock__"
+    assert os.path.exists(lock), "the fixture's write_shards creates the lock file"
+    # root alive: not stray, sweep must not touch it
+    assert corpus.recover_shards(out) is False
+    assert os.path.exists(lock)
+    # root retired: swept
+    shutil.rmtree(out)
+    corpus.recover_shards(out)
+    assert not os.path.exists(lock)
+    # a held lock is NEVER stray, even with the root gone (a writer may be
+    # bootstrapping it right now)
+    fd = os.open(lock, os.O_CREAT | os.O_RDWR, 0o644)
+    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    try:
+        corpus.recover_shards(out)
+        assert os.path.exists(lock)
+    finally:
+        os.close(fd)
+    # and the bootstrap path still works over the swept state: write_shards
+    # takes the lock, its own recover call skips the sweep (flock held),
+    # and the layout comes back
+    res = corpus.write_shards(spark, str(tmp_path / "base_sf"), out)
+    assert res["n_docs"] > 0 and os.path.exists(out)
+
+
+def test_write_shards_empty_source_vs_fully_tombstoned(spark, tmp_path):
+    """ADVICE-r7: zero admitted docs must distinguish its two causes. An
+    EMPTY source over a tombstoned root is a misconfiguration (wrong
+    --sf-dir) and must crash without touching the serving state — only a
+    non-empty source whose every doc the tombstones barred may produce
+    the shard-less root."""
+    import os
+
+    out = str(tmp_path / "layout")
+    docs = load_table(spark, SF, "documents")
+    # takedown ahead of first ingest: root exists, tombstones present
+    corpus.delete_from_shards(spark, docs.limit(5).select("doc_id"), out)
+    empty_sf = str(tmp_path / "empty_sf")
+    docs.limit(0).write.mode("overwrite").parquet(
+        os.path.join(empty_sf, "documents.parquet")
+    )
+    with pytest.raises(ValueError, match="no documents"):
+        corpus.write_shards(spark, empty_sf, out)
+    # the failed rewrite mutated nothing: the bar is intact
+    assert corpus.read_tombstones(spark, out).distinct().count() == 5
+
+
+def test_vacuum_tombstones_shrinks_bar_and_readmits(spark, tmp_path):
+    """vacuum_tombstones is the ONE sanctioned tombstone shrink: vacuumed
+    ids become re-admissible, every other id stays barred, and vacuuming
+    the rest empties the bar entirely (read_tombstones -> None)."""
+    out = _append_fixture(spark, tmp_path)
+    docs = load_table(spark, SF, "documents")
+    barred = docs.filter(F.col("doc_id") % 4 == 0).select("doc_id")
+    corpus.delete_from_shards(spark, barred, out)
+    n_barred = barred.count()
+
+    vac = docs.filter(F.col("doc_id") % 8 == 0).select("doc_id")
+    res = corpus.vacuum_tombstones(spark, vac, out)
+    still = docs.filter(
+        (F.col("doc_id") % 4 == 0) & (F.col("doc_id") % 8 != 0)
+    )
+    assert res["n_remaining"] == still.count()
+    assert res["n_vacuumed"] == n_barred - still.count()
+    assert corpus.read_tombstones(spark, out).distinct().count() == still.count()
+
+    # re-ingest: vacuumed ids re-admit, surviving tombstones still bar
+    corpus.append_docs(spark, docs, out)
+    back = corpus.read_shards(spark, out)
+    n_vac_docs = docs.filter(F.col("doc_id") % 8 == 0).count()
+    assert back.filter(F.col("doc_id") % 8 == 0).count() == n_vac_docs
+    assert back.join(still, "doc_id", "left_semi").count() == 0
+
+    # vacuum the remainder: the bar disappears entirely
+    res2 = corpus.vacuum_tombstones(spark, still, out)
+    assert res2["n_remaining"] == 0 and res2["n_vacuumed"] == still.count()
+    assert corpus.read_tombstones(spark, out) is None
+    # idempotent on an empty bar
+    assert corpus.vacuum_tombstones(spark, still, out)["n_vacuumed"] == 0

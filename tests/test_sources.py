@@ -931,3 +931,18 @@ def test_jobs_cli_shard_lifecycle(spark, tmp_path):
     assert rc == 0 and out["covering_shards"]
     first = out["covering_shards"][0]
     assert first["order_rank"] == 1 and first["epoch_start_off"] == 0
+
+
+def test_shards_cli_rejects_nonpositive_budget(spark, tmp_path):
+    """ADVICE-r7: an explicit `--budget 0` must error out of argparse, not
+    silently become the default token budget."""
+    import pytest
+
+    from airdatapipeline_spark import jobs
+
+    with pytest.raises(SystemExit) as exc:
+        jobs.main([
+            "shards", "write", "--layout", str(tmp_path / "layout"),
+            "--sf-dir", SF_SMALL, "--budget", "0",
+        ])
+    assert exc.value.code == 2  # argparse usage error
