@@ -10,9 +10,10 @@ SparkSubmitOperator, cron, or any scheduler at these).
     python -m airdatapipeline_spark.jobs curate  --sf-dir DIR [--out DIR]
     python -m airdatapipeline_spark.jobs expectations --sf-dir DIR [--strict]
     python -m airdatapipeline_spark.jobs shards  ACTION --layout DIR [...]
-        (ACTION: write | append | compact | delete | manifest | verify —
-         the trainer shard-layout lifecycle; verify exits nonzero on any
-         red shard, the pre-training integrity gate)
+        (ACTION: write | append | compact | delete | vacuum | manifest |
+         verify | schedule | slice — the trainer shard-layout lifecycle;
+         verify exits nonzero on any red shard, the pre-training
+         integrity gate)
 
 Task mapping to the reference (file:line in /root/reference/):
   scrape   = g1_scraping_pipeline (dags/g1_scraping_dag.py:86)
@@ -91,8 +92,8 @@ def main(argv: list[str] | None = None) -> int:
     sh.add_argument(
         "action",
         choices=[
-            "write", "append", "compact", "delete", "manifest", "verify",
-            "schedule", "slice",
+            "write", "append", "compact", "delete", "vacuum", "manifest",
+            "verify", "schedule", "slice",
         ],
     )
     sh.add_argument("--layout", required=True, help="shard layout root directory")
@@ -102,7 +103,7 @@ def main(argv: list[str] | None = None) -> int:
     sh.add_argument("--min-fill", type=float, default=0.5,
                     help="compact shards below this fill fraction")
     sh.add_argument("--ids", default=None,
-                    help="delete: parquet path with a doc_id column")
+                    help="delete/vacuum: parquet path with a doc_id column")
     sh.add_argument("--no-tombstone", action="store_true",
                     help="delete: do NOT record the ids in the layout's "
                     "_deleted/ table (allows later re-admission; default "
@@ -220,6 +221,14 @@ def main(argv: list[str] | None = None) -> int:
             res = corpus.delete_from_shards(
                 spark, spark.read.parquet(args.ids), args.layout,
                 tombstone=not args.no_tombstone,
+            )
+        elif args.action == "vacuum":
+            # the ONE sanctioned tombstone shrink: the operator attests the
+            # ids can never be redelivered (see corpus.vacuum_tombstones)
+            if not args.ids:
+                p.error("shards vacuum requires --ids PARQUET_PATH")
+            res = corpus.vacuum_tombstones(
+                spark, spark.read.parquet(args.ids), args.layout
             )
         elif args.action == "manifest":
             res = {"manifest": corpus.write_layout_manifest(spark, args.layout)}

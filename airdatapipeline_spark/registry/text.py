@@ -1056,6 +1056,87 @@ def t_shard_delete_tombstone(spark, sf_dir):
 
 
 @register(
+    "text_shard_vacuum_readmit",
+    f"""
+    WITH fin AS (
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+             CAST(concat('0x', substr(md5(text), 1, 14)) AS BIGINT) AS chash
+      FROM documents WHERE doc_id % 4 <> 0 OR doc_id % 8 = 0
+    ),
+    t AS (
+      SELECT COUNT(DISTINCT doc_id) AS n_tombstones
+      FROM documents WHERE doc_id % 4 = 0 AND doc_id % 8 <> 0
+    ),
+    r AS (
+      SELECT COUNT(DISTINCT doc_id) AS n_readmitted
+      FROM documents WHERE doc_id % 8 = 0
+    )
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT doc_id) AS n_unique_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(chash) % {corpus.HASH_SUM_MOD} AS BIGINT) AS content_hash_sum,
+           t.n_tombstones,
+           r.n_readmitted,
+           CAST(0 AS BIGINT) AS n_barred_present
+    FROM fin, t, r
+    GROUP BY t.n_tombstones, r.n_readmitted
+    """,
+)
+def t_shard_vacuum_readmit(spark, sf_dir):
+    """vacuum_tombstones — the ONE sanctioned tombstone shrink (r8;
+    delete_from_shards documents the append-only growth contract it is
+    the exception to). Scenario in closed form: base layout from doc_id %
+    3 != 0; tombstone-delete all doc_id % 4 == 0; VACUUM the multiples of
+    8 (caller attests they can never be redelivered — here, a reversed
+    takedown); append the FULL corpus. Vacuumed ids re-admit, surviving
+    tombstones still bar, so final membership is exactly {{doc_id % 4 !=
+    0 OR doc_id % 8 == 0}}, the surviving bar is {{%4==0 AND %8!=0}}, and
+    every multiple of 8 is back (n_readmitted). The audit row recomputes
+    membership/token/fingerprint totals from the WRITTEN payload plus the
+    barred-present count pinned 0 in-oracle; vacuum's monotone
+    crash-safety (new file admitted before old files retire) and
+    empty-bar idempotency are pytest-asserted
+    (tests/test_corpus_ops.py::test_vacuum_tombstones_shrinks_bar_and_readmits)."""
+    import os
+
+    from ..io import load_table
+    from ..operators.text import tokens_col
+
+    root = tempfile.mkdtemp(prefix="shards_vacuum_")
+    base_sf = os.path.join(root, "base_sf")
+    out = os.path.join(root, "layout")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") % 3 != 0).write.mode("overwrite").parquet(
+        os.path.join(base_sf, "documents.parquet")
+    )
+    corpus.write_shards(spark, base_sf, out)
+    corpus.delete_from_shards(
+        spark, docs.filter(F.col("doc_id") % 4 == 0).select("doc_id"), out
+    )
+    corpus.vacuum_tombstones(
+        spark, docs.filter(F.col("doc_id") % 8 == 0).select("doc_id"), out
+    )
+    corpus.append_shards(spark, sf_dir, out)
+    back = corpus.read_shards(spark, out)
+    tombs = corpus.read_tombstones(spark, out)
+    audit = back.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("doc_id").alias("n_unique_docs"),
+        F.sum(F.size(tokens_col()).cast("long")).alias("total_tokens"),
+        corpus.content_hash_sum().alias("content_hash_sum"),
+    )
+    n_t = tombs.agg(F.countDistinct("doc_id").alias("n_tombstones"))
+    n_r = back.filter(F.col("doc_id") % 8 == 0).agg(
+        F.countDistinct("doc_id").alias("n_readmitted")
+    )
+    n_b = back.join(tombs, "doc_id", "left_semi").agg(
+        F.count("*").alias("n_barred_present")
+    )
+    return audit.crossJoin(n_t).crossJoin(n_r).crossJoin(n_b)
+
+
+@register(
     "text_shard_verify_report",
     f"""
     WITH per AS (

@@ -910,6 +910,8 @@ def test_jobs_cli_shard_lifecycle(spark, tmp_path):
     rc, out = run(["shards", "delete", "--layout", layout, "--ids", ids_path])
     assert rc == 0 and out["n_deleted"] > 0
     assert not os.path.exists(os.path.join(layout, "_manifest"))  # invalidated
+    rc, out = run(["shards", "vacuum", "--layout", layout, "--ids", ids_path])
+    assert rc == 0 and out["n_vacuumed"] > 0 and out["n_remaining"] == 0
     rc, _ = run(["shards", "manifest", "--layout", layout])
     assert rc == 0
     rc, out = run(["shards", "verify", "--layout", layout])
