@@ -347,3 +347,55 @@ def test_bench_query_names_exist_in_registry():
         assert not missing, f"bench.{tier_name} references unknown queries: {missing}"
     # scaling must be a subset of headline (ratios divide by headline times)
     assert set(bench.SCALING) <= set(bench.HEADLINE)
+
+
+def test_dashboard_html_matches_golden(spark):
+    """Golden-file parity for the dashboard export (VERDICT-r7 item 8):
+    the full --html render at sf0.001 (fixed 2025-08-02..06 window) is
+    byte-compared SECTION BY SECTION against a committed golden, catching
+    silent chart-DATA drift the structural per-section assertions above
+    cannot (a changed value renders a perfectly well-formed wrong chart).
+    Regenerate after an intended change with:
+      python tools/dashboard.py /root/testdata/sf0.001 \
+        --start 2025-08-02 --end 2025-08-06 \
+        --html tests/golden/dashboard_sf0.001.html
+    and review the diff like any other golden update."""
+    import importlib.util
+    import os
+    import re
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "dash_tool_golden",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "dashboard.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["dash_tool_golden"] = mod
+    spec.loader.exec_module(mod)
+
+    html = mod.build_sections(
+        spark, "/root/testdata/sf0.001", "2025-08-02", "2025-08-06"
+    ).html()
+    golden_path = os.path.join(
+        os.path.dirname(__file__), "golden", "dashboard_sf0.001.html"
+    )
+    golden = open(golden_path).read()
+
+    def by_section(doc: str) -> dict[str, str]:
+        parts = re.split(r"(?=<h2>)", doc)
+        return {
+            (re.match(r"<h2>(.*?)</h2>", p).group(1) if p.startswith("<h2>") else "<preamble>"): p
+            for p in parts
+        }
+
+    got, want = by_section(html), by_section(golden)
+    assert sorted(got) == sorted(want), (
+        f"section set drifted: +{sorted(set(got) - set(want))} "
+        f"-{sorted(set(want) - set(got))}"
+    )
+    for title in want:
+        assert got[title] == want[title], (
+            f"dashboard section {title!r} drifted from the golden render — "
+            f"if intended, regenerate per the docstring and review the diff"
+        )
+    assert html == golden  # belt-and-braces whole-document equality
