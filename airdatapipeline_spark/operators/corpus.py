@@ -199,16 +199,30 @@ def _layout_write_lock(out_path: str):
     # O_CREAT does not create parents; a fresh nested layout path must
     # not fail here when the op itself would have created the dirs
     os.makedirs(os.path.dirname(key), exist_ok=True)
-    fd = os.open(key + ".__lock__", os.O_CREAT | os.O_RDWR, 0o644)
-    try:
+    while True:
+        fd = os.open(key + ".__lock__", os.O_CREAT | os.O_RDWR, 0o644)
         try:
             fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
         except BlockingIOError:
+            os.close(fd)
             raise RuntimeError(
                 f"layout {out_path} is locked by another lifecycle "
                 f"writer; the shard ops are single-writer per layout "
                 f"— retry after it finishes"
             ) from None
+        # revalidate the inode: recover()'s stray-lock sweep may have
+        # unlinked (and a third writer recreated) the file between our
+        # open and flock — a lock held on an orphaned inode excludes
+        # nobody, so loop onto the file currently at the path instead
+        st = os.fstat(fd)
+        try:
+            cur = os.stat(key + ".__lock__")
+        except FileNotFoundError:
+            cur = None
+        if cur is not None and (cur.st_ino, cur.st_dev) == (st.st_ino, st.st_dev):
+            break
+        os.close(fd)
+    try:
         held.add(key)
         try:
             yield
@@ -1123,6 +1137,10 @@ def vacuum_tombstones(spark: SparkSession, doc_ids: DataFrame, out_path: str) ->
     import shutil
 
     out_path = out_path.rstrip("/")
+    # like every lifecycle op: heal a crashed swap FIRST, or a layout
+    # parked at __old__ would make this report a spuriously empty bar
+    # (n_vacuumed=0) while the tombstones survive the next recover
+    recover_shards(out_path)
     tomb_dir = os.path.join(out_path, "_deleted")
     tombs = read_tombstones(spark, out_path)
     if tombs is None:
@@ -1162,12 +1180,24 @@ def read_shards(spark: SparkSession, out_path: str) -> DataFrame:
     renames open a sub-millisecond window where the path does not exist
     (the writer flock excludes only WRITERS), so a cross-process reader
     can hit PATH_NOT_FOUND on a perfectly healthy layout. This read
-    absorbs the window by retrying briefly — the local analogue of the
-    MVCC snapshot a Postgres reader gets for free (the reference's store,
-    scripts/init_db.py): a reader sees the previous or the new
-    generation, never a hole. A path still absent after the deadline is
-    genuinely missing (or a writer crashed mid-swap — run recover_shards)
-    and the error propagates."""
+    absorbs the window by retrying briefly — but ONLY while the window's
+    own evidence is present (`<out>.__old__`, the parked previous
+    generation, exists exactly between the renames), so a genuinely
+    missing path (typo'd CLI --layout, retired root) still fails on the
+    first attempt rather than spinning out the deadline. A path still
+    absent after the deadline means a writer crashed mid-swap — run
+    recover_shards — and the error propagates.
+
+    Scope: the guarantee covers DataFrame CONSTRUCTION — the local
+    analogue of the MVCC snapshot a Postgres reader gets for free (the
+    reference's store, scripts/init_db.py): a reader constructing during
+    a swap sees the previous or the new generation, never a hole. A LAZY
+    DataFrame held across a LATER swap pins the old file listing and
+    follows normal Spark file-source semantics (its action may fail with
+    FileNotFoundException once the old generation's files retire) —
+    re-read, or refreshByPath, after a known mutation, as with any Spark
+    path-based source."""
+    import os
     import time
 
     from pyspark.errors import AnalysisException
@@ -1179,7 +1209,12 @@ def read_shards(spark: SparkSession, out_path: str) -> DataFrame:
                 "shard_id", F.col("shard_id").cast("long")
             )
         except AnalysisException as exc:
-            if "PATH_NOT_FOUND" not in str(exc) or time.monotonic() >= deadline:
+            swap_in_flight = os.path.exists(out_path.rstrip("/") + ".__old__")
+            if (
+                "PATH_NOT_FOUND" not in str(exc)
+                or not swap_in_flight
+                or time.monotonic() >= deadline
+            ):
                 raise
             time.sleep(0.05)
 

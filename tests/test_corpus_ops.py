@@ -1129,3 +1129,33 @@ def test_vacuum_tombstones_shrinks_bar_and_readmits(spark, tmp_path):
     assert corpus.read_tombstones(spark, out) is None
     # idempotent on an empty bar
     assert corpus.vacuum_tombstones(spark, still, out)["n_vacuumed"] == 0
+
+
+def test_lock_key_collapses_symlinked_aliases(spark, tmp_path):
+    """ADVICE-r7: two writers addressing ONE layout through different
+    symlinked paths must contend on the SAME lock file (realpath key) —
+    an abspath key would flock two different siblings and let their
+    staged swaps interleave."""
+    import fcntl
+    import os
+
+    out = _append_fixture(spark, tmp_path)
+    alias_parent = tmp_path / "alias_parent"
+    os.symlink(str(tmp_path), str(alias_parent))
+    alias = str(alias_parent / "layout")
+    assert os.path.realpath(alias) == os.path.realpath(out)
+
+    # a foreign writer holds the canonical lock ...
+    fd = os.open(os.path.realpath(out) + ".__lock__", os.O_CREAT | os.O_RDWR, 0o644)
+    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    try:
+        # ... so a mutating op THROUGH THE ALIAS must be excluded too
+        docs = load_table(spark, SF, "documents")
+        with pytest.raises(RuntimeError, match="locked by another"):
+            corpus.append_docs(spark, docs, alias)
+    finally:
+        os.close(fd)
+    # free again: the aliased op proceeds and lands in the real layout
+    res = corpus.append_docs(spark, load_table(spark, SF, "documents"), alias)
+    assert res["n_new_docs"] > 0
+    assert corpus.read_shards(spark, out).count() == corpus.read_shards(spark, alias).count()
