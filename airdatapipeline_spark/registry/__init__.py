@@ -72,12 +72,14 @@ from . import sources_sinks  # noqa: F401,E402
 #     sql_api_*, w_* windows, tpch q2/q10r/q11/q20, text mix/pack/quality
 #     reports, src1_datasource_scrape, stream_join_append,
 #     table_profile_documents, agg_approx_family_check);
-#   - the new r8 registration (text_shard_vacuum_readmit — the sanctioned
-#     tombstone shrink + re-admission seam);
-#   - 22 of the 47 r5-green queries, heavy-plan/flagship picks first
+#   - the new r8 registrations (text_shard_vacuum_readmit — the sanctioned
+#     tombstone shrink + re-admission seam; simsearch_bq_topk — the 1-bit
+#     binary-quantization ANN tier, which takes p1_staging_projection's
+#     slot, p1 rotating in r9 with the rest of the relational scalars);
+#   - 21 of the 47 r5-green queries, heavy-plan/flagship picks first
 #     (curation_pipeline, training_data_build, the simsearch serving tier,
 #     the shard-layout conservation pair, the snk/sink family, the LSH
-#     candidate generators) — the remaining 25 r5-greens (the short
+#     candidate generators) — the remaining 26 r5-greens (the short
 #     P/A/T/J relational scalars incl. t3_recent_headlines_topk) rotate
 #     in r9.
 # Max driver-row staleness after r8: r5 everywhere except the r6+-green
@@ -112,8 +114,9 @@ _DRIVER_WINDOW = [
     "w_daily_revenue_deltas",
     "w_trailing_week_revenue",
     "w_user_gap_median",
-    # --- new r8 registration -----------------------------------------------
+    # --- new r8 registrations ----------------------------------------------
     "text_shard_vacuum_readmit",
+    "simsearch_bq_topk",
     # --- newest driver row is r5 (22 of 47; rest rotate in r9) -------------
     "curation_pipeline",
     "training_data_build",
@@ -136,7 +139,6 @@ _DRIVER_WINDOW = [
     "dedup_simhash_lsh_candidates",
     "a1_daily_sentiment_gold",
     "a9_sentiment_distribution_pct",
-    "p1_staging_projection",
 ]
 
 # All previously driver-proven names (newest green driver row in some

@@ -99,6 +99,60 @@ def ss_lsh(spark, sf_dir):
     return similarity.lsh_bucketed_topk(spark, sf_dir)
 
 
+# BQ sign-code pack: one packed 32-bit word per CASE-sum; replays
+# similarity._bq_word_expr bit-for-bit (integer arithmetic end to end).
+def _bq_word_duck(lo: int) -> str:
+    terms = " + ".join(
+        f"CASE WHEN emb[{i}] > 0 THEN {1 << (i - lo)} ELSE 0 END" for i in range(lo, lo + 32)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+_BQ_HAMMING = (
+    "bit_count(xor(a.code_lo, b.code_lo)) + bit_count(xor(a.code_hi, b.code_hi))"
+)
+
+
+@register(
+    "simsearch_bq_topk",
+    f"""
+    WITH {_EMB_CTE},
+    bq AS (
+      SELECT vec_id, emb, norm,
+             {_bq_word_duck(1)} AS code_lo,
+             {_bq_word_duck(33)} AS code_hi
+      FROM e
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id, hamming FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST({_BQ_HAMMING} AS INTEGER) AS hamming,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {_BQ_HAMMING}, b.vec_id
+               ) AS crank
+        FROM bq b JOIN (SELECT * FROM bq WHERE vec_id < 10) a
+          ON a.vec_id <> b.vec_id
+      ) WHERE crank <= {similarity.BQ_RERANK}
+    )
+    SELECT query_id, neighbor_id, hamming, cosine, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT c.query_id, c.neighbor_id, c.hamming,
+             list_dot_product(qe.emb, ne.emb) / (qe.norm * ne.norm) AS cosine,
+             row_number() OVER (
+               PARTITION BY c.query_id
+               ORDER BY list_dot_product(qe.emb, ne.emb) / (qe.norm * ne.norm) DESC,
+                        c.neighbor_id
+             ) AS rank
+      FROM cand c
+      JOIN e qe ON qe.vec_id = c.query_id
+      JOIN e ne ON ne.vec_id = c.neighbor_id
+    ) WHERE rank <= 5
+    """,
+)
+def ss_bq(spark, sf_dir):
+    return similarity.bq_topk(spark, sf_dir)
+
+
 @register(
     "simsearch_ivf_topk",
     f"""
