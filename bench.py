@@ -21,6 +21,10 @@ regression. Sections:
 - writes — the I/O lifecycle WRITE paths (shard layout write, parquet
   compaction, IVF index build) timed at base and on the 10x replica
   (VERDICT-r5 item 6); detail-only, excluded from the headline total.
+- io — per-headline-query shuffle/input/output byte+record deltas from
+  the status REST API (r8): the measured form of the plan-shape claims
+  (broadcasts don't shuffle, compressed tiers shuffle codes not arrays,
+  filters reach the scan). Bench-only: the session runs with the UI on.
 - scaling — every scale-eligible headline query re-measured on a 10x
   replica warehouse (sources/scale.py): empirical time ratios next to the
   10x data ratio, catching any operator whose constant factors hide
@@ -85,6 +89,9 @@ HEADLINE = [
     # brute force in the verifier tier.
     "simsearch_pq_adc_topk",
     "simsearch_ivfpq_topk",
+    # r8: 1-bit binary-quantization tier (Hamming scan over packed sign
+    # words + broadcast re-rank) — the cheapest compressed-domain scan
+    "simsearch_bq_topk",
     # the end-to-end curate→chunk→split→pack composite (extension flagship)
     "training_data_build",
     # r4: window/events analytics family (heaviest two) so window-function
@@ -140,21 +147,64 @@ N_RUNS = 3  # r6: median-of-3 (VERDICT-r5 item 2 — make regressions
 # ambient noise that best-of-2 could not separate from a plan change).
 
 
-def _run_samples(fn, n: int = N_RUNS) -> list[float]:
+def _run_samples(fn, n: int = N_RUNS, spark=None, io_sink=None, io_key=None) -> list[float]:
     """Force FULL execution of every projected column with a noop write —
     count() lets Catalyst prune projected expressions (map-heavy queries
     were under-measured); noop runs the whole plan and discards rows
     executor-side (r2 re-baseline). Returns the sorted per-run times; the
     first run pays one-time Janino codegen, so the MEDIAN (not min, not
     mean) is the headline statistic: robust to one slow outlier AND to one
-    lucky cache hit."""
+    lucky cache hit.
+
+    When `io_sink` is given, the LAST run is bracketed by REST stage-total
+    snapshots (`_stage_totals`) and the delta recorded at io_sink[io_key] —
+    per-query shuffle/input volumes for BENCH_DETAIL's io section. The
+    snapshots happen between runs, never inside a timed window's plan, and
+    cost ~ms against multi-second runs."""
     times = []
-    for _ in range(n):
+    for i in range(n):
+        want_io = io_sink is not None and i == n - 1
+        before = _stage_totals(spark) if want_io else None
         t0 = time.time()
         df = fn()
         df.write.format("noop").mode("overwrite").save()
         times.append(round(time.time() - t0, 3))
+        if want_io and before is not None:
+            after = _stage_totals(spark)
+            if after is not None:
+                io_sink[io_key] = {k: after[k] - before[k] for k in after}
     return sorted(times)
+
+
+def _stage_totals(spark) -> dict[str, int] | None:
+    """Cumulative stage-metric totals from the status REST API (requires
+    the UI, which bench enables via SPARK_GRAFT_UI=1). Per-query deltas of
+    these totals turn the scale claims ("the candidate stage shuffles
+    8-byte codes, not arrays"; "filters reach the scan") into recorded
+    numbers: shuffle bytes vs input bytes, per headline query. Best-effort:
+    returns None (and the io section self-reports why) when the UI is off."""
+    try:
+        sc = spark.sparkContext
+        url = sc.uiWebUrl
+        if not url:
+            return None
+        import urllib.request
+
+        with urllib.request.urlopen(
+            f"{url}/api/v1/applications/{sc.applicationId}/stages?status=complete",
+            timeout=10,
+        ) as resp:
+            stages = json.load(resp)
+        keys = {
+            "input_bytes": "inputBytes",
+            "output_bytes": "outputBytes",
+            "shuffle_read_bytes": "shuffleReadBytes",
+            "shuffle_write_bytes": "shuffleWriteBytes",
+            "shuffle_write_records": "shuffleWriteRecords",
+        }
+        return {k: sum(int(s.get(v) or 0) for s in stages) for k, v in keys.items()}
+    except Exception:  # noqa: BLE001 - metrics must never fail the bench
+        return None
 
 
 def _median(samples: list[float]) -> float:
@@ -338,6 +388,11 @@ def _writes_distinct_tier(spark) -> dict:
 
 
 def main() -> None:
+    # The bench session runs with the UI on: its status REST API is where
+    # the per-query io section (shuffle/input volumes) comes from. Tests
+    # and the driver's query sessions keep the default (off).
+    os.environ.setdefault("SPARK_GRAFT_UI", "1")
+
     import __spark_entry__ as entrymod
     from airdatapipeline_spark.session import get_spark
 
@@ -383,13 +438,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     dispersion: dict[str, list[float]] = {}
+    io_by_query: dict[str, dict[str, int]] = {}
     for name in HEADLINE:
         if name != "flagship_pipeline" and name not in queries:
             continue
-        runs = _run_samples(make_fn(name, SF_DIR))
+        runs = _run_samples(
+            make_fn(name, SF_DIR), spark=spark, io_sink=io_by_query, io_key=name
+        )
         dispersion[name] = runs
         timings[name] = _median(runs)
-        sys.stderr.write(f"{name}: {timings[name]}s (runs {runs})\n")
+        sys.stderr.write(
+            f"{name}: {timings[name]}s (runs {runs}) io {io_by_query.get(name)}\n"
+        )
 
     verifier: dict[str, float] = {}
     for name in VERIFIER:
@@ -494,6 +554,21 @@ def main() -> None:
             ),
             "queries": verifier,
             "total": round(sum(verifier.values()), 3),
+        },
+        "io": {
+            "note": (
+                "per-headline-query stage-metric deltas (status REST API, "
+                "bracketing the final timed run): input/output bytes at the "
+                "sources/sinks, shuffle read/write bytes and records moved "
+                "between stages. This is the measured form of the plan "
+                "claims — a query whose shuffle_write_bytes rivals its "
+                "input_bytes is reshuffling the input (candidate for "
+                "broadcast/bucketing/pre-aggregation); compressed-domain "
+                "tiers should shuffle codes, not arrays. Volumes are "
+                "per-run deterministic (same plan, same data); empty when "
+                "the UI/REST is unavailable."
+            ),
+            "queries": io_by_query,
         },
         "scaling": scaling,
         "writes": writes,

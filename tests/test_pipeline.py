@@ -399,3 +399,24 @@ def test_dashboard_html_matches_golden(spark):
             f"if intended, regenerate per the docstring and review the diff"
         )
     assert html == golden  # belt-and-braces whole-document equality
+
+
+def test_bench_stage_totals_none_when_ui_off(spark):
+    """_stage_totals degrades to None (io section self-reports empty) on a
+    UI-disabled session — the default everywhere outside bench.py — and
+    never raises, so the io capture can wrap every headline run
+    unconditionally."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod2", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    assert bench._stage_totals(spark) is None
+    sink = {}
+    runs = bench._run_samples(
+        lambda: spark.range(10), n=1, spark=spark, io_sink=sink, io_key="probe"
+    )
+    assert len(runs) == 1 and sink == {}  # no snapshot pair -> no io entry
