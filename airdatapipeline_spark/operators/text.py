@@ -751,6 +751,108 @@ def conjunctive_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QRANK_LO = 10  # query = df-rank 10..12: mid-frequency terms — present
+BM25_N_TERMS = 3  # in many docs (the ranking has work to do) yet informative
+BM25_TOPK = 20
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str, k: int = BM25_TOPK) -> DataFrame:
+    """BM25-ranked retrieval over the postings index — the scoring layer
+    on top of `conjunctive_phrase_search`'s boolean layer. Query terms are
+    data-derived (document-frequency ranks 10–12, df desc / term asc total
+    order) so the oracle reproduces the exact query; a user-supplied query
+    leaves the plan unchanged.
+
+    Shape at scale: tf and df are each one shuffle over the postings
+    (partial-aggregated map-side); the 3-term query is BROADCAST into the
+    tf stream, so scoring touches only postings of the query terms — work
+    ∝ matching postings, not corpus. The doc-length join-back is an
+    equi-join whose filtered side AQE converts to broadcast at runtime;
+    the final top-k is orderBy+limit = TakeOrderedAndProject (no global
+    sort), with rank assigned by a window over the k surviving rows only.
+
+    Numerics: the tf saturation is all rational double arithmetic spelled
+    with identical literals, casts, and association in both engines. The
+    Robertson idf ln(1 + (N - df + 0.5)/(df + 0.5)) is computed DRIVER-side
+    with the platform libm and inlined as a per-term literal — idf is a
+    query-COMPILE-time constant in any search engine (the planner reads
+    index stats and bakes the weight into the scorer), and the JVM's
+    Math.log differs from libm by 1 ulp on some arguments (measured at
+    df=394, sf0.001), which the strict bit-equal parity gate correctly
+    reds; Python's math.log and DuckDB's ln share libm and agree. The
+    per-doc sum over query terms is pivoted to fixed columns and added in
+    a FIXED order (q1 + q2 + q3) — a float SUM() would be
+    partition-order-nondeterministic."""
+    import math
+
+    from pyspark.sql import Window
+
+    p = postings(spark, sf_dir)
+    tf = p.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    dfc = tf.groupBy("term").agg(F.count("*").alias("df"))
+    d = load_table(spark, sf_dir, "documents")
+    dl = d.select("doc_id", F.size(tokens_col()).cast("long").alias("dl"))
+    n_docs, total_dl = (
+        dl.agg(F.count("*").alias("n"), F.sum("dl").alias("t")).head()
+    )
+    wq = Window.orderBy(F.desc("df"), F.asc("term"))
+    # K-row collect (K = BM25_N_TERMS query terms) — the query-planning
+    # step, same driver-side-by-nature justification as the IVF centroid
+    # collect in similarity._ivf_assign.
+    qrows = (
+        dfc.withColumn("dfrank", F.row_number().over(wq))
+        .filter(
+            (F.col("dfrank") >= BM25_QRANK_LO)
+            & (F.col("dfrank") < BM25_QRANK_LO + BM25_N_TERMS)
+        )
+        .select("term", "df", (F.col("dfrank") - (BM25_QRANK_LO - 1)).alias("qrank"))
+        .collect()
+    )
+    qterms = spark.createDataFrame(
+        [
+            (
+                r.term,
+                r.qrank,
+                math.log(
+                    1.0 + ((float(n_docs) - float(r.df)) + 0.5) / (float(r.df) + 0.5)
+                ),
+            )
+            for r in qrows
+        ],
+        "term string, qrank int, idf double",
+    )
+    score_t = (
+        "idf * ((cast(tf as double) * 2.2D)"
+        " / (cast(tf as double) + 1.2D * (0.25D + 0.75D"
+        f" * (cast(dl as double) / (cast({total_dl} as double) / cast({n_docs} as double))))))"
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .select("doc_id", "qrank", F.expr(score_t).alias("score_t"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("hits"),
+        *[
+            F.max(F.when(F.col("qrank") == i, F.col("score_t"))).alias(f"s{i}")
+            for i in range(1, BM25_N_TERMS + 1)
+        ],
+    )
+    bm25 = per_doc.select(
+        "doc_id",
+        "hits",
+        sum(
+            (F.coalesce(F.col(f"s{i}"), F.lit(0.0)) for i in range(2, BM25_N_TERMS + 1)),
+            F.coalesce(F.col("s1"), F.lit(0.0)),
+        ).alias("bm25"),
+    )
+    topk = bm25.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(k)
+    wr = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return topk.withColumn("rank", F.row_number().over(wr).cast("int"))
+
+
 def adaptive_source_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source ADAPTIVE quality cutoff: keep each source's top half by
     composite quality (rank-based, not a fixed global threshold — sources

@@ -74,12 +74,14 @@ from . import sources_sinks  # noqa: F401,E402
 #     table_profile_documents, agg_approx_family_check);
 #   - the new r8 registrations (text_shard_vacuum_readmit — the sanctioned
 #     tombstone shrink + re-admission seam; simsearch_bq_topk — the 1-bit
-#     binary-quantization ANN tier, which takes p1_staging_projection's
-#     slot, p1 rotating in r9 with the rest of the relational scalars);
-#   - 21 of the 47 r5-green queries, heavy-plan/flagship picks first
+#     binary-quantization ANN tier; text_bm25_topk — BM25-scored postings
+#     retrieval; the latter two take p1_staging_projection's and
+#     a9_sentiment_distribution_pct's slots, both rotating in r9 with the
+#     rest of the relational scalars);
+#   - 20 of the 47 r5-green queries, heavy-plan/flagship picks first
 #     (curation_pipeline, training_data_build, the simsearch serving tier,
 #     the shard-layout conservation pair, the snk/sink family, the LSH
-#     candidate generators) — the remaining 26 r5-greens (the short
+#     candidate generators) — the remaining 27 r5-greens (the short
 #     P/A/T/J relational scalars incl. t3_recent_headlines_topk) rotate
 #     in r9.
 # Max driver-row staleness after r8: r5 everywhere except the r6+-green
@@ -117,6 +119,7 @@ _DRIVER_WINDOW = [
     # --- new r8 registrations ----------------------------------------------
     "text_shard_vacuum_readmit",
     "simsearch_bq_topk",
+    "text_bm25_topk",
     # --- newest driver row is r5 (22 of 47; rest rotate in r9) -------------
     "curation_pipeline",
     "training_data_build",
@@ -138,7 +141,6 @@ _DRIVER_WINDOW = [
     "dedup_minhash_lsh_candidates",
     "dedup_simhash_lsh_candidates",
     "a1_daily_sentiment_gold",
-    "a9_sentiment_distribution_pct",
 ]
 
 # All previously driver-proven names (newest green driver row in some

@@ -586,6 +586,56 @@ def q_postings_search(spark, sf_dir):
 
 
 @register(
+    "text_bm25_topk",
+    f"""
+    WITH p AS (
+      SELECT doc_id, unnest(t) AS term
+      FROM (SELECT doc_id, {{toks}} AS t FROM documents)
+    ),
+    tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM p GROUP BY 1, 2),
+    dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    dl AS (SELECT doc_id, len({{toks}}) AS dl FROM documents),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
+    q AS (
+      SELECT term, df, dfrank - {text.BM25_QRANK_LO - 1} AS qrank FROM (
+        SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS dfrank
+        FROM dfc
+      ) WHERE dfrank >= {text.BM25_QRANK_LO}
+          AND dfrank < {text.BM25_QRANK_LO + text.BM25_N_TERMS}
+    ),
+    sc AS (
+      SELECT tf.doc_id, q.qrank,
+             ln(1.0 + ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5)
+                / (CAST(df AS DOUBLE) + 0.5))
+             * ((CAST(tf AS DOUBLE) * 2.2)
+                / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+                   * (CAST(dl AS DOUBLE)
+                      / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+               AS score_t
+      FROM tf JOIN q USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS hits,
+             COALESCE(MAX(CASE WHEN qrank = 1 THEN score_t END), 0.0)
+             + COALESCE(MAX(CASE WHEN qrank = 2 THEN score_t END), 0.0)
+             + COALESCE(MAX(CASE WHEN qrank = 3 THEN score_t END), 0.0) AS bm25
+      FROM sc GROUP BY 1
+    )
+    SELECT doc_id, hits, bm25,
+           CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rank
+    FROM agg ORDER BY bm25 DESC, doc_id LIMIT {text.BM25_TOPK}
+    """.replace("{toks}", _TOKS),
+)
+def q_bm25(spark, sf_dir):
+    """BM25-ranked retrieval over the postings index (scoring layer above
+    the boolean phrase search): Robertson idf × tf saturation, per-doc sum
+    pivoted to fixed addition order, top-20 via TakeOrdered. Query = df
+    ranks 10-12 so the oracle derives the same query. See
+    operators/text.py:bm25_topk for the cross-engine numerics contract."""
+    return text.bm25_topk(spark, sf_dir)
+
+
+@register(
     "text_adaptive_source_filter",
     f"""
     WITH feat AS (

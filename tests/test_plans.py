@@ -333,3 +333,19 @@ def test_token_rarity_head_broadcast_tail_shuffle(spark):
     assert plan.count("InMemoryTableScan") >= 2  # head+tail read the cache
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_topk_is_take_ordered_with_broadcast_query(spark):
+    from airdatapipeline_spark.operators import text
+
+    df = text.bm25_topk(spark, SF_SMALL)
+    plan = _plan(df)
+    # top-k must be TakeOrderedAndProject (no global sort of all matching
+    # docs); the 3-term query joins into the tf stream as a broadcast
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # exactly k rows, ranked 1..k with deterministic ties
+    pdf = df.toPandas()
+    assert list(pdf["rank"]) == list(range(1, len(pdf) + 1))
+    assert len(pdf) == text.BM25_TOPK
