@@ -751,6 +751,88 @@ def conjunctive_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MG_CAPACITY = 256  # per-partition Misra-Gries counters (bounded state)
+HH_TOPK = 10
+
+
+def heavy_hitter_tokens(
+    spark: SparkSession,
+    sf_dir: str,
+    capacity: int = MG_CAPACITY,
+    topk: int = HH_TOPK,
+) -> DataFrame:
+    """EXACT top-k most frequent tokens via the two-phase heavy-hitters
+    pattern: per-partition Misra-Gries summaries (bounded state) propose a
+    small candidate set, then a second scan exactly recounts ONLY the
+    candidates. A naive groupBy's map-side partial-agg hashmaps hold one
+    entry per distinct key per partition — on web-scale token streams
+    (URLs, emails, typo space) that state is unbounded and spills; the MG
+    sketch caps phase-1 state at `capacity` counters per partition, and
+    phase 2's partial aggregation keeps only candidate terms, so the
+    shuffle carries ≤ partitions × candidates rows at any corpus size.
+
+    Exactness is GUARANTEED, not hoped: by the MG bound any term with
+    global frequency > total/(capacity+1) survives phase 1 in at least one
+    partition (pigeonhole over partitions). An in-plan integer guard
+    raises if any reported top-k frequency fails freq*(capacity+1) >
+    total — i.e. if the result could have depended on sketch luck — so a
+    capacity too small for the distribution is loud, never silently
+    wrong. Candidate SETS vary with partitioning/arrival order; the
+    guarded top-k OUTPUT does not (partitioning-invariance pytest-pinned).
+    The DuckDB oracle is the plain global count ORDER BY freq DESC LIMIT k
+    — phase structure is Spark-side only, results must coincide."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    total = d.select(F.sum(F.size(tokens_col())).alias("t")).head().t
+    toks = d.select(F.explode(tokens_col()).alias("term"))
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for t in pdf["term"]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < capacity:
+                    counters[t] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"term": list(counters.keys())})
+
+    cands = toks.mapInPandas(mg, "term string").distinct()
+    exact = (
+        toks.join(F.broadcast(cands), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+    topn = exact.orderBy(F.desc("freq"), F.asc("term")).limit(topk)
+    guard = F.when(
+        F.col("freq") * (capacity + 1) > F.lit(total), F.col("freq")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "heavy-hitter guard: freq %s is not provably sketch-safe at "
+                f"capacity {capacity} (total {total}) — raise MG_CAPACITY",
+                F.col("freq"),
+            )
+        )
+    )
+    from pyspark.sql import Window
+
+    wr = Window.orderBy(F.desc("freq"), F.asc("term"))
+    return topn.select(
+        "term",
+        guard.alias("freq"),
+        F.row_number().over(wr).cast("int").alias("rank"),
+    )
+
+
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_QRANK_LO = 10  # query = df-rank 10..12: mid-frequency terms — present

@@ -75,13 +75,14 @@ from . import sources_sinks  # noqa: F401,E402
 #   - the new r8 registrations (text_shard_vacuum_readmit — the sanctioned
 #     tombstone shrink + re-admission seam; simsearch_bq_topk — the 1-bit
 #     binary-quantization ANN tier; text_bm25_topk — BM25-scored postings
-#     retrieval; the latter two take p1_staging_projection's and
-#     a9_sentiment_distribution_pct's slots, both rotating in r9 with the
-#     rest of the relational scalars);
-#   - 20 of the 47 r5-green queries, heavy-plan/flagship picks first
+#     retrieval; text_heavy_hitters — bounded-state exact top-k; the
+#     latter three take p1_staging_projection's,
+#     a9_sentiment_distribution_pct's and a1_daily_sentiment_gold's
+#     slots, all rotating in r9 with the rest of the relational scalars);
+#   - 19 of the 47 r5-green queries, heavy-plan/flagship picks first
 #     (curation_pipeline, training_data_build, the simsearch serving tier,
 #     the shard-layout conservation pair, the snk/sink family, the LSH
-#     candidate generators) — the remaining 27 r5-greens (the short
+#     candidate generators) — the remaining 28 r5-greens (the short
 #     P/A/T/J relational scalars incl. t3_recent_headlines_topk) rotate
 #     in r9.
 # Max driver-row staleness after r8: r5 everywhere except the r6+-green
@@ -120,6 +121,7 @@ _DRIVER_WINDOW = [
     "text_shard_vacuum_readmit",
     "simsearch_bq_topk",
     "text_bm25_topk",
+    "text_heavy_hitters",
     # --- newest driver row is r5 (22 of 47; rest rotate in r9) -------------
     "curation_pipeline",
     "training_data_build",
@@ -140,7 +142,6 @@ _DRIVER_WINDOW = [
     "dedup_cluster_assignments",
     "dedup_minhash_lsh_candidates",
     "dedup_simhash_lsh_candidates",
-    "a1_daily_sentiment_gold",
 ]
 
 # All previously driver-proven names (newest green driver row in some

@@ -586,6 +586,26 @@ def q_postings_search(spark, sf_dir):
 
 
 @register(
+    "text_heavy_hitters",
+    f"""
+    WITH tok AS (
+      SELECT unnest({{toks}}) AS term FROM documents
+    ),
+    c AS (SELECT term, COUNT(*) AS freq FROM tok GROUP BY 1)
+    SELECT term, freq,
+           CAST(row_number() OVER (ORDER BY freq DESC, term) AS INTEGER) AS rank
+    FROM c ORDER BY freq DESC, term LIMIT {text.HH_TOPK}
+    """.replace("{toks}", _TOKS),
+)
+def q_heavy_hitters(spark, sf_dir):
+    """Exact top-k tokens via bounded-state Misra-Gries prefilter + exact
+    recount of candidates only (in-plan integer guard proves the sketch
+    could not have missed a reported hitter). Oracle is the plain global
+    count — the phase structure is Spark-side, the result must coincide."""
+    return text.heavy_hitter_tokens(spark, sf_dir)
+
+
+@register(
     "text_bm25_topk",
     f"""
     WITH p AS (

@@ -708,3 +708,93 @@ def test_bq_rerank_joins_are_broadcast_hash(spark):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --- heavy hitters (Misra-Gries prefilter + exact recount) -------------------
+
+
+def test_heavy_hitters_partitioning_invariant(spark):
+    """Candidate SETS from the MG phase depend on partitioning/arrival
+    order; the guarded top-k OUTPUT must not. Same result under 1-, 3-,
+    and 16-way input partitionings."""
+    from airdatapipeline_spark.operators import text as t
+    import pyspark.sql.functions as FF
+
+    base = t.heavy_hitter_tokens(spark, SF_SMALL).toPandas()
+    for n in (1, 3, 16):
+        d = spark.read.parquet(f"{SF_SMALL}/documents.parquet").repartition(n)
+        toks = d.select(FF.explode(t.tokens_col()).alias("term"))
+        # same two-phase pipeline over the repartitioned stream
+        import pandas as pd
+
+        def mg(batches, capacity=t.MG_CAPACITY):
+            counters = {}
+            for pdf in batches:
+                for tok in pdf["term"]:
+                    if tok in counters:
+                        counters[tok] += 1
+                    elif len(counters) < capacity:
+                        counters[tok] = 1
+                    else:
+                        dead = []
+                        for key in counters:
+                            counters[key] -= 1
+                            if counters[key] == 0:
+                                dead.append(key)
+                        for key in dead:
+                            del counters[key]
+            yield pd.DataFrame({"term": list(counters.keys())})
+
+        cands = toks.mapInPandas(mg, "term string").distinct()
+        exact = (
+            toks.join(FF.broadcast(cands), "term")
+            .groupBy("term")
+            .agg(FF.count("*").alias("freq"))
+            .orderBy(FF.desc("freq"), FF.asc("term"))
+            .limit(t.HH_TOPK)
+            .toPandas()
+        )
+        assert list(exact.term) == list(base.term)
+        assert list(exact.freq) == list(base.freq)
+
+
+def test_misra_gries_bound_property():
+    """The MG guarantee the guard relies on: any item with frequency
+    > n/(capacity+1) survives a single-pass summary of capacity m —
+    checked on an adversarial stream that interleaves the heavy item
+    with maximal distinct noise."""
+    capacity = 4
+    heavy = ["H"] * 30
+    noise = [f"n{i}" for i in range(70)]
+    stream = []
+    hi = iter(heavy)
+    ni = iter(noise)
+    for i in range(100):
+        nxt = next(ni, None) if i % 10 < 7 else next(hi, None)
+        stream.append(nxt if nxt is not None else next(hi))
+    counters = {}
+    for t in stream:
+        if t in counters:
+            counters[t] += 1
+        elif len(counters) < capacity:
+            counters[t] = 1
+        else:
+            dead = []
+            for key in counters:
+                counters[key] -= 1
+                if counters[key] == 0:
+                    dead.append(key)
+            for key in dead:
+                del counters[key]
+    assert 30 > len(stream) / (capacity + 1)
+    assert "H" in counters
+
+
+def test_heavy_hitters_guard_raises_at_tiny_capacity(spark):
+    """capacity=1 cannot prove the top-k exact on this corpus — the
+    in-plan guard must raise rather than return a sketch-lucky answer."""
+    from airdatapipeline_spark.operators import text as t
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="heavy-hitter guard"):
+        t.heavy_hitter_tokens(spark, SF_SMALL, capacity=1).collect()
