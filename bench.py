@@ -92,6 +92,13 @@ HEADLINE = [
     # r8: 1-bit binary-quantization tier (Hamming scan over packed sign
     # words + broadcast re-rank) — the cheapest compressed-domain scan
     "simsearch_bq_topk",
+    # r8: retrieval + sketch additions — BM25 scoring over the postings
+    # (two agg shuffles + broadcast query) and the MG heavy-hitters
+    # two-scan pattern (its mapInPandas phase is the one deliberate
+    # Python-loop sketch in the suite; its cost is the honest price of
+    # bounded state, worth tracking per round)
+    "text_bm25_topk",
+    "text_heavy_hitters",
     # the end-to-end curate→chunk→split→pack composite (extension flagship)
     "training_data_build",
     # r4: window/events analytics family (heaviest two) so window-function
