@@ -1180,13 +1180,14 @@ def read_shards(spark: SparkSession, out_path: str) -> DataFrame:
     renames open a sub-millisecond window where the path does not exist
     (the writer flock excludes only WRITERS), so a cross-process reader
     can hit PATH_NOT_FOUND on a perfectly healthy layout. This read
-    absorbs the window by retrying briefly — but ONLY while the window's
-    own evidence is present (`<out>.__old__`, the parked previous
-    generation, exists exactly between the renames), so a genuinely
-    missing path (typo'd CLI --layout, retired root) still fails on the
-    first attempt rather than spinning out the deadline. A path still
-    absent after the deadline means a writer crashed mid-swap — run
-    recover_shards — and the error propagates.
+    absorbs the window by retrying briefly — but ONLY on the window's
+    own evidence (`_retryable_swap_miss`: either `<out>.__old__`, the
+    parked previous generation, is still present, or the root itself is
+    already back — the post-swap race), so a genuinely missing path
+    (typo'd CLI --layout, retired root) still fails on the first attempt
+    rather than spinning out the deadline. A path still absent after the
+    deadline means a writer crashed mid-swap — run recover_shards — and
+    the error propagates.
 
     Scope: the guarantee covers DataFrame CONSTRUCTION — the local
     analogue of the MVCC snapshot a Postgres reader gets for free (the
@@ -1209,14 +1210,35 @@ def read_shards(spark: SparkSession, out_path: str) -> DataFrame:
                 "shard_id", F.col("shard_id").cast("long")
             )
         except AnalysisException as exc:
-            swap_in_flight = os.path.exists(out_path.rstrip("/") + ".__old__")
-            if (
-                "PATH_NOT_FOUND" not in str(exc)
-                or not swap_in_flight
-                or time.monotonic() >= deadline
+            if not _retryable_swap_miss(str(exc), out_path) or (
+                time.monotonic() >= deadline
             ):
                 raise
             time.sleep(0.05)
+
+
+def _retryable_swap_miss(exc_str: str, out_path: str) -> bool:
+    """Was a reader's PATH_NOT_FOUND a transient swap artifact worth one
+    more attempt? Two evidence shapes, checked AFTER the failure:
+
+    - the window is still open: `<out>.__old__` (the parked previous
+      generation, which exists exactly between the two renames) is
+      present; or
+    - the window already CLOSED again: `<out>` itself is back — covering
+      the race where the writer completes the second rename and clears
+      `__old__` between Spark's failure and this check (observed as a
+      one-in-many-runs flake of test_reader_survives_swap_window under
+      full-suite load; a retry here trivially succeeds).
+
+    A genuinely missing path (typo'd --layout, retired root) shows
+    neither and fails on the FIRST attempt, keeping the fast-fail
+    contract."""
+    import os
+
+    if "PATH_NOT_FOUND" not in exc_str:
+        return False
+    root = out_path.rstrip("/")
+    return os.path.exists(root + ".__old__") or os.path.exists(root)
 
 
 def shard_readback_audit(spark: SparkSession, out_path: str) -> DataFrame:

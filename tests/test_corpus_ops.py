@@ -1159,3 +1159,25 @@ def test_lock_key_collapses_symlinked_aliases(spark, tmp_path):
     res = corpus.append_docs(spark, load_table(spark, SF, "documents"), alias)
     assert res["n_new_docs"] > 0
     assert corpus.read_shards(spark, out).count() == corpus.read_shards(spark, alias).count()
+
+
+def test_retryable_swap_miss_evidence_shapes(tmp_path):
+    """The reader-retry decision, unit-tested against both evidence
+    shapes: window OPEN (__old__ parked), window CLOSED AGAIN (the root
+    is back — the post-swap race where __old__ is already cleared before
+    the reader's check runs), and genuinely-missing (neither): only the
+    last fails fast. Non-PATH_NOT_FOUND errors never retry."""
+    import os
+
+    root = str(tmp_path / "layout")
+    # genuinely missing: no retry
+    assert not corpus._retryable_swap_miss("PATH_NOT_FOUND: x", root)
+    # window open: parked previous generation exists
+    os.mkdir(root + ".__old__")
+    assert corpus._retryable_swap_miss("PATH_NOT_FOUND: x", root)
+    os.rmdir(root + ".__old__")
+    # window closed again: the root itself is back
+    os.mkdir(root)
+    assert corpus._retryable_swap_miss("PATH_NOT_FOUND: x", root)
+    # wrong error class: never retried regardless of evidence
+    assert not corpus._retryable_swap_miss("SOME_OTHER_ERROR", root)
