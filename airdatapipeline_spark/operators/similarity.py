@@ -711,10 +711,13 @@ def with_bq(embeddings: DataFrame) -> DataFrame:
     a cheap angular-distance surrogate: 2 XOR + 2 popcount per pair versus
     64 multiply-adds. At 100 TB the packed codes for a billion vectors are
     ~8 GB — small enough to stay in executor memory corpus-wide while the
-    float vectors page in only for re-ranking. Expects `emb` absent; adds
-    `emb` (double[]) plus the two code words. All-integer arithmetic: the
-    codes are bit-identical across engines by construction."""
-    e = embeddings.withColumn("emb", F.expr("transform(embedding, x -> cast(x as double))"))
+    float vectors page in only for re-ranking. Adds `emb` (double[]) only
+    if absent (reusing with_norm's when composed) plus the two code
+    words. All-integer arithmetic: the codes are bit-identical across
+    engines by construction."""
+    e = embeddings
+    if "emb" not in e.columns:
+        e = e.withColumn("emb", F.expr("transform(embedding, x -> cast(x as double))"))
     return e.withColumn("code_lo", F.expr(_bq_word_expr("emb", 1))).withColumn(
         "code_hi", F.expr(_bq_word_expr("emb", 33))
     )

@@ -755,6 +755,30 @@ MG_CAPACITY = 256  # per-partition Misra-Gries counters (bounded state)
 HH_TOPK = 10
 
 
+def misra_gries_summary(terms, capacity: int) -> dict[str, int]:
+    """Single-pass Misra-Gries summary of a token stream: at most
+    `capacity` counters; on overflow every counter decrements and zeros
+    evict (the classic frequent-items sketch). Shared by the production
+    operator below and its tests so the sketch logic cannot silently
+    diverge between them. Guarantee (pigeonhole): any item with frequency
+    > n/(capacity+1) over a stream of length n survives."""
+    counters: dict[str, int] = {}
+    for t in terms:
+        if t in counters:
+            counters[t] += 1
+        elif len(counters) < capacity:
+            counters[t] = 1
+        else:
+            dead = []
+            for key in counters:
+                counters[key] -= 1
+                if counters[key] == 0:
+                    dead.append(key)
+            for key in dead:
+                del counters[key]
+    return counters
+
+
 def heavy_hitter_tokens(
     spark: SparkSession,
     sf_dir: str,
@@ -788,21 +812,11 @@ def heavy_hitter_tokens(
     toks = d.select(F.explode(tokens_col()).alias("term"))
 
     def mg(batches):
-        counters: dict[str, int] = {}
-        for pdf in batches:
-            for t in pdf["term"]:
-                if t in counters:
-                    counters[t] += 1
-                elif len(counters) < capacity:
-                    counters[t] = 1
-                else:
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
+        from itertools import chain
+
+        counters = misra_gries_summary(
+            chain.from_iterable(pdf["term"] for pdf in batches), capacity
+        )
         yield pd.DataFrame({"term": list(counters.keys())})
 
     cands = toks.mapInPandas(mg, "term string").distinct()
@@ -879,16 +893,19 @@ def bm25_topk(spark: SparkSession, sf_dir: str, k: int = BM25_TOPK) -> DataFrame
     n_docs, total_dl = (
         dl.agg(F.count("*").alias("n"), F.sum("dl").alias("t")).head()
     )
-    wq = Window.orderBy(F.desc("df"), F.asc("term"))
     # K-row collect (K = BM25_N_TERMS query terms) — the query-planning
     # step, same driver-side-by-nature justification as the IVF centroid
-    # collect in similarity._ivf_assign.
+    # collect in similarity._ivf_assign. The df-rank cut is TakeOrdered
+    # (orderBy+limit) FIRST, so the rank window runs over the 12 surviving
+    # rows — a bare global row_number window here would single-partition
+    # the whole vocabulary (the review-pass finding; phrase search's top-2
+    # derivation at conjunctive_phrase_search already uses this shape).
+    wq = Window.orderBy(F.desc("df"), F.asc("term"))
     qrows = (
-        dfc.withColumn("dfrank", F.row_number().over(wq))
-        .filter(
-            (F.col("dfrank") >= BM25_QRANK_LO)
-            & (F.col("dfrank") < BM25_QRANK_LO + BM25_N_TERMS)
-        )
+        dfc.orderBy(F.desc("df"), F.asc("term"))
+        .limit(BM25_QRANK_LO + BM25_N_TERMS - 1)
+        .withColumn("dfrank", F.row_number().over(wq))
+        .filter(F.col("dfrank") >= BM25_QRANK_LO)
         .select("term", "df", (F.col("dfrank") - (BM25_QRANK_LO - 1)).alias("qrank"))
         .collect()
     )

@@ -171,13 +171,13 @@ def _run_samples(fn, n: int = N_RUNS, spark=None, io_sink=None, io_key=None) -> 
     times = []
     for i in range(n):
         want_io = io_sink is not None and i == n - 1
-        before = _stage_totals(spark) if want_io else None
+        before = _stable_stage_totals(spark) if want_io else None
         t0 = time.time()
         df = fn()
         df.write.format("noop").mode("overwrite").save()
         times.append(round(time.time() - t0, 3))
         if want_io and before is not None:
-            after = _stage_totals(spark)
+            after = _stable_stage_totals(spark)
             if after is not None:
                 io_sink[io_key] = {k: after[k] - before[k] for k in after}
     return sorted(times)
@@ -212,6 +212,24 @@ def _stage_totals(spark) -> dict[str, int] | None:
         return {k: sum(int(s.get(v) or 0) for s in stages) for k, v in keys.items()}
     except Exception:  # noqa: BLE001 - metrics must never fail the bench
         return None
+
+
+def _stable_stage_totals(spark) -> dict[str, int] | None:
+    """The REST store drains Spark's ASYNC status-listener queue: totals
+    read immediately after an action can miss the run's final stages
+    (under-counting this query's delta AND misattributing the laggards to
+    the next one). Poll until two consecutive reads agree (~2s cap) so
+    each snapshot brackets a settled store."""
+    prev = _stage_totals(spark)
+    if prev is None:
+        return None
+    for _ in range(20):
+        time.sleep(0.1)
+        cur = _stage_totals(spark)
+        if cur == prev:
+            return cur
+        prev = cur
+    return prev
 
 
 def _median(samples: list[float]) -> float:
@@ -571,9 +589,10 @@ def main() -> None:
                 "claims — a query whose shuffle_write_bytes rivals its "
                 "input_bytes is reshuffling the input (candidate for "
                 "broadcast/bucketing/pre-aggregation); compressed-domain "
-                "tiers should shuffle codes, not arrays. Volumes are "
-                "per-run deterministic (same plan, same data); empty when "
-                "the UI/REST is unavailable."
+                "tiers should shuffle codes, not arrays. Snapshots poll "
+                "the async status store to quiescence before bracketing, "
+                "so deltas are settled per-query totals; empty when the "
+                "UI/REST is unavailable."
             ),
             "queries": io_by_query,
         },

@@ -724,25 +724,16 @@ def test_heavy_hitters_partitioning_invariant(spark):
     for n in (1, 3, 16):
         d = spark.read.parquet(f"{SF_SMALL}/documents.parquet").repartition(n)
         toks = d.select(FF.explode(t.tokens_col()).alias("term"))
-        # same two-phase pipeline over the repartitioned stream
+        # same two-phase pipeline over the repartitioned stream, via the
+        # SHARED production sketch (misra_gries_summary) so this test and
+        # the operator cannot silently diverge
         import pandas as pd
+        from itertools import chain
 
         def mg(batches, capacity=t.MG_CAPACITY):
-            counters = {}
-            for pdf in batches:
-                for tok in pdf["term"]:
-                    if tok in counters:
-                        counters[tok] += 1
-                    elif len(counters) < capacity:
-                        counters[tok] = 1
-                    else:
-                        dead = []
-                        for key in counters:
-                            counters[key] -= 1
-                            if counters[key] == 0:
-                                dead.append(key)
-                        for key in dead:
-                            del counters[key]
+            counters = t.misra_gries_summary(
+                chain.from_iterable(pdf["term"] for pdf in batches), capacity
+            )
             yield pd.DataFrame({"term": list(counters.keys())})
 
         cands = toks.mapInPandas(mg, "term string").distinct()
@@ -772,20 +763,9 @@ def test_misra_gries_bound_property():
     for i in range(100):
         nxt = next(ni, None) if i % 10 < 7 else next(hi, None)
         stream.append(nxt if nxt is not None else next(hi))
-    counters = {}
-    for t in stream:
-        if t in counters:
-            counters[t] += 1
-        elif len(counters) < capacity:
-            counters[t] = 1
-        else:
-            dead = []
-            for key in counters:
-                counters[key] -= 1
-                if counters[key] == 0:
-                    dead.append(key)
-            for key in dead:
-                del counters[key]
+    from airdatapipeline_spark.operators.text import misra_gries_summary
+
+    counters = misra_gries_summary(stream, capacity)
     assert 30 > len(stream) / (capacity + 1)
     assert "H" in counters
 

@@ -414,6 +414,10 @@ def test_bench_stage_totals_none_when_ui_off(spark):
     )
     bench = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bench)
+    if spark.sparkContext.uiWebUrl is not None:
+        import pytest as _pytest
+
+        _pytest.skip("ambient SPARK_GRAFT_UI=1 built the shared session with the UI on")
     assert bench._stage_totals(spark) is None
     sink = {}
     runs = bench._run_samples(
