@@ -146,6 +146,10 @@ SCALING = [
     "w_customer_rfm_segments",
     "text_shard_manifest",
     "text_token_rarity_scores",
+    # r8: both scale-eligible (exact plans over the replicated corpus;
+    # simsearch_bq stays out with the rest of the ANN family)
+    "text_bm25_topk",
+    "text_heavy_hitters",
 ]
 
 

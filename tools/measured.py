@@ -51,6 +51,10 @@ QUERIES_TO_MEASURE = [
     # r4 (late): corpus-prep family
     "text_shard_manifest",
     "text_token_rarity_scores",
+    # r8: BQ candidate scan, BM25 retrieval, bounded-state heavy hitters
+    "simsearch_bq_topk",
+    "text_bm25_topk",
+    "text_heavy_hitters",
 ]
 
 
