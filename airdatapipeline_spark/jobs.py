@@ -120,6 +120,21 @@ def main(argv: list[str] | None = None) -> int:
     sh.add_argument("--out", default=None,
                     help="schedule: also persist the schedule parquet here")
 
+    se = sub.add_parser(
+        "search",
+        help="BM25-ranked retrieval over the documents corpus (Okapi "
+        "k1=1.2 b=0.75 over the positional postings index; idf baked "
+        "driver-side at query-planning time). Default query is the "
+        "df-rank-10..12 demo triple the oracle checks; pass --terms "
+        "for a real query.",
+    )
+    se.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    se.add_argument(
+        "--terms", default=None,
+        help="comma-separated query terms (default: data-derived demo query)",
+    )
+    se.add_argument("--topk", type=int, default=20)
+
     x = sub.add_parser(
         "expectations",
         help="data-quality gate: run the declarative expectations suite and "
@@ -190,6 +205,21 @@ def main(argv: list[str] | None = None) -> int:
                 default=str,
             )
         )
+    elif args.job == "search":
+        from .operators import text as text_ops
+
+        terms = (
+            [t.strip() for t in args.terms.split(",") if t.strip()]
+            if args.terms
+            else None
+        )
+        hits = [
+            r.asDict()
+            for r in text_ops.bm25_topk(
+                spark, args.sf_dir, k=args.topk, terms=terms
+            ).collect()
+        ]
+        print(json.dumps({"job": "search", "terms": terms, "hits": hits}))
     elif args.job == "expectations":
         from .operators import expectations as exp_ops
 

@@ -854,12 +854,19 @@ BM25_N_TERMS = 3  # in many docs (the ranking has work to do) yet informative
 BM25_TOPK = 20
 
 
-def bm25_topk(spark: SparkSession, sf_dir: str, k: int = BM25_TOPK) -> DataFrame:
+def bm25_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = BM25_TOPK,
+    terms: list[str] | None = None,
+) -> DataFrame:
     """BM25-ranked retrieval over the postings index — the scoring layer
-    on top of `conjunctive_phrase_search`'s boolean layer. Query terms are
-    data-derived (document-frequency ranks 10–12, df desc / term asc total
-    order) so the oracle reproduces the exact query; a user-supplied query
-    leaves the plan unchanged.
+    on top of `conjunctive_phrase_search`'s boolean layer. Default query
+    terms are data-derived (document-frequency ranks 10–12, df desc /
+    term asc total order) so the oracle reproduces the exact query; pass
+    `terms` for a user query (the `jobs search` CLI path) — the plan is
+    identical, only the 3-row query-planning collect changes (terms
+    absent from the corpus contribute no candidates and drop out).
 
     Shape at scale: tf and df are each one shuffle over the postings
     (partial-aggregated map-side); the 3-term query is BROADCAST into the
@@ -893,22 +900,37 @@ def bm25_topk(spark: SparkSession, sf_dir: str, k: int = BM25_TOPK) -> DataFrame
     n_docs, total_dl = (
         dl.agg(F.count("*").alias("n"), F.sum("dl").alias("t")).head()
     )
-    # K-row collect (K = BM25_N_TERMS query terms) — the query-planning
-    # step, same driver-side-by-nature justification as the IVF centroid
-    # collect in similarity._ivf_assign. The df-rank cut is TakeOrdered
+    # K-row collect (K = query terms) — the query-planning step, same
+    # driver-side-by-nature justification as the IVF centroid collect in
+    # similarity._ivf_assign. The df-rank cut is TakeOrdered
     # (orderBy+limit) FIRST, so the rank window runs over the 12 surviving
     # rows — a bare global row_number window here would single-partition
     # the whole vocabulary (the review-pass finding; phrase search's top-2
     # derivation at conjunctive_phrase_search already uses this shape).
-    wq = Window.orderBy(F.desc("df"), F.asc("term"))
-    qrows = (
-        dfc.orderBy(F.desc("df"), F.asc("term"))
-        .limit(BM25_QRANK_LO + BM25_N_TERMS - 1)
-        .withColumn("dfrank", F.row_number().over(wq))
-        .filter(F.col("dfrank") >= BM25_QRANK_LO)
-        .select("term", "df", (F.col("dfrank") - (BM25_QRANK_LO - 1)).alias("qrank"))
-        .collect()
-    )
+    if terms is None:
+        wq = Window.orderBy(F.desc("df"), F.asc("term"))
+        qrows = (
+            dfc.orderBy(F.desc("df"), F.asc("term"))
+            .limit(BM25_QRANK_LO + BM25_N_TERMS - 1)
+            .withColumn("dfrank", F.row_number().over(wq))
+            .filter(F.col("dfrank") >= BM25_QRANK_LO)
+            .select(
+                "term", "df", (F.col("dfrank") - (BM25_QRANK_LO - 1)).alias("qrank")
+            )
+            .collect()
+        )
+    else:
+        want = spark.createDataFrame(
+            [(t, i + 1) for i, t in enumerate(terms)], "term string, qrank int"
+        )
+        qrows = (
+            dfc.join(F.broadcast(want), "term").select("term", "df", "qrank").collect()
+        )
+    n_q = max((r.qrank for r in qrows), default=0)
+    if n_q == 0:
+        return spark.createDataFrame(
+            [], "doc_id long, hits int, bm25 double, rank int"
+        )
     qterms = spark.createDataFrame(
         [
             (
@@ -936,14 +958,14 @@ def bm25_topk(spark: SparkSession, sf_dir: str, k: int = BM25_TOPK) -> DataFrame
         F.count("*").cast("int").alias("hits"),
         *[
             F.max(F.when(F.col("qrank") == i, F.col("score_t"))).alias(f"s{i}")
-            for i in range(1, BM25_N_TERMS + 1)
+            for i in range(1, n_q + 1)
         ],
     )
     bm25 = per_doc.select(
         "doc_id",
         "hits",
         sum(
-            (F.coalesce(F.col(f"s{i}"), F.lit(0.0)) for i in range(2, BM25_N_TERMS + 1)),
+            (F.coalesce(F.col(f"s{i}"), F.lit(0.0)) for i in range(2, n_q + 1)),
             F.coalesce(F.col("s1"), F.lit(0.0)),
         ).alias("bm25"),
     )

@@ -345,6 +345,35 @@ def test_jobs_cli_validate_and_report(spark):
             assert 0 < out["curated_docs"] < out["corpus_docs"]
 
 
+def test_jobs_cli_search_user_terms(spark):
+    """The search verb runs BM25 with USER query terms (the production
+    path; the registry query pins the data-derived default): ranks are
+    dense from 1, docs hitting more query terms are present, and an
+    out-of-vocabulary query returns an empty hit list instead of failing."""
+    import contextlib
+    import io as _io
+    import json
+
+    from airdatapipeline_spark import jobs
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = jobs.main(
+            ["search", "--sf-dir", SF_SMALL, "--terms", "stream,value", "--topk", "5"]
+        )
+    assert rc == 0
+    out = json.loads(buf.getvalue())
+    assert out["terms"] == ["stream", "value"]
+    assert [h["rank"] for h in out["hits"]] == [1, 2, 3, 4, 5]
+    assert all(1 <= h["hits"] <= 2 and h["bm25"] > 0 for h in out["hits"])
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = jobs.main(["search", "--sf-dir", SF_SMALL, "--terms", "zz_not_a_token"])
+    assert rc == 0
+    assert json.loads(buf.getvalue())["hits"] == []
+
+
 def test_parquet_schema_evolution_additive_column(spark, tmp_path):
     """Additive schema evolution on an accreting parquet table: later files
     carry a new column; mergeSchema=true reads the union schema with nulls
