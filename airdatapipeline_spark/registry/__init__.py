@@ -75,14 +75,15 @@ from . import sources_sinks  # noqa: F401,E402
 #   - the new r8 registrations (text_shard_vacuum_readmit — the sanctioned
 #     tombstone shrink + re-admission seam; simsearch_bq_topk — the 1-bit
 #     binary-quantization ANN tier; text_bm25_topk — BM25-scored postings
-#     retrieval; text_heavy_hitters — bounded-state exact top-k; the
-#     latter three take p1_staging_projection's,
-#     a9_sentiment_distribution_pct's and a1_daily_sentiment_gold's
-#     slots, all rotating in r9 with the rest of the relational scalars);
-#   - 19 of the 47 r5-green queries, heavy-plan/flagship picks first
+#     retrieval; text_heavy_hitters — bounded-state exact top-k;
+#     src_format_roundtrip — JSON/ORC lossless roundtrips; these take the
+#     slots of p1_staging_projection, a9_sentiment_distribution_pct,
+#     a1_daily_sentiment_gold and src_csv_roundtrip, all rotating in r9
+#     with the rest of the relational scalars);
+#   - 18 of the 47 r5-green queries, heavy-plan/flagship picks first
 #     (curation_pipeline, training_data_build, the simsearch serving tier,
 #     the shard-layout conservation pair, the snk/sink family, the LSH
-#     candidate generators) — the remaining 28 r5-greens (the short
+#     candidate generators) — the remaining 29 r5-greens (the short
 #     P/A/T/J relational scalars incl. t3_recent_headlines_topk) rotate
 #     in r9.
 # Max driver-row staleness after r8: r5 everywhere except the r6+-green
@@ -122,6 +123,7 @@ _DRIVER_WINDOW = [
     "simsearch_bq_topk",
     "text_bm25_topk",
     "text_heavy_hitters",
+    "src_format_roundtrip",
     # --- newest driver row is r5 (22 of 47; rest rotate in r9) -------------
     "curation_pipeline",
     "training_data_build",
@@ -134,7 +136,6 @@ _DRIVER_WINDOW = [
     "snk_compaction_roundtrip",
     "snk_incremental_gold",
     "snk_silver_partitioned_prune",
-    "src_csv_roundtrip",
     "u1_union_dedup",
     "q_expectations_report",
     "q_validation_gates",

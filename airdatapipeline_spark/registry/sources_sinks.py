@@ -86,6 +86,71 @@ def src_csv(spark, sf_dir):
 
 
 @register(
+    "src_format_roundtrip",
+    """
+    WITH agg AS (
+      SELECT source, COUNT(*) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS chars,
+             CAST(SUM(CAST(concat('0x', substr(md5(
+                   CAST(doc_id AS VARCHAR) || '|' || lang || '|' || text
+                 ), 1, 14)) AS BIGINT) % 1099511627776) AS BIGINT) AS fp
+      FROM documents GROUP BY 1
+    )
+    SELECT f.format, a.source, a.n, a.chars, a.fp
+    FROM agg a CROSS JOIN (VALUES ('json'), ('orc')) f(format)
+    """,
+)
+def src_formats(spark, sf_dir):
+    """Lossless JSON-lines and ORC round-trips of the documents corpus
+    (format breadth beside CSV/parquet/JDBC): write each format to a temp
+    landing dir, read back with the EXPLICIT schema (JSON is never
+    inferred — inference is nondeterministic under partial scans), and
+    fingerprint per source: row count, char mass, and a content-hash sum
+    over (doc_id, lang, text). The oracle computes the same fingerprints
+    ONCE from the parquet source and emits them under both format labels —
+    format-independent by construction, so any row lost, duplicated, or
+    textually mangled by either writer/reader reds exactly that format's
+    rows. ORC additionally exercises the second columnar container Spark
+    ships in-box (same pushdown/pruning machinery as parquet)."""
+    import os
+
+    from ..io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="fmt_roundtrip_")
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    backs = []
+    for fmt in ("json", "orc"):
+        path = os.path.join(root, fmt)
+        docs.write.format(fmt).mode("overwrite").save(path)
+        back = spark.read.format(fmt).schema(schema).load(path)
+        fp = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.col("doc_id").cast("string"), F.col("lang"), F.col("text")
+                        )
+                    ),
+                    1,
+                    14,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1099511627776
+        )
+        backs.append(
+            back.groupBy("source").agg(
+                F.count("*").alias("n"),
+                F.sum("n_chars").alias("chars"),
+                F.sum(fp).alias("fp"),
+            ).select(F.lit(fmt).alias("format"), "source", "n", "chars", "fp")
+        )
+    return backs[0].unionByName(backs[1])
+
+
+@register(
     "snk_silver_partitioned_prune",
     with_model_ctes(
         f"""
