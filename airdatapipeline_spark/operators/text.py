@@ -36,14 +36,16 @@ def tokens_col(text_col: str = "text") -> Column:
     return F.split(F.trim(F.col(text_col)), r"\s+")
 
 
-def _hash_bucket(mod: int, salt: str = "") -> Column:
-    """Content-addressed bucket: conv(md5(salt + doc_id)[0:14], 16, 10) mod
-    `mod` — THE hash idiom for every reproducible selection in this module
+def _hash_bucket(mod: int, salt: str = "", key: Column | None = None) -> Column:
+    """Content-addressed bucket: conv(md5(salt + key)[0:14], 16, 10) mod
+    `mod` — THE hash idiom for every reproducible selection/fingerprint
     (train/val split, mix sampling, pack bucketing, the build's doc-level
-    split). One definition so the formula and its SQL oracle twins can
-    never drift apart; changing it means changing every oracle in
-    lockstep."""
-    key = F.col("doc_id").cast("string")
+    split, the format-roundtrip content fingerprint). `key` defaults to
+    doc_id; pass a Column for compound keys. One definition so the
+    formula and its SQL oracle twins can never drift apart; changing it
+    means changing every oracle in lockstep."""
+    if key is None:
+        key = F.col("doc_id").cast("string")
     if salt:
         key = F.concat(F.lit(salt), key)
     return F.conv(F.substring(F.md5(key), 1, 14), 16, 10).cast("long") % mod
@@ -920,13 +922,21 @@ def bm25_topk(
             .collect()
         )
     else:
+        # dedupe preserving first-occurrence order: a repeated term must
+        # not score twice (each qrank would re-join the same postings,
+        # doubling hits and bm25 — review-pass finding, reproduced)
+        uniq = list(dict.fromkeys(terms))
         want = spark.createDataFrame(
-            [(t, i + 1) for i, t in enumerate(terms)], "term string, qrank int"
+            [(t, i + 1) for i, t in enumerate(uniq)], "term string, qrank int"
         )
         qrows = (
             dfc.join(F.broadcast(want), "term").select("term", "df", "qrank").collect()
         )
-    n_q = max((r.qrank for r in qrows), default=0)
+    # dense 1..n_q ranks regardless of which input positions survived —
+    # max(qrank) would size the pivot by the highest surviving position
+    # and carry an all-null s_i column per absent-from-corpus term
+    qrows = sorted(qrows, key=lambda r: r.qrank)
+    n_q = len(qrows)
     if n_q == 0:
         return spark.createDataFrame(
             [], "doc_id long, hits int, bm25 double, rank int"
@@ -935,12 +945,12 @@ def bm25_topk(
         [
             (
                 r.term,
-                r.qrank,
+                i + 1,
                 math.log(
                     1.0 + ((float(n_docs) - float(r.df)) + 0.5) / (float(r.df) + 0.5)
                 ),
             )
-            for r in qrows
+            for i, r in enumerate(qrows)
         ],
         "term string, qrank int, idf double",
     )

@@ -124,7 +124,7 @@ _DRIVER_WINDOW = [
     "text_bm25_topk",
     "text_heavy_hitters",
     "src_format_roundtrip",
-    # --- newest driver row is r5 (22 of 47; rest rotate in r9) -------------
+    # --- newest driver row is r5 (18 of 47; rest rotate in r9) -------------
     "curation_pipeline",
     "training_data_build",
     "simsearch_ivf_topk",

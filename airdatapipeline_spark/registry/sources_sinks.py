@@ -120,25 +120,19 @@ def src_formats(spark, sf_dir):
     root = tempfile.mkdtemp(prefix="fmt_roundtrip_")
     schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
     backs = []
+    from ..operators.text import _hash_bucket
+
     for fmt in ("json", "orc"):
         path = os.path.join(root, fmt)
         docs.write.format(fmt).mode("overwrite").save(path)
         back = spark.read.format(fmt).schema(schema).load(path)
-        fp = (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            "|", F.col("doc_id").cast("string"), F.col("lang"), F.col("text")
-                        )
-                    ),
-                    1,
-                    14,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % 1099511627776
+        # the repo's one content-hash idiom (operators/text._hash_bucket)
+        # over the compound (doc_id, lang, text) key
+        fp = _hash_bucket(
+            1099511627776,
+            key=F.concat_ws(
+                "|", F.col("doc_id").cast("string"), F.col("lang"), F.col("text")
+            ),
         )
         backs.append(
             back.groupBy("source").agg(

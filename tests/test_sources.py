@@ -374,6 +374,19 @@ def test_jobs_cli_search_user_terms(spark):
     assert json.loads(buf.getvalue())["hits"] == []
 
 
+def test_bm25_user_terms_dedupe_and_dense_ranks(spark):
+    """Review-pass regressions: a repeated query term must not score its
+    postings twice (hits/bm25 doubled before the fix), and
+    absent-from-corpus terms must not widen the per-doc pivot — all
+    three queries below are semantically identical."""
+    from airdatapipeline_spark.operators import text as t
+
+    one = [(r.doc_id, r.hits, r.bm25) for r in t.bm25_topk(spark, SF_SMALL, k=3, terms=["stream"]).collect()]
+    dup = [(r.doc_id, r.hits, r.bm25) for r in t.bm25_topk(spark, SF_SMALL, k=3, terms=["stream", "stream"]).collect()]
+    sparse = [(r.doc_id, r.hits, r.bm25) for r in t.bm25_topk(spark, SF_SMALL, k=3, terms=["zz1", "zz2", "stream"]).collect()]
+    assert one == dup == sparse
+
+
 def test_parquet_schema_evolution_additive_column(spark, tmp_path):
     """Additive schema evolution on an accreting parquet table: later files
     carry a new column; mergeSchema=true reads the union schema with nulls
