@@ -176,6 +176,34 @@ def events_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STRATA_K = 50
+
+
+def events_stratified_sample(spark: SparkSession, sf_dir: str, k: int = STRATA_K) -> DataFrame:
+    """Exact class-balanced sampling: k rows per event_type, selected by
+    content-addressed md5 rank over event_id — the reproducible
+    stratified sampler a training pipeline uses to balance skewed event
+    classes. A seeded sample() is partition-dependent and
+    engine-specific; the md5 order is a fixed uniform permutation both
+    engines replay bit-identically (the text._hash_bucket idiom, full
+    56-bit value — mod 2^56 is the identity on a 14-hex-digit hash).
+    The per-stratum top-k compiles to WindowGroupLimit (rank pushdown,
+    plan-asserted): each map task keeps at most k rows per type BEFORE
+    the exchange, so the shuffle carries ~(tasks × types × k) rows, not
+    the table — the same property that makes this safe on a skewed
+    100 TB event log where one type dominates."""
+    from .text import _hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    skey = _hash_bucket(1 << 56, key=F.col("event_id").cast("string"))
+    w = Window.partitionBy("event_type").orderBy(F.asc("skey"), F.asc("event_id"))
+    return (
+        ev.select("event_type", "event_id", skey.alias("skey"))
+        .withColumn("srank", F.row_number().over(w).cast("int"))
+        .filter(F.col("srank") <= k)
+    )
+
+
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON property extraction from the props column (get_json_object →
     JVM-side Jackson; no Python boundary)."""

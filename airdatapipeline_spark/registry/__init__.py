@@ -76,14 +76,16 @@ from . import sources_sinks  # noqa: F401,E402
 #     tombstone shrink + re-admission seam; simsearch_bq_topk — the 1-bit
 #     binary-quantization ANN tier; text_bm25_topk — BM25-scored postings
 #     retrieval; text_heavy_hitters — bounded-state exact top-k;
-#     src_format_roundtrip — JSON/ORC lossless roundtrips; these take the
-#     slots of p1_staging_projection, a9_sentiment_distribution_pct,
-#     a1_daily_sentiment_gold and src_csv_roundtrip, all rotating in r9
+#     src_format_roundtrip — JSON/ORC lossless roundtrips;
+#     events_stratified_sample — exact class-balanced k-per-stratum; these
+#     take the slots of p1_staging_projection,
+#     a9_sentiment_distribution_pct, a1_daily_sentiment_gold,
+#     src_csv_roundtrip and q_expectations_report, all rotating in r9
 #     with the rest of the relational scalars);
-#   - 18 of the 47 r5-green queries, heavy-plan/flagship picks first
+#   - 17 of the 47 r5-green queries, heavy-plan/flagship picks first
 #     (curation_pipeline, training_data_build, the simsearch serving tier,
 #     the shard-layout conservation pair, the snk/sink family, the LSH
-#     candidate generators) — the remaining 29 r5-greens (the short
+#     candidate generators) — the remaining 30 r5-greens (the short
 #     P/A/T/J relational scalars incl. t3_recent_headlines_topk) rotate
 #     in r9.
 # Max driver-row staleness after r8: r5 everywhere except the r6+-green
@@ -124,6 +126,7 @@ _DRIVER_WINDOW = [
     "text_bm25_topk",
     "text_heavy_hitters",
     "src_format_roundtrip",
+    "events_stratified_sample",
     # --- newest driver row is r5 (18 of 47; rest rotate in r9) -------------
     "curation_pipeline",
     "training_data_build",
@@ -137,7 +140,6 @@ _DRIVER_WINDOW = [
     "snk_incremental_gold",
     "snk_silver_partitioned_prune",
     "u1_union_dedup",
-    "q_expectations_report",
     "q_validation_gates",
     "ev_asof_last_purchase",
     "dedup_cluster_assignments",

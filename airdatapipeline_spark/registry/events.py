@@ -25,6 +25,29 @@ def ev_daily(spark, sf_dir):
 
 
 @register(
+    "events_stratified_sample",
+    f"""
+    SELECT event_type, event_id, skey, CAST(srank AS INTEGER) AS srank FROM (
+      SELECT event_type, event_id, skey,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY skey, event_id
+             ) AS srank
+      FROM (SELECT event_type, event_id,
+                   CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 14))
+                     AS BIGINT) % 72057594037927936 AS skey
+            FROM events)
+    ) WHERE srank <= {tpch.STRATA_K}
+    """,
+)
+def ev_stratified(spark, sf_dir):
+    """Exact class-balanced sampling: k rows per event_type by
+    content-addressed md5 rank (reproducible across engines and
+    partitionings, unlike seeded sample()); per-stratum top-k compiles
+    to WindowGroupLimit so the shuffle carries ~tasks x types x k rows."""
+    return tpch.events_stratified_sample(spark, sf_dir)
+
+
+@register(
     "events_json_extract",
     """
     SELECT event_type, COUNT(*) AS n,

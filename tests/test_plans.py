@@ -349,3 +349,17 @@ def test_bm25_topk_is_take_ordered_with_broadcast_query(spark):
     pdf = df.toPandas()
     assert list(pdf["rank"]) == list(range(1, len(pdf) + 1))
     assert len(pdf) == text.BM25_TOPK
+
+
+def test_stratified_sample_uses_window_group_limit(spark):
+    """Per-stratum top-k must compile to WindowGroupLimit (rank pushdown:
+    map tasks keep <= k rows per type BEFORE the exchange) — the property
+    that keeps the sampler safe on a skewed event log."""
+    df = tpch.events_stratified_sample(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    pdf = df.toPandas()
+    per = pdf.groupby("event_type").size()
+    assert (per == tpch.STRATA_K).all()
+    assert pdf.groupby("event_type").srank.max().eq(tpch.STRATA_K).all()
