@@ -715,12 +715,21 @@ def with_bq(embeddings: DataFrame) -> DataFrame:
     if absent (reusing with_norm's when composed) plus the two code
     words. All-integer arithmetic: the codes are bit-identical across
     engines by construction."""
+    # The two code columns cover dims [1,32] and [33,64]; derive the word
+    # starts from EMB_DIM so a schema change fails HERE, loudly, instead of
+    # silently packing only the first 64 dims (ADVICE-r8).
+    assert EMB_DIM == 64 and EMB_DIM % 32 == 0, (
+        f"with_bq packs exactly two 32-bit sign words (code_lo/code_hi); "
+        f"EMB_DIM={EMB_DIM} needs {max(1, EMB_DIM // 32)} words — extend the "
+        f"code columns and the Hamming expressions together"
+    )
+    word_starts = [1 + 32 * w for w in range(EMB_DIM // 32)]
     e = embeddings
     if "emb" not in e.columns:
         e = e.withColumn("emb", F.expr("transform(embedding, x -> cast(x as double))"))
-    return e.withColumn("code_lo", F.expr(_bq_word_expr("emb", 1))).withColumn(
-        "code_hi", F.expr(_bq_word_expr("emb", 33))
-    )
+    return e.withColumn(
+        "code_lo", F.expr(_bq_word_expr("emb", word_starts[0]))
+    ).withColumn("code_hi", F.expr(_bq_word_expr("emb", word_starts[1])))
 
 
 def bq_topk(

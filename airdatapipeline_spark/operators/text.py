@@ -806,36 +806,62 @@ def heavy_hitter_tokens(
     wrong. Candidate SETS vary with partitioning/arrival order; the
     guarded top-k OUTPUT does not (partitioning-invariance pytest-pinned).
     The DuckDB oracle is the plain global count ORDER BY freq DESC LIMIT k
-    — phase structure is Spark-side only, results must coincide."""
+    — phase structure is Spark-side only, results must coincide.
+
+    TWO corpus scans, not three (VERDICT-r8 item 4): the global token
+    total the guard needs is a side-output of the MG pass (each partition
+    emits one sentinel row carrying its token count alongside its counter
+    rows), and the tiny summary frame — ≤ partitions × (capacity+1) rows
+    by the sketch's state bound — is persisted so both its consumers
+    (candidate set, total) read the cache instead of re-scanning the
+    corpus. The total then rides into the guard as a broadcast 1-row
+    cross-join column rather than a driver-collected literal, so building
+    the DataFrame launches no eager job at all."""
     import pandas as pd
 
     d = load_table(spark, sf_dir, "documents")
-    total = d.select(F.sum(F.size(tokens_col())).alias("t")).head().t
     toks = d.select(F.explode(tokens_col()).alias("term"))
 
     def mg(batches):
-        from itertools import chain
+        n = 0
 
-        counters = misra_gries_summary(
-            chain.from_iterable(pdf["term"] for pdf in batches), capacity
+        def counted():
+            nonlocal n
+            for pdf in batches:
+                n += len(pdf)
+                yield from pdf["term"]
+
+        counters = misra_gries_summary(counted(), capacity)
+        terms = list(counters.keys())
+        yield pd.DataFrame(
+            {"term": terms + [None], "part_n": [None] * len(terms) + [n]}
         )
-        yield pd.DataFrame({"term": list(counters.keys())})
 
-    cands = toks.mapInPandas(mg, "term string").distinct()
+    summary = toks.mapInPandas(mg, "term string, part_n long").persist()
+    cands = summary.filter(F.col("term").isNotNull()).select("term").distinct()
+    total_df = summary.groupBy().agg(
+        F.sum("part_n").cast("long").alias("total")
+    )
     exact = (
         toks.join(F.broadcast(cands), "term")
         .groupBy("term")
         .agg(F.count("*").alias("freq"))
     )
-    topn = exact.orderBy(F.desc("freq"), F.asc("term")).limit(topk)
+    topn = (
+        exact.orderBy(F.desc("freq"), F.asc("term"))
+        .limit(topk)
+        .crossJoin(F.broadcast(total_df))
+    )
     guard = F.when(
-        F.col("freq") * (capacity + 1) > F.lit(total), F.col("freq")
+        F.col("freq") * (capacity + 1) > F.col("total"), F.col("freq")
     ).otherwise(
         F.raise_error(
             F.format_string(
                 "heavy-hitter guard: freq %s is not provably sketch-safe at "
-                f"capacity {capacity} (total {total}) — raise MG_CAPACITY",
+                "capacity %s (total %s) — raise MG_CAPACITY",
                 F.col("freq"),
+                F.lit(capacity),
+                F.col("total"),
             )
         )
     )

@@ -127,11 +127,19 @@ def src_formats(spark, sf_dir):
         docs.write.format(fmt).mode("overwrite").save(path)
         back = spark.read.format(fmt).schema(schema).load(path)
         # the repo's one content-hash idiom (operators/text._hash_bucket)
-        # over the compound (doc_id, lang, text) key
+        # over the compound (doc_id, lang, text) key. F.concat (NOT
+        # concat_ws) to mirror the oracle's '||': both propagate NULL, so a
+        # NULL lang/text drops the SAME row from both engines' fingerprint
+        # sums instead of silently fingerprinting different row sets
+        # (ADVICE-r8).
         fp = _hash_bucket(
             1099511627776,
-            key=F.concat_ws(
-                "|", F.col("doc_id").cast("string"), F.col("lang"), F.col("text")
+            key=F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit("|"),
+                F.col("lang"),
+                F.lit("|"),
+                F.col("text"),
             ),
         )
         backs.append(

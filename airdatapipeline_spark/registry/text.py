@@ -605,6 +605,15 @@ def q_heavy_hitters(spark, sf_dir):
     return text.heavy_hitter_tokens(spark, sf_dir)
 
 
+# Per-qrank score pivot generated from BM25_N_TERMS exactly like the Spark
+# side does, so changing the term count can never desync the oracle
+# (ADVICE-r8): every qrank counted in `hits` is also summed into `bm25`.
+_BM25_SUM = "\n             + ".join(
+    f"COALESCE(MAX(CASE WHEN qrank = {i} THEN score_t END), 0.0)"
+    for i in range(1, text.BM25_N_TERMS + 1)
+)
+
+
 @register(
     "text_bm25_topk",
     f"""
@@ -636,9 +645,7 @@ def q_heavy_hitters(spark, sf_dir):
     ),
     agg AS (
       SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS hits,
-             COALESCE(MAX(CASE WHEN qrank = 1 THEN score_t END), 0.0)
-             + COALESCE(MAX(CASE WHEN qrank = 2 THEN score_t END), 0.0)
-             + COALESCE(MAX(CASE WHEN qrank = 3 THEN score_t END), 0.0) AS bm25
+             {_BM25_SUM} AS bm25
       FROM sc GROUP BY 1
     )
     SELECT doc_id, hits, bm25,
