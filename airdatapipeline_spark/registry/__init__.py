@@ -62,89 +62,77 @@ from . import sources_sinks  # noqa: F401,E402
 # 50 names.
 # ---------------------------------------------------------------------------
 
-# r8 rotation (VERDICT-r7 item 2 — continue the freshness ladder): after
-# three consecutive fully green rounds the window's only job is minimizing
-# max-staleness of the NEWEST green driver row per query (computed from
-# CORRECTNESS_r01-r07: 24 queries newest-green at r4, 47 at r5, rest r6+).
-# Composition:
+# r9 rotation (VERDICT-r8 item 3 — continue the freshness ladder). After
+# r8 the staleness profile is: 30 queries newest-green at r5 (the
+# relational/dashboard cohort), 47 at r6, 47 at r7, 50 at r8 (computed
+# from CORRECTNESS_r01-r08). Composition:
 #   - 3 family canaries (pinned by the window-integrity test);
-#   - all 24 queries whose newest driver row is still r4 (events_*,
-#     sql_api_*, w_* windows, tpch q2/q10r/q11/q20, text mix/pack/quality
-#     reports, src1_datasource_scrape, stream_join_append,
-#     table_profile_documents, agg_approx_family_check);
-#   - the new r8 registrations (text_shard_vacuum_readmit — the sanctioned
-#     tombstone shrink + re-admission seam; simsearch_bq_topk — the 1-bit
-#     binary-quantization ANN tier; text_bm25_topk — BM25-scored postings
-#     retrieval; text_heavy_hitters — bounded-state exact top-k;
-#     src_format_roundtrip — JSON/ORC lossless roundtrips;
-#     events_stratified_sample — exact class-balanced k-per-stratum; these
-#     take the slots of p1_staging_projection,
-#     a9_sentiment_distribution_pct, a1_daily_sentiment_gold,
-#     src_csv_roundtrip and q_expectations_report, all rotating in r9
-#     with the rest of the relational scalars);
-#   - 17 of the 47 r5-green queries, heavy-plan/flagship picks first
-#     (curation_pipeline, training_data_build, the simsearch serving tier,
-#     the shard-layout conservation pair, the snk/sink family, the LSH
-#     candidate generators) — the remaining 30 r5-greens (the short
-#     P/A/T/J relational scalars incl. t3_recent_headlines_topk) rotate
-#     in r9.
-# Max driver-row staleness after r8: r5 everywhere except the r6+-green
-# core (fresher by construction).
+#   - ALL 30 r5-stale queries (the P/A/T/J relational scalars, the a-
+#     aggregation family, q_expectations/scalar_display, src_csv_roundtrip
+#     — max staleness drops r5 → r6);
+#   - the new r9 registrations (simsearch_clustered_tier_recall — the
+#     production IVF/BQ/PQ codecs graded on the 64-dim clustered regime);
+#   - 16 of the 47 r6-green queries: the whole shard-lifecycle family
+#     (append/compact/delete conservation, verify report, epoch schedule/
+#     slice, curated append, streaming shard ingest) plus heavy-plan picks
+#     (tpch q1/q3/q9, repetition filters, sequence packing, SCD2, salted
+#     hot-key join, sessionization) — the remaining r6 names rotate in r10.
+# Max driver-row staleness after r9: r6.
 _DRIVER_WINDOW = [
     # --- §2 family flagships (regression canaries) -------------------------
     "flagship_enrichment_gold",
     "a2_w1_daily_category_gold",
     "src1_scrape_clean",
-    # --- newest driver row is r4 (all 24) ----------------------------------
-    "agg_approx_family_check",
-    "events_cohort_retention",
-    "events_daily_anomalies",
-    "events_funnel",
-    "events_multires_rollup",
-    "events_user_features",
-    "sql_api_daily_sentiment",
-    "sql_api_error_cascades",
-    "src1_datasource_scrape",
-    "stream_join_append",
-    "table_profile_documents",
-    "text_pack_greedy",
-    "text_quality_model_scores",
-    "text_source_quality_report",
-    "text_temperature_mix_weights",
-    "text_token_rarity_scores",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q20_excess_shipments",
-    "w_customer_rfm_segments",
-    "w_daily_revenue_deltas",
-    "w_trailing_week_revenue",
-    "w_user_gap_median",
-    # --- new r8 registrations ----------------------------------------------
-    "text_shard_vacuum_readmit",
-    "simsearch_bq_topk",
-    "text_bm25_topk",
-    "text_heavy_hitters",
-    "src_format_roundtrip",
-    "events_stratified_sample",
-    # --- newest driver row is r5 (18 of 47; rest rotate in r9) -------------
-    "curation_pipeline",
-    "training_data_build",
-    "simsearch_ivf_topk",
-    "simsearch_lsh_topk",
-    "simsearch_recall_clustered",
-    "text_shard_manifest",
-    "text_shard_write_conservation",
-    "text_decontamination_bloom",
-    "snk_compaction_roundtrip",
-    "snk_incremental_gold",
-    "snk_silver_partitioned_prune",
-    "u1_union_dedup",
-    "q_validation_gates",
-    "ev_asof_last_purchase",
-    "dedup_cluster_assignments",
-    "dedup_minhash_lsh_candidates",
-    "dedup_simhash_lsh_candidates",
+    # --- newest driver row is r5 (all 30) ----------------------------------
+    "a1_daily_sentiment_gold",
+    "a3_sentiment_today",
+    "a4_top_categories_today",
+    "a5_a6_a7_today_scalars",
+    "a8_confidence_by_date_sentiment",
+    "a9_sentiment_distribution_pct",
+    "a10_period_kpis",
+    "a11_category_totals",
+    "a12_pivot_date_category",
+    "a13_unpivot_sentiment_long",
+    "a14_collect_confidences",
+    "a15_histogram_bins",
+    "a16_a19_summary_stats",
+    "d1_d2_dedup_headlines",
+    "d4_distinct_dates",
+    "j1_pending_antijoin",
+    "j2_j3_pending_metrics",
+    "p1_staging_projection",
+    "p2_p3_clean_links",
+    "p5_p6_today_ok_rows",
+    "p7_date_range_filter",
+    "p8_nulldrop_metric",
+    "p9_top5_membership_filter",
+    "p10_validate_domains",
+    "q_expectations_report",
+    "q_scalar_display_functions",
+    "src_csv_roundtrip",
+    "t1_t2_gold_ordered",
+    "t3_recent_headlines_topk",
+    "t4_t5_batch_limit",
+    # --- new r9 registrations ----------------------------------------------
+    "simsearch_clustered_tier_recall",
+    # --- newest driver row is r6 (16 of 47; rest rotate in r10) ------------
+    "text_shard_append_conservation",
+    "text_shard_compact_conservation",
+    "text_shard_delete_conservation",
+    "text_shard_verify_report",
+    "text_epoch_schedule",
+    "text_epoch_token_slice",
+    "text_curated_append",
+    "stream_shard_ingest",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q9_profit_by_nation_year",
+    "text_repetition_filters",
+    "text_sequence_packing",
+    "scd2_customer_dim",
+    "j_salted_hotkey_events",
+    "events_sessionization",
 ]
 
 # All previously driver-proven names (newest green driver row in some
@@ -152,6 +140,11 @@ _DRIVER_WINDOW = [
 # tests/test_oracle_parity.py) — these yield the window to never-checked
 # queries. Grouped below by the round whose rotation moved them out.
 _PRIOR_GREEN = {
+    # r08 greens (the whole r8 window was green 50/50; names below are the
+    # r8-window members without an earlier _PRIOR_GREEN row — the six
+    # queries registered and proven in r8, rotated out for r9)
+    "text_shard_vacuum_readmit", "simsearch_bq_topk", "text_bm25_topk",
+    "text_heavy_hitters", "src_format_roundtrip", "events_stratified_sample",
     # r07 greens (the whole r7 window was green 50/50; the name below is
     # the only r7-window member without an earlier _PRIOR_GREEN row —
     # the tombstone seam query registered and proven in r7)

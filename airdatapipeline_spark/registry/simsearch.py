@@ -271,23 +271,23 @@ def ss_recall(spark, sf_dir):
     return similarity.recall_at_k(spark, sf_dir)
 
 
-def _clu_emb_list(id_expr: str, c_expr: str) -> str:
+def _clu_emb_list(id_expr: str, c_expr: str, dim: int = similarity.CLU_DIM) -> str:
     return (
         "["
         + ", ".join(
             f"{similarity.clu_center_coord_duck(c_expr, j)} + "
             f"{similarity.clu_noise_coord_duck(id_expr, j)}"
-            for j in range(similarity.CLU_DIM)
+            for j in range(dim)
         )
         + "]::DOUBLE[]"
     )
 
 
-def _clu_center_list(c_expr: str) -> str:
+def _clu_center_list(c_expr: str, dim: int = similarity.CLU_DIM) -> str:
     return (
         "["
         + ", ".join(
-            similarity.clu_center_coord_duck(c_expr, j) for j in range(similarity.CLU_DIM)
+            similarity.clu_center_coord_duck(c_expr, j) for j in range(dim)
         )
         + "]::DOUBLE[]"
     )
@@ -571,3 +571,164 @@ def q_ivf_list_stats(spark, sf_dir):
         F.count("*").alias("n_vectors"),
         (F.count("*") / F.lit(float(total))).alias("share"),
     )
+
+
+# --- clustered-regime tier recall (VERDICT-r8 item 5) -------------------------
+# The generated corpus CTE is named `e` on purpose: the PQ fragments
+# (_PQ_SUBDIST_SQL / _PQ_DIST_PIVOT) and _bq_word_duck are written against a
+# CTE of that name, so the clustered oracle reuses the EXACT SQL the
+# isotropic pq_adc/bq oracles hash-matched with — only the corpus differs.
+
+_CTR_TOPK = """
+      SELECT {q}.vec_id AS query_id, {c}.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY {q}.vec_id
+               ORDER BY list_dot_product({q}.emb, {c}.emb)
+                        / ({q}.norm * {c}.norm) DESC, {c}.vec_id
+             ) AS rank
+"""
+
+
+@register(
+    "simsearch_clustered_tier_recall",
+    f"""
+    WITH ec AS (
+      SELECT vec_id, {similarity.clu_cluster_duck("vec_id")} AS c FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS norm FROM (
+        SELECT vec_id, {_clu_emb_list("vec_id", "c", similarity.EMB_DIM)} AS emb
+        FROM ec
+      )
+    ),
+    qrows AS (SELECT * FROM e WHERE vec_id < 10),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        {_CTR_TOPK.format(q="q", c="cc")}
+        FROM e cc, qrows q WHERE cc.vec_id <> q.vec_id
+      ) WHERE rank <= 5
+    ),
+    centn AS (
+      SELECT centroid_id, emb, sqrt(list_dot_product(emb, emb)) AS norm FROM (
+        SELECT c AS centroid_id, {_clu_center_list("c", similarity.EMB_DIM)} AS emb
+        FROM range({similarity.CLU_K}) t(c)
+      )
+    ),
+    assigned AS ({_CLU_ASSIGN.format(src="e", n=1)}),
+    probes AS (
+      SELECT vec_id AS query_id, emb AS q_emb, norm AS q_norm, centroid_id
+      FROM ({_CLU_ASSIGN.format(src="qrows", n=similarity.CLU_N_PROBE)})
+    ),
+    ivfk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY list_dot_product(p.q_emb, a.emb) / (p.q_norm * a.norm) DESC,
+                          a.vec_id
+               ) AS rank
+        FROM assigned a JOIN probes p
+          ON a.centroid_id = p.centroid_id AND a.vec_id <> p.query_id
+      ) WHERE rank <= 5
+    ),
+    bq AS (
+      SELECT vec_id, emb, norm,
+             {_bq_word_duck(1)} AS code_lo,
+             {_bq_word_duck(33)} AS code_hi
+      FROM e
+    ),
+    bqcand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {_BQ_HAMMING}, b.vec_id
+               ) AS crank
+        FROM bq b JOIN (SELECT * FROM bq WHERE vec_id < 10) a
+          ON a.vec_id <> b.vec_id
+      ) WHERE crank <= {similarity.BQ_RERANK}
+    ),
+    bqk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT c.query_id, c.neighbor_id,
+               row_number() OVER (
+                 PARTITION BY c.query_id
+                 ORDER BY list_dot_product(qe.emb, ne.emb) / (qe.norm * ne.norm) DESC,
+                          c.neighbor_id
+               ) AS rank
+        FROM bqcand c
+        JOIN e qe ON qe.vec_id = c.query_id
+        JOIN e ne ON ne.vec_id = c.neighbor_id
+      ) WHERE rank <= 5
+    ),
+    cb AS (
+      SELECT vec_id - {similarity.PQ_CB_LO} AS k, emb FROM e
+      WHERE vec_id >= {similarity.PQ_CB_LO}
+        AND vec_id < {similarity.PQ_CB_LO + similarity.PQ_K}
+    ),
+    g AS (SELECT unnest(generate_series(0, {similarity.PQ_M - 1})) AS m),
+    sub AS (
+      SELECT e.vec_id, g.m, cb.k, {_PQ_SUBDIST_SQL} AS d
+      FROM e CROSS JOIN cb CROSS JOIN g
+    ),
+    codes AS (
+      SELECT vec_id, m, k AS code FROM (
+        SELECT vec_id, m, k,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+        FROM sub
+      ) WHERE rn = 1
+    ),
+    pair AS (
+      SELECT s.vec_id AS query_id, c.vec_id AS neighbor_id, c.m, s.d
+      FROM codes c JOIN sub s ON s.m = c.m AND s.k = c.code
+      WHERE s.vec_id < 10 AND c.vec_id <> s.vec_id
+    ),
+    dists AS (
+      SELECT query_id, neighbor_id, {_PQ_DIST_PIVOT} AS adc_dist
+      FROM pair GROUP BY 1, 2
+    ),
+    pqk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id)
+                 AS rank
+        FROM dists
+      ) WHERE rank <= 5
+    ),
+    hi AS (
+      SELECT t.query_id, COUNT(*) AS ivf_hits FROM truth t
+      JOIN ivfk x ON t.query_id = x.query_id AND t.neighbor_id = x.neighbor_id
+      GROUP BY 1
+    ),
+    hb AS (
+      SELECT t.query_id, COUNT(*) AS bq_hits FROM truth t
+      JOIN bqk x ON t.query_id = x.query_id AND t.neighbor_id = x.neighbor_id
+      GROUP BY 1
+    ),
+    hp AS (
+      SELECT t.query_id, COUNT(*) AS pq_hits FROM truth t
+      JOIN pqk x ON t.query_id = x.query_id AND t.neighbor_id = x.neighbor_id
+      GROUP BY 1
+    )
+    SELECT q.query_id,
+           CAST(COALESCE(hi.ivf_hits, 0) AS BIGINT) AS ivf_hits,
+           CAST(COALESCE(hi.ivf_hits, 0) AS BIGINT) / 5.0 AS ivf_recall,
+           CAST(COALESCE(hb.bq_hits, 0) AS BIGINT) AS bq_hits,
+           CAST(COALESCE(hb.bq_hits, 0) AS BIGINT) / 5.0 AS bq_recall,
+           CAST(COALESCE(hp.pq_hits, 0) AS BIGINT) AS pq_hits,
+           CAST(COALESCE(hp.pq_hits, 0) AS BIGINT) / 5.0 AS pq_recall
+    FROM (SELECT DISTINCT query_id FROM truth) q
+    LEFT JOIN hi ON q.query_id = hi.query_id
+    LEFT JOIN hb ON q.query_id = hb.query_id
+    LEFT JOIN hp ON q.query_id = hp.query_id
+    """,
+)
+def ss_clustered_tiers(spark, sf_dir):
+    """Recall@5 of the production IVF (true centers, nprobe=2/16), BQ
+    (sign codes, rerank=40) and PQ-ADC (8×16 codebooks) tiers on the
+    64-dim clustered mixture — the regime the codecs are FOR. Completes
+    the two-regime recall table (MEASURED.md): the parquet embeddings
+    grade the isotropic worst case, this grades honest clusterable data.
+    Fully value-hashed: corpus, centers, codes and candidates are all
+    deterministic integer-hash arithmetic in both engines."""
+    return similarity.clustered_tier_recall(spark, sf_dir)
