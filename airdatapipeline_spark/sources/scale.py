@@ -14,7 +14,13 @@ not like duplicates:
 - document text gets a per-copy suffix, so exact/near-dup families don't
   see quadratic duplicate groups that real data growth would never produce
   (near-dup candidate counts on replicated text grow as copies^2 per
-  bucket — an artifact of the synthesis, not of the plans).
+  bucket — an artifact of the synthesis, not of the plans);
+- embedding vectors are circularly ROTATED by `copy` positions (an
+  isometry: norms and within-copy geometry preserved exactly, but sign
+  patterns, LSH buckets, BQ/PQ codes and centroid assignments all differ
+  per copy) — so distinct codes grow with the data and the ANN scaling
+  rows measure honest growth, not ten identical code-sets
+  (VERDICT-r8 item 4).
 
 The build is a single declarative plan per table: scan once, cross-join a
 `copies`-row broadcast range, offset the keys — no shuffle, parallel write.
@@ -62,7 +68,9 @@ def build_replica_warehouse(
 ) -> str:
     """Build (or reuse) a `copies`-x replica of every table in `src_dir`
     under `out_dir`. Returns `out_dir`, readable via `io.load_table`."""
-    want = {"src": os.path.abspath(src_dir), "copies": copies}
+    # layout bumps when the synthesis changes (r9: embedding rotation) so
+    # stale replicas rebuild instead of silently serving the old shape
+    want = {"src": os.path.abspath(src_dir), "copies": copies, "layout": 2}
     try:
         with open(_marker(out_dir)) as fh:
             if json.load(fh) == want:
@@ -81,6 +89,18 @@ def build_replica_warehouse(
             out = df.crossJoin(idx)
             for key in _KEY_COLS[name]:
                 out = out.withColumn(key, F.col(key) + F.col("__copy") * KEY_OFFSET)
+            if name == "embeddings":
+                # per-copy circular rotation (see module docstring): copy 0
+                # stays the identity so the query panel (vec_id < 10) and
+                # the deterministic centroid/codebook rows are untouched
+                out = out.withColumn(
+                    "embedding",
+                    F.expr(
+                        "transform(sequence(1, size(embedding)), i -> "
+                        "element_at(embedding, "
+                        "((i - 1 + CAST(__copy AS INT)) % size(embedding)) + 1))"
+                    ),
+                )
             if name == "documents":
                 # per-copy text suffix: replicas are near-dups of each other
                 # otherwise, and near-dup candidate generation would grow

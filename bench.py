@@ -120,11 +120,13 @@ VERIFIER = [
 ]
 
 # Scale-eligible headline subset re-run on the replica warehouse. Excluded:
-# near-dup/ANN families (replica scaling makes their candidate sets
-# quadratic by construction), bucketed_order_revenue (bucketed facts are an
-# ingest-time layout; re-bucketing the replica measures ingest, not the
-# join), mm_decode_features (synthetic binary payloads are derived, not
-# replicated).
+# near-dup TEXT families (replica scaling makes their candidate sets
+# quadratic by construction even with per-copy suffixes),
+# bucketed_order_revenue (bucketed facts are an ingest-time layout;
+# re-bucketing the replica measures ingest, not the join),
+# mm_decode_features (synthetic binary payloads are derived, not
+# replicated). The ANN family is IN since r9: per-copy vector rotation in
+# the replica builder makes codes/buckets grow honestly with the data.
 SCALING = [
     "flagship_pipeline",
     "a1_daily_sentiment_gold",
@@ -150,6 +152,18 @@ SCALING = [
     # simsearch_bq stays out with the rest of the ANN family)
     "text_bm25_topk",
     "text_heavy_hitters",
+    # r9 (VERDICT-r8 item 4): the ANN serving family is now scale-eligible —
+    # the replica builder ROTATES each copy's vectors (distinct buckets/
+    # codes grow with the data, no artifact duplicate code-sets), so these
+    # rows measure the claims argued from plans: LSH/IVF candidates grow
+    # with list size (~linear), BQ's stage 1 scans 8-byte codes with the
+    # candidate window bounded pre-shuffle, PQ-ADC is the linear
+    # compressed-domain scan, IVFPQ adds probe pruning on top.
+    "simsearch_lsh_topk",
+    "simsearch_ivf_topk",
+    "simsearch_bq_topk",
+    "simsearch_pq_adc_topk",
+    "simsearch_ivfpq_topk",
 ]
 
 
