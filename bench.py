@@ -399,22 +399,33 @@ def _writes_distinct_tier(spark) -> dict:
     hashes), median-of-3 with dispersion. Ratios at or below the 10x data
     ratio mean the membership gates, fragment re-lays, and affected-shard
     rewrites stay IO-proportional when key cardinality actually grows;
-    verify_shards is asserted all-OK inside every scenario pass."""
+    verify_shards is asserted all-OK inside every scenario pass.
+
+    This tier is the CANONICAL instrument for the scenario (r9
+    reconciliation): base/big passes run INTERLEAVED so host/cache drift
+    hits both corpora symmetrically, and tools/measured.py's regeneration
+    uses the identical statistic. Expected ratios ~2.6-3.4 (fixed per-op
+    overhead amortizes; the IO term grows with the delta)."""
     import shutil
 
     from tools.measured import _build_distinct_10x, lifecycle_scenario
 
     big = _build_distinct_10x(spark, SF_DIR)
     try:
-        def tier(d: str) -> dict[str, dict]:
-            passes = [lifecycle_scenario(spark, d) for _ in range(WRITE_RUNS)]
+        base_p: list[dict] = []
+        big_p: list[dict] = []
+        for _ in range(WRITE_RUNS):
+            base_p.append(lifecycle_scenario(spark, SF_DIR))
+            big_p.append(lifecycle_scenario(spark, big))
+
+        def tier(passes: list[dict]) -> dict[str, dict]:
             out: dict[str, dict] = {}
             for op in passes[0]:
                 runs = sorted(round(p[op], 3) for p in passes)
                 out[op] = {"runs": runs, "med": _median(runs)}
             return out
 
-        base_t, big_t = tier(SF_DIR), tier(big)
+        base_t, big_t = tier(base_p), tier(big_p)
         ops: dict[str, dict] = {}
         for op in base_t:
             entry = {"base": base_t[op], "big": big_t[op]}

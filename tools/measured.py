@@ -288,19 +288,31 @@ def lifecycle_stress_lines(spark, sf_dir: str, big: str | None = None) -> list[s
     or below the 10x data ratio mean the membership gates, fragment
     re-lays, and affected-shard rewrites stay IO-proportional when key
     cardinality actually grows. verify_shards must also come back all-OK
-    on the distinct corpus — conservation under stress, not just speed."""
+    on the distinct corpus — conservation under stress, not just speed.
+
+    Statistic: MEDIAN-of-3, interleaved base/big passes — the same
+    statistic as bench.py's `_writes_distinct_tier`, which is the
+    CANONICAL per-round instrument (r9 reconciliation, VERDICT-r8 item 1:
+    the earlier best-of-2 run under different cache/host state read
+    ratios ~1.4 while a clean interleaved session reads ~2.6-4.1,
+    agreeing with the bench tier; two instruments measuring one scenario
+    must share the statistic or the docs contradict themselves)."""
     import shutil
 
     own_corpus = big is None
     if own_corpus:
         big = _build_distinct_10x(spark, sf_dir)
 
-    # best-of-2 per corpus (fresh layout each pass: writes mutate state)
-    def best(d: str) -> dict[str, float]:
-        a, b = lifecycle_scenario(spark, d), lifecycle_scenario(spark, d)
-        return {k: min(a[k], b[k]) for k in a}
+    # median-of-3, interleaved (fresh layout each pass: writes mutate state)
+    base_p, big_p = [], []
+    for _ in range(3):
+        base_p.append(lifecycle_scenario(spark, sf_dir))
+        big_p.append(lifecycle_scenario(spark, big))
 
-    base_t, big_t = best(sf_dir), best(big)
+    def med(passes: list[dict]) -> dict[str, float]:
+        return {k: sorted(p[k] for p in passes)[1] for k in passes[0]}
+
+    base_t, big_t = med(base_p), med(big_p)
     if own_corpus:
         shutil.rmtree(big, ignore_errors=True)
     return [
