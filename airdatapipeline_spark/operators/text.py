@@ -1010,6 +1010,115 @@ def bm25_topk(
     return topk.withColumn("rank", F.row_number().over(wr).cast("int"))
 
 
+LM_CE_KEEP = 3.405  # nats: keep docs whose bigram cross-entropy is at or
+# below the threshold (= corpus median at sf0.001 AND sf0.01, measured —
+# so the flag exercises both branches at every test scale; production
+# tunes this per-language the way CCNet buckets by KenLM perplexity)
+
+
+def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity quality scoring — the CCNet/KenLM-style filter
+    every web-scale curation pipeline runs: train an add-one-smoothed
+    bigram model ON the corpus, score each document's cross-entropy under
+    it, and flag the keep set. Emits per doc: bigram count, hapax-bigram
+    count (bigrams occurring exactly once corpus-wide — the novelty
+    signal), cross-entropy in nats, and the keep flag. Documents with
+    fewer than two tokens have no bigrams and drop out (mirrored by the
+    oracle's identical construction).
+
+    Scale shape: unigram + bigram counts are each ONE partial-aggregated
+    shuffle over the token stream; the bigram stream itself is built
+    zero-shuffle per doc (zip_with over adjacent slices — no positional
+    self-join); scoring joins the stream to the two count tables on their
+    natural keys (equi-joins, work ∝ corpus tokens); the per-doc log-prob
+    sum folds a position-sorted array (F.aggregate — explicit
+    left-to-right order, so the float total is partitioning-independent,
+    the same determinism discipline as BM25's fixed-order pivot sum).
+
+    Numerics contract (the BM25 idf precedent, operators/text.py:907): ln
+    is evaluated DRIVER-side with python's libm over the DISTINCT INTEGER
+    args — ln(c_bigram+1) and ln(c_unigram+V) — and broadcast-joined back,
+    because JVM Math.log and libm disagree by 1 ulp on some arguments
+    while python math.log and DuckDB ln share libm. The distinct COUNT
+    VALUES (not types!) are Zipf-collapsed — a few hundred at any corpus
+    size that has a vocabulary — so the collect is driver-side-by-nature
+    like the IVF centroid table. logp = ln_num - ln_den is then one exact
+    double subtraction per position."""
+    import math
+
+    from pyspark import StorageLevel
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "source", tokens_col().alias("toks"))
+    uni = (
+        tok.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cu"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    vsz = uni.count()  # vocabulary size (scalar; also materializes the cache)
+    pairs = F.expr(
+        "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),"
+        " (a, b) -> struct(a AS prev, b AS cur))"
+    )
+    bg = tok.select(
+        "doc_id", "source", F.posexplode(pairs).alias("pos", "pc")
+    ).select("doc_id", "source", "pos", "pc.prev", "pc.cur")
+    bic = (
+        bg.groupBy("prev", "cur")
+        .agg(F.count("*").alias("cb"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # driver-side libm ln over the distinct integer args (see docstring)
+    args = {
+        int(r.a)
+        for r in bic.select((F.col("cb") + 1).alias("a")).distinct().collect()
+    } | {
+        int(r.a)
+        for r in uni.select((F.col("cu") + F.lit(vsz)).alias("a")).distinct().collect()
+    }
+    lnt = F.broadcast(
+        spark.createDataFrame(
+            [(a, math.log(float(a))) for a in sorted(args)], "arg bigint, lnv double"
+        )
+    )
+    bic2 = bic.join(lnt, (F.col("cb") + 1) == F.col("arg")).select(
+        "prev", "cur", "cb", F.col("lnv").alias("ln_num")
+    )
+    uni2 = uni.join(lnt, (F.col("cu") + F.lit(vsz)) == F.col("arg")).select(
+        F.col("w").alias("prev"), F.col("lnv").alias("ln_den")
+    )
+    scored = (
+        bg.join(bic2, ["prev", "cur"])
+        .join(uni2, "prev")
+        .select(
+            "doc_id",
+            "source",
+            "pos",
+            (F.col("ln_num") - F.col("ln_den")).alias("logp"),
+            (F.col("cb") == 1).cast("long").alias("hapax"),
+        )
+    )
+    per = scored.groupBy("doc_id", "source").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum("hapax").cast("long").alias("hapax_bigrams"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("pos", "logp"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["logp"],
+        ).alias("ll"),
+    )
+    ce = -F.col("ll") / F.col("n_bigrams")
+    return per.select(
+        "doc_id",
+        "source",
+        "n_bigrams",
+        "hapax_bigrams",
+        ce.alias("cross_entropy"),
+        (ce <= F.lit(LM_CE_KEEP)).alias("keep"),
+    )
+
+
 def adaptive_source_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source ADAPTIVE quality cutoff: keep each source's top half by
     composite quality (rank-based, not a fixed global threshold — sources

@@ -72,11 +72,11 @@ from . import sources_sinks  # noqa: F401,E402
 #     — max staleness drops r5 → r6);
 #   - the new r9 registrations (simsearch_clustered_tier_recall — the
 #     production IVF/BQ/PQ codecs graded on the 64-dim clustered regime);
-#   - 16 of the 47 r6-green queries: the whole shard-lifecycle family
+#   - 15 of the 47 r6-green queries: the whole shard-lifecycle family
 #     (append/compact/delete conservation, verify report, epoch schedule/
 #     slice, curated append, streaming shard ingest) plus heavy-plan picks
 #     (tpch q1/q3/q9, repetition filters, sequence packing, SCD2, salted
-#     hot-key join, sessionization) — the remaining r6 names rotate in r10.
+#     hot-key join) — the remaining r6 names rotate in r10.
 # Max driver-row staleness after r9: r6.
 _DRIVER_WINDOW = [
     # --- §2 family flagships (regression canaries) -------------------------
@@ -116,7 +116,8 @@ _DRIVER_WINDOW = [
     "t4_t5_batch_limit",
     # --- new r9 registrations ----------------------------------------------
     "simsearch_clustered_tier_recall",
-    # --- newest driver row is r6 (16 of 47; rest rotate in r10) ------------
+    "text_lm_perplexity_filter",
+    # --- newest driver row is r6 (15 of 47; rest rotate in r10) ------------
     "text_shard_append_conservation",
     "text_shard_compact_conservation",
     "text_shard_delete_conservation",
@@ -132,7 +133,6 @@ _DRIVER_WINDOW = [
     "text_sequence_packing",
     "scd2_customer_dim",
     "j_salted_hotkey_events",
-    "events_sessionization",
 ]
 
 # All previously driver-proven names (newest green driver row in some

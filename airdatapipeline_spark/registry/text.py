@@ -1463,3 +1463,47 @@ def t_curated_append(spark, sf_dir):
     )
     corpus.append_docs(spark, survivors, out)
     return corpus.shard_readback_audit(spark, out)
+
+
+@register(
+    "text_lm_perplexity_filter",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, {_TOKS} AS toks FROM documents
+    ),
+    u AS (SELECT unnest(toks) AS w FROM tok),
+    uni AS (SELECT w, COUNT(*) AS cu FROM u GROUP BY 1),
+    v AS (SELECT COUNT(*) AS vsz FROM uni),
+    bg AS (
+      SELECT doc_id, source, gs.i AS pos, toks[gs.i] AS prev, toks[gs.i + 1] AS cur
+      FROM tok, unnest(generate_series(1, len(toks) - 1)) AS gs(i)
+    ),
+    bic AS (SELECT prev, cur, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+    sc AS (
+      SELECT bg.doc_id, bg.source, bg.pos,
+             ln(CAST(cb + 1 AS DOUBLE)) - ln(CAST(cu + vsz AS DOUBLE)) AS logp,
+             CASE WHEN cb = 1 THEN 1 ELSE 0 END AS hapax
+      FROM bg JOIN bic USING (prev, cur) JOIN uni ON bg.prev = uni.w CROSS JOIN v
+    ),
+    per AS (
+      SELECT doc_id, source, COUNT(*) AS n_bigrams,
+             CAST(SUM(hapax) AS BIGINT) AS hapax_bigrams,
+             list_reduce(list(logp ORDER BY pos), (a, b) -> a + b) AS ll
+      FROM sc GROUP BY 1, 2
+    )
+    SELECT doc_id, source, n_bigrams, hapax_bigrams,
+           -ll / n_bigrams AS cross_entropy,
+           (-ll / n_bigrams) <= {text.LM_CE_KEEP} AS keep
+    FROM per
+    """,
+)
+def t_lm_perplexity(spark, sf_dir):
+    """Bigram-LM cross-entropy quality filter (the CCNet/KenLM shape):
+    add-one-smoothed bigram model trained on the corpus, per-doc
+    cross-entropy + hapax-bigram novelty + keep flag. ln evaluated
+    driver-side over the Zipf-collapsed distinct integer args (libm
+    parity, the BM25 idf precedent); the per-doc float fold is
+    position-ordered in BOTH engines (F.aggregate vs list_reduce over an
+    ORDER BY pos list), so the totals are bit-equal and partitioning-
+    independent."""
+    return text.lm_perplexity_filter(spark, sf_dir)

@@ -1181,3 +1181,76 @@ def test_retryable_swap_miss_evidence_shapes(tmp_path):
     assert corpus._retryable_swap_miss("PATH_NOT_FOUND: x", root)
     # wrong error class: never retried regardless of evidence
     assert not corpus._retryable_swap_miss("SOME_OTHER_ERROR", root)
+
+
+def test_lifecycle_quartet_under_copy_layout_io(spark, tmp_path, monkeypatch):
+    """The LayoutIO seam exercised by a SECOND implementation (VERDICT-r8
+    stretch 7): CopyLayoutIO replaces hard links with byte copies — the
+    object-storage semantics (S3 has no links; generation carry is data-
+    file reuse by copy or manifest pointer) — and counts every call. The
+    full append → compact → delete → verify quartet must pass unchanged
+    through the alternate IO, and the layout must contain NO multi-link
+    files afterwards: any lifecycle code path that bypassed the seam with
+    a direct os.link would leave st_nlink >= 2, so the nlink sweep proves
+    the seam is real, not decorative."""
+    import os
+    import shutil
+    from collections import Counter
+
+    class CopyLayoutIO(corpus.LocalLayoutIO):
+        def __init__(self):
+            self.calls = Counter()
+
+        def link_file(self, src, dst):
+            self.calls["link_file"] += 1
+            shutil.copy2(src, dst)
+
+        def link_dir(self, src, dst):
+            self.calls["link_dir"] += 1
+            os.makedirs(dst, exist_ok=True)
+            for f in os.listdir(src):
+                p = os.path.join(src, f)
+                if os.path.isfile(p):
+                    shutil.copy2(p, os.path.join(dst, f))
+
+        def writer_lock(self, out_path):
+            self.calls["writer_lock"] += 1
+            return super().writer_lock(out_path)
+
+        def atomic_swap(self, out_path, staging):
+            self.calls["atomic_swap"] += 1
+            super().atomic_swap(out_path, staging)
+
+        def recover(self, out_path):
+            self.calls["recover"] += 1
+            return super().recover(out_path)
+
+    io = CopyLayoutIO()
+    monkeypatch.setattr(corpus, "LAYOUT_IO", io)
+
+    docs = load_table(spark, SF, "documents")
+    out = str(tmp_path / "layout")
+    corpus.append_docs(spark, docs.filter(F.col("doc_id") % 5 <= 1), out)
+    corpus.append_docs(spark, docs.filter(F.col("doc_id") % 5 <= 2), out)
+    corpus.compact_shards(spark, out, min_fill=0.85)
+    doomed = docs.filter(F.col("doc_id") % 10 == 1).select("doc_id")
+    corpus.delete_from_shards(spark, doomed, out)
+    report = corpus.verify_shards(spark, out).collect()
+    assert report and all(r["shard_ok"] for r in report)
+
+    # conservation through the alternate IO
+    back = corpus.read_shards(spark, out)
+    expect = docs.filter(F.col("doc_id") % 5 <= 2).join(doomed, "doc_id", "left_anti")
+    assert back.count() == expect.count()
+    assert back.join(expect.select("doc_id"), "doc_id", "left_anti").count() == 0
+
+    # seam realness: copies only — a bypassing os.link would show nlink >= 2
+    for root_, _dirs, files in os.walk(out):
+        for f in files:
+            st = os.stat(os.path.join(root_, f))
+            assert st.st_nlink == 1, f"hard link bypassed the seam: {root_}/{f}"
+
+    # every primitive actually flowed through the alternate instance
+    assert io.calls["writer_lock"] >= 4  # one per lifecycle op
+    assert io.calls["atomic_swap"] >= 2  # compact + delete publish via swap
+    assert io.calls["link_file"] + io.calls["link_dir"] > 0  # generation carry

@@ -636,3 +636,91 @@ def _ordered_frame_query(draw):
 @settings(max_examples=_ex(20), deadline=None)
 def test_spark_and_duckdb_agree_on_ordered_window_frames(ts_engines, sql):
     _assert_engines_agree(ts_engines, sql)
+
+
+# --- BM25 differential fuzz (VERDICT-r8 stretch 8) ---------------------------
+# Random 1-4-term user queries — including duplicates and terms absent from
+# the corpus — scored by operators/text.bm25_topk and by a ~30-line pure-
+# Python BM25 reference over the collected sf0.001 corpus. The reference
+# mirrors the operator's numerics contract exactly (math.log idf, the same
+# tf-saturation expression shape, fixed first-occurrence addition order),
+# so doc ordering and hit counts compare exactly and scores to 1e-9.
+
+_BM25_STATE: dict = {}
+
+
+def _bm25_corpus(spark):
+    if not _BM25_STATE:
+        rows = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+            "doc_id", "text"
+        ).collect()
+        toks = {r.doc_id: r.text.strip().split() for r in rows}
+        _BM25_STATE["toks"] = toks
+        from collections import Counter
+
+        vocab = Counter(t for ts in toks.values() for t in ts)
+        # present terms across the df spectrum + guaranteed-absent terms
+        common = [t for t, _ in vocab.most_common(30)]
+        rare = [t for t, c in vocab.items() if c <= 2][:20]
+        _BM25_STATE["pool"] = common + rare + ["zzqx_absent", "nope_9z", ""]
+    return _BM25_STATE
+
+
+def _py_bm25(toks: dict, terms: list[str], k: int = 20):
+    import math
+
+    uniq = list(dict.fromkeys(terms))
+    n_docs = len(toks)
+    total_dl = sum(len(t) for t in toks.values())
+    df = {}
+    for t in uniq:
+        df[t] = sum(1 for ts in toks.values() if t in ts)
+    present = [t for t in uniq if df[t] > 0]  # first-occurrence order
+    out = []
+    for doc_id, ts in toks.items():
+        hits, s = 0, 0.0
+        for t in present:
+            tf = ts.count(t)
+            if tf == 0:
+                continue
+            hits += 1
+            idf = math.log(1.0 + ((float(n_docs) - float(df[t])) + 0.5) / (float(df[t]) + 0.5))
+            s = s + idf * (
+                (float(tf) * 2.2)
+                / (float(tf) + 1.2 * (0.25 + 0.75 * (float(len(ts)) / (float(total_dl) / float(n_docs)))))
+            )
+        if hits:
+            out.append((doc_id, hits, s))
+    out.sort(key=lambda r: (-r[2], r[0]))
+    return out[:k]
+
+
+@given(
+    terms=st.lists(
+        st.sampled_from(
+            # pool is materialized lazily inside the test (needs spark);
+            # indices keep the strategy corpus-independent
+            list(range(45))
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(max_examples=_ex(20), deadline=None)
+def test_bm25_matches_pure_python_reference(spark, terms):
+    import math
+
+    state = _bm25_corpus(spark)
+    pool = state["pool"]
+    query = [pool[i % len(pool)] for i in terms]
+    from airdatapipeline_spark.operators.text import bm25_topk
+
+    got = bm25_topk(spark, SF_SMALL, terms=query).collect()
+    want = _py_bm25(state["toks"], query)
+    assert [r.doc_id for r in got] == [w[0] for w in want]
+    assert [r.hits for r in got] == [w[1] for w in want]
+    assert [r.rank for r in got] == list(range(1, len(want) + 1))
+    for r, w in zip(got, want):
+        assert math.isclose(r.bm25, w[2], rel_tol=1e-9, abs_tol=1e-12), (
+            r.doc_id, r.bm25, w[2], query
+        )
