@@ -1235,6 +1235,7 @@ def test_lifecycle_quartet_under_copy_layout_io(spark, tmp_path, monkeypatch):
     corpus.compact_shards(spark, out, min_fill=0.85)
     doomed = docs.filter(F.col("doc_id") % 10 == 1).select("doc_id")
     corpus.delete_from_shards(spark, doomed, out)
+    corpus.write_layout_manifest(spark, out)
     report = corpus.verify_shards(spark, out).collect()
     assert report and all(r["shard_ok"] for r in report)
 
