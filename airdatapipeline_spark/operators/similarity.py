@@ -575,6 +575,136 @@ def clustered_tier_recall(
     return out.select(*cols)
 
 
+def clustered_residual_ivfpq_recall(
+    spark: SparkSession, sf_dir: str, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Residual IVFPQ graded on the clustered regime — the fix for the
+    r9 measured finding that plain PQ-ADC collapses to recall 0.12 on
+    clustered data (MEASURED.md: untrained codebooks give ~1 entry per
+    cluster per subspace, so every vector in a cluster quantizes to one
+    code and ADC ties degenerate to id order). True IVFPQ (Jégou et al.)
+    PQ-codes the RESIDUAL x − centroid[assign(x)] instead of x: the
+    between-cluster structure is carried exactly by the coarse centroid
+    and the codes only need to span the within-cluster residual space —
+    which the same 16 sampled-row codebook entries can now actually
+    resolve. Serving shape: probe CLU_N_PROBE lists; the query builds one
+    ADC distance table PER PROBED LIST over its list-specific residual
+    q − centroid_c (Q×nprobe tables, driver-side like _pq_query_dtabs);
+    candidates join on centroid_id (the probe pruning) and pay M lookups
+    each. Per-query recall vs in-plan brute-force truth; deterministic
+    end to end, fully value-hashed by the DuckDB oracle."""
+    from pyspark import StorageLevel
+
+    corpus = clustered_embeddings(spark, sf_dir, dim=EMB_DIM).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cent = clu_centroids(spark, dim=EMB_DIM)
+    cent_rows = cent.select("centroid_id", "emb").collect()
+    assigned = _ivf_assign(corpus, cent_rows, 1)
+    cdf = F.broadcast(cent.select("centroid_id", F.col("emb").alias("c_emb")))
+    resid = assigned.join(cdf, "centroid_id").select(
+        "vec_id",
+        "centroid_id",
+        F.expr("zip_with(emb, c_emb, (a, b) -> a - b)").alias("emb"),
+    )
+    cb_rows = sorted(
+        resid.filter(
+            (F.col("vec_id") >= PQ_CB_LO) & (F.col("vec_id") < PQ_CB_LO + PQ_K)
+        )
+        .select("vec_id", "emb")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    cbs = [
+        [[float(v) for v in r.emb[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]] for r in cb_rows]
+        for m in range(PQ_M)
+    ]
+    codes = pq_encode(resid, cbs, keep=("centroid_id",))
+
+    # per-(query, probed-list) residual distance tables, driver-side
+    probes = _ivf_assign(
+        corpus.filter(F.col("vec_id") < n_queries), cent_rows, CLU_N_PROBE
+    )
+    center_map = {int(r.centroid_id): [float(v) for v in r.emb] for r in cent_rows}
+    data = []
+    for r in sorted(
+        probes.select("vec_id", "centroid_id", "emb").collect(),
+        key=lambda r: (r.vec_id, r.centroid_id),
+    ):
+        c = center_map[int(r.centroid_id)]
+        rq = [float(a) - c[i] for i, a in enumerate(r.emb)]
+        dtab = []
+        for m in range(PQ_M):
+            xm = rq[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+            row_k = []
+            for kk in range(PQ_K):
+                cvec = cbs[m][kk]
+                x2 = 0.0
+                dot = 0.0
+                c2 = 0.0
+                for i in range(PQ_SUBDIM):
+                    x2 = x2 + xm[i] * xm[i]
+                    dot = dot + xm[i] * float(cvec[i])
+                    c2 = c2 + float(cvec[i]) * float(cvec[i])
+                row_k.append((x2 - 2.0 * dot) + c2)
+            dtab.append(row_k)
+        data.append((int(r.vec_id), int(r.centroid_id), dtab))
+    dtabs = F.broadcast(
+        spark.createDataFrame(
+            data, "query_id bigint, centroid_id bigint, dtab array<array<double>>"
+        )
+    )
+    cand = codes.join(dtabs, "centroid_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    pqk = (
+        cand.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), _pq_adc_dist().alias("adc_dist")
+        )
+        .withColumn("rank", F.row_number().over(wp))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
+    )
+
+    # exact truth over the same corpus
+    q = F.broadcast(
+        corpus.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+        )
+    )
+    wt = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    truth = (
+        corpus.join(q, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot("q_emb", "emb") / (F.col("q_norm") * F.col("norm"))).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(wt))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    hits = (
+        truth.join(pqk, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("h"))
+    )
+    h = F.coalesce(F.col("h"), F.lit(0)).cast("long")
+    return (
+        truth.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            h.alias("rpq_hits"),
+            (h / F.lit(float(k))).alias("rpq_recall"),
+        )
+    )
+
+
 # --- persisted IVF index (offline build / online partition-pruned serve) -----
 
 

@@ -71,12 +71,15 @@ from . import sources_sinks  # noqa: F401,E402
 #     aggregation family, q_expectations/scalar_display, src_csv_roundtrip
 #     — max staleness drops r5 → r6);
 #   - the new r9 registrations (simsearch_clustered_tier_recall — the
-#     production IVF/BQ/PQ codecs graded on the 64-dim clustered regime);
-#   - 15 of the 47 r6-green queries: the whole shard-lifecycle family
+#     production IVF/BQ/PQ codecs graded on the 64-dim clustered regime;
+#     simsearch_clustered_residual_ivfpq — the residual-coding fix for the
+#     measured PQ collapse; text_lm_perplexity_filter — the CCNet-style
+#     bigram-LM quality filter);
+#   - 14 of the 47 r6-green queries: the whole shard-lifecycle family
 #     (append/compact/delete conservation, verify report, epoch schedule/
 #     slice, curated append, streaming shard ingest) plus heavy-plan picks
-#     (tpch q1/q3/q9, repetition filters, sequence packing, SCD2, salted
-#     hot-key join) — the remaining r6 names rotate in r10.
+#     (tpch q1/q3/q9, repetition filters, sequence packing, SCD2) — the
+#     remaining r6 names rotate in r10.
 # Max driver-row staleness after r9: r6.
 _DRIVER_WINDOW = [
     # --- §2 family flagships (regression canaries) -------------------------
@@ -116,6 +119,7 @@ _DRIVER_WINDOW = [
     "t4_t5_batch_limit",
     # --- new r9 registrations ----------------------------------------------
     "simsearch_clustered_tier_recall",
+    "simsearch_clustered_residual_ivfpq",
     "text_lm_perplexity_filter",
     # --- newest driver row is r6 (15 of 47; rest rotate in r10) ------------
     "text_shard_append_conservation",
@@ -132,7 +136,6 @@ _DRIVER_WINDOW = [
     "text_repetition_filters",
     "text_sequence_packing",
     "scd2_customer_dim",
-    "j_salted_hotkey_events",
 ]
 
 # All previously driver-proven names (newest green driver row in some

@@ -732,3 +732,137 @@ def ss_clustered_tiers(spark, sf_dir):
     Fully value-hashed: corpus, centers, codes and candidates are all
     deterministic integer-hash arithmetic in both engines."""
     return similarity.clustered_tier_recall(spark, sf_dir)
+
+
+# --- residual IVFPQ on the clustered regime (the r9 PQ-collapse fix) ---------
+
+def _pq_subdist_between(a: str, b: str) -> str:
+    """The dot-form subdistance (‖x‖² − 2·x·c) + ‖c‖² between subvector m
+    of `a`.emb and `b`.emb — _PQ_SUBDIST_SQL generalized to arbitrary
+    aliases (the residual oracle needs it between qres/cb and res/cb)."""
+    x2a = "CAST(0.0 AS DOUBLE) + " + " + ".join(
+        f"list_extract({a}.emb, g.m*{similarity.PQ_SUBDIM}+{i + 1})"
+        f" * list_extract({a}.emb, g.m*{similarity.PQ_SUBDIM}+{i + 1})"
+        for i in range(similarity.PQ_SUBDIM)
+    )
+    xdot = "CAST(0.0 AS DOUBLE) + " + " + ".join(
+        f"list_extract({a}.emb, g.m*{similarity.PQ_SUBDIM}+{i + 1})"
+        f" * list_extract({b}.emb, g.m*{similarity.PQ_SUBDIM}+{i + 1})"
+        for i in range(similarity.PQ_SUBDIM)
+    )
+    x2b = "CAST(0.0 AS DOUBLE) + " + " + ".join(
+        f"list_extract({b}.emb, g.m*{similarity.PQ_SUBDIM}+{i + 1})"
+        f" * list_extract({b}.emb, g.m*{similarity.PQ_SUBDIM}+{i + 1})"
+        for i in range(similarity.PQ_SUBDIM)
+    )
+    return f"(({x2a}) - 2.0 * ({xdot})) + ({x2b})"
+
+
+_RESID_LIST = (
+    "list_transform(generate_series(1, "
+    f"{similarity.EMB_DIM}), i -> {{v}}.emb[i] - {{c}}.emb[i])"
+)
+
+
+@register(
+    "simsearch_clustered_residual_ivfpq",
+    f"""
+    WITH ec AS (
+      SELECT vec_id, {similarity.clu_cluster_duck("vec_id")} AS c FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS norm FROM (
+        SELECT vec_id, {_clu_emb_list("vec_id", "c", similarity.EMB_DIM)} AS emb
+        FROM ec
+      )
+    ),
+    qrows AS (SELECT * FROM e WHERE vec_id < 10),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        {_CTR_TOPK.format(q="q", c="cc")}
+        FROM e cc, qrows q WHERE cc.vec_id <> q.vec_id
+      ) WHERE rank <= 5
+    ),
+    centn AS (
+      SELECT centroid_id, emb, sqrt(list_dot_product(emb, emb)) AS norm FROM (
+        SELECT c AS centroid_id, {_clu_center_list("c", similarity.EMB_DIM)} AS emb
+        FROM range({similarity.CLU_K}) t(c)
+      )
+    ),
+    assigned AS ({_CLU_ASSIGN.format(src="e", n=1)}),
+    probes AS (
+      SELECT vec_id AS query_id, emb AS q_emb, centroid_id
+      FROM ({_CLU_ASSIGN.format(src="qrows", n=similarity.CLU_N_PROBE)})
+    ),
+    res AS (
+      SELECT a.vec_id, a.centroid_id,
+             {_RESID_LIST.format(v="a", c="k")} AS emb
+      FROM assigned a JOIN centn k ON a.centroid_id = k.centroid_id
+    ),
+    cb AS (
+      SELECT vec_id - {similarity.PQ_CB_LO} AS k, emb FROM res
+      WHERE vec_id >= {similarity.PQ_CB_LO}
+        AND vec_id < {similarity.PQ_CB_LO + similarity.PQ_K}
+    ),
+    g AS (SELECT unnest(generate_series(0, {similarity.PQ_M - 1})) AS m),
+    sub AS (
+      SELECT e.vec_id, e.centroid_id, g.m, cb.k, {_pq_subdist_between("e", "cb")} AS d
+      FROM res e CROSS JOIN cb CROSS JOIN g
+    ),
+    codes AS (
+      SELECT vec_id, centroid_id, m, k AS code FROM (
+        SELECT vec_id, centroid_id, m, k,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+        FROM sub
+      ) WHERE rn = 1
+    ),
+    qres AS (
+      SELECT p.query_id, p.centroid_id,
+             list_transform(generate_series(1, {similarity.EMB_DIM}),
+                            i -> p.q_emb[i] - k.emb[i]) AS emb
+      FROM probes p JOIN centn k ON p.centroid_id = k.centroid_id
+    ),
+    qsub AS (
+      SELECT q.query_id, q.centroid_id, g.m, cb.k, {_pq_subdist_between("q", "cb")} AS d
+      FROM qres q CROSS JOIN cb CROSS JOIN g
+    ),
+    pair AS (
+      SELECT s.query_id, c.vec_id AS neighbor_id, c.m, s.d
+      FROM codes c
+      JOIN qsub s ON s.centroid_id = c.centroid_id AND s.m = c.m AND s.k = c.code
+      WHERE c.vec_id <> s.query_id
+    ),
+    dists AS (
+      SELECT query_id, neighbor_id, {_PQ_DIST_PIVOT} AS adc_dist
+      FROM pair GROUP BY 1, 2
+    ),
+    pqk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id)
+                 AS rank
+        FROM dists
+      ) WHERE rank <= 5
+    ),
+    h AS (
+      SELECT t.query_id, COUNT(*) AS rpq_hits FROM truth t
+      JOIN pqk x ON t.query_id = x.query_id AND t.neighbor_id = x.neighbor_id
+      GROUP BY 1
+    )
+    SELECT q.query_id,
+           CAST(COALESCE(h.rpq_hits, 0) AS BIGINT) AS rpq_hits,
+           CAST(COALESCE(h.rpq_hits, 0) AS BIGINT) / 5.0 AS rpq_recall
+    FROM (SELECT DISTINCT query_id FROM truth) q
+    LEFT JOIN h ON q.query_id = h.query_id
+    """,
+)
+def ss_residual_ivfpq(spark, sf_dir):
+    """Residual IVFPQ recall on the clustered regime — the measured fix
+    for the r9 PQ-collapse finding: PQ-coding x − centroid[assign(x)]
+    instead of x lifts recall@5 from 0.12 to 0.52 at the SAME 4-byte
+    code budget (the remaining gap is quantization-ranking noise over
+    the uniform residual space — 16 entries per 8-dim subspace — plus
+    the L2-ADC vs cosine-truth mismatch; trained codebooks close it
+    further). Per-probed-list query distance tables, candidates pruned
+    by the centroid equi-join."""
+    return similarity.clustered_residual_ivfpq_recall(spark, sf_dir)
