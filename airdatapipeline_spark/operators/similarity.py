@@ -554,8 +554,10 @@ def clustered_tier_recall(
     )
 
     def hits(ann: DataFrame, name: str) -> DataFrame:
-        return (
-            truth.join(ann, ["query_id", "neighbor_id"])
+        # every side here is <= Q*k rows (the panel) — broadcast so the
+        # static plan never SMJs a 50-row join
+        return F.broadcast(
+            truth.join(F.broadcast(ann), ["query_id", "neighbor_id"])
             .groupBy("query_id")
             .agg(F.count("*").alias(name))
         )
@@ -687,8 +689,8 @@ def clustered_residual_ivfpq_recall(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id")
     )
-    hits = (
-        truth.join(pqk, ["query_id", "neighbor_id"])
+    hits = F.broadcast(
+        truth.join(F.broadcast(pqk), ["query_id", "neighbor_id"])
         .groupBy("query_id")
         .agg(F.count("*").alias("h"))
     )

@@ -800,3 +800,61 @@ def test_heavy_hitters_guard_raises_at_tiny_capacity(spark):
 
     with _pytest.raises(Exception, match="heavy-hitter guard"):
         t.heavy_hitter_tokens(spark, SF_SMALL, capacity=1).collect()
+
+
+def test_lm_perplexity_plan_and_threshold_split(spark):
+    """LM-perplexity filter plan: the persisted unigram/bigram count
+    tables serve all their consumers from cache (InMemoryTableScan), the
+    driver-side ln table arrives via broadcast joins, and nothing
+    degenerates to a cartesian product. The median-pinned threshold must
+    also exercise BOTH keep branches at test scale."""
+    from airdatapipeline_spark.operators import text as t
+
+    df = t.lm_perplexity_filter(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan  # persisted count tables reused
+    assert plan.count("BroadcastHashJoin") >= 2  # ln table join-backs
+    pdf = df.toPandas()
+    assert pdf.keep.nunique() == 2, "threshold no longer splits the corpus"
+    # hapax + CE sanity: every doc with bigrams is scored exactly once
+    assert pdf.doc_id.is_unique
+    assert (pdf.n_bigrams > 0).all()
+    assert (pdf.hapax_bigrams <= pdf.n_bigrams).all()
+
+
+def test_clustered_tier_recall_plan(spark):
+    """Clustered tier-recall plan: candidate steps stay equi-joins or
+    broadcast NL joins (the intended BQ code scan / truth panel) — never
+    a real cartesian or a sort-merge of the corpus against itself."""
+    from airdatapipeline_spark.operators import similarity
+
+    plan = (
+        similarity.clustered_tier_recall(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # probe/code/hit join-backs
+
+
+def test_residual_ivfpq_beats_plain_pq_on_clustered(spark):
+    """The r9 measured finding and its fix, pinned as a regression test:
+    residual coding must keep a decisive recall lead over plain PQ on
+    the clustered corpus (0.52 vs 0.12 measured; pin a safe margin)."""
+    from airdatapipeline_spark.operators import similarity
+
+    tiers = similarity.clustered_tier_recall(spark, SF_SMALL).collect()
+    rpq = similarity.clustered_residual_ivfpq_recall(spark, SF_SMALL).collect()
+    plain = sum(r.pq_recall for r in tiers) / len(tiers)
+    resid = sum(r.rpq_recall for r in rpq) / len(rpq)
+    assert resid >= plain + 0.2, (plain, resid)
+    plan = (
+        similarity.clustered_residual_ivfpq_recall(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
