@@ -55,6 +55,10 @@ QUERIES_TO_MEASURE = [
     "simsearch_bq_topk",
     "text_bm25_topk",
     "text_heavy_hitters",
+    # r9: clustered-regime tier grading, residual IVFPQ, LM quality filter
+    "simsearch_clustered_tier_recall",
+    "simsearch_clustered_residual_ivfpq",
+    "text_lm_perplexity_filter",
 ]
 
 
@@ -423,6 +427,20 @@ def recall_scenario_lines(spark, sf_dir: str) -> list[str]:
         .first()
     )
     iso_frac = sim.TRAINED_N_PROBE / sim.N_CENTROIDS
+    tiers = (
+        sim.clustered_tier_recall(spark, sf_dir)
+        .agg(
+            F.avg("ivf_recall").alias("ivf"),
+            F.avg("bq_recall").alias("bq"),
+            F.avg("pq_recall").alias("pq"),
+        )
+        .first()
+    )
+    rpq = (
+        sim.clustered_residual_ivfpq_recall(spark, sf_dir)
+        .agg(F.avg("rpq_recall").alias("r"))
+        .first()
+    )
     return [
         "",
         "## IVF recall vs scanned fraction, by embedding regime",
@@ -436,7 +454,109 @@ def recall_scenario_lines(spark, sf_dir: str) -> list[str]:
         f"trained tier needs nprobe={sim.TRAINED_N_PROBE}/8 ≈ {iso_frac:.0%} scanned to hold the 0.9",
         "floor); on clustered data the same plan holds recall 1.0 scanning ~12%",
         "— the dial (`recall_at_k`) is what retunes nprobe per corpus.",
+        "",
+        "## All-tier recall@5, both regimes (r9, `simsearch_clustered_tier_recall`)",
+        "",
+        "The clustered column runs the PRODUCTION codecs unchanged on the",
+        "64-dim md5-mixture corpus (16 well-separated clusters, noise ±0.15",
+        "vs ~1.6 inter-center gap); clustered numbers below are measured",
+        "LIVE by this generator. Isotropic columns cite the per-tier queries",
+        "at the same dials (r8/r9 measurements; the corpus is static).",
+        "",
+        "| tier (dial) | isotropic (worst case) | clustered (honest case) |",
+        "|---|---|---|",
+        f"| IVF, deterministic/true centers (nprobe 3/8 iso, 2/16 clu) | 0.46 | **{float(tiers['ivf']):.2f}** |",
+        f"| BQ 1-bit sign codes (rerank=40) | 0.58–0.64 | **{float(tiers['bq']):.2f}** |",
+        f"| PQ-ADC, sampled-row codebooks (8×16) | 0.08 | **{float(tiers['pq']):.2f}** |",
+        f"| residual IVFPQ, same code budget (r9 fix) | — | **{float(rpq['r']):.2f}** |",
+        "| multi-probe LSH (radius 1) | 0.30 | — |",
+        "",
+        "Two confirmations and one measured weakness: IVF and BQ reach exact",
+        "recall on clusterable data at the same dials that struggled on the",
+        "isotropic regime (the nprobe/rerank dials dominate, as the r8",
+        "docstrings predicted). PQ-ADC with UNTRAINED sampled-row codebooks",
+        "is weak on BOTH regimes — on clustered data ~1 codebook entry per",
+        "cluster per subspace makes ALL vectors of a cluster quantize to the",
+        "SAME 8-byte code, ADC ties across the whole cluster, and the top-k",
+        "degenerates to id order (recall ≈ 5/cluster-size). The r9 fix,",
+        "`simsearch_clustered_residual_ivfpq`, PQ-codes the RESIDUAL",
+        "x − centroid[assign(x)] — the between-cluster structure rides the",
+        "coarse centroid exactly and the codes span only the residual space:",
+        "recall recovers ~4x at the same 4-byte code budget (the remaining",
+        "gap is quantization-ranking noise over the uniform residual space",
+        "plus the L2-ADC vs cosine-truth mismatch; trained codebooks close",
+        "it further). All deterministic + value-hash-verified in both",
+        "engines — structural, not flaky.",
     ]
+
+
+# Point-in-time measurement history (not re-measurable by regeneration):
+# appended verbatim by main() so regenerating MEASURED.md preserves the
+# round-level findings the numbers above build on.
+ROUND_NOTES = [
+    "",
+    "## r9 reference bench window (VERDICT-r8 item 2) — history note",
+    "",
+    "Full exclusive `bench.py` run at sf0.1, **`throttled: false`** (jvm",
+    "probe 0.421s start / 0.419s end, drift 1.005; python probe",
+    "0.277/0.270) — the first clean calibration window since the flag",
+    "shipped. Headline: 38.514s over 33 queries. Raw wall-clock is NOT",
+    "comparable to r8's 32.362s: r8 ran `throttled: true` on a window",
+    "whose START probe was 0.314s — the r9 window's multicore speed is",
+    "1.34x slower (jvm probe ratio) while single-core python speed is",
+    "identical (0.277 vs 0.278), so the drift is multicore",
+    "frequency/contention, exactly what the probe pair exists to catch.",
+    "Probe-normalized, the r9 suite reads ~0.89x r8 like-for-like (median",
+    "per-query raw ratio 1.21 < probe ratio 1.34).",
+    "",
+    "The r8 `text_token_rarity_scores` +40% watch flag does NOT",
+    "reproduce: probe-relative cost fell 5.09 -> 4.03 (raw 1.598s ->",
+    "1.695s on the 1.34x-slower window). Code unchanged; closed as host",
+    "noise, as the r8 diff analysis predicted.",
+    "",
+    "## ANN serving tiers under 10x data (r9 rotated-replica scaling rows)",
+    "",
+    "The replica builder rotates each copy's vectors, so distinct codes",
+    "and buckets grow 10x with the data (verified: 500 -> 5000 distinct",
+    "BQ codes at sf0.01). Medians at sf0.1, 10 queries, k=5 (from the r9",
+    "clean-window BENCH_DETAIL scaling tier; re-measured every bench run):",
+    "",
+    "| tier | base s | 10x s | ratio (data 10x) |",
+    "|---|---|---|---|",
+    "| simsearch_lsh_topk | 1.79 | 1.78 | 1.00 |",
+    "| simsearch_pq_adc_topk | 1.15 | 1.44 | 1.25 |",
+    "| simsearch_ivfpq_topk | 2.68 | 3.98 | 1.49 |",
+    "| simsearch_ivf_topk | 2.81 | 4.94 | 1.76 |",
+    "| simsearch_bq_topk | 1.58 | 3.29 | 2.08 |",
+    "",
+    "All strongly sublinear (<= 2.1 at 10x): per-query planning overhead",
+    "(centroid/codebook/dtab collects, broadcast builds) amortizes while",
+    "the data-dependent term — the compressed-domain scan (BQ/PQ), the",
+    "probed-list scan (IVF/IVFPQ), the bucket-join candidates (LSH) —",
+    "grows linearly but from a small base. BQ's 2.08 is the most",
+    "data-proportional, as expected: its stage 1 is the only full-corpus",
+    "scan in the family (of 8-byte codes; the claim it exists to prove),",
+    "and its ratio stays 5x under the data ratio.",
+    "",
+    "## Instrument reconciliation (r9, VERDICT-r8 item 1) — history note",
+    "",
+    "The r8 docs carried two disagreeing numbers for the 10x-distinct",
+    "lifecycle scenario: this file's old best-of-2 table (ratios",
+    "1.29–1.46) vs bench.py's median-of-3 `writes_distinct` tier",
+    "(2.99–5.66 on a `throttled: true` window). A clean single-session",
+    "experiment running both protocols INTERLEAVED (same corpus, same",
+    "JVM, calibration-bracketed: jvm probe 0.45/0.36) read best-ratio",
+    "2.67–4.12 and median-ratio 2.63–3.42 — the two statistics agree with",
+    "EACH OTHER and with the bench tier, so the old 1.29–1.46 table was",
+    "the outlier (best-of-2 captured under different page-cache/host",
+    "state, not a property of the instrument). Resolution: bench.py's",
+    "`_writes_distinct_tier` is CANONICAL (re-measured every round,",
+    "calibration flagged in-band); this file's lifecycle section now uses",
+    "the identical interleaved median-of-3 statistic, so a regeneration",
+    "cannot disagree with BENCH_DETAIL again. The scale claim is",
+    "unchanged — every ratio is comfortably sublinear — but the honest",
+    "pinned number is ~3x at 10x-distinct, not ~1.4x.",
+]
 
 
 def main() -> None:
@@ -491,6 +611,7 @@ def main() -> None:
     finally:
         shutil.rmtree(big, ignore_errors=True)
     out.extend(recall_scenario_lines(spark, sf_dir))
+    out.extend(ROUND_NOTES)
     with open("/root/repo/MEASURED.md", "w") as f:
         f.write("\n".join(out) + "\n")
     print(f"MEASURED.md written ({len(QUERIES_TO_MEASURE)} queries)")
