@@ -541,21 +541,32 @@ ROUND_NOTES = [
     "## Instrument reconciliation (r9, VERDICT-r8 item 1) — history note",
     "",
     "The r8 docs carried two disagreeing numbers for the 10x-distinct",
-    "lifecycle scenario: this file's old best-of-2 table (ratios",
-    "1.29–1.46) vs bench.py's median-of-3 `writes_distinct` tier",
-    "(2.99–5.66 on a `throttled: true` window). A clean single-session",
-    "experiment running both protocols INTERLEAVED (same corpus, same",
-    "JVM, calibration-bracketed: jvm probe 0.45/0.36) read best-ratio",
-    "2.67–4.12 and median-ratio 2.63–3.42 — the two statistics agree with",
-    "EACH OTHER and with the bench tier, so the old 1.29–1.46 table was",
-    "the outlier (best-of-2 captured under different page-cache/host",
-    "state, not a property of the instrument). Resolution: bench.py's",
-    "`_writes_distinct_tier` is CANONICAL (re-measured every round,",
-    "calibration flagged in-band); this file's lifecycle section now uses",
-    "the identical interleaved median-of-3 statistic, so a regeneration",
-    "cannot disagree with BENCH_DETAIL again. The scale claim is",
-    "unchanged — every ratio is comfortably sublinear — but the honest",
-    "pinned number is ~3x at 10x-distinct, not ~1.4x.",
+    "lifecycle scenario: this file's table (ratios 1.29–1.46) vs",
+    "bench.py's `writes_distinct` tier (2.99–5.66 on a `throttled: true`",
+    "window). Two causes, both now pinned with evidence:",
+    "",
+    "1. STATISTIC/PROTOCOL: this file used best-of-2 sequential passes,",
+    "   bench median-of-3. A clean single-session experiment running both",
+    "   INTERLEAVED at sf0.1 (calibration-bracketed, jvm probe 0.45/0.36)",
+    "   read best-ratio 2.67–4.12 and median-ratio 2.63–3.42 — the two",
+    "   statistics agree; both instruments now share interleaved",
+    "   median-of-3.",
+    "2. SCALE (the dominant cause): this file regenerates at sf0.01 while",
+    "   bench runs at sf0.1. With the SAME unified protocol, sf0.01 reads",
+    "   ratios ~1.3–1.8 (the table above) and sf0.1 reads ~2.6–4.7 (the",
+    "   bench tier + the experiment): at sf0.01 the per-op fixed overhead",
+    "   (job scheduling, layout setup, gate probes — ~1-2s) dominates the",
+    "   10x-distinct delta and compresses ratios toward 1; at sf0.1 the",
+    "   IO term dominates and the honest ratio is ~3x. Neither is wrong —",
+    "   they sample different points on the overhead-amortization curve.",
+    "",
+    "Resolution: bench.py's `_writes_distinct_tier` at sf0.1 is CANONICAL",
+    "for the scale claim (re-measured every round, calibration flagged",
+    "in-band, the larger corpus is closer to the asymptote); the sf0.01",
+    "table above is the small-scale point of the same curve, generated",
+    "with the identical statistic so the instruments can never again",
+    "disagree at the same scale. The scale claim is unchanged — every",
+    "ratio at every scale is comfortably sublinear vs the 10x data ratio.",
 ]
 
 
