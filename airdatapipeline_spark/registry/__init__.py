@@ -73,12 +73,13 @@ from . import sources_sinks  # noqa: F401,E402
 #   - the new r9 registrations (simsearch_clustered_tier_recall — the
 #     production IVF/BQ/PQ codecs graded on the 64-dim clustered regime;
 #     simsearch_clustered_residual_ivfpq — the residual-coding fix for the
-#     measured PQ collapse; text_lm_perplexity_filter — the CCNet-style
-#     bigram-LM quality filter);
-#   - 14 of the 47 r6-green queries: the whole shard-lifecycle family
+#     measured PQ collapse; simsearch_clustered_rpq_rerank — the full
+#     ADC+refine serve at recall 1.00; text_lm_perplexity_filter — the
+#     CCNet-style bigram-LM quality filter);
+#   - 13 of the 47 r6-green queries: the whole shard-lifecycle family
 #     (append/compact/delete conservation, verify report, epoch schedule/
 #     slice, curated append, streaming shard ingest) plus heavy-plan picks
-#     (tpch q1/q3/q9, repetition filters, sequence packing, SCD2) — the
+#     (tpch q1/q3/q9, repetition filters, sequence packing) — the
 #     remaining r6 names rotate in r10.
 # Max driver-row staleness after r9: r6.
 _DRIVER_WINDOW = [
@@ -120,6 +121,7 @@ _DRIVER_WINDOW = [
     # --- new r9 registrations ----------------------------------------------
     "simsearch_clustered_tier_recall",
     "simsearch_clustered_residual_ivfpq",
+    "simsearch_clustered_rpq_rerank",
     "text_lm_perplexity_filter",
     # --- newest driver row is r6 (15 of 47; rest rotate in r10) ------------
     "text_shard_append_conservation",
@@ -135,7 +137,6 @@ _DRIVER_WINDOW = [
     "tpch_q9_profit_by_nation_year",
     "text_repetition_filters",
     "text_sequence_packing",
-    "scd2_customer_dim",
 ]
 
 # All previously driver-proven names (newest green driver row in some

@@ -858,3 +858,24 @@ def test_residual_ivfpq_beats_plain_pq_on_clustered(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_rpq_refine_reaches_full_recall_and_trained_matches_sampled(spark):
+    """The rest of the r9 measured arc, regression-pinned: (a) the full
+    serve — residual ADC top-40 + exact refine — must hold near-exact
+    recall (measured 1.00); (b) the honest negative: k-means-TRAINED
+    residual codebooks read the SAME recall as sampled rows on this
+    corpus, because the synthetic residual space is structureless uniform
+    noise (training helps only when residuals have structure)."""
+    from airdatapipeline_spark.operators import similarity
+
+    rer = similarity.clustered_residual_ivfpq_recall(spark, SF_SMALL, rerank=40).collect()
+    assert sum(r.rpq_recall for r in rer) / len(rer) >= 0.95
+
+    sampled = similarity.clustered_residual_ivfpq_recall(spark, SF_SMALL).collect()
+    trained_cbs = similarity.train_residual_codebooks(spark, SF_SMALL)
+    trained = similarity.clustered_residual_ivfpq_recall(
+        spark, SF_SMALL, codebooks=trained_cbs
+    ).collect()
+    mean = lambda rows: sum(r.rpq_recall for r in rows) / len(rows)  # noqa: E731
+    assert abs(mean(trained) - mean(sampled)) <= 0.15, (mean(sampled), mean(trained))

@@ -441,6 +441,13 @@ def recall_scenario_lines(spark, sf_dir: str) -> list[str]:
         .agg(F.avg("rpq_recall").alias("r"))
         .first()
     )
+    from airdatapipeline_spark.registry.simsearch import RPQ_RERANK
+
+    rrq = (
+        sim.clustered_residual_ivfpq_recall(spark, sf_dir, rerank=RPQ_RERANK)
+        .agg(F.avg("rpq_recall").alias("r"))
+        .first()
+    )
     return [
         "",
         "## IVF recall vs scanned fraction, by embedding regime",
@@ -469,6 +476,7 @@ def recall_scenario_lines(spark, sf_dir: str) -> list[str]:
         f"| BQ 1-bit sign codes (rerank=40) | 0.58–0.64 | **{float(tiers['bq']):.2f}** |",
         f"| PQ-ADC, sampled-row codebooks (8×16) | 0.08 | **{float(tiers['pq']):.2f}** |",
         f"| residual IVFPQ, same code budget (r9 fix) | — | **{float(rpq['r']):.2f}** |",
+        f"| residual IVFPQ + exact refine, rerank=40 (full serve) | — | **{float(rrq['r']):.2f}** |",
         "| multi-probe LSH (radius 1) | 0.30 | — |",
         "",
         "Two confirmations and one measured weakness: IVF and BQ reach exact",
@@ -482,11 +490,17 @@ def recall_scenario_lines(spark, sf_dir: str) -> list[str]:
         "`simsearch_clustered_residual_ivfpq`, PQ-codes the RESIDUAL",
         "x − centroid[assign(x)] — the between-cluster structure rides the",
         "coarse centroid exactly and the codes span only the residual space:",
-        "recall recovers ~4x at the same 4-byte code budget (the remaining",
-        "gap is quantization-ranking noise over the uniform residual space",
-        "plus the L2-ADC vs cosine-truth mismatch; trained codebooks close",
-        "it further). All deterministic + value-hash-verified in both",
-        "engines — structural, not flaky.",
+        "recall recovers ~4x at the same 4-byte code budget. The remaining",
+        "gap is quantization-RANKING noise, which the full production",
+        "serve closes: `simsearch_clustered_rpq_rerank` (FAISS's refine",
+        "composition — ADC proposes 40 candidates, exact cosine re-ranks",
+        "only those) reads recall 1.00; a trained-codebook experiment",
+        "(k-means per residual subspace) reads the SAME recall as sampled",
+        "rows here because the synthetic residual space is structureless",
+        "uniform noise — training helps only when residuals have structure",
+        "(real embeddings), an honest negative worth recording. All",
+        "deterministic steps value-hash-verified in both engines —",
+        "structural, not flaky.",
     ]
 
 
