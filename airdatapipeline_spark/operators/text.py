@@ -1044,6 +1044,31 @@ def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     size that has a vocabulary — so the collect is driver-side-by-nature
     like the IVF centroid table. logp = ln_num - ln_den is then one exact
     double subtraction per position."""
+    d = load_table(spark, sf_dir, "documents")
+    return lm_score_documents(d, lm_model_tables(spark, sf_dir))
+
+
+def _lm_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, pos, prev, cur) — the zero-shuffle bigram stream:
+    zip_with over adjacent token slices, no positional self-join."""
+    tok = docs.select("doc_id", "source", tokens_col().alias("toks"))
+    pairs = F.expr(
+        "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),"
+        " (a, b) -> struct(a AS prev, b AS cur))"
+    )
+    return tok.select(
+        "doc_id", "source", F.posexplode(pairs).alias("pos", "pc")
+    ).select("doc_id", "source", "pos", "pc.prev", "pc.cur")
+
+
+def lm_model_tables(spark: SparkSession, sf_dir: str) -> dict:
+    """The OFFLINE-trained bigram model as two persisted lookup tables:
+    bic2 (prev, cur, cb, ln_num = ln(cb+1)) and uni2 (prev, ln_den =
+    ln(cu+V)) — ln attached from the driver-side libm table over the
+    Zipf-collapsed distinct integer args (see lm_perplexity_filter's
+    numerics contract). This dict is the deployable model artifact: the
+    batch filter and the streaming ingest gate score against the SAME
+    tables, so offline and online decisions can never drift."""
     import math
 
     from pyspark import StorageLevel
@@ -1057,19 +1082,12 @@ def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     vsz = uni.count()  # vocabulary size (scalar; also materializes the cache)
-    pairs = F.expr(
-        "zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1),"
-        " (a, b) -> struct(a AS prev, b AS cur))"
-    )
-    bg = tok.select(
-        "doc_id", "source", F.posexplode(pairs).alias("pos", "pc")
-    ).select("doc_id", "source", "pos", "pc.prev", "pc.cur")
     bic = (
-        bg.groupBy("prev", "cur")
+        _lm_bigrams(d)
+        .groupBy("prev", "cur")
         .agg(F.count("*").alias("cb"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # driver-side libm ln over the distinct integer args (see docstring)
     args = {
         int(r.a)
         for r in bic.select((F.col("cb") + 1).alias("a")).distinct().collect()
@@ -1088,9 +1106,20 @@ def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni2 = uni.join(lnt, (F.col("cu") + F.lit(vsz)) == F.col("arg")).select(
         F.col("w").alias("prev"), F.col("lnv").alias("ln_den")
     )
+    return {"bic2": bic2, "uni2": uni2, "vsz": vsz}
+
+
+def lm_score_documents(docs: DataFrame, model: dict) -> DataFrame:
+    """Score any documents frame under a trained model (lm_model_tables):
+    per-doc cross-entropy, hapax count, keep flag. Inner-join semantics —
+    bigrams absent from the model contribute nothing (exact for in-corpus
+    scoring, where absence is impossible; scoring genuinely NEW text adds
+    the standard unseen-bigram smoothing via left joins + the ln(1)/ln(V)
+    entries, the documented extension)."""
     scored = (
-        bg.join(bic2, ["prev", "cur"])
-        .join(uni2, "prev")
+        _lm_bigrams(docs)
+        .join(model["bic2"], ["prev", "cur"])
+        .join(model["uni2"], "prev")
         .select(
             "doc_id",
             "source",

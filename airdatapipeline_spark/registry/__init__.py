@@ -75,12 +75,13 @@ from . import sources_sinks  # noqa: F401,E402
 #     simsearch_clustered_residual_ivfpq — the residual-coding fix for the
 #     measured PQ collapse; simsearch_clustered_rpq_rerank — the full
 #     ADC+refine serve at recall 1.00; text_lm_perplexity_filter — the
-#     CCNet-style bigram-LM quality filter);
-#   - 13 of the 47 r6-green queries: the whole shard-lifecycle family
+#     CCNet-style bigram-LM quality filter; stream_lm_gated_ingest — the
+#     trained model applied at the ingest door via foreachBatch);
+#   - 12 of the 47 r6-green queries: the whole shard-lifecycle family
 #     (append/compact/delete conservation, verify report, epoch schedule/
 #     slice, curated append, streaming shard ingest) plus heavy-plan picks
-#     (tpch q1/q3/q9, repetition filters, sequence packing) — the
-#     remaining r6 names rotate in r10.
+#     (tpch q1/q3/q9, repetition filters) — the remaining r6 names rotate
+#     in r10.
 # Max driver-row staleness after r9: r6.
 _DRIVER_WINDOW = [
     # --- §2 family flagships (regression canaries) -------------------------
@@ -123,6 +124,7 @@ _DRIVER_WINDOW = [
     "simsearch_clustered_residual_ivfpq",
     "simsearch_clustered_rpq_rerank",
     "text_lm_perplexity_filter",
+    "stream_lm_gated_ingest",
     # --- newest driver row is r6 (15 of 47; rest rotate in r10) ------------
     "text_shard_append_conservation",
     "text_shard_compact_conservation",
@@ -136,7 +138,6 @@ _DRIVER_WINDOW = [
     "tpch_q3_shipping_priority",
     "tpch_q9_profit_by_nation_year",
     "text_repetition_filters",
-    "text_sequence_packing",
 ]
 
 # All previously driver-proven names (newest green driver row in some

@@ -227,3 +227,24 @@ def st_shard_ingest(spark, sf_dir):
     offset order — the oracle pins that count at literal 0, so a single
     misplaced append reds the row)."""
     return streaming_events.shard_ingest_append(spark, sf_dir)
+
+
+from .text import _LM_SQL  # noqa: E402  (the batch filter's oracle, reused)
+
+
+@register(
+    "stream_lm_gated_ingest",
+    f"""
+    SELECT doc_id, source, n_bigrams, hapax_bigrams, cross_entropy
+    FROM ({_LM_SQL}) WHERE keep
+    """,
+)
+def st_lm_gated_ingest(spark, sf_dir):
+    """Model-scoring-at-ingest: the offline-trained bigram LM applied to
+    arriving documents per micro-batch (foreachBatch stream-static
+    pattern), keep-survivors appended to a checkpointed parquet sink with
+    a committed-ids anti-join for redelivery idempotency. The scoring
+    path is byte-identical to the batch filter (lm_score_documents), so
+    the committed set equals the batch keep set — the oracle is the batch
+    filter's SQL restricted to keep."""
+    return streaming_events.lm_gated_ingest_append(spark, sf_dir)

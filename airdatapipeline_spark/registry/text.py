@@ -1465,9 +1465,7 @@ def t_curated_append(spark, sf_dir):
     return corpus.shard_readback_audit(spark, out)
 
 
-@register(
-    "text_lm_perplexity_filter",
-    f"""
+_LM_SQL = f"""
     WITH tok AS (
       SELECT doc_id, source, {_TOKS} AS toks FROM documents
     ),
@@ -1495,8 +1493,10 @@ def t_curated_append(spark, sf_dir):
            -ll / n_bigrams AS cross_entropy,
            (-ll / n_bigrams) <= {text.LM_CE_KEEP} AS keep
     FROM per
-    """,
-)
+    """
+
+
+@register("text_lm_perplexity_filter", _LM_SQL)
 def t_lm_perplexity(spark, sf_dir):
     """Bigram-LM cross-entropy quality filter (the CCNet/KenLM shape):
     add-one-smoothed bigram model trained on the corpus, per-doc

@@ -646,3 +646,62 @@ def shard_layout_audit(spark: SparkSession, out_path: str) -> DataFrame:
             F.when(F.col("start_off") != F.col("prev_end"), F.lit(1)).otherwise(F.lit(0))
         ).cast("bigint").alias("contiguity_violations"),
     )
+
+
+def lm_gated_ingest_append(
+    spark: SparkSession,
+    sf_dir: str,
+    landing_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Model-scoring-at-ingest: the OFFLINE-trained bigram LM
+    (operators/text.lm_model_tables — trained once per corpus snapshot,
+    the deployable artifact) applied ONLINE to arriving documents. Each
+    micro-batch scores its docs against the static model tables via
+    foreachBatch (the stream-static pattern for scoring that needs a
+    per-doc aggregation, which append-mode streaming aggs cannot express
+    without a time window) and appends only the LM-keep survivors to a
+    checkpointed parquet sink; an anti-join against the sink's committed
+    doc_ids makes redelivered files idempotent (the shard_ingest idiom).
+
+    The scoring code path is lm_score_documents — BYTE-IDENTICAL to the
+    batch filter — so the online gate can never drift from the offline
+    one; the committed set therefore equals the batch filter's keep set,
+    which is exactly what the DuckDB oracle replays."""
+    from ..operators.text import lm_model_tables, lm_score_documents
+
+    model = lm_model_tables(spark, sf_dir)
+    batch_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    reader = spark.readStream.schema(batch_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(landing_dir or _doc_landing_dir(sf_dir))
+
+    out = tempfile.mkdtemp(prefix="lm_gate_sink_")
+    ckpt = tempfile.mkdtemp(prefix="lm_gate_ckpt_")
+    out_schema = (
+        "doc_id long, source string, n_bigrams long, hapax_bigrams long,"
+        " cross_entropy double"
+    )
+
+    def gate(bdf: DataFrame, _bid: int) -> None:
+        sess = bdf.sparkSession
+        kept = (
+            lm_score_documents(bdf.dropDuplicates(["doc_id"]), model)
+            .filter(F.col("keep"))
+            .drop("keep")
+        )
+        committed = sess.read.schema(out_schema).parquet(out)
+        kept = kept.join(committed.select("doc_id"), "doc_id", "left_anti")
+        kept.write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.schema(out_schema).parquet(out)

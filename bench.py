@@ -99,6 +99,11 @@ HEADLINE = [
     # bounded state, worth tracking per round)
     "text_bm25_topk",
     "text_heavy_hitters",
+    # r9: the CCNet-style bigram-LM quality filter (two count shuffles +
+    # stream equi-joins + position-ordered fold) and the full ANN serve
+    # (residual ADC + exact refine — the FAISS composition at recall 1.00)
+    "text_lm_perplexity_filter",
+    "simsearch_clustered_rpq_rerank",
     # the end-to-end curate→chunk→split→pack composite (extension flagship)
     "training_data_build",
     # r4: window/events analytics family (heaviest two) so window-function
@@ -164,6 +169,11 @@ SCALING = [
     "simsearch_bq_topk",
     "simsearch_pq_adc_topk",
     "simsearch_ivfpq_topk",
+    # r9: LM filter (bigram keys grow with the per-copy text suffixes) and
+    # the refine serve (the clustered corpus derives from vec_ids, which
+    # the replica offsets — lists genuinely grow 10x)
+    "text_lm_perplexity_filter",
+    "simsearch_clustered_rpq_rerank",
 ]
 
 

@@ -55,9 +55,10 @@ QUERIES_TO_MEASURE = [
     "simsearch_bq_topk",
     "text_bm25_topk",
     "text_heavy_hitters",
-    # r9: clustered-regime tier grading, residual IVFPQ, LM quality filter
+    # r9: clustered-regime tier grading, residual IVFPQ (+refine), LM filter
     "simsearch_clustered_tier_recall",
     "simsearch_clustered_residual_ivfpq",
+    "simsearch_clustered_rpq_rerank",
     "text_lm_perplexity_filter",
 ]
 
