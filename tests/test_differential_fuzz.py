@@ -724,3 +724,74 @@ def test_bm25_matches_pure_python_reference(spark, terms):
         assert math.isclose(r.bm25, w[2], rel_tol=1e-9, abs_tol=1e-12), (
             r.doc_id, r.bm25, w[2], query
         )
+
+
+# --- bigram-LM perplexity differential fuzz ----------------------------------
+# Tiny hypothesis-generated corpora (3-8 docs over a 6-word vocabulary, so
+# bigram counts collide hard) scored by operators/text.lm_score_documents and
+# by a ~25-line pure-python reference that mirrors the numerics contract
+# exactly: math.log over integer args (libm), logp = ln(cb+1) - ln(cu+V),
+# per-doc left fold in position order. Scores compare bit-EXACTLY — the fold
+# order is the contract, not an implementation detail.
+
+_LM_VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+
+
+def _py_lm(docs: dict):
+    import math
+    from collections import Counter
+
+    # mirror Spark's split(trim(text), '\\s+'): empty text yields ONE empty
+    # token (which then counts in the unigram vocabulary), not zero tokens
+    toks = {d: (t.strip().split() or [""]) for d, t in docs.items()}
+    uni = Counter(w for ts in toks.values() for w in ts)
+    vsz = len(uni)
+    big = Counter(
+        (ts[i], ts[i + 1]) for ts in toks.values() for i in range(len(ts) - 1)
+    )
+    out = {}
+    for d, ts in toks.items():
+        if len(ts) < 2:
+            continue
+        ll = 0.0
+        hapax = 0
+        for i in range(len(ts) - 1):
+            cb = big[(ts[i], ts[i + 1])]
+            cu = uni[ts[i]]
+            ll = ll + (math.log(float(cb + 1)) - math.log(float(cu + vsz)))
+            hapax += 1 if cb == 1 else 0
+        n = len(ts) - 1
+        out[d] = (n, hapax, -ll / n)
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_LM_VOCAB), min_size=0, max_size=12),
+        min_size=3,
+        max_size=8,
+    )
+)
+@settings(max_examples=_ex(15), deadline=None)
+def test_lm_scores_match_pure_python_reference(spark, docs):
+    import tempfile
+
+    from airdatapipeline_spark.operators.text import lm_model_tables, lm_score_documents
+
+    rows = [(i, " ".join(ts), "src") for i, ts in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    tmp = tempfile.mkdtemp(prefix="lmfuzz_")
+    df.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    model = lm_model_tables(spark, tmp)
+    got = {
+        r.doc_id: (r.n_bigrams, r.hapax_bigrams, r.cross_entropy)
+        for r in lm_score_documents(
+            spark.read.parquet(f"{tmp}/documents.parquet"), model
+        ).collect()
+    }
+    want = _py_lm({i: " ".join(ts) for i, ts in enumerate(docs)})
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][0] == want[d][0]
+        assert got[d][1] == want[d][1]
+        assert got[d][2] == want[d][2], (d, got[d][2], want[d][2])  # bit-exact

@@ -990,3 +990,44 @@ def test_shards_cli_rejects_nonpositive_budget(spark, tmp_path):
             "--sf-dir", SF_SMALL, "--budget", "0",
         ])
     assert exc.value.code == 2  # argparse usage error
+
+
+def test_lm_gated_ingest_idempotent_under_redelivery(spark, tmp_path):
+    """The streaming LM gate's committed-ids anti-join: the same landing
+    file delivered through TWO separate stream runs (fresh checkpoint, so
+    the source replays it — the poison case exactly-once file sources
+    cannot cover) must not duplicate any committed doc, and the committed
+    set must equal the batch filter's keep set both times."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from airdatapipeline_spark.operators.text import lm_perplexity_filter
+    from airdatapipeline_spark.streaming import events as se
+
+    sf = "/root/testdata/sf0.001"
+    landing = str(tmp_path / "landing")
+    shutil.os.makedirs(landing)
+    shutil.copy(f"{sf}/documents.parquet", landing)
+
+    first = se.lm_gated_ingest_append(spark, sf, landing_dir=landing)
+    want = (
+        lm_perplexity_filter(spark, sf).filter(F.col("keep")).drop("keep")
+    )
+    assert first.count() == want.count()
+    assert first.select("doc_id").distinct().count() == first.count()
+
+    # redelivery: the SAME sink dir is not reachable from outside (the op
+    # makes its own), so prove the anti-join seam directly: a second run
+    # over a landing dir with the file duplicated under two names must
+    # still commit each doc once
+    landing2 = str(tmp_path / "landing2")
+    shutil.os.makedirs(landing2)
+    shutil.copy(f"{sf}/documents.parquet", f"{landing2}/a.parquet")
+    shutil.copy(f"{sf}/documents.parquet", f"{landing2}/b.parquet")
+    dup = se.lm_gated_ingest_append(
+        spark, sf, landing_dir=landing2, max_files_per_trigger=1
+    )
+    assert dup.count() == want.count()
+    assert dup.select("doc_id").distinct().count() == dup.count()
+    assert dup.join(want.select("doc_id"), "doc_id", "left_anti").count() == 0
