@@ -462,6 +462,37 @@ def clustered_recall_panel(
     )
 
 
+def _clustered_truth(corpus: DataFrame, n_queries: int, k: int) -> DataFrame:
+    """Exact brute-force cosine top-k truth over a (vec_id, emb, norm)
+    corpus for queries vec_id < n_queries — SHARED by the two clustered
+    recall panels so their ground-truth definitions can never drift, and
+    MATERIALIZED once (localCheckpoint, ≤ Q·k rows): the recall panels
+    reference truth 2-4 times (per-tier hit joins + the query spine), and
+    without the checkpoint each reference re-executes the corpus-wide
+    scoring pass — 3 redundant full scans inside the very queries the
+    bench times (r9 review finding)."""
+    q = F.broadcast(
+        corpus.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+        )
+    )
+    wt = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    truth = (
+        corpus.join(q, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (_dot("q_emb", "emb") / (F.col("q_norm") * F.col("norm"))).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(wt))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    return truth.localCheckpoint(eager=True)
+
+
 def clustered_tier_recall(
     spark: SparkSession, sf_dir: str, n_queries: int = 10, k: int = 5
 ) -> DataFrame:
@@ -488,27 +519,7 @@ def clustered_tier_recall(
         StorageLevel.MEMORY_AND_DISK
     )
     queries = corpus.filter(F.col("vec_id") < n_queries)
-
-    # exact truth over the generated corpus
-    q = F.broadcast(
-        queries.select(
-            F.col("vec_id").alias("query_id"),
-            F.col("emb").alias("q_emb"),
-            F.col("norm").alias("q_norm"),
-        )
-    )
-    wt = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    truth = (
-        corpus.join(q, F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            (_dot("q_emb", "emb") / (F.col("q_norm") * F.col("norm"))).alias("cosine"),
-        )
-        .withColumn("rank", F.row_number().over(wt))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id")
-    )
+    truth = _clustered_truth(corpus, n_queries, k)
 
     # IVF tier: true generating centers, zero-shuffle inline assignment
     cent_rows = clu_centroids(spark, dim=EMB_DIM).select("centroid_id", "emb").collect()
@@ -615,24 +626,12 @@ def clustered_residual_ivfpq_recall(
         F.expr("zip_with(emb, c_emb, (a, b) -> a - b)").alias("emb"),
     )
     if codebooks is None:
-        # default: deterministic sampled-row residual codebooks (the
-        # oracle-replayable stand-in); tests pass k-means-TRAINED residual
-        # codebooks here to measure how much training closes the gap
-        cb_rows = sorted(
-            resid.filter(
-                (F.col("vec_id") >= PQ_CB_LO) & (F.col("vec_id") < PQ_CB_LO + PQ_K)
-            )
-            .select("vec_id", "emb")
-            .collect(),
-            key=lambda r: r.vec_id,
-        )
-        codebooks = [
-            [
-                [float(v) for v in r.emb[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]]
-                for r in cb_rows
-            ]
-            for m in range(PQ_M)
-        ]
+        # default: deterministic sampled-row residual codebooks via the
+        # SAME derivation as the plain PQ tier (_pq_codebooks — one
+        # definition, so the codebook contract cannot drift between
+        # tiers); tests pass k-means-TRAINED residual codebooks here to
+        # measure how much training closes the gap
+        codebooks = _pq_codebooks(resid)
     cbs = codebooks
     codes = pq_encode(resid, cbs, keep=("centroid_id",))
 
@@ -709,26 +708,7 @@ def clustered_residual_ivfpq_recall(
             .select("query_id", "neighbor_id")
         )
 
-    # exact truth over the same corpus
-    q = F.broadcast(
-        corpus.filter(F.col("vec_id") < n_queries).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("emb").alias("q_emb"),
-            F.col("norm").alias("q_norm"),
-        )
-    )
-    wt = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    truth = (
-        corpus.join(q, F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            (_dot("q_emb", "emb") / (F.col("q_norm") * F.col("norm"))).alias("cosine"),
-        )
-        .withColumn("rank", F.row_number().over(wt))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id")
-    )
+    truth = _clustered_truth(corpus, n_queries, k)
     hits = F.broadcast(
         truth.join(F.broadcast(pqk), ["query_id", "neighbor_id"])
         .groupBy("query_id")
@@ -1037,21 +1017,24 @@ def with_bq(embeddings: DataFrame) -> DataFrame:
     if absent (reusing with_norm's when composed) plus the two code
     words. All-integer arithmetic: the codes are bit-identical across
     engines by construction."""
-    # The two code columns cover dims [1,32] and [33,64]; derive the word
-    # starts from EMB_DIM so a schema change fails HERE, loudly, instead of
-    # silently packing only the first 64 dims (ADVICE-r8).
-    assert EMB_DIM == 64 and EMB_DIM % 32 == 0, (
-        f"with_bq packs exactly two 32-bit sign words (code_lo/code_hi); "
-        f"EMB_DIM={EMB_DIM} needs {max(1, EMB_DIM // 32)} words — extend the "
-        f"code columns and the Hamming expressions together"
+    # The two code columns cover dims [1,32] and [33,64] — exactly
+    # EMB_DIM=64 dims. The assert ties the pack to the schema constant so
+    # a dimension change fails HERE, loudly, instead of silently packing
+    # only the first 64 dims (ADVICE-r8); generalizing means extending the
+    # code columns AND both engines' Hamming expressions together, so the
+    # literals stay honest literals rather than a half-derived loop that
+    # cannot actually run at any other width (r9 review finding).
+    assert EMB_DIM == 64, (
+        f"with_bq packs exactly two 32-bit sign words (code_lo/code_hi) "
+        f"covering 64 dims; EMB_DIM={EMB_DIM} requires extending the code "
+        f"columns and the Hamming expressions together"
     )
-    word_starts = [1 + 32 * w for w in range(EMB_DIM // 32)]
     e = embeddings
     if "emb" not in e.columns:
         e = e.withColumn("emb", F.expr("transform(embedding, x -> cast(x as double))"))
-    return e.withColumn(
-        "code_lo", F.expr(_bq_word_expr("emb", word_starts[0]))
-    ).withColumn("code_hi", F.expr(_bq_word_expr("emb", word_starts[1])))
+    return e.withColumn("code_lo", F.expr(_bq_word_expr("emb", 1))).withColumn(
+        "code_hi", F.expr(_bq_word_expr("emb", 33))
+    )
 
 
 def bq_topk(

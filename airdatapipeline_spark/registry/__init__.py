@@ -125,7 +125,7 @@ _DRIVER_WINDOW = [
     "simsearch_clustered_rpq_rerank",
     "text_lm_perplexity_filter",
     "stream_lm_gated_ingest",
-    # --- newest driver row is r6 (15 of 47; rest rotate in r10) ------------
+    # --- newest driver row is r6 (12 of 47; rest rotate in r10) ------------
     "text_shard_append_conservation",
     "text_shard_compact_conservation",
     "text_shard_delete_conservation",

@@ -589,9 +589,12 @@ _CTR_TOPK = """
 """
 
 
-@register(
-    "simsearch_clustered_tier_recall",
-    f"""
+# Shared 64-dim clustered-corpus oracle prologue (corpus, query panel,
+# brute-force truth, true generating centers, 1-NN assignment) — ONE
+# definition used by BOTH the tier-recall oracle and the residual-IVFPQ
+# template, so the two value-hash oracles can never grade different
+# corpora (r9 review finding).
+_CLU64_PROLOGUE = f"""
     WITH ec AS (
       SELECT vec_id, {similarity.clu_cluster_duck("vec_id")} AS c FROM embeddings
     ),
@@ -614,7 +617,13 @@ _CTR_TOPK = """
         FROM range({similarity.CLU_K}) t(c)
       )
     ),
-    assigned AS ({_CLU_ASSIGN.format(src="e", n=1)}),
+    assigned AS ({_CLU_ASSIGN.format(src="e", n=1)})
+"""
+
+
+@register(
+    "simsearch_clustered_tier_recall",
+    _CLU64_PROLOGUE + f""",
     probes AS (
       SELECT vec_id AS query_id, emb AS q_emb, norm AS q_norm, centroid_id
       FROM ({_CLU_ASSIGN.format(src="qrows", n=similarity.CLU_N_PROBE)})
@@ -795,30 +804,7 @@ _RPQ_RERANK_PQK = """
 """
 
 
-_RPQ_ORACLE_TEMPLATE = f"""
-    WITH ec AS (
-      SELECT vec_id, {similarity.clu_cluster_duck("vec_id")} AS c FROM embeddings
-    ),
-    e AS (
-      SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS norm FROM (
-        SELECT vec_id, {_clu_emb_list("vec_id", "c", similarity.EMB_DIM)} AS emb
-        FROM ec
-      )
-    ),
-    qrows AS (SELECT * FROM e WHERE vec_id < 10),
-    truth AS (
-      SELECT query_id, neighbor_id FROM (
-        {_CTR_TOPK.format(q="q", c="cc")}
-        FROM e cc, qrows q WHERE cc.vec_id <> q.vec_id
-      ) WHERE rank <= 5
-    ),
-    centn AS (
-      SELECT centroid_id, emb, sqrt(list_dot_product(emb, emb)) AS norm FROM (
-        SELECT c AS centroid_id, {_clu_center_list("c", similarity.EMB_DIM)} AS emb
-        FROM range({similarity.CLU_K}) t(c)
-      )
-    ),
-    assigned AS ({_CLU_ASSIGN.format(src="e", n=1)}),
+_RPQ_ORACLE_TEMPLATE = _CLU64_PROLOGUE + f""",
     probes AS (
       SELECT vec_id AS query_id, emb AS q_emb, centroid_id
       FROM ({_CLU_ASSIGN.format(src="qrows", n=similarity.CLU_N_PROBE)})

@@ -653,6 +653,9 @@ def lm_gated_ingest_append(
     sf_dir: str,
     landing_dir: str | None = None,
     max_files_per_trigger: int | None = None,
+    model: dict | None = None,
+    out_dir: str | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Model-scoring-at-ingest: the OFFLINE-trained bigram LM
     (operators/text.lm_model_tables — trained once per corpus snapshot,
@@ -667,18 +670,25 @@ def lm_gated_ingest_append(
     The scoring code path is lm_score_documents — BYTE-IDENTICAL to the
     batch filter — so the online gate can never drift from the offline
     one; the committed set therefore equals the batch filter's keep set,
-    which is exactly what the DuckDB oracle replays."""
+    which is exactly what the DuckDB oracle replays.
+
+    Injection seams (r9 review): `model` accepts a PREBUILT
+    lm_model_tables artifact (the trained-once-per-snapshot deployment
+    story as a code path, and no retraining per call), `out_dir`/
+    `checkpoint_dir` pin the sink so a SECOND run against the same sink
+    exercises true cross-run redelivery (pytest does exactly that)."""
     from ..operators.text import lm_model_tables, lm_score_documents
 
-    model = lm_model_tables(spark, sf_dir)
+    if model is None:
+        model = lm_model_tables(spark, sf_dir)
     batch_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     reader = spark.readStream.schema(batch_schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(landing_dir or _doc_landing_dir(sf_dir))
 
-    out = tempfile.mkdtemp(prefix="lm_gate_sink_")
-    ckpt = tempfile.mkdtemp(prefix="lm_gate_ckpt_")
+    out = out_dir or tempfile.mkdtemp(prefix="lm_gate_sink_")
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="lm_gate_ckpt_")
     out_schema = (
         "doc_id long, source string, n_bigrams long, hapax_bigrams long,"
         " cross_entropy double"

@@ -654,7 +654,9 @@ def _bm25_corpus(spark):
         rows = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
             "doc_id", "text"
         ).collect()
-        toks = {r.doc_id: r.text.strip().split() for r in rows}
+        # mirror Spark's split(trim(text), '\\s+'): empty text yields ONE
+        # empty token, not zero (the LM fuzz below documents the same)
+        toks = {r.doc_id: (r.text.strip().split() or [""]) for r in rows}
         _BM25_STATE["toks"] = toks
         from collections import Counter
 

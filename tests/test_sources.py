@@ -1017,10 +1017,8 @@ def test_lm_gated_ingest_idempotent_under_redelivery(spark, tmp_path):
     assert first.count() == want.count()
     assert first.select("doc_id").distinct().count() == first.count()
 
-    # redelivery: the SAME sink dir is not reachable from outside (the op
-    # makes its own), so prove the anti-join seam directly: a second run
-    # over a landing dir with the file duplicated under two names must
-    # still commit each doc once
+    # within-run redelivery: the same file under two names, one file per
+    # micro-batch — the anti-join must commit each doc once
     landing2 = str(tmp_path / "landing2")
     shutil.os.makedirs(landing2)
     shutil.copy(f"{sf}/documents.parquet", f"{landing2}/a.parquet")
@@ -1031,3 +1029,23 @@ def test_lm_gated_ingest_idempotent_under_redelivery(spark, tmp_path):
     assert dup.count() == want.count()
     assert dup.select("doc_id").distinct().count() == dup.count()
     assert dup.join(want.select("doc_id"), "doc_id", "left_anti").count() == 0
+
+    # CROSS-RUN redelivery against the SAME pinned sink (r9 review seam):
+    # a second stream run with a FRESH checkpoint replays the whole
+    # landing dir — the poison case the file source's exactly-once cannot
+    # cover — and the committed-ids anti-join must hold the line
+    out2 = str(tmp_path / "sink")
+    shutil.os.makedirs(out2)
+    from airdatapipeline_spark.operators.text import lm_model_tables
+
+    model = lm_model_tables(spark, sf)  # trained once, reused by both runs
+    se.lm_gated_ingest_append(
+        spark, sf, landing_dir=landing, model=model, out_dir=out2,
+        checkpoint_dir=str(tmp_path / "ckpt_run1"),
+    )
+    redelivered = se.lm_gated_ingest_append(
+        spark, sf, landing_dir=landing, model=model, out_dir=out2,
+        checkpoint_dir=str(tmp_path / "ckpt_run2"),
+    )
+    assert redelivered.count() == want.count()
+    assert redelivered.select("doc_id").distinct().count() == redelivered.count()
