@@ -1457,3 +1457,130 @@ def ivfpq_topk(
             "query_id", "neighbor_id", "adc_dist", F.col("rank").cast("int").alias("rank")
         )
     )
+
+
+# --- exact distributed k-means over the SQ8 lattice (Lloyd's, late r9) --------
+
+KM_K = 8  # clusters
+KM_ITERS = 2  # Lloyd rounds, fixed so the SQL oracle can unroll them
+
+
+def _km_fdiv(s: int, n: int) -> int:
+    """Portable floor division (s - pmod(s, n)) / n — written out instead
+    of python's // so the formula is LITERALLY the one the DuckDB oracle
+    evaluates (engine '%' sign semantics differ; the pmod normalization
+    makes both floor for n > 0)."""
+    return (s - ((s % n) + n) % n) // n
+
+
+def _km_dist_expr(cent: list[int]) -> str:
+    """Unrolled squared L2 distance from `q` to a LITERAL centroid —
+    whole-stage-codegen arithmetic, no interpreted lambda in the per-row
+    hot path (the r2 similarity-family lesson). Per-dim diff ≤ 254 so the
+    64-term sum fits int comfortably; cast once to BIGINT."""
+    terms = " + ".join(
+        f"(element_at(q, {i + 1}) - ({c})) * (element_at(q, {i + 1}) - ({c}))"
+        for i, c in enumerate(cent)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+def _km_assign(e: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """(vec_id, q, cid, dist) under the given literal centroids; argmin =
+    array_position of the array_min — FIRST index on ties, i.e. lowest
+    centroid id, the same total order as the oracle's ORDER BY dist, cid.
+    Built as ONE array expression on purpose: a least()+WHEN-chain variant
+    re-inlines every k×dim distance tree into every arm after projection
+    collapse (observed: OOMed a 1g driver at k=8, dim=64)."""
+    ds = F.array(*[F.expr(_km_dist_expr(c)) for c in cents])
+    return e.select(
+        "vec_id",
+        "q",
+        F.array_position(ds, F.array_min(ds)).cast("int").alias("cid"),
+        F.array_min(ds).alias("dist"),
+    )
+
+
+def kmeans_sq8_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KM_K,
+    iters: int = KM_ITERS,
+) -> DataFrame:
+    """Exact distributed k-means (Lloyd's) over the SQ8-quantized embedding
+    lattice — the clustering step an embedding-curation pipeline runs
+    (topic balancing, SemDeDup's cluster stage, IVF codebook training),
+    made ENGINE-EXACT: all coordinates are int8 codes (with_sq8 — the
+    established quantized serving domain), centroids live on the integer
+    lattice (floor of the per-dim mean via the portable pmod floor-div),
+    distances are exact integer sums, and ties break by lowest centroid
+    id — so the assignment after any number of rounds is bit-reproducible
+    across engines AND partitionings, where float-mean k-means flaps on
+    summation order.
+
+    Seeds: the k vectors with smallest md5(vec_id) (content-addressed —
+    reproducible without a seeded RNG). Empty clusters keep their previous
+    centroid. Output after `iters` rounds: one row per cluster of the
+    FINAL assignment — (centroid_id, n_vectors, total_sq_dist,
+    centroid_l1).
+
+    Scale shape: each round is one codegen scan (unrolled k×dim literal
+    arithmetic, no join for assignment) + one partial-agg shuffle of
+    (count, 64 dim-sums) per cluster; driver state is k×64 ints per round
+    (the spark.ml KMeans contract — its per-iteration collectAsMap of
+    cluster sums is this exact pattern). The k-row per-round collects are
+    scalar model parameters, the IVF-centroid justification."""
+    from pyspark import StorageLevel
+
+    dim = EMB_DIM
+    e = (
+        with_sq8(load_table(spark, sf_dir, "embeddings"))
+        .select("vec_id", "q")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    seed_rows = (
+        e.select("vec_id", "q", F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(k)
+        .collect()
+    )
+    cents = [[int(v) for v in r.q] for r in seed_rows]  # k×dim model params
+    for _ in range(iters):
+        sums = (
+            _km_assign(e, cents)
+            .groupBy("cid")
+            .agg(
+                F.count("*").alias("n"),
+                *[
+                    F.sum(F.element_at("q", i + 1)).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        got = {
+            int(r["cid"]): [
+                _km_fdiv(int(r[f"s{i}"]), int(r["n"])) for i in range(dim)
+            ]
+            for r in sums
+        }
+        cents = [got.get(j + 1, cents[j]) for j in range(k)]
+    final = _km_assign(e, cents)
+    l1 = spark.createDataFrame(
+        [(j + 1, sum(abs(v) for v in c)) for j, c in enumerate(cents)],
+        "cid int, centroid_l1 bigint",
+    )
+    return (
+        final.groupBy("cid")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum("dist").alias("total_sq_dist"),
+        )
+        .join(F.broadcast(l1), "cid")
+        .select(
+            F.col("cid").alias("centroid_id"),
+            "n_vectors",
+            "total_sq_dist",
+            "centroid_l1",
+        )
+    )

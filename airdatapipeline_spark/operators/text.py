@@ -1188,3 +1188,197 @@ def adaptive_source_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w) * 2 <= F.count("*").over(n) + 1
         ).alias("is_kept"),
     )
+
+
+# --- distributed BPE tokenizer training (first-K merge rules) ----------------
+
+BPE_N_MERGES = 4  # fixed K so the SQL oracle can unroll the iterations
+BPE_VOCAB_TOPK = 20
+
+
+def bpe_word_table(docs: DataFrame) -> DataFrame:
+    """(word, wcount) — the distinct-word frequency table BPE trains on.
+    This is the classic trainer trick (HuggingFace tokenizers does the
+    same): the corpus is scanned ONCE to build a vocab-sized table, and
+    every merge iteration thereafter is proportional to the DISTINCT
+    vocabulary (Zipf: ~10^7 rows at any corpus size), not the corpus.
+    Words = maximal [a-z]+ runs of the lowercased text, length >= 2 —
+    ASCII-only on purpose so the Java-regex and RE2 oracles cannot
+    diverge on Unicode class membership."""
+    return (
+        docs.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word"))
+        .where(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("wcount"))
+    )
+
+
+def _bpe_pairs(seqs: DataFrame) -> DataFrame:
+    """Weighted adjacent-symbol pair counts over (seq, wcount). The pair
+    stream is built zero-shuffle per word (transform over an index
+    sequence — no positional self-join); the only shuffle is the
+    partial-aggregated groupBy on (l, r)."""
+    syms = F.split(F.trim(F.col("seq")), " ")
+    pairs = F.when(
+        F.size(syms) >= 2,
+        F.expr(
+            "transform(sequence(1, size(split(trim(seq), ' ')) - 1),"
+            " i -> struct(element_at(split(trim(seq), ' '), i) AS l,"
+            "             element_at(split(trim(seq), ' '), i + 1) AS r))"
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<struct<l:string,r:string>>)"))
+    return (
+        seqs.select(F.explode(pairs).alias("p"), "wcount")
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("wcount").alias("pair_count"))
+    )
+
+
+def _bpe_apply_merge(seq: Column, left: str, right: str) -> Column:
+    """Apply one merge rule to a space-padded symbol sequence: two literal
+    replace passes of ' l r ' -> ' lr '. A single pass misses every other
+    occurrence in a chain (matches share their boundary space); the second
+    pass catches those. Both Spark's and DuckDB's replace() do the same
+    leftmost non-overlapping scan, so the two engines produce bit-equal
+    sequences — the parity contract. (A pathological leftover adjacency
+    after two passes simply re-enters the next iteration's pair counts;
+    it is never silently lost.)"""
+    pat = F.lit(f" {left} {right} ")
+    rep = F.lit(f" {left}{right} ")
+    return F.replace(F.replace(seq, pat, rep), pat, rep)
+
+
+def bpe_iterate(wf: DataFrame, n_merges: int) -> tuple[list[tuple], DataFrame]:
+    """Run n_merges BPE iterations over a (word, wcount) table. Returns
+    (merges, final_seqs): merges = [(rank, left, right, merged, count)],
+    final_seqs = (seq, wcount) after all merges.
+
+    Scale shape: wf is persisted once (vocab-sized); each iteration is one
+    vocab-proportional pair-count aggregation plus a 1-ROW collect — the
+    winning merge rule is a scalar model parameter, the same
+    driver-side-by-nature justification as the IVF centroid table and
+    BM25's K-term query plan (operators/text.py:920). The merge is then
+    applied as a narrow map; lineage depth grows by one projection per
+    merge (checkpoint every ~32 merges if K is ever made large)."""
+    from pyspark import StorageLevel
+
+    wf = wf.persist(StorageLevel.MEMORY_AND_DISK)
+    seqs = wf.select(
+        F.concat(
+            F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")
+        ).alias("seq"),
+        "wcount",
+    )
+    merges: list[tuple] = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            _bpe_pairs(seqs)
+            .orderBy(F.desc("pair_count"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:  # corpus too small to support n_merges rules
+            break
+        l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["pair_count"])
+        merges.append((rank, l, r, l + r, cnt))
+        seqs = seqs.select(_bpe_apply_merge(F.col("seq"), l, r).alias("seq"), "wcount")
+    return merges, seqs
+
+
+def bpe_train_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_N_MERGES
+) -> DataFrame:
+    """First-K BPE merge rules trained on the documents corpus — the
+    tokenizer-training operator every LLM data pipeline runs before
+    anything downstream can count a token. Output is the model artifact
+    itself: (merge_rank, left_sym, right_sym, merged_sym, pair_count),
+    built from the K per-iteration scalar collects (see bpe_iterate).
+    Reference scope: the reference has no tokenizer trainer; this is part
+    of the LLM-pipeline extension family the brief asks for."""
+    merges, _ = bpe_iterate(bpe_word_table(load_table(spark, sf_dir, "documents")), n_merges)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string,"
+        " merged_sym string, pair_count bigint",
+    )
+
+
+def bpe_vocab_top(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = BPE_N_MERGES,
+    k: int = BPE_VOCAB_TOPK,
+) -> DataFrame:
+    """Top-k corpus symbols AFTER the K trained merges are applied:
+    (symbol, sym_weight = corpus-weighted occurrences, n_word_occurrences
+    = occurrences across the distinct-word table). End-to-end check of
+    the merge APPLICATION path (bit-equal sequence evolution in both
+    engines), not just the rule counts; top-k via orderBy+limit so the
+    plan is TakeOrderedAndProject, never a global sort."""
+    _, seqs = bpe_iterate(bpe_word_table(load_table(spark, sf_dir, "documents")), n_merges)
+    return (
+        seqs.select(
+            F.explode(F.split(F.trim("seq"), " ")).alias("symbol"), "wcount"
+        )
+        .groupBy("symbol")
+        .agg(
+            F.sum("wcount").alias("sym_weight"),
+            F.count("*").cast("long").alias("n_word_occurrences"),
+        )
+        .orderBy(F.desc("sym_weight"), F.asc("symbol"))
+        .limit(k)
+    )
+
+
+VOCAB_TOP_N = 16  # closed vocabulary size; the synthetic corpus draws from a
+# 31-word pool, so top-16 leaves a real Zipf tail OOV (top-64 would be
+# degenerate all-covered at every sf)
+
+
+def vocab_oov_rate(
+    spark: SparkSession, sf_dir: str, top_n: int = VOCAB_TOP_N
+) -> DataFrame:
+    """Per-source OOV rate against the top-N corpus vocabulary — the
+    tokenizer-coverage statistic run right after tokenizer training:
+    if a source's token stream is mostly out-of-vocabulary, the trained
+    vocab under-serves it (and its byte-per-token cost explodes).
+
+    Output: (source, total_tokens, oov_tokens, oov_rate,
+    distinct_oov_words). Vocabulary = top-N whitespace tokens by corpus
+    frequency, ties broken token-asc (total order — deterministic under
+    any partitioning, unlike a frequency-threshold cut that flaps on
+    ties at the boundary).
+
+    Scale shape: vocab selection is one partial-agg shuffle +
+    TakeOrderedAndProject; the N-row vocab is BROADCAST back into the
+    token stream, so the coverage pass is one scan + one map-side join +
+    one per-source aggregation — no corpus-sized shuffle anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(tokens_col()).alias("w"))
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(top_n)
+        .select("w", F.lit(True).alias("in_vocab"))
+    )
+    marked = toks.join(F.broadcast(vocab), "w", "left")
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count("*").alias("total_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias(
+                "oov_tokens"
+            ),
+            F.count_distinct(
+                F.when(F.col("in_vocab").isNull(), F.col("w"))
+            ).alias("distinct_oov_words"),
+        )
+        .select(
+            "source",
+            "total_tokens",
+            "oov_tokens",
+            (F.col("oov_tokens") / F.col("total_tokens")).alias("oov_rate"),
+            "distinct_oov_words",
+        )
+    )

@@ -134,10 +134,13 @@ _DRIVER_WINDOW = [
     "text_epoch_token_slice",
     "text_curated_append",
     "stream_shard_ingest",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q9_profit_by_nation_year",
-    "text_repetition_filters",
+    # --- late-r9 registrations (never driver-checked; displace the four
+    # r6-green heavy-plan picks — tpch_q1/q3/q9 + repetition_filters keep
+    # their r6 rows and rotate with the rest of the r6 cohort in r10) --------
+    "text_bpe_train_merges",
+    "text_bpe_vocab_top",
+    "text_vocab_oov_rate",
+    "emb_kmeans_sq8_stats",
 ]
 
 # All previously driver-proven names (newest green driver row in some

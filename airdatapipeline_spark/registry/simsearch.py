@@ -904,3 +904,87 @@ def ss_residual_ivfpq_rerank(spark, sf_dir):
     return similarity.clustered_residual_ivfpq_recall(
         spark, sf_dir, rerank=RPQ_RERANK
     )
+
+
+# --- exact k-means over the SQ8 lattice (late r9) -----------------------------
+
+
+def _km_assign_cte(name: str, cents: str, dim: int) -> str:
+    """One Lloyd assignment stage: CROSS JOIN against the k-row centroid
+    CTE (the oracle twin of Spark's unrolled literal arithmetic — values,
+    not plans, are the contract), argmin by (dist, cid) row_number —
+    the same total order as the Spark side's least/first-WHEN."""
+    return f"""{name} AS MATERIALIZED (
+      SELECT vec_id, q, cid, dist FROM (
+        SELECT vec_id, q, cid, dist,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM (SELECT s.vec_id, s.q, c.cid,
+                     CAST(list_sum(list_transform(range(1, {dim + 1}),
+                          i -> CAST((s.q[i] - c.c[i]) * (s.q[i] - c.c[i]) AS BIGINT)))
+                       AS BIGINT) AS dist
+              FROM sq8 s CROSS JOIN {cents} c)
+      ) WHERE rn = 1
+    )"""
+
+
+def _km_update_cte(name: str, prev: str, assigned: str, dim: int) -> str:
+    """One centroid update: per-cluster count + per-dim sums, new
+    coordinate = floor(mean) via the portable pmod floor-div (the literal
+    formula in operators/similarity._km_fdiv); empty clusters keep the
+    previous centroid through the LEFT JOIN fallback."""
+    sums = ", ".join(
+        f"CAST(SUM(q[{i + 1}]) AS BIGINT) AS s{i}" for i in range(dim)
+    )
+    fdivs = ", ".join(
+        f"CAST((s{i} - ((s{i} % n) + n) % n) // n AS INT)" for i in range(dim)
+    )
+    return f"""{name} AS MATERIALIZED (
+      SELECT p.cid, CASE WHEN s.n IS NULL THEN p.c ELSE [{fdivs}] END AS c
+      FROM {prev} p LEFT JOIN (
+        SELECT cid, CAST(COUNT(*) AS BIGINT) AS n, {sums}
+        FROM {assigned} GROUP BY 1
+      ) s USING (cid)
+    )"""
+
+
+def _km_oracle_sql(k: int, iters: int, dim: int) -> str:
+    parts = [
+        _EMB_CTE,
+        _SQ8_Q_CTE,
+        f"""c0 AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER) AS cid, q AS c
+      FROM (SELECT vec_id, q, md5(CAST(vec_id AS VARCHAR)) AS h
+            FROM sq8 ORDER BY h, vec_id LIMIT {k})
+    )""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(_km_assign_cte(f"a{t}", f"c{t - 1}", dim))
+        parts.append(_km_update_cte(f"c{t}", f"c{t - 1}", f"a{t}", dim))
+    parts.append(_km_assign_cte("af", f"c{iters}", dim))
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body}
+    SELECT CAST(g.cid AS INTEGER) AS centroid_id,
+           CAST(g.n AS BIGINT) AS n_vectors,
+           CAST(g.td AS BIGINT) AS total_sq_dist,
+           CAST(list_sum(list_transform(c.c, x -> abs(x))) AS BIGINT)
+             AS centroid_l1
+    FROM (SELECT cid, COUNT(*) AS n, SUM(dist) AS td FROM af GROUP BY 1) g
+    JOIN c{iters} c USING (cid)
+    """
+
+
+@register(
+    "emb_kmeans_sq8_stats",
+    _km_oracle_sql(similarity.KM_K, similarity.KM_ITERS, similarity.EMB_DIM),
+)
+def s_kmeans_sq8(spark, sf_dir):
+    """Exact distributed k-means (2 Lloyd rounds, k=8) over the SQ8 code
+    lattice: integer coordinates + floor-of-mean integer centroids +
+    lowest-cid tie-break make every assignment bit-reproducible across
+    engines and partitionings (float-mean k-means flaps on summation
+    order). Each round = one codegen assignment scan + one partial-agg
+    shuffle of (count, 64 dim-sums); the k-row per-round collects are
+    scalar model parameters (the IVF-centroid justification — this is
+    spark.ml KMeans' own per-iteration collectAsMap contract)."""
+    return similarity.kmeans_sq8_stats(spark, sf_dir)

@@ -1507,3 +1507,122 @@ def t_lm_perplexity(spark, sf_dir):
     ORDER BY pos list), so the totals are bit-equal and partitioning-
     independent."""
     return text.lm_perplexity_filter(spark, sf_dir)
+
+
+def _bpe_oracle_ctes(n_merges: int) -> str:
+    """Unrolled BPE iterations as DuckDB CTE stages — wf -> s0 -> (p_i,
+    m_i, s_i) x K. The merge application mirrors _bpe_apply_merge's two
+    literal replace passes exactly; the pair stream is a list_transform
+    over 1-based indices (both engines 1-based here); tie-break ORDER BY
+    pair_count DESC, l, r in both. chr(9) separates the pair halves —
+    it cannot collide because symbols are [a-z]+ only. Every stage is AS
+    MATERIALIZED: DuckDB inlines plain CTEs like views, and the s_i ->
+    (p_i+1, s_i+1) double references plus the six scalar-subquery reads of
+    each m_i would otherwise re-execute the whole prefix exponentially
+    (observed: the un-materialized K=4 unroll did not finish in 120 s at
+    sf0.001; materialized it is sub-second)."""
+    parts = [
+        "wf AS MATERIALIZED (SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS wcount"
+        " FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w"
+        " FROM documents) WHERE length(w) >= 2 GROUP BY 1)",
+        "s0 AS MATERIALIZED (SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq,"
+        " wcount FROM wf)",
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"s{i - 1}"
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+      SELECT split_part(pr, chr(9), 1) AS l, split_part(pr, chr(9), 2) AS r,
+             CAST(SUM(wcount) AS BIGINT) AS pair_count
+      FROM (SELECT wcount,
+                   unnest(list_transform(generate_series(1, len(syms) - 1),
+                          i -> syms[i] || chr(9) || syms[i + 1])) AS pr
+            FROM (SELECT string_split(trim(seq), ' ') AS syms, wcount FROM {prev}))
+      GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"m{i} AS MATERIALIZED (SELECT l, r, pair_count FROM p{i}"
+            " ORDER BY pair_count DESC, l, r LIMIT 1)"
+        )
+        pat = f"' ' || (SELECT l FROM m{i}) || ' ' || (SELECT r FROM m{i}) || ' '"
+        rep = f"' ' || (SELECT l FROM m{i}) || (SELECT r FROM m{i}) || ' '"
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT replace(replace(seq, {pat}, {rep}), {pat}, {rep})"
+            f" AS seq, wcount FROM {prev})"
+        )
+    return ",\n    ".join(parts)
+
+
+_BPE_MERGES_SQL = f"""
+    WITH
+    {_bpe_oracle_ctes(text.BPE_N_MERGES)}
+    SELECT * FROM (
+      {" UNION ALL ".join(
+          f"SELECT CAST({i} AS INTEGER) AS merge_rank, l AS left_sym,"
+          f" r AS right_sym, l || r AS merged_sym, pair_count FROM m{i}"
+          for i in range(1, text.BPE_N_MERGES + 1)
+      )}
+    ) ORDER BY merge_rank
+    """
+
+
+@register("text_bpe_train_merges", _BPE_MERGES_SQL)
+def t_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training, first K=4 merge rules. Corpus
+    scanned ONCE into the distinct-word frequency table; every iteration
+    is vocab-proportional (the HuggingFace-tokenizers trainer shape) with
+    a 1-row collect for the winning rule (a scalar model parameter — the
+    IVF-centroid justification). Counts are exact integers, ties broken
+    (l, r) ascending, so the rule sequence is partitioning-independent."""
+    return text.bpe_train_merges(spark, sf_dir)
+
+
+_BPE_VOCAB_SQL = f"""
+    WITH
+    {_bpe_oracle_ctes(text.BPE_N_MERGES)}
+    SELECT sym AS symbol, CAST(SUM(wcount) AS BIGINT) AS sym_weight,
+           CAST(COUNT(*) AS BIGINT) AS n_word_occurrences
+    FROM (SELECT unnest(string_split(trim(seq), ' ')) AS sym, wcount
+          FROM s{text.BPE_N_MERGES})
+    GROUP BY 1 ORDER BY sym_weight DESC, symbol LIMIT {text.BPE_VOCAB_TOPK}
+    """
+
+
+@register("text_bpe_vocab_top", _BPE_VOCAB_SQL)
+def t_bpe_vocab(spark, sf_dir):
+    """Top-20 corpus symbols after the 4 trained merges are applied —
+    end-to-end proof the merge APPLICATION evolves the symbol sequences
+    bit-equally in both engines (the rule table alone wouldn't catch a
+    replace-semantics divergence in the final state). TakeOrderedAndProject
+    top-k, weighted by the word-frequency table."""
+    return text.bpe_vocab_top(spark, sf_dir)
+
+
+_OOV_SQL = f"""
+    WITH toks AS MATERIALIZED (
+      SELECT source, unnest({_TOKS}) AS w FROM documents
+    ),
+    vocab AS MATERIALIZED (
+      SELECT w FROM (SELECT w, COUNT(*) AS n FROM toks GROUP BY 1)
+      ORDER BY n DESC, w LIMIT {text.VOCAB_TOP_N}
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS oov_tokens,
+           SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) / COUNT(*) AS oov_rate,
+           CAST(COUNT(DISTINCT CASE WHEN v.w IS NULL THEN toks.w END) AS BIGINT)
+             AS distinct_oov_words
+    FROM toks LEFT JOIN vocab v USING (w)
+    GROUP BY source
+    """
+
+
+@register("text_vocab_oov_rate", _OOV_SQL)
+def t_vocab_oov(spark, sf_dir):
+    """Tokenizer-vocabulary coverage per source: OOV token share against
+    the top-64 corpus vocabulary (ties token-asc — a total order, where a
+    frequency threshold flaps on boundary ties). Vocab is one partial-agg
+    shuffle + TakeOrderedAndProject, then BROADCAST into the token stream:
+    the coverage pass is scan + map-side join + per-source agg, no
+    corpus-sized shuffle."""
+    return text.vocab_oov_rate(spark, sf_dir)

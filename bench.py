@@ -104,6 +104,13 @@ HEADLINE = [
     # (residual ADC + exact refine — the FAISS composition at recall 1.00)
     "text_lm_perplexity_filter",
     "simsearch_clustered_rpq_rerank",
+    # late r9: distributed BPE tokenizer training — K vocab-proportional
+    # pair-count shuffles over the persisted distinct-word table (the one
+    # corpus scan is the word count itself)
+    "text_bpe_train_merges",
+    # late r9: exact integer-lattice k-means (2 Lloyd rounds) — per round
+    # one codegen assignment scan + one 65-column partial-agg shuffle
+    "emb_kmeans_sq8_stats",
     # the end-to-end curate→chunk→split→pack composite (extension flagship)
     "training_data_build",
     # r4: window/events analytics family (heaviest two) so window-function
@@ -174,6 +181,15 @@ SCALING = [
     # the replica offsets — lists genuinely grow 10x)
     "text_lm_perplexity_filter",
     "simsearch_clustered_rpq_rerank",
+    # late r9: BPE training — ONLY the word-count scan is corpus-
+    # proportional; every merge iteration is bound by the DISTINCT
+    # vocabulary, which the replica barely grows (9 new "repN" words).
+    # Expected ratio well under 10 with the gap = the iterations' share;
+    # a ~10x reading here would falsify the vocab-bound design claim.
+    "text_bpe_train_merges",
+    # late r9: k-means on the rotated replica (codes genuinely differ per
+    # copy) — rounds are scans + k-row aggs, expect ~linear in corpus
+    "emb_kmeans_sq8_stats",
 ]
 
 

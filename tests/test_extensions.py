@@ -879,3 +879,150 @@ def test_rpq_refine_reaches_full_recall_and_trained_matches_sampled(spark):
     ).collect()
     mean = lambda rows: sum(r.rpq_recall for r in rows) / len(rows)  # noqa: E731
     assert abs(mean(trained) - mean(sampled)) <= 0.15, (mean(sampled), mean(trained))
+
+
+# --- BPE tokenizer training ---------------------------------------------------
+
+
+def test_bpe_iterate_hand_example(spark):
+    """Two merges over a four-word table, every count hand-computed.
+    Iter 1 pair counts: (a,b) = 2*3 + 1*2 + 1*5 = 13, (b,a) = 3+2+1 = 6
+    -> merge 'ab'; iter 2: (ab,ab)=3, (ab,a)=2, (b,a)=1 -> merge 'abab'."""
+    from airdatapipeline_spark.operators import text as t
+
+    wf = spark.createDataFrame(
+        [("abab", 3), ("aba", 2), ("ab", 5), ("ba", 1)], "word string, wcount long"
+    )
+    merges, seqs = t.bpe_iterate(wf, 2)
+    assert merges == [(1, "a", "b", "ab", 13), (2, "ab", "ab", "abab", 3)]
+    final = sorted((r.seq, r.wcount) for r in seqs.collect())
+    assert final == [(" ab ", 5), (" ab a ", 2), (" abab ", 3), (" b a ", 1)]
+
+
+def test_bpe_apply_merge_matches_duckdb_on_chains(spark, duck):
+    """The merge application contract is TWO literal replace passes — NOT
+    canonical greedy (a 5-chain yields (aa, a, aa), greedy would give
+    (aa, aa, a)). What correctness requires is that Spark's and DuckDB's
+    replace() scan identically; pin that on adversarial chain/overlap
+    strings, including the documented non-greedy 5-chain."""
+    from pyspark.sql import functions as F
+    from airdatapipeline_spark.operators import text as t
+
+    cases = [
+        " a a ", " a a a ", " a a a a ", " a a a a a ",
+        " a a a a a a a ", " x a b a b y ", " b a a b ",
+    ]
+    sdf = spark.createDataFrame([(c,) for c in cases], "seq string")
+    got = {
+        r.seq: r.out
+        for r in sdf.select("seq", t._bpe_apply_merge(F.col("seq"), "a", "a").alias("out")).collect()
+    }
+    assert got[" a a a a a "] == " aa a aa "  # the documented two-pass shape
+    for c in cases:
+        (duck_out,) = duck.execute(
+            "SELECT replace(replace(?, ' a a ', ' aa '), ' a a ', ' aa ')", [c]
+        ).fetchone()
+        assert got[c] == duck_out, (c, got[c], duck_out)
+
+
+def test_bpe_merges_partitioning_invariant(spark):
+    """Pair counts are exact integer sums and the winner is picked under a
+    TOTAL order (count desc, l, r) — so the rule sequence must not depend
+    on input partitioning or arrival order."""
+    from airdatapipeline_spark.operators import text as t
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    base, _ = t.bpe_iterate(t.bpe_word_table(docs), t.BPE_N_MERGES)
+    for n in (1, 3, 16):
+        got, _ = t.bpe_iterate(t.bpe_word_table(docs.repartition(n)), t.BPE_N_MERGES)
+        assert got == base, n
+
+
+def test_bpe_plans(spark):
+    """Scale shape assertions: the per-iteration pair count is a partial
+    (map-side) aggregation with no join at all — work ∝ distinct words;
+    the vocab top-k is TakeOrderedAndProject, never a global sort."""
+    from airdatapipeline_spark.operators import text as t
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    wf = t.bpe_word_table(docs)
+    pairs_plan = t._bpe_pairs(
+        wf.selectExpr("' ' || regexp_replace(word, '(.)', '$1 ') AS seq", "wcount")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "partial" in pairs_plan.lower()
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"):
+        assert bad not in pairs_plan
+
+    vocab_plan = t.bpe_vocab_top(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in vocab_plan
+
+
+def test_vocab_oov_plan_broadcasts_vocab(spark):
+    """The coverage pass must be scan + map-side BROADCAST join + one
+    per-source agg — a shuffled join here would move the whole token
+    stream twice. Vocab selection itself must be TakeOrderedAndProject."""
+    from airdatapipeline_spark.operators import text as t
+
+    plan = t.vocab_oov_rate(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_kmeans_sq8_partitioning_invariant_and_converging(spark):
+    """Integer-lattice Lloyd's must be bit-reproducible under any input
+    partitioning (integer sums + floor-div centroids + lowest-cid ties),
+    and each round must not increase total in-cluster squared distance
+    (Lloyd's monotonicity — a wrong argmin or a drifting centroid update
+    breaks it)."""
+    from airdatapipeline_spark.operators import similarity as s
+
+    base = s.kmeans_sq8_stats(spark, SF_SMALL).orderBy("centroid_id").collect()
+    # invariance: repartitioned source must yield identical stats (the
+    # operator reads from sf_dir, so invariance is checked through the
+    # shared _km_assign/_km_fdiv path on a repartitioned q table)
+    from airdatapipeline_spark.io import load_table
+
+    e = s.with_sq8(load_table(spark, SF_SMALL, "embeddings")).select("vec_id", "q")
+    import pyspark.sql.functions as FF
+
+    def run(q_df, iters):
+        seeds = (
+            q_df.select("vec_id", "q", FF.md5(FF.col("vec_id").cast("string")).alias("h"))
+            .orderBy("h", "vec_id").limit(s.KM_K).collect()
+        )
+        cents = [[int(v) for v in r.q] for r in seeds]
+        costs = []
+        for _ in range(iters):
+            a = s._km_assign(q_df, cents)
+            costs.append(a.agg(FF.sum("dist")).first()[0])
+            rows = a.groupBy("cid").agg(
+                FF.count("*").alias("n"),
+                *[FF.sum(FF.element_at("q", i + 1)).alias(f"s{i}") for i in range(s.EMB_DIM)],
+            ).collect()
+            got = {int(r["cid"]): [s._km_fdiv(int(r[f"s{i}"]), int(r["n"])) for i in range(s.EMB_DIM)] for r in rows}
+            cents = [got.get(j + 1, cents[j]) for j in range(s.KM_K)]
+        costs.append(s._km_assign(q_df, cents).agg(FF.sum("dist")).first()[0])
+        return cents, costs
+
+    c1, costs1 = run(e.repartition(1), s.KM_ITERS)
+    c16, costs16 = run(e.repartition(16), s.KM_ITERS)
+    assert c1 == c16
+    assert costs1 == costs16
+    # monotone non-increase round over round (floor rounding can only move
+    # a centroid by < 1 per dim off the true mean; the assignment step is
+    # exact argmin, so cost after re-assignment must not rise)
+    assert costs1 == sorted(costs1, reverse=True), costs1
+
+
+def test_kmeans_sq8_plan_shape(spark):
+    """Assignment must be a pure projection scan (no join — centroids are
+    literals); the only joins in the final plan are the broadcast l1
+    join-back. A SortMergeJoin or cartesian anywhere means the centroid
+    table leaked into the row path."""
+    from airdatapipeline_spark.operators import similarity as s
+
+    plan = s.kmeans_sq8_stats(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    for bad in ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan

@@ -60,6 +60,14 @@ QUERIES_TO_MEASURE = [
     "simsearch_clustered_residual_ivfpq",
     "simsearch_clustered_rpq_rerank",
     "text_lm_perplexity_filter",
+    # late r9: BPE training. vocab_top's final plan carries the whole
+    # last-iteration lineage (word-table aggregation + K merge projections
+    # + the symbol rollup); train_merges itself returns a K-row
+    # createDataFrame of the collected rules, so ITS returned plan has no
+    # metrics to read — the work shows up here instead
+    "text_bpe_vocab_top",
+    # late r9: integer-lattice k-means (final-assignment stats plan)
+    "emb_kmeans_sq8_stats",
 ]
 
 
