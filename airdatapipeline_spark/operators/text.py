@@ -1251,7 +1251,7 @@ def _bpe_apply_merge(seq: Column, left: str, right: str) -> Column:
 def bpe_iterate(wf: DataFrame, n_merges: int) -> tuple[list[tuple], DataFrame]:
     """Run n_merges BPE iterations over a (word, wcount) table. Returns
     (merges, final_seqs): merges = [(rank, left, right, merged, count)],
-    final_seqs = (seq, wcount) after all merges.
+    final_seqs = (word, seq, wcount) after all merges.
 
     Scale shape: wf is persisted once (vocab-sized); each iteration is one
     vocab-proportional pair-count aggregation plus a 1-ROW collect — the
@@ -1264,6 +1264,7 @@ def bpe_iterate(wf: DataFrame, n_merges: int) -> tuple[list[tuple], DataFrame]:
 
     wf = wf.persist(StorageLevel.MEMORY_AND_DISK)
     seqs = wf.select(
+        "word",
         F.concat(
             F.lit(" "), F.regexp_replace("word", "(.)", "$1 ")
         ).alias("seq"),
@@ -1281,7 +1282,9 @@ def bpe_iterate(wf: DataFrame, n_merges: int) -> tuple[list[tuple], DataFrame]:
             break
         l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["pair_count"])
         merges.append((rank, l, r, l + r, cnt))
-        seqs = seqs.select(_bpe_apply_merge(F.col("seq"), l, r).alias("seq"), "wcount")
+        seqs = seqs.select(
+            "word", _bpe_apply_merge(F.col("seq"), l, r).alias("seq"), "wcount"
+        )
     return merges, seqs
 
 
@@ -1380,5 +1383,56 @@ def vocab_oov_rate(
             "oov_tokens",
             (F.col("oov_tokens") / F.col("total_tokens")).alias("oov_rate"),
             "distinct_oov_words",
+        )
+    )
+
+
+def bpe_compression_by_source(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_N_MERGES
+) -> DataFrame:
+    """Per-source compression of the TRAINED tokenizer — the measurement a
+    tokenizer pipeline runs right after training: encode the corpus with
+    the learned merges and report chars-per-token. A source whose
+    chars_per_symbol stays near 1 is poorly served by the vocab (its text
+    fragments into characters); the 'bytes-per-token budget' planners use
+    exactly this table.
+
+    Encoding rides the already-trained word table: per distinct word,
+    symbols_after = the final sequence's symbol count; the corpus token
+    stream then equi-joins back on the word key (work ∝ corpus tokens; at
+    web scale the Zipf head of this join-back would broadcast, the rarity
+    operator's head/tail split — cited there, operators/text.py rarity).
+    chars_per_symbol = one exact int/int IEEE division per source."""
+    _, seqs = bpe_iterate(
+        bpe_word_table(load_table(spark, sf_dir, "documents")), n_merges
+    )
+    per_word = seqs.select(
+        "word",
+        F.length("word").cast("long").alias("chars"),
+        F.size(F.split(F.trim("seq"), " ")).cast("long").alias("syms"),
+    )
+    stream = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "source", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word")
+        )
+        .where(F.length("word") >= 2)
+    )
+    return (
+        stream.join(per_word, "word")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("chars").alias("total_chars"),
+            F.sum("syms").alias("total_symbols"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "total_chars",
+            "total_symbols",
+            (F.col("total_chars") / F.col("total_symbols")).alias(
+                "chars_per_symbol"
+            ),
         )
     )

@@ -1525,7 +1525,8 @@ def _bpe_oracle_ctes(n_merges: int) -> str:
         "wf AS MATERIALIZED (SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS wcount"
         " FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w"
         " FROM documents) WHERE length(w) >= 2 GROUP BY 1)",
-        "s0 AS MATERIALIZED (SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq,"
+        "s0 AS MATERIALIZED (SELECT word,"
+        " ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq,"
         " wcount FROM wf)",
     ]
     for i in range(1, n_merges + 1):
@@ -1547,7 +1548,8 @@ def _bpe_oracle_ctes(n_merges: int) -> str:
         pat = f"' ' || (SELECT l FROM m{i}) || ' ' || (SELECT r FROM m{i}) || ' '"
         rep = f"' ' || (SELECT l FROM m{i}) || (SELECT r FROM m{i}) || ' '"
         parts.append(
-            f"s{i} AS MATERIALIZED (SELECT replace(replace(seq, {pat}, {rep}), {pat}, {rep})"
+            f"s{i} AS MATERIALIZED (SELECT word,"
+            f" replace(replace(seq, {pat}, {rep}), {pat}, {rep})"
             f" AS seq, wcount FROM {prev})"
         )
     return ",\n    ".join(parts)
@@ -1626,3 +1628,38 @@ def t_vocab_oov(spark, sf_dir):
     the coverage pass is scan + map-side join + per-source agg, no
     corpus-sized shuffle."""
     return text.vocab_oov_rate(spark, sf_dir)
+
+
+_BPE_COMPRESSION_SQL = f"""
+    WITH
+    {_bpe_oracle_ctes(text.BPE_N_MERGES)},
+    pw AS MATERIALIZED (
+      SELECT word, CAST(length(word) AS BIGINT) AS chars,
+             CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS syms
+      FROM s{text.BPE_N_MERGES}
+    ),
+    stream AS (
+      SELECT source, w AS word
+      FROM (SELECT source,
+                   unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+            FROM documents)
+      WHERE length(w) >= 2
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(chars) AS BIGINT) AS total_chars,
+           CAST(SUM(syms) AS BIGINT) AS total_symbols,
+           CAST(SUM(chars) AS BIGINT) / CAST(SUM(syms) AS BIGINT)
+             AS chars_per_symbol
+    FROM stream JOIN pw USING (word)
+    GROUP BY source
+    """
+
+
+@register("text_bpe_compression_by_source", _BPE_COMPRESSION_SQL)
+def t_bpe_compression(spark, sf_dir):
+    """Chars-per-token of the trained BPE vocab, per source — encode rides
+    the distinct-word table (symbols counted once per WORD, then the
+    corpus token stream equi-joins back on the word key), so the encode
+    cost is corpus-token-proportional with vocab-sized state. The ratio is
+    one exact int/int IEEE division per source."""
+    return text.bpe_compression_by_source(spark, sf_dir)
