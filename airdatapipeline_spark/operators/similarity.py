@@ -1473,31 +1473,59 @@ def _km_fdiv(s: int, n: int) -> int:
     return (s - ((s % n) + n) % n) // n
 
 
-def _km_dist_expr(cent: list[int]) -> str:
-    """Unrolled squared L2 distance from `q` to a LITERAL centroid —
-    whole-stage-codegen arithmetic, no interpreted lambda in the per-row
-    hot path (the r2 similarity-family lesson). Per-dim diff ≤ 254 so the
-    64-term sum fits int comfortably; cast once to BIGINT."""
+def _km_score_expr(cent: list[int]) -> str:
+    """Unrolled DOT-FORM score against a LITERAL centroid: ||q - c||² =
+    ||q||² - 2·q·c + ||c||², and ||q||² is constant per row, so the argmin
+    only needs score = -2·q·c + ||c||² — 64 literal-coefficient
+    multiply-adds per centroid instead of 128 element_at's of the naive
+    (q-c)² form (the first cut of this operator spent ~12 s per run in
+    plan compilation at ANY data size — the expression tree, not the
+    data, was the cost; measured sf0.001 == sf0.1). All integers, exact;
+    the true distance is recovered as score + ||q||²."""
     terms = " + ".join(
-        f"(element_at(q, {i + 1}) - ({c})) * (element_at(q, {i + 1}) - ({c}))"
-        for i, c in enumerate(cent)
+        f"({-2 * c}) * element_at(q, {i + 1})" for i, c in enumerate(cent) if c
     )
-    return f"CAST({terms} AS BIGINT)"
+    cc = sum(c * c for c in cent)
+    return f"CAST({terms or '0'} + ({cc}) AS BIGINT)"
+
+
+_KM_QQ_EXPR = "CAST(" + " + ".join(
+    f"element_at(q, {i + 1}) * element_at(q, {i + 1})" for i in range(64)
+) + " AS BIGINT)"
 
 
 def _km_assign(e: DataFrame, cents: list[list[int]]) -> DataFrame:
-    """(vec_id, q, cid, dist) under the given literal centroids; argmin =
-    array_position of the array_min — FIRST index on ties, i.e. lowest
+    """(vec_id, q, cid, dist) under the given literal centroids. The score
+    array is built ONCE and folded by a single `aggregate` lambda into
+    (min, argmin) — strict '<' keeps the FIRST minimal index, i.e. lowest
     centroid id, the same total order as the oracle's ORDER BY dist, cid.
-    Built as ONE array expression on purpose: a least()+WHEN-chain variant
-    re-inlines every k×dim distance tree into every arm after projection
-    collapse (observed: OOMed a 1g driver at k=8, dim=64)."""
-    ds = F.array(*[F.expr(_km_dist_expr(c)) for c in cents])
+    Two earlier shapes of this argmin failed structurally: a least()+WHEN
+    chain re-inlines every distance tree into every arm after projection
+    collapse (OOMed a 1g driver), and array_position(ds, array_min(ds))
+    duplicates ds per reference; the fold references the array exactly
+    once. The 8-element fold lambda is interpreted, but over k elements,
+    not dims — the unrolled dot products stay in codegen."""
+    k = len(cents)
+    ds = ", ".join(_km_score_expr(c) for c in cents)
+    fold = (
+        f"aggregate(array({ds}),"
+        " named_struct('m', CAST(NULL AS BIGINT), 'i', 0, 'pos', 0),"
+        " (acc, x) -> named_struct("
+        "   'm', CASE WHEN acc.m IS NULL OR x < acc.m THEN x ELSE acc.m END,"
+        "   'i', acc.i + 1,"
+        "   'pos', CASE WHEN acc.m IS NULL OR x < acc.m THEN acc.i + 1 ELSE acc.pos END))"
+    )
+    assert k >= 1
     return e.select(
         "vec_id",
         "q",
-        F.array_position(ds, F.array_min(ds)).cast("int").alias("cid"),
-        F.array_min(ds).alias("dist"),
+        F.expr(fold).alias("am"),
+        F.expr(_KM_QQ_EXPR).alias("qq"),
+    ).select(
+        "vec_id",
+        "q",
+        F.col("am.pos").cast("int").alias("cid"),
+        (F.col("am.m") + F.col("qq")).alias("dist"),
     )
 
 
