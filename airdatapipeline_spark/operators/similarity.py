@@ -1529,35 +1529,18 @@ def _km_assign(e: DataFrame, cents: list[list[int]]) -> DataFrame:
     )
 
 
-def kmeans_sq8_stats(
+def kmeans_train(
     spark: SparkSession,
     sf_dir: str,
     k: int = KM_K,
     iters: int = KM_ITERS,
-) -> DataFrame:
-    """Exact distributed k-means (Lloyd's) over the SQ8-quantized embedding
-    lattice — the clustering step an embedding-curation pipeline runs
-    (topic balancing, SemDeDup's cluster stage, IVF codebook training),
-    made ENGINE-EXACT: all coordinates are int8 codes (with_sq8 — the
-    established quantized serving domain), centroids live on the integer
-    lattice (floor of the per-dim mean via the portable pmod floor-div),
-    distances are exact integer sums, and ties break by lowest centroid
-    id — so the assignment after any number of rounds is bit-reproducible
-    across engines AND partitionings, where float-mean k-means flaps on
-    summation order.
-
-    Seeds: the k vectors with smallest md5(vec_id) (content-addressed —
-    reproducible without a seeded RNG). Empty clusters keep their previous
-    centroid. Output after `iters` rounds: one row per cluster of the
-    FINAL assignment — (centroid_id, n_vectors, total_sq_dist,
-    centroid_l1).
-
-    Scale shape: each round is one codegen scan (unrolled k×dim literal
-    arithmetic, no join for assignment) + one partial-agg shuffle of
-    (count, 64 dim-sums) per cluster; driver state is k×64 ints per round
-    (the spark.ml KMeans contract — its per-iteration collectAsMap of
-    cluster sums is this exact pattern). The k-row per-round collects are
-    scalar model parameters, the IVF-centroid justification."""
+) -> tuple[list[list[int]], DataFrame]:
+    """Train the integer-lattice k-means model: `iters` Lloyd rounds from
+    the content-addressed md5 seeds. Returns (cents, q_table): cents is
+    the k×dim integer centroid list — the DEPLOYABLE model artifact the
+    batch stats and the streaming ingest gate both score against (the
+    lm_model_tables contract) — and q_table is the persisted (vec_id, q)
+    corpus it was trained on."""
     from pyspark import StorageLevel
 
     dim = EMB_DIM
@@ -1593,6 +1576,39 @@ def kmeans_sq8_stats(
             for r in sums
         }
         cents = [got.get(j + 1, cents[j]) for j in range(k)]
+    return cents, e
+
+
+def kmeans_sq8_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KM_K,
+    iters: int = KM_ITERS,
+) -> DataFrame:
+    """Exact distributed k-means (Lloyd's) over the SQ8-quantized embedding
+    lattice — the clustering step an embedding-curation pipeline runs
+    (topic balancing, SemDeDup's cluster stage, IVF codebook training),
+    made ENGINE-EXACT: all coordinates are int8 codes (with_sq8 — the
+    established quantized serving domain), centroids live on the integer
+    lattice (floor of the per-dim mean via the portable pmod floor-div),
+    distances are exact integer sums, and ties break by lowest centroid
+    id — so the assignment after any number of rounds is bit-reproducible
+    across engines AND partitionings, where float-mean k-means flaps on
+    summation order.
+
+    Seeds: the k vectors with smallest md5(vec_id) (content-addressed —
+    reproducible without a seeded RNG). Empty clusters keep their previous
+    centroid. Output after `iters` rounds: one row per cluster of the
+    FINAL assignment — (centroid_id, n_vectors, total_sq_dist,
+    centroid_l1).
+
+    Scale shape: each round is one codegen scan (unrolled k×dim literal
+    arithmetic, no join for assignment) + one partial-agg shuffle of
+    (count, 64 dim-sums) per cluster; driver state is k×64 ints per round
+    (the spark.ml KMeans contract — its per-iteration collectAsMap of
+    cluster sums is this exact pattern). The k-row per-round collects are
+    scalar model parameters, the IVF-centroid justification."""
+    cents, e = kmeans_train(spark, sf_dir, k=k, iters=iters)
     final = _km_assign(e, cents)
     l1 = spark.createDataFrame(
         [(j + 1, sum(abs(v) for v in c)) for j, c in enumerate(cents)],

@@ -77,13 +77,13 @@ from . import sources_sinks  # noqa: F401,E402
 #     ADC+refine serve at recall 1.00; text_lm_perplexity_filter — the
 #     CCNet-style bigram-LM quality filter; stream_lm_gated_ingest — the
 #     trained model applied at the ingest door via foreachBatch);
-#   - 7 of the 47 r6-green queries: the shard-lifecycle core
+#   - 6 of the 47 r6-green queries: the shard-lifecycle core
 #     (append/compact/delete conservation, verify report, epoch token
-#     slice, curated append, streaming shard ingest); the heavy-plan picks
-#     originally slotted here (tpch q1/q3/q9, repetition filters) plus
-#     epoch_schedule yielded their slots to the five LATE-r9 registrations
-#     (BPE trainer/vocab/compression, OOV coverage, SQ8 k-means) and
-#     rotate with the rest of the r6 cohort in r10.
+#     slice, streaming shard ingest); the heavy-plan picks originally
+#     slotted here (tpch q1/q3/q9, repetition filters) plus epoch_schedule
+#     and curated_append yielded their slots to the six LATE-r9
+#     registrations (BPE trainer/vocab/compression, OOV coverage, SQ8
+#     k-means batch + streaming-ingest twin) and rotate in r10.
 # Max driver-row staleness after r9: r6.
 _DRIVER_WINDOW = [
     # --- §2 family flagships (regression canaries) -------------------------
@@ -133,16 +133,16 @@ _DRIVER_WINDOW = [
     "text_shard_delete_conservation",
     "text_shard_verify_report",
     "text_epoch_token_slice",
-    "text_curated_append",
     "stream_shard_ingest",
-    # --- late-r9 registrations (never driver-checked; displace five
-    # r6-green picks — tpch_q1/q3/q9, repetition_filters, epoch_schedule —
-    # which keep their r6 rows and rotate with the r6 cohort in r10) ---------
+    # --- late-r9 registrations (never driver-checked; displace six r6-green
+    # picks — tpch_q1/q3/q9, repetition_filters, epoch_schedule,
+    # curated_append — which keep their r6 rows and rotate in r10) -----------
     "text_bpe_train_merges",
     "text_bpe_vocab_top",
     "text_vocab_oov_rate",
     "emb_kmeans_sq8_stats",
     "text_bpe_compression_by_source",
+    "stream_kmeans_assign_ingest",
 ]
 
 # All previously driver-proven names (newest green driver row in some

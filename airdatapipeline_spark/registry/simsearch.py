@@ -988,3 +988,30 @@ def s_kmeans_sq8(spark, sf_dir):
     scalar model parameters (the IVF-centroid justification — this is
     spark.ml KMeans' own per-iteration collectAsMap contract)."""
     return similarity.kmeans_sq8_stats(spark, sf_dir)
+
+
+def km_assignment_oracle_sql(k: int, iters: int, dim: int) -> str:
+    """The FINAL per-vector assignment under the trained centroids — the
+    oracle both emb_kmeans_sq8_stats' cluster rollup and the streaming
+    ingest gate (stream_kmeans_assign_ingest) derive from; the ingest
+    gate's committed set must equal exactly this table."""
+    parts = [_EMB_CTE, _SQ8_Q_CTE]
+    parts.append(
+        f"""c0 AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER) AS cid, q AS c
+      FROM (SELECT vec_id, q, md5(CAST(vec_id AS VARCHAR)) AS h
+            FROM sq8 ORDER BY h, vec_id LIMIT {k})
+    )"""
+    )
+    for t in range(1, iters + 1):
+        parts.append(_km_assign_cte(f"a{t}", f"c{t - 1}", dim))
+        parts.append(_km_update_cte(f"c{t}", f"c{t - 1}", f"a{t}", dim))
+    parts.append(_km_assign_cte("af", f"c{iters}", dim))
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body}
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(cid AS INTEGER) AS centroid_id,
+           CAST(dist AS BIGINT) AS sq_dist
+    FROM af
+    """

@@ -248,3 +248,23 @@ def st_lm_gated_ingest(spark, sf_dir):
     the committed set equals the batch keep set — the oracle is the batch
     filter's SQL restricted to keep."""
     return streaming_events.lm_gated_ingest_append(spark, sf_dir)
+
+
+from ..operators import similarity as _sim  # noqa: E402
+from .simsearch import km_assignment_oracle_sql  # noqa: E402
+
+
+@register(
+    "stream_kmeans_assign_ingest",
+    km_assignment_oracle_sql(_sim.KM_K, _sim.KM_ITERS, _sim.EMB_DIM),
+)
+def st_kmeans_assign_ingest(spark, sf_dir):
+    """Cluster-assignment-at-ingest: the offline-trained integer-lattice
+    k-means centroids applied to arriving embeddings per micro-batch —
+    the vector twin of stream_lm_gated_ingest's model-at-the-door
+    contract. Assignment rides the SAME _km_assign path as the batch
+    operator (byte-identical scoring; online/offline cannot drift) with
+    a committed-vec_ids anti-join for redelivery idempotency, so the
+    committed set equals the batch full-corpus assignment — the oracle
+    replays exactly that final-assignment table."""
+    return streaming_events.kmeans_assign_ingest_append(spark, sf_dir)

@@ -715,3 +715,80 @@ def lm_gated_ingest_append(
     finally:
         q.stop()
     return spark.read.schema(out_schema).parquet(out)
+
+
+_EMB_STAGED: dict[str, str] = {}
+
+
+def _emb_landing_dir(sf_dir: str) -> str:
+    """Landing zone for arriving embedding files (the encoder's drop
+    directory in production — same staging idiom as _doc_landing_dir)."""
+    if sf_dir not in _EMB_STAGED:
+        d = tempfile.mkdtemp(prefix="emb_stream_")
+        shutil.copy(os.path.join(sf_dir, "embeddings.parquet"), d)
+        _EMB_STAGED[sf_dir] = d
+    return _EMB_STAGED[sf_dir]
+
+
+def kmeans_assign_ingest_append(
+    spark: SparkSession,
+    sf_dir: str,
+    landing_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+    cents: list[list[int]] | None = None,
+    out_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Cluster-assignment-at-ingest: the OFFLINE-trained integer-lattice
+    k-means centroids (operators/similarity.kmeans_train — the deployable
+    k×dim model artifact) applied ONLINE to arriving embeddings, the
+    vector twin of stream_lm_gated_ingest's model-at-the-door contract.
+    Each micro-batch SQ8-quantizes its vectors (with_sq8, the shared
+    serving-domain codec) and assigns them through the SAME _km_assign
+    path the batch operator uses — byte-identical scoring, so online and
+    offline assignments cannot drift; a committed-vec_ids anti-join makes
+    redelivered files idempotent (the shard_ingest idiom). The committed
+    set therefore equals the batch full-corpus assignment under the same
+    trained model, which is exactly what the DuckDB oracle replays.
+
+    At 100 TB: assignment is a stateless per-batch codegen scan against k
+    broadcast-sized literal centroids (spark.ml's own serving shape) —
+    no shuffle in the row path; the only cross-batch state is the sink's
+    committed key set."""
+    from ..operators.similarity import _km_assign, kmeans_train, with_sq8
+
+    if cents is None:
+        cents, _ = kmeans_train(spark, sf_dir)
+    batch_schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    reader = spark.readStream.schema(batch_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(landing_dir or _emb_landing_dir(sf_dir))
+
+    out = out_dir or tempfile.mkdtemp(prefix="km_assign_sink_")
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="km_assign_ckpt_")
+    out_schema = "vec_id long, centroid_id int, sq_dist long"
+
+    def assign(bdf: DataFrame, _bid: int) -> None:
+        sess = bdf.sparkSession
+        a = _km_assign(
+            with_sq8(bdf.dropDuplicates(["vec_id"])).select("vec_id", "q"), cents
+        ).select(
+            "vec_id",
+            F.col("cid").alias("centroid_id"),
+            F.col("dist").alias("sq_dist"),
+        )
+        committed = sess.read.schema(out_schema).parquet(out)
+        a = a.join(committed.select("vec_id"), "vec_id", "left_anti")
+        a.write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(assign)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.schema(out_schema).parquet(out)

@@ -1049,3 +1049,43 @@ def test_lm_gated_ingest_idempotent_under_redelivery(spark, tmp_path):
     )
     assert redelivered.count() == want.count()
     assert redelivered.select("doc_id").distinct().count() == redelivered.count()
+
+
+def test_kmeans_assign_ingest_idempotent_under_redelivery(spark, tmp_path):
+    """The streaming k-means assignment gate, same contract as the LM
+    gate: within-run redelivery (same file twice, one per micro-batch)
+    and CROSS-RUN redelivery (fresh checkpoint, same pinned sink) must
+    not duplicate any committed vector, and the committed set must equal
+    the batch full-corpus assignment under the SAME trained centroids."""
+    import shutil
+
+    from airdatapipeline_spark.operators.similarity import _km_assign, kmeans_train
+    from airdatapipeline_spark.streaming import events as se
+
+    sf = "/root/testdata/sf0.001"
+    cents, q = kmeans_train(spark, sf)
+    want = _km_assign(q, cents).select("vec_id")
+
+    landing = str(tmp_path / "landing")
+    shutil.os.makedirs(landing)
+    shutil.copy(f"{sf}/embeddings.parquet", f"{landing}/a.parquet")
+    shutil.copy(f"{sf}/embeddings.parquet", f"{landing}/b.parquet")
+    dup = se.kmeans_assign_ingest_append(
+        spark, sf, landing_dir=landing, cents=cents, max_files_per_trigger=1
+    )
+    assert dup.count() == want.count()
+    assert dup.select("vec_id").distinct().count() == dup.count()
+    assert dup.join(want, "vec_id", "left_anti").count() == 0
+
+    out = str(tmp_path / "sink")
+    shutil.os.makedirs(out)
+    se.kmeans_assign_ingest_append(
+        spark, sf, landing_dir=landing, cents=cents, out_dir=out,
+        checkpoint_dir=str(tmp_path / "ckpt1"),
+    )
+    redelivered = se.kmeans_assign_ingest_append(
+        spark, sf, landing_dir=landing, cents=cents, out_dir=out,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    assert redelivered.count() == want.count()
+    assert redelivered.select("vec_id").distinct().count() == want.count()
