@@ -1489,9 +1489,14 @@ def _km_score_expr(cent: list[int]) -> str:
     return f"CAST({terms or '0'} + ({cc}) AS BIGINT)"
 
 
-_KM_QQ_EXPR = "CAST(" + " + ".join(
-    f"element_at(q, {i + 1}) * element_at(q, {i + 1})" for i in range(64)
-) + " AS BIGINT)"
+def _km_qq_expr(dim: int = EMB_DIM) -> str:
+    """||q||² unrolled over `dim` — derived from EMB_DIM like every
+    sibling (score expr, oracle builders), not a hardcoded 64 (r9 review:
+    a dim change would silently skew dist while assignments still
+    'work')."""
+    return "CAST(" + " + ".join(
+        f"element_at(q, {i + 1}) * element_at(q, {i + 1})" for i in range(dim)
+    ) + " AS BIGINT)"
 
 
 def _km_assign(e: DataFrame, cents: list[list[int]]) -> DataFrame:
@@ -1520,7 +1525,7 @@ def _km_assign(e: DataFrame, cents: list[list[int]]) -> DataFrame:
         "vec_id",
         "q",
         F.expr(fold).alias("am"),
-        F.expr(_KM_QQ_EXPR).alias("qq"),
+        F.expr(_km_qq_expr()).alias("qq"),
     ).select(
         "vec_id",
         "q",
@@ -1556,6 +1561,12 @@ def kmeans_train(
         .collect()
     )
     cents = [[int(v) for v in r.q] for r in seed_rows]  # k×dim model params
+    if not cents:
+        raise ValueError("kmeans_train: embeddings table is empty")
+    k = len(cents)  # a corpus smaller than k seeds fewer clusters (r9
+    # review: the update comprehension indexed cents[j] for j < k and
+    # crashed; the oracle's c0 simply has fewer rows — now both engines
+    # train the same seeded count)
     for _ in range(iters):
         sums = (
             _km_assign(e, cents)

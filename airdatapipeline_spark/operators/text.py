@@ -1217,18 +1217,22 @@ def _bpe_pairs(seqs: DataFrame) -> DataFrame:
     """Weighted adjacent-symbol pair counts over (seq, wcount). The pair
     stream is built zero-shuffle per word (transform over an index
     sequence — no positional self-join); the only shuffle is the
-    partial-aggregated groupBy on (l, r)."""
-    syms = F.split(F.trim(F.col("seq")), " ")
+    partial-aggregated groupBy on (l, r). `syms` is projected ONCE and the
+    guard/transform read the column — the first cut re-derived
+    split(trim(seq)) three times inside one expr (r9 review)."""
+    staged = seqs.select(
+        F.split(F.trim(F.col("seq")), " ").alias("syms"), "wcount"
+    )
     pairs = F.when(
-        F.size(syms) >= 2,
+        F.size(F.col("syms")) >= 2,
         F.expr(
-            "transform(sequence(1, size(split(trim(seq), ' ')) - 1),"
-            " i -> struct(element_at(split(trim(seq), ' '), i) AS l,"
-            "             element_at(split(trim(seq), ' '), i + 1) AS r))"
+            "transform(sequence(1, size(syms) - 1),"
+            " i -> struct(element_at(syms, i) AS l,"
+            "             element_at(syms, i + 1) AS r))"
         ),
     ).otherwise(F.expr("CAST(array() AS array<struct<l:string,r:string>>)"))
     return (
-        seqs.select(F.explode(pairs).alias("p"), "wcount")
+        staged.select(F.explode(pairs).alias("p"), "wcount")
         .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
         .agg(F.sum("wcount").alias("pair_count"))
     )
@@ -1248,7 +1252,9 @@ def _bpe_apply_merge(seq: Column, left: str, right: str) -> Column:
     return F.replace(F.replace(seq, pat, rep), pat, rep)
 
 
-def bpe_iterate(wf: DataFrame, n_merges: int) -> tuple[list[tuple], DataFrame]:
+def bpe_iterate(
+    wf: DataFrame, n_merges: int, keep_cache: bool = True
+) -> tuple[list[tuple], DataFrame]:
     """Run n_merges BPE iterations over a (word, wcount) table. Returns
     (merges, final_seqs): merges = [(rank, left, right, merged, count)],
     final_seqs = (word, seq, wcount) after all merges.
@@ -1285,6 +1291,12 @@ def bpe_iterate(wf: DataFrame, n_merges: int) -> tuple[list[tuple], DataFrame]:
         seqs = seqs.select(
             "word", _bpe_apply_merge(F.col("seq"), l, r).alias("seq"), "wcount"
         )
+    if not keep_cache:
+        # caller discards the sequence table (train_merges): release the
+        # vocab cache instead of pinning it for the session (r9 review —
+        # the repo convention unpersists when nothing returned depends on
+        # the cache benefit)
+        wf.unpersist(blocking=False)
     return merges, seqs
 
 
@@ -1298,7 +1310,11 @@ def bpe_train_merges(
     built from the K per-iteration scalar collects (see bpe_iterate).
     Reference scope: the reference has no tokenizer trainer; this is part
     of the LLM-pipeline extension family the brief asks for."""
-    merges, _ = bpe_iterate(bpe_word_table(load_table(spark, sf_dir, "documents")), n_merges)
+    merges, _ = bpe_iterate(
+        bpe_word_table(load_table(spark, sf_dir, "documents")),
+        n_merges,
+        keep_cache=False,
+    )
     return spark.createDataFrame(
         merges,
         "merge_rank int, left_sym string, right_sym string,"

@@ -947,7 +947,13 @@ def _km_update_cte(name: str, prev: str, assigned: str, dim: int) -> str:
     )"""
 
 
-def _km_oracle_sql(k: int, iters: int, dim: int) -> str:
+def _km_chain_body(k: int, iters: int, dim: int) -> str:
+    """The ONE Lloyd CTE chain (e -> sq8 -> c0 -> (a_t, c_t) x iters ->
+    af) both k-means oracles are built on — the batch stats rollup and
+    the streaming ingest gate differ only in their final SELECT, and the
+    streaming contract (committed set == batch assignment) holds exactly
+    because they cannot drift (r9 review: the chain had been duplicated
+    verbatim in both builders)."""
     parts = [
         _EMB_CTE,
         _SQ8_Q_CTE,
@@ -961,7 +967,11 @@ def _km_oracle_sql(k: int, iters: int, dim: int) -> str:
         parts.append(_km_assign_cte(f"a{t}", f"c{t - 1}", dim))
         parts.append(_km_update_cte(f"c{t}", f"c{t - 1}", f"a{t}", dim))
     parts.append(_km_assign_cte("af", f"c{iters}", dim))
-    body = ",\n    ".join(parts)
+    return ",\n    ".join(parts)
+
+
+def _km_oracle_sql(k: int, iters: int, dim: int) -> str:
+    body = _km_chain_body(k, iters, dim)
     return f"""
     WITH {body}
     SELECT CAST(g.cid AS INTEGER) AS centroid_id,
@@ -995,19 +1005,7 @@ def km_assignment_oracle_sql(k: int, iters: int, dim: int) -> str:
     oracle both emb_kmeans_sq8_stats' cluster rollup and the streaming
     ingest gate (stream_kmeans_assign_ingest) derive from; the ingest
     gate's committed set must equal exactly this table."""
-    parts = [_EMB_CTE, _SQ8_Q_CTE]
-    parts.append(
-        f"""c0 AS MATERIALIZED (
-      SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER) AS cid, q AS c
-      FROM (SELECT vec_id, q, md5(CAST(vec_id AS VARCHAR)) AS h
-            FROM sq8 ORDER BY h, vec_id LIMIT {k})
-    )"""
-    )
-    for t in range(1, iters + 1):
-        parts.append(_km_assign_cte(f"a{t}", f"c{t - 1}", dim))
-        parts.append(_km_update_cte(f"c{t}", f"c{t - 1}", f"a{t}", dim))
-    parts.append(_km_assign_cte("af", f"c{iters}", dim))
-    body = ",\n    ".join(parts)
+    body = _km_chain_body(k, iters, dim)
     return f"""
     WITH {body}
     SELECT CAST(vec_id AS BIGINT) AS vec_id,

@@ -1622,7 +1622,8 @@ _OOV_SQL = f"""
 @register("text_vocab_oov_rate", _OOV_SQL)
 def t_vocab_oov(spark, sf_dir):
     """Tokenizer-vocabulary coverage per source: OOV token share against
-    the top-64 corpus vocabulary (ties token-asc — a total order, where a
+    the top-16 corpus vocabulary (text.VOCAB_TOP_N — sized against the
+    31-word synthetic pool; ties token-asc — a total order, where a
     frequency threshold flaps on boundary ties). Vocab is one partial-agg
     shuffle + TakeOrderedAndProject, then BROADCAST into the token stream:
     the coverage pass is scan + map-side join + per-source agg, no

@@ -758,7 +758,11 @@ def kmeans_assign_ingest_append(
     from ..operators.similarity import _km_assign, kmeans_train, with_sq8
 
     if cents is None:
-        cents, _ = kmeans_train(spark, sf_dir)
+        cents, q_table = kmeans_train(spark, sf_dir)
+        # the gate scores arriving batches, not the training corpus:
+        # release the trainer's corpus cache instead of pinning it for
+        # the session (r9 review)
+        q_table.unpersist(blocking=False)
     batch_schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
     reader = spark.readStream.schema(batch_schema)
     if max_files_per_trigger is not None:

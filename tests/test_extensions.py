@@ -972,9 +972,9 @@ def test_vocab_oov_plan_broadcasts_vocab(spark):
 def test_kmeans_sq8_partitioning_invariant_and_converging(spark):
     """Integer-lattice Lloyd's must be bit-reproducible under any input
     partitioning (integer sums + floor-div centroids + lowest-cid ties),
-    and each round must not increase total in-cluster squared distance
-    (Lloyd's monotonicity — a wrong argmin or a drifting centroid update
-    breaks it)."""
+    and training must land at or below the seed-assignment cost (the
+    data-robust convergence check — see the in-test note on why per-round
+    monotonicity is NOT a theorem under floor-of-mean centroids)."""
     from airdatapipeline_spark.operators import similarity as s
 
     base = s.kmeans_sq8_stats(spark, SF_SMALL).orderBy("centroid_id").collect()
@@ -1009,10 +1009,14 @@ def test_kmeans_sq8_partitioning_invariant_and_converging(spark):
     c16, costs16 = run(e.repartition(16), s.KM_ITERS)
     assert c1 == c16
     assert costs1 == costs16
-    # monotone non-increase round over round (floor rounding can only move
-    # a centroid by < 1 per dim off the true mean; the assignment step is
-    # exact argmin, so cost after re-assignment must not rise)
-    assert costs1 == sorted(costs1, reverse=True), costs1
+    # Convergence sanity: floor-of-mean Lloyd's is NOT monotone in
+    # general — floor() can move a centroid AWAY from the exact mean and
+    # raise cost (1-D counterexample: cluster {1,2,2} with previous
+    # centroid 2 has cost 1; floor(5/3)=1 re-costs 2 — the r9 review
+    # caught the earlier per-round monotonicity assert stating a false
+    # theorem). The honest, data-robust claim: training ends at or below
+    # the seed-assignment cost.
+    assert costs1[-1] <= costs1[0], costs1
 
 
 def test_kmeans_sq8_plan_shape(spark):

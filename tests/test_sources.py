@@ -1062,7 +1062,7 @@ def test_kmeans_assign_ingest_idempotent_under_redelivery(spark, tmp_path):
     from airdatapipeline_spark.operators.similarity import _km_assign, kmeans_train
     from airdatapipeline_spark.streaming import events as se
 
-    sf = "/root/testdata/sf0.001"
+    sf = SF_SMALL
     cents, q = kmeans_train(spark, sf)
     want = _km_assign(q, cents).select("vec_id")
 
