@@ -1639,3 +1639,192 @@ def kmeans_sq8_stats(
             "centroid_l1",
         )
     )
+
+
+# --- random-projection (Johnson–Lindenstrauss) dimensionality reduction -----
+#
+# The remaining classic ANN scale lever the family lacked: REDUCE the vector
+# width before the expensive stage, instead of quantizing it (SQ8/BQ/PQ).
+# A deterministic Achlioptas ±1 sign matrix (Achlioptas, JCSS 2003: ±1
+# entries satisfy the JL lemma with the same guarantees as Gaussian
+# projections) maps 64 dims -> 16 dims, so a stage-1 scan/shuffle carries
+# 128-byte vectors instead of 512-byte ones (4x), composable with every
+# other tier (project THEN quantize). The matrix is derived from md5 like
+# the LSH hyperplanes — a model constant both engines share verbatim — and
+# the projection is a fixed-order fold, so projected vectors, distances and
+# recall are all bit-reproducible in DuckDB.
+
+RP_OUT_DIM = 16
+RP_SCALE = 0.25  # 1/sqrt(RP_OUT_DIM) — an exact power of two, bit-safe
+
+
+def _rp_sign(d: int, j: int) -> int:
+    return (
+        1
+        if int(hashlib.md5(f"rp:{d}:{j}".encode()).hexdigest()[:14], 16) % 2 == 0
+        else -1
+    )
+
+
+RP_SIGNS: list[list[int]] = [
+    [_rp_sign(d, j) for j in range(EMB_DIM)] for d in range(RP_OUT_DIM)
+]
+
+
+def with_rp(embeddings: DataFrame) -> DataFrame:
+    """Add the 16-dim projected vector `rp` (double[]) and its norm.
+    Each output dim is the signed sum of the 64 inputs (x * ±1 folded as
+    ± element_at — bitwise equal to the multiply-accumulate, the
+    _bucket_col identity) scaled by the exact dyadic 1/sqrt(16)."""
+    e = embeddings.withColumn(
+        "emb", F.expr("transform(embedding, x -> cast(x as double))")
+    )
+    projs = []
+    for row in RP_SIGNS:
+        terms = " ".join(
+            f"{'+' if s > 0 else '-'} element_at(emb, {j + 1})"
+            for j, s in enumerate(row)
+        )
+        projs.append(F.expr(f"(cast(0.0 as double) {terms}) * {RP_SCALE!r}"))
+    out = e.withColumn("rp", F.array(*projs))
+    return out.withColumn("rp_norm", F.sqrt(_dot("rp", "rp", dim=RP_OUT_DIM)))
+
+
+def rp_topk(
+    spark: SparkSession, sf_dir: str, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Brute-force cosine top-k in the PROJECTED 16-dim space — the
+    brute_force_topk plan with 4x narrower vectors and a 16-term score
+    fold instead of 64 (at 100 TB: 4x less scan/shuffle volume and 4x
+    less score arithmetic for stage 1; re-rank survivors at full
+    precision exactly like the BQ tier if exactness matters)."""
+    corpus = with_rp(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "rp", "rp_norm"
+    )
+    q = F.broadcast(
+        corpus.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("rp").alias("q_rp"),
+            F.col("rp_norm").alias("q_rp_norm"),
+        )
+    )
+    scored = corpus.join(q, F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (_dot("q_rp", "rp", dim=RP_OUT_DIM) / (F.col("q_rp_norm") * F.col("rp_norm"))).alias(
+            "rp_cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rp_cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rp_cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+RP_RERANK = 40  # stage-1 candidate depth for the full-precision rerank
+
+
+def rp_rerank_topk(
+    spark: SparkSession, sf_dir: str, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """The PRODUCTION RP serve (the BQ tier's two-stage shape): stage 1
+    ranks in the 16-dim projected space and keeps top-RP_RERANK candidates
+    per query (4x narrower scan/shuffle); stage 2 re-ranks ONLY those
+    O(Q·rerank) ids by true 64-dim cosine via broadcast join-backs —
+    corpus-size-independent, exactly like simsearch_bq_topk's stage 2."""
+    cand = rp_topk(spark, sf_dir, n_queries, RP_RERANK).select(
+        "query_id", "neighbor_id"
+    )
+    full = with_norm(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "emb", "norm"
+    )
+    qside = F.broadcast(
+        full.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+        )
+    )
+    scored = (
+        cand.join(qside, on="query_id", how="inner")
+        .join(
+            F.broadcast(full.withColumnRenamed("vec_id", "neighbor_id")),
+            on="neighbor_id",
+            how="inner",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot("q_emb", "emb") / (F.col("q_norm") * F.col("norm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def rp_recall(
+    spark: SparkSession, sf_dir: str, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """recall@k of (a) the raw 16-dim projected ranking — the measured JL
+    distortion on the near-isotropic corpus, the documented hard case
+    where every true cosine sits near 0 and rank inversions are maximally
+    likely — and (b) the production rerank serve (stage-1 top-RP_RERANK in
+    projected space, stage-2 full-precision re-rank), against the exact
+    64-dim brute-force truth, per query + both panel means. Truth is
+    materialized once (≤ Q·k rows) before the hit joins and the query
+    spine read it."""
+    truth = (
+        brute_force_topk(spark, sf_dir, n_queries, k)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    rp = rp_topk(spark, sf_dir, n_queries, k).select("query_id", "neighbor_id")
+    rr = rp_rerank_topk(spark, sf_dir, n_queries, k).select("query_id", "neighbor_id")
+
+    def hits(ann: DataFrame, name: str) -> DataFrame:
+        return (
+            truth.join(ann, on=["query_id", "neighbor_id"], how="inner")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    out = (
+        truth.select("query_id")
+        .distinct()
+        .join(hits(rp, "rp_hits"), on="query_id", how="left")
+        .join(hits(rr, "rp_rerank_hits"), on="query_id", how="left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("rp_hits"), F.lit(0)).cast("long").alias("rp_hits"),
+            F.coalesce(F.col("rp_rerank_hits"), F.lit(0))
+            .cast("long")
+            .alias("rp_rerank_hits"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    denom = F.lit(float(n_queries * k))
+    panel = out.agg(
+        (F.sum("rp_hits").cast("double") / denom).alias("panel_rp_recall"),
+        (F.sum("rp_rerank_hits").cast("double") / denom).alias(
+            "panel_rp_rerank_recall"
+        ),
+    )
+    return (
+        out.crossJoin(F.broadcast(panel))
+        .select(
+            "query_id",
+            "rp_hits",
+            "rp_rerank_hits",
+            (F.col("rp_hits") / F.lit(float(k))).alias("rp_recall"),
+            (F.col("rp_rerank_hits") / F.lit(float(k))).alias("rp_rerank_recall"),
+            "panel_rp_recall",
+            "panel_rp_rerank_recall",
+        )
+        .orderBy("query_id")
+    )

@@ -1,0 +1,314 @@
+"""Mergeable cardinality sketches: HyperLogLog and KMV (bottom-k).
+
+Extension family for the 100 TB training-data pipeline (no reference
+counterpart — the reference's ETL, /root/reference/scripts/*.py, never
+needs approximate distinct counting; a web-scale corpus does):
+
+- ``hll_shingle_cardinality``: per-source + global distinct-shingle
+  estimates with 64-register HyperLogLog sketches (Flajolet, Fusy,
+  Gandouet, Meunier; AofA 2007). The whole sketch is ONE partial-aggregated
+  shuffle of at most ``scopes x 64`` register rows — a naive
+  ``COUNT(DISTINCT shingle)`` shuffles every distinct key (billions at
+  100 TB) where the sketch shuffles a fixed 64-row state per scope, and the
+  global row is derived by MERGING the per-source registers in-plan
+  (``MAX`` per register), proving the sketch's defining property.
+- ``kmv_source_overlap``: bottom-k (k=64) distinct-hash sketches per
+  source, pairwise-merged to estimate cross-source Jaccard overlap and
+  union cardinality (Beyer et al., SIGMOD 2007) — the pre-dedup planning
+  query ("how much does source A overlap source B?") answered from
+  k-sized per-source state instead of a corpus-wide pairwise join. The
+  bottom-k cut is a rank window, so Spark's InferWindowGroupLimit keeps at
+  most k rows per source per map task BEFORE the exchange (the stratified
+  sampler's pushdown, plan-asserted in tests/test_plans.py).
+
+Determinism (the repo's engine-parity rules, DESIGN.md §4): hashes are the
+shared conv(md5[1:14]) 56-bit idiom; HyperLogLog's harmonic sum is kept in
+EXACT integer arithmetic (sum of ``2^(51-M)`` as BIGINT — dyadic terms
+scaled to integers, so the aggregation is order-free where a float
+``sum(2^-M)`` could round differently per partitioning) and becomes a
+float only in the final ``literal / CAST(s AS DOUBLE)`` step, which is a
+deterministic function of the integer state. The estimator constants
+(alpha_64 = 0.709, the KMV ``(k-1) * 2^56`` numerator) are Python literals
+injected into BOTH engines. Exact-distinct comparison columns are the
+graded-accuracy pattern of the ANN recall panels: the sketch is the
+product, the exact join is the quarantined verifier you run on a sample —
+never the full corpus — at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from .text import tokens_col
+
+# --- HyperLogLog configuration ----------------------------------------------
+# p=6 -> m=64 registers (std error 1.04/sqrt(64) ~ 13%): small enough that
+# the oracle's register table is readable, large enough that the sf0.001
+# corpus (~16.5k distinct shingles) sits far inside the raw-estimate regime
+# (n/m ~ 258 >> 2.5). The register count is the accuracy dial: p=14 (16384
+# registers, ~0.8%) is the production setting and changes nothing
+# structural — the shuffle stays one fixed-width state per scope.
+HLL_P = 6
+HLL_M = 1 << HLL_P  # 64 registers
+HLL_HASH_BITS = 56  # conv(md5[1:14]) yields [0, 2^56)
+HLL_W_BITS = HLL_HASH_BITS - HLL_P  # 50 suffix bits -> rho in [1, 51]
+HLL_RHO_MAX = HLL_W_BITS + 1  # 51
+# Scaled-integer harmonic sum: each register contributes 2^(51-M) (BIGINT,
+# exact); worst case 64 * 2^51 = 2^57 < 2^63 so the SUM cannot overflow.
+HLL_SCALE_BITS = HLL_RHO_MAX  # 51
+HLL_ALPHA = 0.709  # alpha_64, Flajolet et al. 2007, Fig. 3
+# alpha * m^2 * 2^51 — the raw-estimate numerator over the scaled sum.
+HLL_EST_NUM = HLL_ALPHA * HLL_M * HLL_M * float(1 << HLL_SCALE_BITS)
+HLL_LC_THRESHOLD = 2.5 * HLL_M  # below this (with empty registers),
+# linear counting is the advised estimator; flagged, not applied (ln is
+# the one libm-parity hazard this family avoids entirely)
+
+ALL_SCOPE = "__ALL__"
+
+# --- KMV configuration -------------------------------------------------------
+KMV_K = 64
+KMV_HASH_SPACE = 1 << HLL_HASH_BITS  # 2^56
+# (k-1) * 2^56: 63 * 2^56 = 2^56 * 63 is exactly representable as a double
+# (6 significant bits), so the numerator literal is identical in all
+# engines.
+KMV_EST_NUM = float((KMV_K - 1) * KMV_HASH_SPACE)
+
+
+def _hash56(col: str = "shingle") -> F.Column:
+    """The repo's 56-bit content hash (text._hash_bucket idiom, unmodded)."""
+    return F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("long")
+
+
+def _source_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, shingle): word 3-grams, distinct within each document
+    (dedup._shingles with the source key carried instead of doc_id)."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "source", tokens_col().alias("t")
+    )
+    sh = F.when(
+        F.size("t") >= 3,
+        F.expr(
+            "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toks.select("source", F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+def hll_registers(hashed: DataFrame) -> DataFrame:
+    """(source, j, m) register table from a (source, h) 56-bit hash stream
+    — the sketch build: ONE groupBy whose partial aggregation caps map-side
+    state at 64 registers per source per task (plan-asserted: partial_max
+    below the exchange). Exposed for the plan/merge tests."""
+    rho = hashed.select(
+        "source",
+        (F.col("h") % HLL_M).alias("j"),
+        F.when(F.expr(f"h div {HLL_M}") == 0, F.lit(HLL_RHO_MAX))
+        .otherwise(F.lit(HLL_RHO_MAX) - F.length(F.bin(F.expr(f"h div {HLL_M}"))))
+        .alias("rho"),
+    )
+    return rho.groupBy("source", "j").agg(F.max("rho").alias("m"))
+
+
+def kmv_bottom_k(hashed: DataFrame) -> DataFrame:
+    """(source, h) bottom-k distinct hashes per source — dense_rank over
+    the raw hash stream (duplicates share a rank, so they cannot consume
+    sketch slots), cut at k, then distinct. InferWindowGroupLimit keeps
+    <= k rows per source per map task BEFORE the exchange (plan-asserted).
+    Exposed for the plan tests."""
+    w = Window.partitionBy("source").orderBy(F.asc("h"))
+    return (
+        hashed.withColumn("r", F.dense_rank().over(w))
+        .filter(F.col("r") <= KMV_K)
+        .select("source", "h")
+        .distinct()
+    )
+
+
+def _hll_estimate(s_int: F.Column) -> F.Column:
+    """Raw HLL estimate from the scaled-integer register sum. The BIGINT ->
+    DOUBLE cast is round-to-nearest in Spark, DuckDB and IEEE-754 alike, so
+    the single division is bit-reproducible from the exact integer state."""
+    return F.lit(HLL_EST_NUM) / s_int.cast("double")
+
+
+def hll_shingle_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-shingle cardinality per source and globally, estimated by
+    64-register HyperLogLog sketches and graded against the exact count.
+
+    Plan shape (the 100 TB story): the shingle stream is scanned ONCE; the
+    register build is a (scope, j) groupBy whose partial aggregation
+    collapses map-side to <= 64 rows per source per task — the shuffle
+    carries register states, never keys. The ``__ALL__`` row is NOT a
+    second scan: it merges the per-source registers (MAX per register
+    index), which is the sketch's mergeability contract — the same MAX that
+    would combine per-day sketches into a month, or per-shard sketches into
+    a corpus, without touching the data again. The exact-distinct column is
+    the quarantined verifier (a full COUNT(DISTINCT) shuffle you run at
+    test scale to grade the sketch, and on samples only at 100 TB).
+
+    Columns: scope, exact_distinct, hll_estimate, zero_registers,
+    rel_error, regime ('raw', or 'linear_counting_advised' when the
+    estimate falls under 2.5m with empty registers — flagged rather than
+    applied, keeping the family free of the ln() libm-parity hazard the
+    BM25/LM operators had to pin)."""
+    sh = _source_shingles(spark, sf_dir)
+    hashed = sh.select("source", _hash56().alias("h"))
+    # Materialize the per-source register table (<= sources x 64 rows)
+    # before it is read twice (its own rows + the merged __ALL__ branch):
+    # without this the union's two branches each re-scan the corpus — the
+    # recall panel's localCheckpoint precedent for tiny reused states.
+    regs_src = hll_registers(hashed).localCheckpoint(eager=True)
+    regs_all = (
+        regs_src.groupBy("j")
+        .agg(F.max("m").alias("m"))
+        .select(F.lit(ALL_SCOPE).alias("scope"), "j", "m")
+    )
+    regs = regs_src.select(F.col("source").alias("scope"), "j", "m").unionByName(
+        regs_all
+    )
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_SCALE_BITS} - m)")
+    stats = regs.groupBy("scope").agg(
+        (
+            F.sum(term)
+            + (F.lit(HLL_M) - F.count(F.lit(1)))
+            * F.lit(1 << HLL_SCALE_BITS).cast("long")
+        ).alias("s_int"),
+        (F.lit(HLL_M) - F.count(F.lit(1))).cast("long").alias("zero_registers"),
+    )
+    # Exact verifier: ONE distinct of (source, shingle), materialized, then
+    # both exact counts (per-source and global) read the distinct pairs —
+    # not the corpus — so the verifier adds one scan, not three.
+    ssets = sh.distinct().localCheckpoint(eager=True)
+    exact = (
+        ssets.groupBy(F.col("source").alias("scope"))
+        .agg(F.count(F.lit(1)).alias("exact_distinct"))
+        .unionByName(
+            ssets.select("shingle")
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("exact_distinct"))
+            .select(F.lit(ALL_SCOPE).alias("scope"), "exact_distinct")
+        )
+    )
+    est = _hll_estimate(F.col("s_int"))
+    return (
+        stats.join(exact, on="scope", how="inner")
+        .select(
+            "scope",
+            "exact_distinct",
+            est.alias("hll_estimate"),
+            "zero_registers",
+            ((est - F.col("exact_distinct")) / F.col("exact_distinct")).alias(
+                "rel_error"
+            ),
+            F.when(
+                (est <= F.lit(HLL_LC_THRESHOLD)) & (F.col("zero_registers") > 0),
+                F.lit("linear_counting_advised"),
+            )
+            .otherwise(F.lit("raw"))
+            .alias("regime"),
+        )
+        .orderBy("scope")
+    )
+
+
+def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cross-source overlap estimated from per-source KMV
+    (bottom-k distinct-hash) sketches, graded against the exact Jaccard.
+
+    Sketch build: the shingle-hash stream is ranked per source by
+    ``dense_rank`` (so duplicate hashes cannot consume sketch slots) and
+    cut at k=64 — InferWindowGroupLimit turns that into a map-side top-k
+    BEFORE the exchange, so per-task state is k rows per source and the
+    shuffle is rank-pruned (the events_stratified_sample pushdown,
+    plan-asserted). Pair estimates: for each source pair the two sketches
+    are merged, re-cut to the k smallest of the union, and the fraction of
+    survivors present in BOTH sketches estimates Jaccard(A, B) (Beyer et
+    al. 2007); the union cardinality estimate is the standard
+    (k-1)/h_k over the merged sketch. All pair arithmetic runs over
+    ``pairs x k`` rows — at 100 TB the sketches for any number of sources
+    fit on one page, which is the point: overlap planning BEFORE paying for
+    a cross-source dedup join. Sources with < k distinct shingles are their
+    own exact sketch (the standard KMV small-set rule). The exact-Jaccard
+    columns are the quarantined verifier, as in the recall panels.
+
+    Columns: source_a, source_b, sketch_union_size, sketch_overlap,
+    jaccard_est, union_est, jaccard_exact, abs_err."""
+    sh = _source_shingles(spark, sf_dir)
+    hashed = sh.select("source", _hash56().alias("h"))
+    # Materialize the sketches (<= sources x k rows) before the three reads
+    # below (source dim + both sides of the pair-merge) — otherwise each
+    # read re-runs the ranked corpus scan (recall-panel localCheckpoint
+    # precedent).
+    bk = kmv_bottom_k(hashed).localCheckpoint(eager=True)
+    sources = bk.select("source").distinct()
+    pairs = (
+        sources.select(F.col("source").alias("source_a"))
+        .crossJoin(sources.select(F.col("source").alias("source_b")))
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    # merged sketch per pair: union of the two bottom-k sets with
+    # membership flags, re-cut to the k smallest of the union
+    ua = pairs.join(
+        bk.withColumnRenamed("source", "source_a"), on="source_a", how="inner"
+    ).select("source_a", "source_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    ub = pairs.join(
+        bk.withColumnRenamed("source", "source_b"), on="source_b", how="inner"
+    ).select("source_a", "source_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    merged = (
+        ua.unionByName(ub)
+        .groupBy("source_a", "source_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wp = Window.partitionBy("source_a", "source_b").orderBy(F.asc("h"))
+    cut = merged.withColumn("r", F.row_number().over(wp)).filter(F.col("r") <= KMV_K)
+    sk = cut.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("sketch_union_size"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("sketch_overlap"),
+        F.max("h").alias("h_k"),
+    )
+    sk = sk.select(
+        "source_a",
+        "source_b",
+        "sketch_union_size",
+        "sketch_overlap",
+        (F.col("sketch_overlap").cast("double") / F.col("sketch_union_size")).alias(
+            "jaccard_est"
+        ),
+        F.when(
+            F.col("sketch_union_size") < KMV_K,
+            F.col("sketch_union_size").cast("double"),
+        )
+        .otherwise(F.lit(KMV_EST_NUM) / F.col("h_k").cast("double"))
+        .alias("union_est"),
+    )
+    # exact verifier: full distinct shingle sets (test-scale / sampled-only
+    # at 100 TB)
+    ssets = sh.distinct().localCheckpoint(eager=True)
+    sizes = ssets.groupBy("source").agg(F.countDistinct("shingle").alias("n"))
+    inter = (
+        ssets.withColumnRenamed("source", "source_a")
+        .join(ssets.withColumnRenamed("source", "source_b"), on="shingle", how="inner")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.countDistinct("shingle").alias("n_inter"))
+    )
+    exact = (
+        pairs.join(sizes.withColumnRenamed("source", "source_a").withColumnRenamed("n", "n_a"), on="source_a")
+        .join(sizes.withColumnRenamed("source", "source_b").withColumnRenamed("n", "n_b"), on="source_b")
+        .join(inter, on=["source_a", "source_b"], how="left")
+        .select(
+            "source_a",
+            "source_b",
+            (
+                F.coalesce(F.col("n_inter"), F.lit(0)).cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_inter"), F.lit(0)))
+            ).alias("jaccard_exact"),
+        )
+    )
+    return (
+        sk.join(exact, on=["source_a", "source_b"], how="inner")
+        .withColumn("abs_err", F.abs(F.col("jaccard_est") - F.col("jaccard_exact")))
+        .orderBy("source_a", "source_b")
+    )

@@ -131,9 +131,14 @@ _DRIVER_WINDOW = [
     "text_shard_append_conservation",
     "text_shard_compact_conservation",
     "text_shard_delete_conservation",
-    "text_shard_verify_report",
-    "text_epoch_token_slice",
-    "stream_shard_ingest",
+    # --- continuation-session r9 registrations (never driver-checked; the
+    # mergeable-sketch family + the JL projection tier displace three more
+    # r6-green lifecycle picks — text_shard_verify_report,
+    # text_epoch_token_slice, stream_shard_ingest — which keep their r6
+    # rows and rotate in r10) ------------------------------------------------
+    "text_hll_shingle_cardinality",
+    "text_kmv_source_overlap",
+    "simsearch_rp_recall",
     # --- late-r9 registrations (never driver-checked; displace six r6-green
     # picks — tpch_q1/q3/q9, repetition_filters, epoch_schedule,
     # curated_append — which keep their r6 rows and rotate in r10) -----------

@@ -1013,3 +1013,89 @@ def km_assignment_oracle_sql(k: int, iters: int, dim: int) -> str:
            CAST(dist AS BIGINT) AS sq_dist
     FROM af
     """
+
+
+# --- random-projection (JL) tier ---------------------------------------------
+
+_RP_LIST_SQL = "[" + ", ".join(
+    "(CAST(0.0 AS DOUBLE) "
+    + " ".join(f"{'+' if s > 0 else '-'} emb[{j + 1}]" for j, s in enumerate(row))
+    + f") * {similarity.RP_SCALE!r}"
+    for row in similarity.RP_SIGNS
+) + "]::DOUBLE[]"
+
+
+@register(
+    "simsearch_rp_recall",
+    f"""
+    WITH {_EMB_CTE},
+    rp AS (SELECT vec_id, r AS rp, sqrt(list_dot_product(r, r)) AS rp_norm
+           FROM (SELECT vec_id, {_RP_LIST_SQL} AS r FROM e)),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(q.emb, c.emb) / (q.norm * c.norm) DESC,
+                          c.vec_id
+               ) AS rank
+        FROM e c, (SELECT * FROM e WHERE vec_id < 10) q
+        WHERE c.vec_id <> q.vec_id
+      ) WHERE rank <= 5),
+    rpranked AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(q.rp, c.rp) / (q.rp_norm * c.rp_norm) DESC,
+                          c.vec_id
+               ) AS rank
+        FROM rp c, (SELECT * FROM rp WHERE vec_id < 10) q
+        WHERE c.vec_id <> q.vec_id),
+    rptop AS (SELECT query_id, neighbor_id FROM rpranked WHERE rank <= 5),
+    cand AS (SELECT query_id, neighbor_id FROM rpranked
+             WHERE rank <= {similarity.RP_RERANK}),
+    rr AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT c.query_id, c.neighbor_id,
+               row_number() OVER (
+                 PARTITION BY c.query_id
+                 ORDER BY list_dot_product(qe.emb, ne.emb) / (qe.norm * ne.norm) DESC,
+                          c.neighbor_id
+               ) AS rank
+        FROM cand c
+        JOIN e qe ON qe.vec_id = c.query_id
+        JOIN e ne ON ne.vec_id = c.neighbor_id
+      ) WHERE rank <= 5),
+    hits AS (SELECT t.query_id, COUNT(*) AS rp_hits
+             FROM truth t JOIN rptop r
+               ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id
+             GROUP BY 1),
+    rrhits AS (SELECT t.query_id, COUNT(*) AS rp_rerank_hits
+               FROM truth t JOIN rr r
+                 ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id
+               GROUP BY 1),
+    outq AS (SELECT s.query_id,
+                    CAST(COALESCE(h.rp_hits, 0) AS BIGINT) AS rp_hits,
+                    CAST(COALESCE(rh.rp_rerank_hits, 0) AS BIGINT) AS rp_rerank_hits
+             FROM (SELECT DISTINCT query_id FROM truth) s
+             LEFT JOIN hits h ON h.query_id = s.query_id
+             LEFT JOIN rrhits rh ON rh.query_id = s.query_id)
+    SELECT query_id, rp_hits, rp_rerank_hits,
+           rp_hits / 5.0 AS rp_recall,
+           rp_rerank_hits / 5.0 AS rp_rerank_recall,
+           (SELECT CAST(SUM(rp_hits) AS DOUBLE) / 50.0 FROM outq) AS panel_rp_recall,
+           (SELECT CAST(SUM(rp_rerank_hits) AS DOUBLE) / 50.0 FROM outq)
+             AS panel_rp_rerank_recall
+    FROM outq ORDER BY query_id
+    """,
+)
+def ss_rp_recall(spark, sf_dir):
+    """recall@5 of the 16-dim Johnson–Lindenstrauss projection (Achlioptas
+    ±1 sign matrix, md5-derived — a shared model constant) against the
+    exact 64-dim truth, for BOTH the raw projected ranking (the measured
+    JL distortion) and the production two-stage serve (stage-1 top-40 in
+    projected space, stage-2 full-precision rerank of O(Q·rerank) ids —
+    the BQ tier's shape with width reduction instead of quantization).
+    Graded on the near-isotropic worst case like the other ANN tiers
+    (similarity.rp_recall docstring)."""
+    return similarity.rp_recall(spark, sf_dir)

@@ -1664,3 +1664,131 @@ def t_bpe_compression(spark, sf_dir):
     cost is corpus-token-proportional with vocab-sized state. The ratio is
     one exact int/int IEEE division per source."""
     return text.bpe_compression_by_source(spark, sf_dir)
+
+
+# --- mergeable cardinality sketches (operators/sketches.py) ------------------
+
+from ..operators import sketches  # noqa: E402  (family tail-registered late)
+
+_SKETCH_SHINGLE_CTES = f"""
+    toks AS (SELECT source, {_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT source, unnest(list_distinct(
+               CASE WHEN len(t) >= 3
+                    THEN list_transform(generate_series(1, len(t) - 2),
+                                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                    ELSE []::VARCHAR[] END)) AS shingle
+      FROM toks),
+    hashed AS (SELECT source,
+                      CAST(concat('0x', substr(md5(shingle), 1, 14)) AS BIGINT) AS h
+               FROM sh)
+""".strip()
+
+_HLL_EST = f"{sketches.HLL_EST_NUM!r} / CAST(s.s_int AS DOUBLE)"
+
+
+@register(
+    "text_hll_shingle_cardinality",
+    f"""
+    WITH {_SKETCH_SHINGLE_CTES},
+    rho AS (SELECT source, h % {sketches.HLL_M} AS j,
+                   CASE WHEN h // {sketches.HLL_M} = 0 THEN {sketches.HLL_RHO_MAX}
+                        ELSE {sketches.HLL_RHO_MAX} - length(bin(h // {sketches.HLL_M}))
+                   END AS rho
+            FROM hashed),
+    regs_src AS (SELECT source AS scope, j, MAX(rho) AS m FROM rho GROUP BY 1, 2),
+    regs AS (SELECT * FROM regs_src
+             UNION ALL
+             SELECT '{sketches.ALL_SCOPE}' AS scope, j, MAX(m) AS m
+             FROM regs_src GROUP BY 2),
+    stats AS (SELECT scope,
+                     CAST(SUM(1::BIGINT << ({sketches.HLL_SCALE_BITS} - m)) AS BIGINT)
+                       + ({sketches.HLL_M} - COUNT(*))
+                         * (1::BIGINT << {sketches.HLL_SCALE_BITS}) AS s_int,
+                     CAST({sketches.HLL_M} - COUNT(*) AS BIGINT) AS zero_registers
+              FROM regs GROUP BY 1),
+    exact AS (SELECT source AS scope, COUNT(DISTINCT shingle) AS exact_distinct
+              FROM sh GROUP BY 1
+              UNION ALL
+              SELECT '{sketches.ALL_SCOPE}', COUNT(DISTINCT shingle) FROM sh)
+    SELECT s.scope, e.exact_distinct,
+           {_HLL_EST} AS hll_estimate,
+           s.zero_registers,
+           ({_HLL_EST} - e.exact_distinct) / e.exact_distinct AS rel_error,
+           CASE WHEN {_HLL_EST} <= {sketches.HLL_LC_THRESHOLD!r}
+                     AND s.zero_registers > 0
+                THEN 'linear_counting_advised' ELSE 'raw' END AS regime
+    FROM stats s JOIN exact e USING (scope) ORDER BY scope
+    """,
+)
+def t_hll_shingles(spark, sf_dir):
+    """64-register HyperLogLog distinct-shingle estimate per source + the
+    merged '__ALL__' sketch — the bounded-state COUNT(DISTINCT) for 100 TB
+    vocab/shingle cardinality (sketches.py module docstring). The harmonic
+    sum is exact scaled-integer arithmetic, so the estimate is
+    bit-reproducible in both engines from the same register state."""
+    return sketches.hll_shingle_cardinality(spark, sf_dir)
+
+
+@register(
+    "text_kmv_source_overlap",
+    f"""
+    WITH {_SKETCH_SHINGLE_CTES},
+    bk AS (SELECT DISTINCT source, h FROM (
+             SELECT source, h,
+                    dense_rank() OVER (PARTITION BY source ORDER BY h) AS r
+             FROM hashed)
+           WHERE r <= {sketches.KMV_K}),
+    srcs AS (SELECT DISTINCT source FROM bk),
+    pairs AS (SELECT a.source AS source_a, b.source AS source_b
+              FROM srcs a, srcs b WHERE a.source < b.source),
+    u AS (SELECT source_a, source_b, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+          FROM (SELECT p.source_a, p.source_b, k.h, 1 AS in_a, 0 AS in_b
+                FROM pairs p JOIN bk k ON k.source = p.source_a
+                UNION ALL
+                SELECT p.source_a, p.source_b, k.h, 0, 1
+                FROM pairs p JOIN bk k ON k.source = p.source_b)
+          GROUP BY 1, 2, 3),
+    cut AS (SELECT * FROM (
+              SELECT *, row_number() OVER (PARTITION BY source_a, source_b
+                                           ORDER BY h) AS r
+              FROM u) WHERE r <= {sketches.KMV_K}),
+    sk AS (SELECT source_a, source_b,
+                  CAST(COUNT(*) AS BIGINT) AS sketch_union_size,
+                  CAST(SUM(in_a * in_b) AS BIGINT) AS sketch_overlap,
+                  MAX(h) AS h_k
+           FROM cut GROUP BY 1, 2),
+    ssets AS (SELECT DISTINCT source, shingle FROM sh),
+    sizes AS (SELECT source, COUNT(DISTINCT shingle) AS n FROM ssets GROUP BY 1),
+    inter AS (SELECT a.source AS source_a, b.source AS source_b,
+                     COUNT(DISTINCT a.shingle) AS n_inter
+              FROM ssets a JOIN ssets b
+                ON a.shingle = b.shingle AND a.source < b.source
+              GROUP BY 1, 2),
+    exact AS (SELECT p.source_a, p.source_b,
+                     CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                       / (sa.n + sb.n - COALESCE(i.n_inter, 0)) AS jaccard_exact
+              FROM pairs p
+              JOIN sizes sa ON sa.source = p.source_a
+              JOIN sizes sb ON sb.source = p.source_b
+              LEFT JOIN inter i ON i.source_a = p.source_a
+                               AND i.source_b = p.source_b)
+    SELECT s.source_a, s.source_b, s.sketch_union_size, s.sketch_overlap,
+           CAST(s.sketch_overlap AS DOUBLE) / s.sketch_union_size AS jaccard_est,
+           CASE WHEN s.sketch_union_size < {sketches.KMV_K}
+                THEN CAST(s.sketch_union_size AS DOUBLE)
+                ELSE {sketches.KMV_EST_NUM!r} / CAST(s.h_k AS DOUBLE) END AS union_est,
+           e.jaccard_exact,
+           abs(CAST(s.sketch_overlap AS DOUBLE) / s.sketch_union_size
+               - e.jaccard_exact) AS abs_err
+    FROM sk s JOIN exact e ON e.source_a = s.source_a AND e.source_b = s.source_b
+    ORDER BY s.source_a, s.source_b
+    """,
+)
+def t_kmv_overlap(spark, sf_dir):
+    """Pairwise cross-source Jaccard/union estimates from k=64 bottom-k
+    (KMV) sketches, graded against the exact Jaccard — the pre-dedup
+    overlap-planning query answered from k-sized per-source state
+    (sketches.py module docstring). The bottom-k cut is rank-pushed below
+    the exchange (InferWindowGroupLimit, plan-asserted)."""
+    return sketches.kmv_source_overlap(spark, sf_dir)

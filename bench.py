@@ -111,6 +111,16 @@ HEADLINE = [
     # late r9: exact integer-lattice k-means (2 Lloyd rounds) — per round
     # one codegen assignment scan + one 65-column partial-agg shuffle
     "emb_kmeans_sq8_stats",
+    # continuation-r9: mergeable-sketch family — HLL register build (one
+    # partial-agg shuffle of <= scopes x 64 register rows + the in-plan
+    # merge) and the KMV bottom-k pairwise overlap (WindowGroupLimit-pruned
+    # sketch build + pairs x k merge); both carry their exact verifiers
+    # in-plan, which is most of their measured cost at test scale
+    "text_hll_shingle_cardinality",
+    "text_kmv_source_overlap",
+    # continuation-r9: the JL random-projection two-stage serve (16-dim
+    # stage-1 scan + broadcast full-precision rerank) graded vs exact truth
+    "simsearch_rp_recall",
     # the end-to-end curate→chunk→split→pack composite (extension flagship)
     "training_data_build",
     # r4: window/events analytics family (heaviest two) so window-function
@@ -190,6 +200,18 @@ SCALING = [
     # late r9: k-means on the rotated replica (codes genuinely differ per
     # copy) — rounds are scans + k-row aggs, expect ~linear in corpus
     "emb_kmeans_sq8_stats",
+    # continuation r9: the sketch family under 10x-distinct text (token
+    # rotation grows distinct shingles honestly). The SKETCH halves are
+    # fixed-state by design (64 registers / k=64 bottom hashes per source —
+    # the shuffle should NOT grow 10x); the in-plan exact verifiers DO grow
+    # with the corpus, so the measured ratio is verifier-dominated — the
+    # split is called out in MEASURED.md
+    "text_hll_shingle_cardinality",
+    "text_kmv_source_overlap",
+    # continuation r9: JL projection serve on the rotated-replica vectors
+    # (stage 1 linear in corpus at 4x-narrower width, stage 2 fixed
+    # O(Q*rerank); truth is Q-bounded brute force like the other panels)
+    "simsearch_rp_recall",
 ]
 
 

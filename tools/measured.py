@@ -68,6 +68,11 @@ QUERIES_TO_MEASURE = [
     "text_bpe_vocab_top",
     # late r9: integer-lattice k-means (final-assignment stats plan)
     "emb_kmeans_sq8_stats",
+    # continuation r9: mergeable sketches (HLL registers + KMV bottom-k)
+    # and the JL projection two-stage serve
+    "text_hll_shingle_cardinality",
+    "text_kmv_source_overlap",
+    "simsearch_rp_recall",
 ]
 
 
@@ -457,6 +462,11 @@ def recall_scenario_lines(spark, sf_dir: str) -> list[str]:
         .agg(F.avg("rpq_recall").alias("r"))
         .first()
     )
+    rp = (
+        sim.rp_recall(spark, sf_dir)
+        .agg(F.avg("rp_recall").alias("raw"), F.avg("rp_rerank_recall").alias("rr"))
+        .first()
+    )
     return [
         "",
         "## IVF recall vs scanned fraction, by embedding regime",
@@ -487,6 +497,8 @@ def recall_scenario_lines(spark, sf_dir: str) -> list[str]:
         f"| residual IVFPQ, same code budget (r9 fix) | — | **{float(rpq['r']):.2f}** |",
         f"| residual IVFPQ + exact refine, rerank=40 (full serve) | — | **{float(rrq['r']):.2f}** |",
         "| multi-probe LSH (radius 1) | 0.30 | — |",
+        f"| JL random projection 64→16, raw 16-dim ranking | {float(rp['raw']):.2f} | — |",
+        f"| JL projection + exact refine, rerank=40 | {float(rp['rr']):.2f} | — |",
         "",
         "Two confirmations and one measured weakness: IVF and BQ reach exact",
         "recall on clusterable data at the same dials that struggled on the",
@@ -510,6 +522,45 @@ def recall_scenario_lines(spark, sf_dir: str) -> list[str]:
         "(real embeddings), an honest negative worth recording. All",
         "deterministic steps value-hash-verified in both engines —",
         "structural, not flaky.",
+        "",
+        "Continuation-r9 JL rows: the 64→16 random projection keeps 128-byte",
+        "vectors (vs BQ's 8-byte codes) yet ranks WORSE raw on this corpus —",
+        "isotropic near-zero cosines are the JL lemma's hardest ranking case",
+        "(absolute-distance distortion ~1/√16 swamps the tiny true gaps),",
+        "while BQ keeps one bit of ALL 64 dims and preserves sign structure.",
+        "The two-stage serve recovers most of the gap at the same rerank=40",
+        "dial; width reduction pays off composed (project THEN quantize), not",
+        "as a lone codec on isotropic data — measured, not assumed.",
+    ]
+
+
+def sketch_lines(spark, sf_dir: str) -> list[str]:
+    """Mergeable-sketch accuracy (continuation r9): live-measured HLL and
+    KMV error against their in-plan exact verifiers."""
+    from pyspark.sql import functions as F
+
+    from airdatapipeline_spark.operators import sketches as sk
+
+    hll = sk.hll_shingle_cardinality(spark, sf_dir).toPandas()
+    all_row = hll[hll.scope == sk.ALL_SCOPE].iloc[0]
+    src = hll[hll.scope != sk.ALL_SCOPE]
+    kmv = sk.kmv_source_overlap(spark, sf_dir).toPandas()
+    return [
+        "",
+        "## Mergeable-sketch accuracy (continuation r9)",
+        "",
+        "| sketch | state | measured error |",
+        "|---|---|---|",
+        f"| HLL m=64, global (`__ALL__` = max-merge of per-source registers) | 64 registers | rel_error {float(all_row.rel_error):+.3f} (exact {int(all_row.exact_distinct)}) |",
+        f"| HLL m=64, per-source (20 scopes) | 64 registers/scope | mean abs rel_error {src.rel_error.abs().mean():.3f}, worst {src.rel_error.abs().max():.3f} |",
+        f"| KMV k=64 pairwise Jaccard (190 source pairs) | 64 hashes/source | mean abs_err {kmv.abs_err.mean():.3f}, worst {kmv.abs_err.max():.3f} |",
+        "",
+        "Both sit inside their theory bands (HLL σ≈1.04/√64≈13%; KMV Jaccard",
+        "σ≤1/√(4·64)≈6.3%) — the register/bottom-k state is the WHOLE shuffle",
+        "at any corpus size, which is the family's 100 TB story; the exact",
+        "columns are in-plan verifiers you only run at test scale or on",
+        "samples. The register count / k are the accuracy dials (p=14 →",
+        "0.8% at 16 K registers, same plan shape).",
     ]
 
 
@@ -645,6 +696,7 @@ def main() -> None:
     finally:
         shutil.rmtree(big, ignore_errors=True)
     out.extend(recall_scenario_lines(spark, sf_dir))
+    out.extend(sketch_lines(spark, sf_dir))
     out.extend(ROUND_NOTES)
     with open("/root/repo/MEASURED.md", "w") as f:
         f.write("\n".join(out) + "\n")
