@@ -547,3 +547,51 @@ def q_targeted_delete(spark, sf_dir):
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total_value"),
     )
+
+
+# --- z-order layout simulation (operators/layout.py) -------------------------
+
+from ..operators import layout as _layout  # noqa: E402
+
+
+@register(
+    "snk_zorder_layout_stats",
+    f"""
+    WITH src AS (
+      SELECT date_diff('day', DATE '{_layout.SHIP_EPOCH}', l_shipdate)
+               // {_layout.D1_DIV} AS d1,
+             l_partkey % {_layout.D2_RANGE} AS d2
+      FROM lineitem),
+    z AS (SELECT d1, d2, {_layout.z_value_sql()} AS z FROM src),
+    stats AS (
+      SELECT 'zorder' AS layout, z // {_layout.Z_BLOCK} AS file_id,
+             COUNT(*) AS n_rows, MIN(d1) AS d1_min, MAX(d1) AS d1_max,
+             MIN(d2) AS d2_min, MAX(d2) AS d2_max
+      FROM z GROUP BY 2
+      UNION ALL
+      SELECT 'linear_d1', d1 // {_layout.LIN_BLOCK},
+             COUNT(*), MIN(d1), MAX(d1), MIN(d2), MAX(d2)
+      FROM z GROUP BY 2),
+    touch AS (
+      SELECT layout,
+             CAST(SUM(d1_max - d1_min + 1) AS DOUBLE)
+               / CAST(COUNT(*) * {_layout.D1_RANGE} AS DOUBLE)
+               AS expected_touch_d1,
+             CAST(SUM(d2_max - d2_min + 1) AS DOUBLE)
+               / CAST(COUNT(*) * {_layout.D2_RANGE} AS DOUBLE)
+               AS expected_touch_d2
+      FROM stats GROUP BY 1)
+    SELECT s.layout, CAST(s.file_id AS BIGINT) AS file_id, s.n_rows,
+           s.d1_min, s.d1_max, s.d2_min, s.d2_max,
+           t.expected_touch_d1, t.expected_touch_d2
+    FROM stats s JOIN touch t USING (layout)
+    ORDER BY s.layout, s.file_id
+    """,
+)
+def snk_zorder(spark, sf_dir):
+    """Z-order vs single-column-sort layout economics over lineitem
+    (operators/layout.py module docstring): per-file min/max spans of both
+    clustered dimensions + the expected fraction of files a uniform point
+    filter touches on each — value-hashed; the physical parquet write +
+    SQLMetrics pruning proof lives in tests/test_layout.py."""
+    return _layout.zorder_layout_stats(spark, sf_dir)

@@ -121,6 +121,10 @@ HEADLINE = [
     # continuation-r9: the JL random-projection two-stage serve (16-dim
     # stage-1 scan + broadcast full-precision rerank) graded vs exact truth
     "simsearch_rp_recall",
+    # continuation-r9: z-order layout economics — two map-only integer
+    # blockings of lineitem + a 2x16-row stats agg (the write-time
+    # clustering decision, simulated deterministically)
+    "snk_zorder_layout_stats",
     # the end-to-end curate→chunk→split→pack composite (extension flagship)
     "training_data_build",
     # r4: window/events analytics family (heaviest two) so window-function
@@ -212,6 +216,9 @@ SCALING = [
     # (stage 1 linear in corpus at 4x-narrower width, stage 2 fixed
     # O(Q*rerank); truth is Q-bounded brute force like the other panels)
     "simsearch_rp_recall",
+    # continuation r9: z-order economics — one scan + a 32-group agg;
+    # expect ~linear in lineitem rows
+    "snk_zorder_layout_stats",
 ]
 
 

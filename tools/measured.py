@@ -73,6 +73,7 @@ QUERIES_TO_MEASURE = [
     "text_hll_shingle_cardinality",
     "text_kmv_source_overlap",
     "simsearch_rp_recall",
+    "snk_zorder_layout_stats",
 ]
 
 
@@ -555,8 +556,8 @@ def sketch_lines(spark, sf_dir: str) -> list[str]:
         f"| HLL m=64, per-source (20 scopes) | 64 registers/scope | mean abs rel_error {src.rel_error.abs().mean():.3f}, worst {src.rel_error.abs().max():.3f} |",
         f"| KMV k=64 pairwise Jaccard (190 source pairs) | 64 hashes/source | mean abs_err {kmv.abs_err.mean():.3f}, worst {kmv.abs_err.max():.3f} |",
         "",
-        "Both sit inside their theory bands (HLL σ≈1.04/√64≈13%; KMV Jaccard",
-        "σ≤1/√(4·64)≈6.3%) — the register/bottom-k state is the WHOLE shuffle",
+        "Both sit within ~1.5σ of their theory bands (HLL σ≈1.04/√64≈13%; KMV",
+        "Jaccard σ≤1/√(4·64)≈6.3%) — the register/bottom-k state is the WHOLE shuffle",
         "at any corpus size, which is the family's 100 TB story; the exact",
         "columns are in-plan verifiers you only run at test scale or on",
         "samples. The register count / k are the accuracy dials (p=14 →",
