@@ -81,12 +81,12 @@ def _hash56(col: str = "shingle") -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("long")
 
 
-def _source_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(source, shingle): word 3-grams, distinct within each document
-    (dedup._shingles with the source key carried instead of doc_id)."""
-    toks = load_table(spark, sf_dir, "documents").select(
-        "source", tokens_col().alias("t")
-    )
+def _source_shingles_df(docs: DataFrame) -> DataFrame:
+    """(source, shingle) from a documents frame: word 3-grams, distinct
+    within each document (dedup._shingles with the source key carried
+    instead of doc_id). Frame-level so the streaming ingest twin can run
+    the IDENTICAL shingle pipeline on each micro-batch."""
+    toks = docs.select("source", tokens_col().alias("t"))
     sh = F.when(
         F.size("t") >= 3,
         F.expr(
@@ -94,6 +94,10 @@ def _source_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return toks.select("source", F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+def _source_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _source_shingles_df(load_table(spark, sf_dir, "documents"))
 
 
 def hll_registers(hashed: DataFrame) -> DataFrame:
@@ -133,6 +137,36 @@ def _hll_estimate(s_int: F.Column) -> F.Column:
     return F.lit(HLL_EST_NUM) / s_int.cast("double")
 
 
+def hll_scope_estimates(regs_src: DataFrame) -> DataFrame:
+    """(scope, hll_estimate, zero_registers) from a per-source register
+    table — per-source scopes plus the max-merged ``__ALL__`` row. Shared
+    by the batch query and the streaming ingest twin so the estimate
+    formula (scaled-integer sum -> one cast+division) cannot drift between
+    the two paths."""
+    regs_all = (
+        regs_src.groupBy("j")
+        .agg(F.max("m").alias("m"))
+        .select(F.lit(ALL_SCOPE).alias("scope"), "j", "m")
+    )
+    regs = regs_src.select(F.col("source").alias("scope"), "j", "m").unionByName(
+        regs_all
+    )
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_SCALE_BITS} - m)")
+    stats = regs.groupBy("scope").agg(
+        (
+            F.sum(term)
+            + (F.lit(HLL_M) - F.count(F.lit(1)))
+            * F.lit(1 << HLL_SCALE_BITS).cast("long")
+        ).alias("s_int"),
+        (F.lit(HLL_M) - F.count(F.lit(1))).cast("long").alias("zero_registers"),
+    )
+    return stats.select(
+        "scope",
+        _hll_estimate(F.col("s_int")).alias("hll_estimate"),
+        "zero_registers",
+    )
+
+
 def hll_shingle_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-shingle cardinality per source and globally, estimated by
     64-register HyperLogLog sketches and graded against the exact count.
@@ -160,23 +194,7 @@ def hll_shingle_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without this the union's two branches each re-scan the corpus — the
     # recall panel's localCheckpoint precedent for tiny reused states.
     regs_src = hll_registers(hashed).localCheckpoint(eager=True)
-    regs_all = (
-        regs_src.groupBy("j")
-        .agg(F.max("m").alias("m"))
-        .select(F.lit(ALL_SCOPE).alias("scope"), "j", "m")
-    )
-    regs = regs_src.select(F.col("source").alias("scope"), "j", "m").unionByName(
-        regs_all
-    )
-    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_SCALE_BITS} - m)")
-    stats = regs.groupBy("scope").agg(
-        (
-            F.sum(term)
-            + (F.lit(HLL_M) - F.count(F.lit(1)))
-            * F.lit(1 << HLL_SCALE_BITS).cast("long")
-        ).alias("s_int"),
-        (F.lit(HLL_M) - F.count(F.lit(1))).cast("long").alias("zero_registers"),
-    )
+    est = hll_scope_estimates(regs_src)
     # Exact verifier: ONE distinct of (source, shingle), materialized, then
     # both exact counts (per-source and global) read the distinct pairs —
     # not the corpus — so the verifier adds one scan, not three.
@@ -191,19 +209,19 @@ def hll_shingle_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(ALL_SCOPE).alias("scope"), "exact_distinct")
         )
     )
-    est = _hll_estimate(F.col("s_int"))
+    e = F.col("hll_estimate")
     return (
-        stats.join(exact, on="scope", how="inner")
+        est.join(exact, on="scope", how="inner")
         .select(
             "scope",
             "exact_distinct",
-            est.alias("hll_estimate"),
+            "hll_estimate",
             "zero_registers",
-            ((est - F.col("exact_distinct")) / F.col("exact_distinct")).alias(
+            ((e - F.col("exact_distinct")) / F.col("exact_distinct")).alias(
                 "rel_error"
             ),
             F.when(
-                (est <= F.lit(HLL_LC_THRESHOLD)) & (F.col("zero_registers") > 0),
+                (e <= F.lit(HLL_LC_THRESHOLD)) & (F.col("zero_registers") > 0),
                 F.lit("linear_counting_advised"),
             )
             .otherwise(F.lit("raw"))

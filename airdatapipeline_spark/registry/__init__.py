@@ -128,7 +128,6 @@ _DRIVER_WINDOW = [
     "text_lm_perplexity_filter",
     "stream_lm_gated_ingest",
     # --- newest driver row is r6 (12 of 47; rest rotate in r10) ------------
-    "text_shard_compact_conservation",
     "text_shard_delete_conservation",
     # --- continuation-session r9 registrations (never driver-checked; the
     # mergeable-sketch family + the JL projection tier displace three more
@@ -138,9 +137,13 @@ _DRIVER_WINDOW = [
     "text_hll_shingle_cardinality",
     "text_kmv_source_overlap",
     "simsearch_rp_recall",
-    # z-order layout economics (displaces text_shard_append_conservation,
-    # which keeps its r6 row and rotates in r10 with its siblings)
+    # z-order layout economics + the streaming HLL twin (displace
+    # text_shard_append_conservation and text_shard_compact_conservation,
+    # which keep their r6 rows and rotate in r10 with their siblings —
+    # never-driver-checked new queries outrank re-proof of r6-green ones;
+    # the whole lifecycle family stays value-hash-checked every pytest run)
     "snk_zorder_layout_stats",
+    "stream_hll_register_ingest",
     # --- late-r9 registrations (never driver-checked; displace six r6-green
     # picks — tpch_q1/q3/q9, repetition_filters, epoch_schedule,
     # curated_append — which keep their r6 rows and rotate in r10) -----------

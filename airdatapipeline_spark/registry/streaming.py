@@ -268,3 +268,45 @@ def st_kmeans_assign_ingest(spark, sf_dir):
     committed set equals the batch full-corpus assignment — the oracle
     replays exactly that final-assignment table."""
     return streaming_events.kmeans_assign_ingest_append(spark, sf_dir)
+
+
+from ..operators import sketches as _sk  # noqa: E402
+from .text import _SKETCH_SHINGLE_CTES  # noqa: E402
+
+
+@register(
+    "stream_hll_register_ingest",
+    f"""
+    WITH {_SKETCH_SHINGLE_CTES},
+    rho AS (SELECT source, h % {_sk.HLL_M} AS j,
+                   CASE WHEN h // {_sk.HLL_M} = 0 THEN {_sk.HLL_RHO_MAX}
+                        ELSE {_sk.HLL_RHO_MAX} - length(bin(h // {_sk.HLL_M}))
+                   END AS rho
+            FROM hashed),
+    regs_src AS (SELECT source AS scope, j, MAX(rho) AS m FROM rho GROUP BY 1, 2),
+    regs AS (SELECT * FROM regs_src
+             UNION ALL
+             SELECT '{_sk.ALL_SCOPE}' AS scope, j, MAX(m) AS m
+             FROM regs_src GROUP BY 2),
+    stats AS (SELECT scope,
+                     CAST(SUM(1::BIGINT << ({_sk.HLL_SCALE_BITS} - m)) AS BIGINT)
+                       + ({_sk.HLL_M} - COUNT(*))
+                         * (1::BIGINT << {_sk.HLL_SCALE_BITS}) AS s_int,
+                     CAST({_sk.HLL_M} - COUNT(*) AS BIGINT) AS zero_registers
+              FROM regs GROUP BY 1)
+    SELECT scope, {_sk.HLL_EST_NUM!r} / CAST(s_int AS DOUBLE) AS hll_estimate,
+           zero_registers
+    FROM stats ORDER BY scope
+    """,
+)
+def st_hll_register_ingest(spark, sf_dir):
+    """Sketch-maintenance-at-ingest: each arriving micro-batch appends its
+    PARTIAL HyperLogLog registers (byte-identical build to the batch
+    query); the live estimate is the max-merge on read. Unlike the other
+    ingest twins, redelivery needs NO committed-key anti-join — max-merge
+    is commutative and idempotent (the CRDT argument; pytest redelivers a
+    file and asserts bit-identical estimates), which is why sketches are
+    the streaming cardinality primitive at 100 TB. The drained estimate
+    equals the batch sketch over the same corpus — the oracle replays the
+    batch formula."""
+    return streaming_events.hll_register_ingest_append(spark, sf_dir)

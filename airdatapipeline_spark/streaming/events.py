@@ -796,3 +796,68 @@ def kmeans_assign_ingest_append(
     finally:
         q.stop()
     return spark.read.schema(out_schema).parquet(out)
+
+
+def hll_register_ingest_append(
+    spark: SparkSession,
+    sf_dir: str,
+    landing_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+    out_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Sketch-maintenance-at-ingest: each arriving micro-batch of documents
+    contributes its PARTIAL HyperLogLog registers (operators/sketches.
+    hll_registers — byte-identical to the batch build) to an append-only
+    register store; the live cardinality estimate is the max-merge of
+    everything appended, computed on read through the SAME
+    hll_scope_estimates path as the batch query, so online and offline
+    estimates cannot drift.
+
+    The merge punchline (vs the anti-join idempotency of the other ingest
+    twins): max-merge is COMMUTATIVE and IDEMPOTENT, so a redelivered file
+    appends duplicate partial registers that change NOTHING — the sketch
+    is redelivery-safe with no committed-key bookkeeping at all (the CRDT
+    G-Set/max-register argument; pytest redelivers a file and asserts the
+    estimates are bit-identical). That is why sketches are THE streaming
+    cardinality primitive at 100 TB: per-batch state is <= scopes x 64
+    rows, cross-batch state is the same, and exactly-once delivery is not
+    required for correctness.
+
+    The committed estimate after draining the landing dir equals the batch
+    query's estimate over the same corpus — what the DuckDB oracle
+    replays."""
+    from ..operators.sketches import _hash56, _source_shingles_df, hll_registers, hll_scope_estimates
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    reader = spark.readStream.schema(batch_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(landing_dir or _doc_landing_dir(sf_dir))
+
+    out = out_dir or tempfile.mkdtemp(prefix="hll_regs_sink_")
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="hll_regs_ckpt_")
+    out_schema = "source string, j long, m int"
+
+    def contribute(bdf: DataFrame, _bid: int) -> None:
+        hashed = _source_shingles_df(bdf).select("source", _hash56().alias("h"))
+        # partial registers of THIS batch only — no read-modify-write and
+        # no committed-set anti-join: max-merge absorbs duplicates
+        hll_registers(hashed).write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(contribute)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    merged = (
+        spark.read.schema(out_schema)
+        .parquet(out)
+        .groupBy("source", "j")
+        .agg(F.max("m").alias("m"))
+    )
+    return hll_scope_estimates(merged).orderBy("scope")

@@ -1089,3 +1089,63 @@ def test_kmeans_assign_ingest_idempotent_under_redelivery(spark, tmp_path):
     )
     assert redelivered.count() == want.count()
     assert redelivered.select("vec_id").distinct().count() == want.count()
+
+
+def test_hll_register_ingest_redelivery_free(spark, tmp_path):
+    """The streaming HLL sketch's merge contract: redelivery needs NO
+    committed-key bookkeeping because max-merge is commutative and
+    idempotent. Within-run (same file twice, one per micro-batch) AND
+    cross-run (fresh checkpoint, same pinned sink — the full landing dir
+    replays and appends duplicate partial registers) must both produce
+    BIT-IDENTICAL estimates to the single-delivery run, and the drained
+    estimate must equal the batch sketch over the same corpus."""
+    import shutil
+
+    from airdatapipeline_spark.operators import sketches as sk
+    from airdatapipeline_spark.streaming import events as se
+
+    sf = SF_SMALL
+    batch = {
+        r["scope"]: (r["hll_estimate"], r["zero_registers"])
+        for r in sk.hll_shingle_cardinality(spark, sf).collect()
+    }
+
+    landing = str(tmp_path / "landing")
+    shutil.os.makedirs(landing)
+    shutil.copy(f"{sf}/documents.parquet", f"{landing}/a.parquet")
+    once = {
+        r["scope"]: (r["hll_estimate"], r["zero_registers"])
+        for r in se.hll_register_ingest_append(spark, sf, landing_dir=landing).collect()
+    }
+    assert once == {k: (v[0], v[1]) for k, v in batch.items()}
+
+    # within-run redelivery: same file under two names, one per batch
+    landing2 = str(tmp_path / "landing2")
+    shutil.os.makedirs(landing2)
+    shutil.copy(f"{sf}/documents.parquet", f"{landing2}/a.parquet")
+    shutil.copy(f"{sf}/documents.parquet", f"{landing2}/b.parquet")
+    dup = {
+        r["scope"]: (r["hll_estimate"], r["zero_registers"])
+        for r in se.hll_register_ingest_append(
+            spark, sf, landing_dir=landing2, max_files_per_trigger=1
+        ).collect()
+    }
+    assert dup == once
+
+    # cross-run redelivery against the SAME pinned sink, fresh checkpoint:
+    # the register store now holds every partial register TWICE — the
+    # max-merge must absorb it with zero drift
+    out = str(tmp_path / "sink")
+    shutil.os.makedirs(out)
+    se.hll_register_ingest_append(
+        spark, sf, landing_dir=landing, out_dir=out,
+        checkpoint_dir=str(tmp_path / "ckpt1"),
+    )
+    redelivered = {
+        r["scope"]: (r["hll_estimate"], r["zero_registers"])
+        for r in se.hll_register_ingest_append(
+            spark, sf, landing_dir=landing, out_dir=out,
+            checkpoint_dir=str(tmp_path / "ckpt2"),
+        ).collect()
+    }
+    assert redelivered == once
