@@ -1828,3 +1828,86 @@ def rp_recall(
         )
         .orderBy("query_id")
     )
+
+
+def cluster_labels(
+    spark: SparkSession, sf_dir: str, top_n: int = 3, min_tf: int = 5
+) -> DataFrame:
+    """c-TF-IDF-style cluster labeling (the BERTopic topic-labeling shape,
+    ln-free): join the trained k-means assignment back to the documents it
+    embeds (vec_id IS the producing doc_id — the embedding pipeline's
+    output key; at sf0.1 the embeddings cover a prefix of the corpus, so
+    this labels the embedded subset) and rank each cluster's tokens by
+    relative-frequency lift (tf_c/total_c)/(tf_g/total_g) — computed as
+    ONE exact-integer cross-multiplied division
+    (tf_c·total_g)/(total_c·tf_g) so both engines divide the same two
+    BIGINTs (at extreme corpus sizes the cross-product would overflow
+    int64 and a two-division float form takes over; exactness is worth
+    keeping while it is free). A min_tf floor keeps one-off tokens from
+    topping the lift ranking — the standard c-TF-IDF smoothing concern,
+    solved exactly instead of with +1 noise.
+
+    Plan: assignment scan (codegen dot-form argmin) → equi-join to
+    documents → one (cluster, token) count whose partial aggregation
+    collapses map-side to vocab×k rows; the cluster/corpus totals are
+    derived from THAT table, not rescans (localCheckpoint, vocab-sized —
+    the BPE word-table precedent). Top-n per cluster is a rank window
+    over vocab×k rows."""
+    from .text import tokens_col
+
+    cents, q = kmeans_train(spark, sf_dir)
+    assign = _km_assign(q, cents).select(
+        F.col("vec_id").alias("doc_id"), F.col("cid").alias("cluster_id")
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens_col().alias("t")
+    )
+    toks = docs.join(assign, on="doc_id", how="inner").select(
+        "cluster_id", F.explode("t").alias("token")
+    )
+    tf_c = (
+        toks.groupBy("cluster_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf_in_cluster"))
+        .localCheckpoint(eager=True)
+    )
+    n_c = tf_c.groupBy("cluster_id").agg(
+        F.sum("tf_in_cluster").alias("cluster_tokens")
+    )
+    t_g = tf_c.groupBy("token").agg(F.sum("tf_in_cluster").alias("tf_corpus"))
+    tot = tf_c.agg(F.sum("tf_in_cluster").alias("total_tokens"))
+    scored = (
+        tf_c.join(n_c, on="cluster_id", how="inner")
+        .join(t_g, on="token", how="inner")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("tf_in_cluster") >= min_tf)
+        .select(
+            "cluster_id",
+            "token",
+            "tf_in_cluster",
+            "cluster_tokens",
+            "tf_corpus",
+            "total_tokens",
+            (
+                (F.col("tf_in_cluster") * F.col("total_tokens")).cast("double")
+                / (F.col("cluster_tokens") * F.col("tf_corpus")).cast("double")
+            ).alias("distinctiveness"),
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("distinctiveness"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            "cluster_id",
+            F.col("rank").cast("int").alias("rank"),
+            "token",
+            "tf_in_cluster",
+            "cluster_tokens",
+            "tf_corpus",
+            "total_tokens",
+            "distinctiveness",
+        )
+        .orderBy("cluster_id", "rank")
+    )

@@ -127,8 +127,10 @@ _DRIVER_WINDOW = [
     "simsearch_clustered_rpq_rerank",
     "text_lm_perplexity_filter",
     "stream_lm_gated_ingest",
-    # --- newest driver row is r6 (12 of 47; rest rotate in r10) ------------
-    "text_shard_delete_conservation",
+    # --- newest driver row is r6: all six lifecycle picks ultimately
+    # yielded their slots to never-driver-checked continuation-r9
+    # registrations (they keep their r6 rows, stay value-hash-checked
+    # every pytest run, and rotate in r10) -----------------------------------
     # --- continuation-session r9 registrations (never driver-checked; the
     # mergeable-sketch family + the JL projection tier displace three more
     # r6-green lifecycle picks — text_shard_verify_report,
@@ -144,6 +146,7 @@ _DRIVER_WINDOW = [
     # the whole lifecycle family stays value-hash-checked every pytest run)
     "snk_zorder_layout_stats",
     "stream_hll_register_ingest",
+    "emb_cluster_labels",
     # --- late-r9 registrations (never driver-checked; displace six r6-green
     # picks — tpch_q1/q3/q9, repetition_filters, epoch_schedule,
     # curated_append — which keep their r6 rows and rotate in r10) -----------

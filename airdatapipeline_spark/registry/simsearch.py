@@ -1099,3 +1099,52 @@ def ss_rp_recall(spark, sf_dir):
     Graded on the near-isotropic worst case like the other ANN tiers
     (similarity.rp_recall docstring)."""
     return similarity.rp_recall(spark, sf_dir)
+
+
+# --- cluster labeling (c-TF-IDF shape over the trained k-means) --------------
+
+
+@register(
+    "emb_cluster_labels",
+    f"""
+    WITH assign AS MATERIALIZED ({km_assignment_oracle_sql(similarity.KM_K, similarity.KM_ITERS, similarity.EMB_DIM)}),
+    toks AS (
+      SELECT a.centroid_id AS cluster_id,
+             unnest(regexp_split_to_array(trim(d.text), '\\s+')) AS token
+      FROM documents d JOIN assign a ON a.vec_id = d.doc_id),
+    tfc AS (SELECT cluster_id, token, COUNT(*) AS tf_in_cluster
+            FROM toks GROUP BY 1, 2),
+    nc AS (SELECT cluster_id, CAST(SUM(tf_in_cluster) AS BIGINT) AS cluster_tokens
+           FROM tfc GROUP BY 1),
+    tg AS (SELECT token, CAST(SUM(tf_in_cluster) AS BIGINT) AS tf_corpus
+           FROM tfc GROUP BY 1),
+    tot AS (SELECT CAST(SUM(tf_in_cluster) AS BIGINT) AS total_tokens FROM tfc),
+    scored AS (
+      SELECT f.cluster_id, f.token, f.tf_in_cluster, n.cluster_tokens,
+             g.tf_corpus, t.total_tokens,
+             CAST(f.tf_in_cluster * t.total_tokens AS DOUBLE)
+               / CAST(n.cluster_tokens * g.tf_corpus AS DOUBLE)
+               AS distinctiveness
+      FROM tfc f
+      JOIN nc n ON n.cluster_id = f.cluster_id
+      JOIN tg g ON g.token = f.token
+      CROSS JOIN tot t
+      WHERE f.tf_in_cluster >= 5),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY cluster_id
+               ORDER BY distinctiveness DESC, token) AS rank
+      FROM scored)
+    SELECT cluster_id, CAST(rank AS INTEGER) AS rank, token, tf_in_cluster,
+           cluster_tokens, tf_corpus, total_tokens, distinctiveness
+    FROM ranked WHERE rank <= 3
+    ORDER BY cluster_id, rank
+    """,
+)
+def ss_cluster_labels(spark, sf_dir):
+    """c-TF-IDF-style labels for the trained k-means clusters: top-3 tokens
+    per cluster by exact relative-frequency lift over the documents each
+    cluster embeds (similarity.cluster_labels docstring) — the
+    human-readable face of the clustering arc (train → assign → serve →
+    LABEL), fully value-hashed through the unrolled k-means oracle chain."""
+    return similarity.cluster_labels(spark, sf_dir)

@@ -125,6 +125,9 @@ HEADLINE = [
     # blockings of lineitem + a 2x16-row stats agg (the write-time
     # clustering decision, simulated deterministically)
     "snk_zorder_layout_stats",
+    # continuation-r9: cluster labeling — k-means train+assign, doc join,
+    # one vocab x k count shuffle, rank window over vocab x k rows
+    "emb_cluster_labels",
     # the end-to-end curate→chunk→split→pack composite (extension flagship)
     "training_data_build",
     # r4: window/events analytics family (heaviest two) so window-function

@@ -74,6 +74,7 @@ QUERIES_TO_MEASURE = [
     "text_kmv_source_overlap",
     "simsearch_rp_recall",
     "snk_zorder_layout_stats",
+    "emb_cluster_labels",
 ]
 
 
