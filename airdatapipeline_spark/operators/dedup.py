@@ -938,3 +938,94 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str, width: int = PARA_WORDS) -
             ),
         )
     )
+
+
+# --- fuzzy decontamination (continuation r9) ---------------------------------
+
+FUZZY_DECON_EVAL_MOD = 50  # the exact report's held-out benchmark slice
+FUZZY_DECON_JACCARD_MIN = 0.2  # flag dial: fuzzy-leak threshold
+
+
+def fuzzy_decontamination(
+    spark: SparkSession,
+    sf_dir: str,
+    eval_mod: int = FUZZY_DECON_EVAL_MOD,
+    jaccard_min: float = FUZZY_DECON_JACCARD_MIN,
+) -> DataFrame:
+    """NEAR-duplicate benchmark decontamination — the fuzzy tier the exact
+    n-gram report (decontamination_report) and its Bloom variant cannot
+    cover: an eval item paraphrased or lightly edited into the training
+    set shares few exact grams but a high shingle-Jaccard. Candidates come
+    from minhash banding at r=1 (each of the 8 signature values is its own
+    band — P(candidate) = 1-(1-J)^8, the HIGH-RECALL corner of the banding
+    dial, which is the right corner for contamination: verifying a false
+    candidate costs one bounded join row, missing a true leak poisons an
+    eval), then ONLY candidate pairs are verified with the exact
+    shingle-overlap Jaccard (work ∝ candidates, never |train|×|eval|).
+
+    The eval side is the established deterministic benchmark slice
+    (doc_id % eval_mod == 0, decontamination_report's convention) and is
+    broadcast — at 100 TB the benchmark suite is tiny next to the corpus,
+    so candidate generation is a broadcast hash join against the corpus
+    band stream, no shuffle of the corpus.
+
+    One row per candidate pair: (doc_id, eval_id, n_train_shingles,
+    n_eval_shingles, n_shared, jaccard, flagged)."""
+    sig = minhash_signatures(spark, sf_dir)
+    hs = ", ".join(f"h{j}" for j in range(N_MINHASH))
+    bands = sig.selectExpr(
+        "doc_id", f"posexplode(array({hs})) AS (band, bx)"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    is_eval = (F.col("doc_id") % eval_mod) == 0
+    ev = bands.filter(is_eval).select(
+        "band", "bx", F.col("doc_id").alias("eval_id")
+    )
+    cand = (
+        bands.filter(~is_eval)
+        .join(F.broadcast(ev), on=["band", "bx"], how="inner")
+        .select("doc_id", "eval_id")
+        .distinct()
+        .localCheckpoint(eager=True)  # candidate pairs (tiny) feed three
+        # joins below; without this each re-runs the banded join
+    )
+    sh = _shingles(load_table(spark, sf_dir, "documents"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    tr_sh = sh.join(cand, on="doc_id", how="inner")  # candidates' shingles
+    ev_sh = sh.select(F.col("doc_id").alias("eval_id"), "shingle")
+    inter = (
+        tr_sh.join(ev_sh, on=["eval_id", "shingle"], how="inner")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    jac = (
+        F.coalesce(F.col("n_shared"), F.lit(0)).cast("double")
+        / (
+            F.col("n_train_shingles")
+            + F.col("n_eval_shingles")
+            - F.coalesce(F.col("n_shared"), F.lit(0))
+        )
+    )
+    return (
+        cand.join(
+            sizes.withColumnRenamed("n", "n_train_shingles"), on="doc_id", how="inner"
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("eval_id"),
+                F.col("n").alias("n_eval_shingles"),
+            ),
+            on="eval_id",
+            how="inner",
+        )
+        .join(inter, on=["doc_id", "eval_id"], how="left")
+        .select(
+            "doc_id",
+            "eval_id",
+            "n_train_shingles",
+            "n_eval_shingles",
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+            jac.alias("jaccard"),
+            (jac >= F.lit(jaccard_min)).alias("flagged"),
+        )
+        .orderBy("doc_id", "eval_id")
+    )

@@ -468,3 +468,57 @@ def q_prefix_jaccard(spark, sf_dir):
 )
 def dedup_paragraph(spark, sf_dir):
     return dedup.paragraph_dedup(spark, sf_dir)
+
+
+_FD_BANDS = "\n      UNION ALL ".join(
+    f"SELECT doc_id, {j} AS band, h{j} AS bx FROM sig"
+    for j in range(dedup.N_MINHASH)
+)
+
+_FD_JAC = (
+    "CAST(COALESCE(i.n_shared, 0) AS DOUBLE)"
+    " / (st.n + se.n - COALESCE(i.n_shared, 0))"
+)
+
+
+@register(
+    "dedup_fuzzy_decontamination",
+    f"""
+    WITH {_SHINGLES_CTE.format(src="documents")},
+    hashed AS (SELECT doc_id,
+                      CAST(concat('0x', substr(md5(shingle), 1, 14)) AS BIGINT)
+                        % 1073741824 AS h
+               FROM sh),
+    sig AS (SELECT doc_id, {_MINHASH_AGGS} FROM hashed GROUP BY 1),
+    bands AS ({_FD_BANDS}),
+    cand AS (SELECT DISTINCT t.doc_id, e.doc_id AS eval_id
+             FROM bands t JOIN bands e ON t.band = e.band AND t.bx = e.bx
+             WHERE t.doc_id % {dedup.FUZZY_DECON_EVAL_MOD} <> 0
+               AND e.doc_id % {dedup.FUZZY_DECON_EVAL_MOD} = 0),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (SELECT c.doc_id, c.eval_id, COUNT(*) AS n_shared
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.doc_id
+              JOIN sh b ON b.doc_id = c.eval_id AND b.shingle = a.shingle
+              GROUP BY 1, 2)
+    SELECT c.doc_id, c.eval_id,
+           st.n AS n_train_shingles, se.n AS n_eval_shingles,
+           CAST(COALESCE(i.n_shared, 0) AS BIGINT) AS n_shared,
+           {_FD_JAC} AS jaccard,
+           {_FD_JAC} >= {dedup.FUZZY_DECON_JACCARD_MIN!r} AS flagged
+    FROM cand c
+    JOIN sizes st ON st.doc_id = c.doc_id
+    JOIN sizes se ON se.doc_id = c.eval_id
+    LEFT JOIN inter i ON i.doc_id = c.doc_id AND i.eval_id = c.eval_id
+    ORDER BY c.doc_id, c.eval_id
+    """,
+)
+def dedup_fuzzy_decon(spark, sf_dir):
+    """Fuzzy benchmark decontamination: minhash banding at r=1 (the
+    high-recall banding corner — right for contamination, where a missed
+    leak poisons an eval and a false candidate costs one join row)
+    proposes train×eval near-dup candidates; ONLY candidates are verified
+    with the exact shingle Jaccard. Completes the decontamination arc:
+    exact df-capped grams → runtime-Bloom big-big → NEAR-duplicate
+    (dedup.fuzzy_decontamination docstring)."""
+    return dedup.fuzzy_decontamination(spark, sf_dir)

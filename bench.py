@@ -128,6 +128,11 @@ HEADLINE = [
     # continuation-r9: cluster labeling — k-means train+assign, doc join,
     # one vocab x k count shuffle, rank window over vocab x k rows
     "emb_cluster_labels",
+    # continuation-r9: fuzzy decontamination — banded broadcast join for
+    # candidates + exact Jaccard verify of candidates only (NOT
+    # scale-eligible: replica copies near-dup the replicated eval slice by
+    # construction, the same exclusion as the other near-dup text tiers)
+    "dedup_fuzzy_decontamination",
     # the end-to-end curate→chunk→split→pack composite (extension flagship)
     "training_data_build",
     # r4: window/events analytics family (heaviest two) so window-function

@@ -75,6 +75,7 @@ QUERIES_TO_MEASURE = [
     "simsearch_rp_recall",
     "snk_zorder_layout_stats",
     "emb_cluster_labels",
+    "dedup_fuzzy_decontamination",
 ]
 
 
