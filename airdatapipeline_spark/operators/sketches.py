@@ -330,3 +330,96 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("abs_err", F.abs(F.col("jaccard_est") - F.col("jaccard_exact")))
         .orderBy("source_a", "source_b")
     )
+
+
+# --- histogram quantile sketch ------------------------------------------------
+# Completes the mergeable-sketch triad: cardinality (HLL above), frequency
+# (text.heavy_hitter_tokens' Misra-Gries), QUANTILES (here). Spark's own
+# approxQuantile is a driver-side action whose result depends on
+# partitioning (Greenwald-Khanna merge order); this sketch is a fixed
+# equi-width histogram over a declared domain — the state is 256 integer
+# counters per group (mergeable by plain addition, so per-day/per-shard
+# histograms combine by SUM), the estimate is deterministic linear
+# interpolation inside the covering bin, and everything value-hashes in
+# DuckDB.
+HQ_BINS = 256
+HQ_DOMAIN = 512.0  # events.value sits in (0, ~500]; the declared domain
+HQ_WIDTH = HQ_DOMAIN / HQ_BINS  # 2.0 — an exact power of two (bit-safe /2)
+HQ_QS = [0.5, 0.95, 0.99]
+
+
+def quantile_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type quantile estimates from a 256-bin equi-width
+    histogram sketch, graded against the exact rank-select quantiles.
+
+    Sketch build: ONE (type, bin) groupBy whose partial aggregation
+    collapses map-side to <= 256 counters per type per task — the shuffle
+    carries histogram state, never values (a naive percentile needs a
+    full sort or a whole-group collect). The cumulative pass and the
+    quantile probe run over <= types x 256 rows. Estimate: target rank
+    r = ceil(q·n); inside the first bin whose cumulative count reaches r,
+    interpolate lo + width·(r - cum_before)/bin_count — two exact-integer
+    differences and one division, ordered identically in both engines.
+    The exact column (full rank-select, one sort shuffle per type) is the
+    quarantined verifier, as everywhere in the sketch family.
+
+    Columns: event_type, q, n_events, est, exact, abs_err."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    binned = ev.select(
+        "event_type",
+        F.least(
+            F.floor(F.col("value") / F.lit(HQ_WIDTH)).cast("int"),
+            F.lit(HQ_BINS - 1),
+        ).alias("bin"),
+        "value",
+    )
+    hist = (
+        binned.groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)  # <= types x 256 rows, read by the
+        # totals, the cumulative pass and the probe
+    )
+    totals = hist.groupBy("event_type").agg(F.sum("cnt").alias("n_events"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(wcum))
+    qdf = spark.createDataFrame([(q,) for q in HQ_QS], "q double")
+    probe = (
+        cum.join(totals, on="event_type", how="inner")
+        .crossJoin(F.broadcast(qdf))
+        .withColumn("r", F.ceil(F.col("q") * F.col("n_events")).cast("long"))
+        .filter((F.col("cum") >= F.col("r")) & (F.col("cum") - F.col("cnt") < F.col("r")))
+        .select(
+            "event_type",
+            "q",
+            "n_events",
+            (
+                F.col("bin").cast("double") * F.lit(HQ_WIDTH)
+                + F.lit(HQ_WIDTH)
+                * (
+                    (F.col("r") - (F.col("cum") - F.col("cnt"))).cast("double")
+                    / F.col("cnt").cast("double")
+                )
+            ).alias("est"),
+        )
+    )
+    # exact verifier: rank-select per type (one sort shuffle — test-scale /
+    # sampled-only at 100 TB)
+    wrn = Window.partitionBy("event_type").orderBy("value")
+    ranked = binned.select("event_type", "value").withColumn(
+        "rn", F.row_number().over(wrn)
+    )
+    exact = (
+        ranked.join(totals, on="event_type", how="inner")
+        .crossJoin(F.broadcast(qdf))
+        .filter(F.col("rn") == F.ceil(F.col("q") * F.col("n_events")).cast("long"))
+        .select("event_type", "q", F.col("value").alias("exact"))
+    )
+    return (
+        probe.join(exact, on=["event_type", "q"], how="inner")
+        .withColumn("abs_err", F.abs(F.col("est") - F.col("exact")))
+        .orderBy("event_type", "q")
+    )

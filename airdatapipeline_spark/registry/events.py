@@ -305,3 +305,56 @@ def q_transition_matrix(spark, sf_dir):
         "n",
         (F.col("n") / F.sum("n").over(per_src).cast("double")).alias("p"),
     )
+
+
+# --- histogram quantile sketch (operators/sketches.py) -----------------------
+
+from ..operators import sketches as _sk  # noqa: E402
+
+_HQ_W = repr(_sk.HQ_WIDTH)
+
+
+@register(
+    "agg_quantile_histogram_sketch",
+    f"""
+    WITH binned AS (
+      SELECT event_type,
+             LEAST(CAST(floor(value / {_HQ_W}) AS INTEGER), {_sk.HQ_BINS - 1}) AS bin,
+             value
+      FROM events),
+    hist AS (SELECT event_type, bin, COUNT(*) AS cnt FROM binned GROUP BY 1, 2),
+    totals AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_events
+               FROM hist GROUP BY 1),
+    cum AS (SELECT event_type, bin, cnt,
+                   CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM hist),
+    qs AS (SELECT unnest([{", ".join(repr(q) for q in _sk.HQ_QS)}]) AS q),
+    pr AS (SELECT c.event_type, s.q, t.n_events, c.bin, c.cnt, c.cum,
+                  CAST(ceil(s.q * t.n_events) AS BIGINT) AS r
+           FROM cum c JOIN totals t USING (event_type) CROSS JOIN qs s),
+    probe AS (SELECT event_type, q, n_events,
+                     CAST(bin AS DOUBLE) * {_HQ_W}
+                       + {_HQ_W} * (CAST(r - (cum - cnt) AS DOUBLE)
+                                    / CAST(cnt AS DOUBLE)) AS est
+              FROM pr WHERE cum >= r AND cum - cnt < r),
+    ranked AS (SELECT event_type, value,
+                      row_number() OVER (PARTITION BY event_type
+                                         ORDER BY value) AS rn
+               FROM binned),
+    exact AS (SELECT rk.event_type, s.q, rk.value AS exact
+              FROM ranked rk JOIN totals t USING (event_type) CROSS JOIN qs s
+              WHERE rk.rn = CAST(ceil(s.q * t.n_events) AS BIGINT))
+    SELECT p.event_type, p.q, p.n_events, p.est, e.exact,
+           abs(p.est - e.exact) AS abs_err
+    FROM probe p JOIN exact e ON e.event_type = p.event_type AND e.q = p.q
+    ORDER BY p.event_type, p.q
+    """,
+)
+def ev_quantile_sketch(spark, sf_dir):
+    """Mergeable 256-bin histogram quantile sketch per event type, graded
+    against exact rank-select quantiles (sketches.quantile_histogram_sketch
+    docstring) — completes the sketch triad (cardinality/frequency/
+    quantiles); unlike Spark's approxQuantile the estimate is
+    partitioning-independent and value-hashes in DuckDB."""
+    return _sk.quantile_histogram_sketch(spark, sf_dir)

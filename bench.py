@@ -133,6 +133,10 @@ HEADLINE = [
     # scale-eligible: replica copies near-dup the replicated eval slice by
     # construction, the same exclusion as the other near-dup text tiers)
     "dedup_fuzzy_decontamination",
+    # continuation-r9: histogram quantile sketch — one partial-agg bin
+    # count + cumulative/probe over types x 256 rows (its exact verifier
+    # is the sort shuffle that dominates at test scale)
+    "agg_quantile_histogram_sketch",
     # the end-to-end curate→chunk→split→pack composite (extension flagship)
     "training_data_build",
     # r4: window/events analytics family (heaviest two) so window-function
@@ -227,6 +231,10 @@ SCALING = [
     # continuation r9: z-order economics — one scan + a 32-group agg;
     # expect ~linear in lineitem rows
     "snk_zorder_layout_stats",
+    # continuation r9: quantile sketch — the SKETCH half is fixed-state
+    # (types x 256 counters); the exact rank-select verifier's sort is
+    # what grows with the replica, called out in MEASURED.md
+    "agg_quantile_histogram_sketch",
 ]
 
 

@@ -148,3 +148,45 @@ def test_hll_linear_counting_flag(spark):
     assert row.exact_distinct == 2  # two distinct 3-shingles
     assert row.regime == "linear_counting_advised"
     assert row.zero_registers > 0
+
+
+# --- histogram quantile sketch -------------------------------------------------
+
+
+def test_histogram_sketch_merge_and_accuracy(spark):
+    """(a) Per-half histograms SUM-merge to the full histogram (the
+    mergeability contract — per-shard histograms combine by addition);
+    (b) every estimate sits within one bin width of the exact rank-select
+    quantile; (c) the sketch state is bounded by types x 256."""
+    from airdatapipeline_spark.io import load_table
+
+    ev = load_table(spark, SF_SMALL, "events").select("event_type", "value")
+    binned = ev.select(
+        "event_type",
+        F.least(
+            F.floor(F.col("value") / F.lit(sketches.HQ_WIDTH)).cast("int"),
+            F.lit(sketches.HQ_BINS - 1),
+        ).alias("bin"),
+    )
+    full = {
+        (r["event_type"], r["bin"]): r["cnt"]
+        for r in binned.groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert len(full) <= 5 * sketches.HQ_BINS
+    merged: dict = {}
+    for half in (
+        binned.filter(F.col("bin") % 2 == 0),
+        binned.filter(F.col("bin") % 2 == 1),
+    ):
+        for r in half.groupBy("event_type", "bin").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).collect():
+            k = (r["event_type"], r["bin"])
+            merged[k] = merged.get(k, 0) + r["cnt"]
+    assert merged == full
+
+    pdf = sketches.quantile_histogram_sketch(spark, SF_SMALL).toPandas()
+    assert len(pdf) == 15  # 5 types x 3 quantiles
+    assert (pdf.abs_err <= sketches.HQ_WIDTH).all()

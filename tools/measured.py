@@ -76,6 +76,7 @@ QUERIES_TO_MEASURE = [
     "snk_zorder_layout_stats",
     "emb_cluster_labels",
     "dedup_fuzzy_decontamination",
+    "agg_quantile_histogram_sketch",
 ]
 
 
