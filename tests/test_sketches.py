@@ -190,3 +190,24 @@ def test_histogram_sketch_merge_and_accuracy(spark):
     pdf = sketches.quantile_histogram_sketch(spark, SF_SMALL).toPandas()
     assert len(pdf) == 15  # 5 types x 3 quantiles
     assert (pdf.abs_err <= sketches.HQ_WIDTH).all()
+
+
+# --- profiler sketch mode --------------------------------------------------------
+
+
+def test_profile_sketch_mode_drops_expand(spark):
+    """distinct_mode='sketch' must (a) remove the Expand the exact
+    multi-column COUNT(DISTINCT) forces into the plan, and (b) estimate
+    every column's cardinality within the HLL++ rsd band of the exact
+    profile."""
+    from airdatapipeline_spark.operators import profile
+
+    exact_df = profile.table_profile(spark, SF_SMALL)
+    sk_df = profile.table_profile(spark, SF_SMALL, distinct_mode="sketch")
+    assert "Expand" in _plan(exact_df)
+    assert "Expand" not in _plan(sk_df)
+    exact = {r["column_name"]: r["n_distinct"] for r in exact_df.collect()}
+    approx = {r["column_name"]: r["n_distinct"] for r in sk_df.collect()}
+    assert set(exact) == set(approx)
+    for c, n in exact.items():
+        assert abs(approx[c] - n) <= max(2, 0.1 * n), (c, n, approx[c])
