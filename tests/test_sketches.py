@@ -211,3 +211,119 @@ def test_profile_sketch_mode_drops_expand(spark):
     assert set(exact) == set(approx)
     for c, n in exact.items():
         assert abs(approx[c] - n) <= max(2, 0.1 * n), (c, n, approx[c])
+
+
+# --- independent pure-Python reference differentials ---------------------------
+# The DuckDB oracles REPLAY the same formulas the operators declare, so a
+# transcription error in the formula itself would pass parity in both
+# engines. These references re-derive the sketches from first principles
+# (hashlib + plain Python) on the collected sf0.001 corpus — the BM25
+# differential-fuzz precedent applied to the sketch family.
+
+
+def _py_shingles(rows):
+    import re
+
+    out = []
+    for source, text in rows:
+        toks = re.split(r"\s+", text.strip())
+        if len(toks) < 3:
+            continue
+        seen = set()
+        for i in range(len(toks) - 2):
+            s = f"{toks[i]} {toks[i+1]} {toks[i+2]}"
+            if s not in seen:
+                seen.add(s)
+                out.append((source, s))
+    return out
+
+
+def _py_hash56(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:14], 16)
+
+
+def test_hll_registers_match_pure_python_reference(spark):
+    from airdatapipeline_spark.io import load_table
+
+    rows = [
+        (r["source"], r["text"])
+        for r in load_table(spark, SF_SMALL, "documents")
+        .select("source", "text")
+        .collect()
+    ]
+    ref: dict = {}
+    for source, sh in _py_shingles(rows):
+        h = _py_hash56(sh)
+        j, w = h % HLL_M, h // HLL_M
+        rho = sketches.HLL_RHO_MAX if w == 0 else sketches.HLL_RHO_MAX - w.bit_length()
+        key = (source, j)
+        ref[key] = max(ref.get(key, 0), rho)
+    hashed = _source_shingles(spark, SF_SMALL).select("source", _hash56().alias("h"))
+    got = {
+        (r["source"], r["j"]): r["m"]
+        for r in sketches.hll_registers(hashed).collect()
+    }
+    assert got == ref
+
+
+def test_kmv_bottom_k_matches_pure_python_reference(spark):
+    from airdatapipeline_spark.io import load_table
+
+    rows = [
+        (r["source"], r["text"])
+        for r in load_table(spark, SF_SMALL, "documents")
+        .select("source", "text")
+        .collect()
+    ]
+    per_src: dict = {}
+    for source, sh in _py_shingles(rows):
+        per_src.setdefault(source, set()).add(_py_hash56(sh))
+    ref = {
+        src: set(sorted(hs)[: sketches.KMV_K]) for src, hs in per_src.items()
+    }
+    hashed = _source_shingles(spark, SF_SMALL).select("source", _hash56().alias("h"))
+    got: dict = {}
+    for r in sketches.kmv_bottom_k(hashed).collect():
+        got.setdefault(r["source"], set()).add(r["h"])
+    assert got == ref
+
+
+def test_histogram_quantiles_match_pure_python_reference(spark):
+    from airdatapipeline_spark.io import load_table
+
+    import math
+
+    vals: dict = {}
+    for r in (
+        load_table(spark, SF_SMALL, "events").select("event_type", "value").collect()
+    ):
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    ref = {}
+    for t, vs in vals.items():
+        hist: dict = {}
+        for v in vs:
+            b = min(int(v / sketches.HQ_WIDTH), sketches.HQ_BINS - 1)
+            hist[b] = hist.get(b, 0) + 1
+        n = len(vs)
+        for q in sketches.HQ_QS:
+            r_ = math.ceil(q * n)
+            cum = 0
+            for b in sorted(hist):
+                if cum + hist[b] >= r_:
+                    est = b * sketches.HQ_WIDTH + sketches.HQ_WIDTH * (
+                        (r_ - cum) / hist[b]
+                    )
+                    ref[(t, q)] = (n, est, sorted(vs)[r_ - 1])
+                    break
+                cum += hist[b]
+    got = {
+        (r["event_type"], r["q"]): (r["n_events"], r["est"], r["exact"])
+        for r in sketches.quantile_histogram_sketch(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(ref)
+    for k, (n, est, exact) in ref.items():
+        gn, gest, gexact = got[k]
+        assert gn == n and gexact == exact, (k, got[k], ref[k])
+        assert abs(gest - est) < 1e-9, (k, gest, est)
