@@ -364,7 +364,16 @@ def quantile_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     quarantined verifier, as everywhere in the sketch family.
 
     Columns: event_type, q, n_events, est, exact, abs_err."""
-    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    # explicit NULL policy: quantiles are over present values (a NULL
+    # would also ORDER differently across engines — Spark sorts nulls
+    # first, DuckDB last — so the filter is a parity requirement, not
+    # just a semantic choice; no NULLs exist in the test data, the filter
+    # pins the contract)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .filter(F.col("value").isNotNull())
+    )
     binned = ev.select(
         "event_type",
         F.least(

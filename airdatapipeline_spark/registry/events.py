@@ -321,7 +321,7 @@ _HQ_W = repr(_sk.HQ_WIDTH)
       SELECT event_type,
              LEAST(CAST(floor(value / {_HQ_W}) AS INTEGER), {_sk.HQ_BINS - 1}) AS bin,
              value
-      FROM events),
+      FROM events WHERE value IS NOT NULL),
     hist AS (SELECT event_type, bin, COUNT(*) AS cnt FROM binned GROUP BY 1, 2),
     totals AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_events
                FROM hist GROUP BY 1),
