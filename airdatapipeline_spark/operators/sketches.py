@@ -1,4 +1,9 @@
-"""Mergeable cardinality sketches: HyperLogLog and KMV (bottom-k).
+"""Mergeable sketches: HyperLogLog, KMV (bottom-k), histogram quantiles.
+
+With text.heavy_hitter_tokens' Misra-Gries frequency sketch, this module
+completes the bounded-state summary toolkit (cardinality / set overlap /
+quantiles / heavy hitters) a 100 TB pipeline runs where exact aggregation
+would shuffle every key.
 
 Extension family for the 100 TB training-data pipeline (no reference
 counterpart — the reference's ETL, /root/reference/scripts/*.py, never
@@ -304,13 +309,15 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact verifier: full distinct shingle sets (test-scale / sampled-only
     # at 100 TB)
     ssets = sh.distinct().localCheckpoint(eager=True)
-    sizes = ssets.groupBy("source").agg(F.countDistinct("shingle").alias("n"))
+    sizes = ssets.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         ssets.withColumnRenamed("source", "source_a")
         .join(ssets.withColumnRenamed("source", "source_b"), on="shingle", how="inner")
         .filter(F.col("source_a") < F.col("source_b"))
         .groupBy("source_a", "source_b")
-        .agg(F.countDistinct("shingle").alias("n_inter"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))  # rows are distinct
+        # (source, shingle) pairs joined on shingle — already unique per
+        # (pair, shingle)
     )
     exact = (
         pairs.join(sizes.withColumnRenamed("source", "source_a").withColumnRenamed("n", "n_a"), on="source_a")
