@@ -1,9 +1,11 @@
 """Mergeable-sketch family (operators/sketches.py) + the JL projection tier:
-plan shapes (bounded state is a PLAN property, not a value property),
-the HLL merge contract, partitioning invariance, accuracy bounds, and the
-linear-counting regime flag on a synthetic low-cardinality corpus.
-Value parity vs DuckDB is covered for all three queries by
-tests/test_oracle_parity.py like every other registration.
+plan shapes (bounded state is a PLAN property, not a value property), the
+HLL/histogram merge contracts, partitioning invariance, accuracy bounds,
+the linear-counting regime flag on a synthetic low-cardinality corpus,
+the profiler's Expand-free sketch mode, and independent pure-Python
+reference differentials for every sketch formula. Value parity vs DuckDB
+is covered for all registered sketch queries by tests/test_oracle_parity.py
+like every other registration.
 """
 
 import os
