@@ -332,10 +332,23 @@ def _calibrate(spark) -> dict[str, float]:
     """Fixed-workload machine-speed probe on the warm session: a pure-Python
     loop (driver/worker CPU) and a JVM whole-stage-codegen range-sum
     (executor CPU). `id % 1000000` keeps the sum inside a long under ANSI
-    arithmetic (sum(id*id) over this range overflows)."""
+    arithmetic (sum(id*id) over this range overflows).
+
+    The timed probe is preceded by UNTIMED ramp runs of the same workload:
+    measured on this host, a fresh session reads 5.2s -> 0.62s -> 0.41s ->
+    0.41s for consecutive probes — the first two carry JIT/thread-pool
+    ramp, not host speed — and bench's start-of-suite probe repeatedly
+    landed on a partially-ramped JVM (0.42-0.46 vs steady 0.31), tripping
+    a FALSE `throttled` flag (drift ~1.4) on runs whose query medians were
+    the fastest of the night. The end probe always ran hot, so the ramp
+    made start/end incomparable; two untimed ramp probes restore the
+    instrument to what its contract states (machine speed on a WARM
+    session) for both brackets symmetrically."""
     t0 = time.time()
     _ = sum(i * i for i in range(5_000_000))
     py_cal = round(time.time() - t0, 3)
+    for _ in range(2):  # untimed ramp (see docstring)
+        spark.range(200_000_000).selectExpr("sum(id % 1000000)").collect()
     t0 = time.time()
     spark.range(200_000_000).selectExpr("sum(id % 1000000)").collect()
     jvm_cal = round(time.time() - t0, 3)
