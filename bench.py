@@ -649,7 +649,18 @@ def main() -> None:
     py_pair = sorted((cal_start["python_loop_s"], cal_end["python_loop_s"]))
     jvm_drift = round(jvm_pair[1] / jvm_pair[0], 3) if jvm_pair[0] > 0 else None
     py_drift = round(py_pair[1] / py_pair[0], 3) if py_pair[0] > 0 else None
-    throttled = bool(jvm_drift and jvm_drift > 1.15)
+    # The flag keys on the PYTHON probe: measured across one session the
+    # JVM probe's value keeps improving with JVM age (5.2s -> 0.62 ->
+    # 0.41 -> ... -> 0.073 by suite end — deeper JIT tiers reached via
+    # accumulated executor activity), so its start/end ratio is a
+    # JVM-maturity meter, not a host meter, and it flagged the FASTEST
+    # runs of a night as throttled. The pure-Python loop is
+    # invocation-stable (no JIT) and shares the host/cgroup with the
+    # executors, and it is the probe that actually caught the one real
+    # mid-suite contamination window observed (py_drift 1.199 on a run
+    # whose tail queries read 3-7x slow while both jvm probes were fast).
+    # jvm_drift stays recorded as informational.
+    throttled = bool(py_drift and py_drift > 1.15)
     calibration_line = {
         "start": cal_start,
         "end": cal_end,
@@ -666,11 +677,14 @@ def main() -> None:
                 "+ JVM codegen range-sum on the warm session), probed at "
                 "suite START and END — same dict as the compact line's "
                 "`calibration` key. Compare two runs' query medians only "
-                "after dividing by their jvm-probe ratio: identical-HEAD "
+                "after dividing by their python-probe ratio: identical-HEAD "
                 "runs drift uniformly ~1.3x under ambient host throttling "
-                "(observed r7). throttled = start/end jvm drift > 1.15 "
-                "(either direction): the reading is not comparable "
-                "cross-round without normalizing."
+                "(observed r7). throttled = start/end PYTHON-probe drift > "
+                "1.15 (either direction): the reading is not comparable "
+                "cross-round without normalizing. The jvm probe is recorded "
+                "as informational only — its value improves with JVM age "
+                "across a session (measured 5.2s -> 0.073s start to end), "
+                "so its drift reflects JIT maturity, not host speed."
             ),
             **calibration_line,
         },
