@@ -573,6 +573,24 @@ def sketch_lines(spark, sf_dir: str) -> list[str]:
 # round-level findings the numbers above build on.
 ROUND_NOTES = [
     "",
+    "## Calibration-probe instrument finding (continuation r9) — history note",
+    "",
+    "Four consecutive exclusive sf0.1 bench runs flagged `throttled: true`",
+    "on the START jvm probe while their query medians were the fastest of",
+    "the night; a controlled experiment (consecutive probes on one fresh",
+    "session) read 5.2s → 0.62 → 0.41 → … → 0.073s by suite end: the JVM",
+    "codegen range-sum keeps speeding up with JVM age (deeper JIT tiers via",
+    "accumulated executor activity), so its start/end ratio is a",
+    "JVM-maturity meter, not a host meter. The `throttled` flag now keys on",
+    "the pure-Python loop probe — invocation-stable, same host/cgroup as",
+    "the executors — which is also the probe that caught the ONE real",
+    "contamination window of the night (py_drift 1.199 on a run whose tail",
+    "queries read 3–7× slow while both jvm probes were fast; standalone",
+    "re-timing confirmed the fast readings as the true ones). The jvm probe",
+    "stays in the line as informational, now preceded by two untimed ramp",
+    "runs. Earlier rounds' jvm-keyed flags remain valid signals for their",
+    "purpose (r7's uniform ~1.3× host throttle showed in BOTH probes).",
+    "",
     "## r9 reference bench window (VERDICT-r8 item 2) — history note",
     "",
     "Full exclusive `bench.py` run at sf0.1, **`throttled: false`** (jvm",
