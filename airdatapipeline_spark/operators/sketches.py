@@ -355,6 +355,73 @@ HQ_WIDTH = HQ_DOMAIN / HQ_BINS  # 2.0 — an exact power of two (bit-safe /2)
 HQ_QS = [0.5, 0.95, 0.99]
 
 
+def hq_bin_expr():
+    """Bin index clamped into [0, HQ_BINS-1] from BOTH sides (ADVICE-r9:
+    the original clamp was upper-only, so an out-of-domain negative value
+    would mint unbounded negative bin ids and break the 'state bounded at
+    HQ_BINS counters per group' contract — out-of-domain mass now lands in
+    the edge bins, keeping the state bound unconditional)."""
+    return F.greatest(
+        F.least(
+            F.floor(F.col("value") / F.lit(HQ_WIDTH)).cast("int"),
+            F.lit(HQ_BINS - 1),
+        ),
+        F.lit(0),
+    )
+
+
+def hq_histogram(ev: DataFrame) -> DataFrame:
+    """(event_type, bin, cnt) histogram state from (event_type, value)
+    rows — the ONE partial-aggregated shuffle whose map side collapses to
+    <= HQ_BINS counters per type per task. Mergeable by plain SUM, which
+    is what the streaming twin exploits."""
+    return (
+        ev.filter(F.col("value").isNotNull())
+        .select("event_type", hq_bin_expr().alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hq_quantile_estimates(spark: SparkSession, hist: DataFrame) -> DataFrame:
+    """Quantile probe over histogram state (event_type, bin, cnt) —
+    SHARED verbatim by the batch sketch and the streaming merge-on-read
+    twin so the two estimates cannot drift. Target rank r = ceil(q*n);
+    inside the first bin whose cumulative count reaches r, interpolate
+    lo + width*(r - cum_before)/bin_count (exact-integer differences, one
+    division, ordered identically in DuckDB). Returns
+    (event_type, q, n_events, est)."""
+    hist = hist.localCheckpoint(eager=True)  # <= types x HQ_BINS rows,
+    # read by the totals, the cumulative pass and the probe
+    totals = hist.groupBy("event_type").agg(F.sum("cnt").alias("n_events"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(wcum))
+    qdf = spark.createDataFrame([(q,) for q in HQ_QS], "q double")
+    return (
+        cum.join(totals, on="event_type", how="inner")
+        .crossJoin(F.broadcast(qdf))
+        .withColumn("r", F.ceil(F.col("q") * F.col("n_events")).cast("long"))
+        .filter((F.col("cum") >= F.col("r")) & (F.col("cum") - F.col("cnt") < F.col("r")))
+        .select(
+            "event_type",
+            "q",
+            "n_events",
+            (
+                F.col("bin").cast("double") * F.lit(HQ_WIDTH)
+                + F.lit(HQ_WIDTH)
+                * (
+                    (F.col("r") - (F.col("cum") - F.col("cnt"))).cast("double")
+                    / F.col("cnt").cast("double")
+                )
+            ).alias("est"),
+        )
+    )
+
+
 def quantile_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type quantile estimates from a 256-bin equi-width
     histogram sketch, graded against the exact rank-select quantiles.
@@ -381,53 +448,13 @@ def quantile_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "value")
         .filter(F.col("value").isNotNull())
     )
-    binned = ev.select(
-        "event_type",
-        F.least(
-            F.floor(F.col("value") / F.lit(HQ_WIDTH)).cast("int"),
-            F.lit(HQ_BINS - 1),
-        ).alias("bin"),
-        "value",
-    )
-    hist = (
-        binned.groupBy("event_type", "bin")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)  # <= types x 256 rows, read by the
-        # totals, the cumulative pass and the probe
-    )
-    totals = hist.groupBy("event_type").agg(F.sum("cnt").alias("n_events"))
-    wcum = (
-        Window.partitionBy("event_type")
-        .orderBy("bin")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = hist.withColumn("cum", F.sum("cnt").over(wcum))
+    probe = hq_quantile_estimates(spark, hq_histogram(ev))
+    totals = probe.select("event_type", "n_events").distinct()
     qdf = spark.createDataFrame([(q,) for q in HQ_QS], "q double")
-    probe = (
-        cum.join(totals, on="event_type", how="inner")
-        .crossJoin(F.broadcast(qdf))
-        .withColumn("r", F.ceil(F.col("q") * F.col("n_events")).cast("long"))
-        .filter((F.col("cum") >= F.col("r")) & (F.col("cum") - F.col("cnt") < F.col("r")))
-        .select(
-            "event_type",
-            "q",
-            "n_events",
-            (
-                F.col("bin").cast("double") * F.lit(HQ_WIDTH)
-                + F.lit(HQ_WIDTH)
-                * (
-                    (F.col("r") - (F.col("cum") - F.col("cnt"))).cast("double")
-                    / F.col("cnt").cast("double")
-                )
-            ).alias("est"),
-        )
-    )
     # exact verifier: rank-select per type (one sort shuffle — test-scale /
     # sampled-only at 100 TB)
     wrn = Window.partitionBy("event_type").orderBy("value")
-    ranked = binned.select("event_type", "value").withColumn(
-        "rn", F.row_number().over(wrn)
-    )
+    ranked = ev.withColumn("rn", F.row_number().over(wrn))
     exact = (
         ranked.join(totals, on="event_type", how="inner")
         .crossJoin(F.broadcast(qdf))

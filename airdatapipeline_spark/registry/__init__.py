@@ -62,100 +62,83 @@ from . import sources_sinks  # noqa: F401,E402
 # 50 names.
 # ---------------------------------------------------------------------------
 
-# r9 rotation (VERDICT-r8 item 3 — continue the freshness ladder). After
-# r8 the staleness profile is: 30 queries newest-green at r5 (the
-# relational/dashboard cohort), 47 at r6, 47 at r7, 50 at r8 (computed
-# from CORRECTNESS_r01-r08). Composition:
+# r10 rotation (VERDICT-r9 item 2 — restore the round-4 invariant "every
+# registered query has >= 1 driver row", then keep lowering max staleness).
+# After r9 the staleness profile is: 2 never-driver-checked (the late-r9
+# registrations that landed after the r9 window was already committed),
+# 47 newest-green at r6, 47 at r7, 47 at r8, 50 at r9 (computed from
+# CORRECTNESS_r01-r09). Composition:
 #   - 3 family canaries (pinned by the window-integrity test);
-#   - ALL 30 r5-stale queries (the P/A/T/J relational scalars, the a-
-#     aggregation family, q_expectations/scalar_display, src_csv_roundtrip
-#     — max staleness drops r5 → r6);
-#   - the new r9 registrations (simsearch_clustered_tier_recall — the
-#     production IVF/BQ/PQ codecs graded on the 64-dim clustered regime;
-#     simsearch_clustered_residual_ivfpq — the residual-coding fix for the
-#     measured PQ collapse; simsearch_clustered_rpq_rerank — the full
-#     ADC+refine serve at recall 1.00; text_lm_perplexity_filter — the
-#     CCNet-style bigram-LM quality filter; stream_lm_gated_ingest — the
-#     trained model applied at the ingest door via foreachBatch);
-#   - 6 of the 47 r6-green queries: the shard-lifecycle core
-#     (append/compact/delete conservation, verify report, epoch token
-#     slice, streaming shard ingest); the heavy-plan picks originally
-#     slotted here (tpch q1/q3/q9, repetition filters) plus epoch_schedule
-#     and curated_append yielded their slots to the six LATE-r9
-#     registrations (BPE trainer/vocab/compression, OOV coverage, SQ8
-#     k-means batch + streaming-ingest twin) and rotate in r10.
-# Max driver-row staleness after r9: r6.
+#   - slots 4-5: the two queries with NO driver row ever —
+#     agg_quantile_histogram_sketch + dedup_fuzzy_decontamination
+#     (both value-hash-green locally every pytest run since late r9);
+#   - new r10 registrations (stream_quantile_ingest_append — the
+#     merge-on-read streaming twin of the quantile histogram sketch,
+#     VERDICT-r9 item 7);
+#   - the remaining 44 slots: 44 of the 47 r6-stale queries (tpch
+#     q1/q3/q5..., the shard lifecycle family, repetition filters,
+#     epoch_schedule, curated_append, the streaming append family, ...).
+#     Left at r6 for r11: mm_decode_features (mm family re-proven r7),
+#     stream_dedup_append + stream_sliding_append (stream family gained
+#     three fresh r9 greens; all three stay value-hash-checked every
+#     pytest run).
+# Max driver-row staleness after a green r10 window: r6 for those three,
+# r7 for everything else — and 193/193 have a driver row again.
 _DRIVER_WINDOW = [
     # --- §2 family flagships (regression canaries) -------------------------
     "flagship_enrichment_gold",
     "a2_w1_daily_category_gold",
     "src1_scrape_clean",
-    # --- newest driver row is r5 (all 30) ----------------------------------
-    "a1_daily_sentiment_gold",
-    "a3_sentiment_today",
-    "a4_top_categories_today",
-    "a5_a6_a7_today_scalars",
-    "a8_confidence_by_date_sentiment",
-    "a9_sentiment_distribution_pct",
-    "a10_period_kpis",
-    "a11_category_totals",
-    "a12_pivot_date_category",
-    "a13_unpivot_sentiment_long",
-    "a14_collect_confidences",
-    "a15_histogram_bins",
-    "a16_a19_summary_stats",
-    "d1_d2_dedup_headlines",
-    "d4_distinct_dates",
-    "j1_pending_antijoin",
-    "j2_j3_pending_metrics",
-    "p1_staging_projection",
-    "p2_p3_clean_links",
-    "p5_p6_today_ok_rows",
-    "p7_date_range_filter",
-    "p8_nulldrop_metric",
-    "p9_top5_membership_filter",
-    "p10_validate_domains",
-    "q_expectations_report",
-    "q_scalar_display_functions",
-    "src_csv_roundtrip",
-    "t1_t2_gold_ordered",
-    "t3_recent_headlines_topk",
-    "t4_t5_batch_limit",
-    # --- new r9 registrations ----------------------------------------------
-    "simsearch_clustered_tier_recall",
-    "simsearch_clustered_residual_ivfpq",
-    "simsearch_clustered_rpq_rerank",
-    "text_lm_perplexity_filter",
-    "stream_lm_gated_ingest",
-    # --- newest driver row is r6: all six lifecycle picks ultimately
-    # yielded their slots to never-driver-checked continuation-r9
-    # registrations (they keep their r6 rows, stay value-hash-checked
-    # every pytest run, and rotate in r10) -----------------------------------
-    # --- continuation-session r9 registrations (never driver-checked; the
-    # mergeable-sketch family + the JL projection tier displace three more
-    # r6-green lifecycle picks — text_shard_verify_report,
-    # text_epoch_token_slice, stream_shard_ingest — which keep their r6
-    # rows and rotate in r10) ------------------------------------------------
-    "text_hll_shingle_cardinality",
-    "text_kmv_source_overlap",
-    "simsearch_rp_recall",
-    # z-order layout economics + the streaming HLL twin (displace
-    # text_shard_append_conservation and text_shard_compact_conservation,
-    # which keep their r6 rows and rotate in r10 with their siblings —
-    # never-driver-checked new queries outrank re-proof of r6-green ones;
-    # the whole lifecycle family stays value-hash-checked every pytest run)
-    "snk_zorder_layout_stats",
-    "stream_hll_register_ingest",
-    "emb_cluster_labels",
-    # --- late-r9 registrations (never driver-checked; displace six r6-green
-    # picks — tpch_q1/q3/q9, repetition_filters, epoch_schedule,
-    # curated_append — which keep their r6 rows and rotate in r10) -----------
-    "text_bpe_train_merges",
-    "text_bpe_vocab_top",
-    "text_vocab_oov_rate",
-    "emb_kmeans_sq8_stats",
-    "text_bpe_compression_by_source",
-    "stream_kmeans_assign_ingest",
+    # --- never driver-checked (late-r9 registrations) -----------------------
+    "agg_quantile_histogram_sketch",
+    "dedup_fuzzy_decontamination",
+    # --- new r10 registration ----------------------------------------------
+    "stream_quantile_ingest_append",
+    # --- newest driver row is r6 (44 of the 47) ----------------------------
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_regional_revenue",
+    "agg_rollup_lineitem",
+    "agg_distinct_customers_per_segment",
+    "w_topk_customers_per_nation",
+    "w_running_daily_revenue",
+    "tpch_q4_order_priority_exists",
+    "tpch_q13_custdist",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q12_priority_shipping",
+    "tpch_q14_promo_revenue_pct",
+    "tpch_q9_profit_by_nation_year",
+    "bucketed_order_revenue",
+    "j_salted_hotkey_events",
+    "events_daily_by_type",
+    "events_json_extract",
+    "events_sessionization",
+    "ev_range_errors_near_clicks",
+    "text_token_stats_by_source",
+    "text_quality_scores",
+    "text_langid_confusion",
+    "text_fingerprint_clusters",
+    "text_train_val_split",
+    "text_decontamination",
+    "text_repetition_filters",
+    "text_pii_redaction",
+    "text_sequence_packing",
+    "text_chunking",
+    "text_shard_append_conservation",
+    "text_shard_compact_conservation",
+    "text_shard_delete_conservation",
+    "text_shard_verify_report",
+    "text_epoch_schedule",
+    "text_epoch_token_slice",
+    "text_curated_append",
+    "dedup_exact_groups",
+    "dedup_ngram_jaccard_pairs",
+    "stream_tumbling_append",
+    "stream_session_append",
+    "stream_shard_ingest",
+    "scd2_customer_dim",
 ]
 
 # All previously driver-proven names (newest green driver row in some
@@ -163,6 +146,16 @@ _DRIVER_WINDOW = [
 # tests/test_oracle_parity.py) — these yield the window to never-checked
 # queries. Grouped below by the round whose rotation moved them out.
 _PRIOR_GREEN = {
+    # r09 greens (the whole r9 window was green 50/50; names below are the
+    # 15 queries registered and proven in r9, rotated out for r10)
+    "simsearch_clustered_tier_recall", "simsearch_clustered_residual_ivfpq",
+    "simsearch_clustered_rpq_rerank", "text_lm_perplexity_filter",
+    "stream_lm_gated_ingest", "text_hll_shingle_cardinality",
+    "text_kmv_source_overlap", "simsearch_rp_recall",
+    "snk_zorder_layout_stats", "stream_hll_register_ingest",
+    "emb_cluster_labels", "text_bpe_train_merges", "text_bpe_vocab_top",
+    "text_vocab_oov_rate", "emb_kmeans_sq8_stats",
+    "text_bpe_compression_by_source", "stream_kmeans_assign_ingest",
     # r08 greens (the whole r8 window was green 50/50; names below are the
     # r8-window members without an earlier _PRIOR_GREEN row — the six
     # queries registered and proven in r8, rotated out for r9)

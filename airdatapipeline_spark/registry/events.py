@@ -313,13 +313,18 @@ from ..operators import sketches as _sk  # noqa: E402
 
 _HQ_W = repr(_sk.HQ_WIDTH)
 
-
-@register(
-    "agg_quantile_histogram_sketch",
-    f"""
-    WITH binned AS (
+# The sketch-build + probe CTE chain, shared VERBATIM by the batch oracle
+# (agg_quantile_histogram_sketch, which adds the exact-rank verifier) and
+# the streaming twin's oracle (stream_quantile_ingest_append in
+# registry/streaming.py, which reads the probe directly — the drained
+# merge-on-read estimate equals the batch sketch). The GREATEST(..., 0)
+# lower clamp mirrors sketches.hq_bin_expr (ADVICE-r9: boundedness must
+# hold for out-of-domain negative values too).
+HQ_PROBE_CTES = f"""
+    binned AS (
       SELECT event_type,
-             LEAST(CAST(floor(value / {_HQ_W}) AS INTEGER), {_sk.HQ_BINS - 1}) AS bin,
+             GREATEST(LEAST(CAST(floor(value / {_HQ_W}) AS INTEGER),
+                            {_sk.HQ_BINS - 1}), 0) AS bin,
              value
       FROM events WHERE value IS NOT NULL),
     hist AS (SELECT event_type, bin, COUNT(*) AS cnt FROM binned GROUP BY 1, 2),
@@ -337,7 +342,13 @@ _HQ_W = repr(_sk.HQ_WIDTH)
                      CAST(bin AS DOUBLE) * {_HQ_W}
                        + {_HQ_W} * (CAST(r - (cum - cnt) AS DOUBLE)
                                     / CAST(cnt AS DOUBLE)) AS est
-              FROM pr WHERE cum >= r AND cum - cnt < r),
+              FROM pr WHERE cum >= r AND cum - cnt < r)"""
+
+
+@register(
+    "agg_quantile_histogram_sketch",
+    f"""
+    WITH {HQ_PROBE_CTES},
     ranked AS (SELECT event_type, value,
                       row_number() OVER (PARTITION BY event_type
                                          ORDER BY value) AS rn

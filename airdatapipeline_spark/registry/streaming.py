@@ -310,3 +310,25 @@ def st_hll_register_ingest(spark, sf_dir):
     equals the batch sketch over the same corpus — the oracle replays the
     batch formula."""
     return streaming_events.hll_register_ingest_append(spark, sf_dir)
+
+
+from .events import HQ_PROBE_CTES  # noqa: E402  (the batch sketch's probe, reused)
+
+
+@register(
+    "stream_quantile_ingest_append",
+    f"""
+    WITH {HQ_PROBE_CTES}
+    SELECT event_type, q, n_events, est FROM probe ORDER BY event_type, q
+    """,
+)
+def st_quantile_ingest(spark, sf_dir):
+    """Quantile-sketch-maintenance-at-ingest: each arriving micro-batch
+    appends its PARTIAL 256-bin histogram counters (byte-identical build
+    to the batch sketch) keyed by a content fingerprint of the source
+    file; the live estimate is max-merge-per-fingerprint (absorbing
+    redelivered content with no committed-key bookkeeping) then SUM across
+    files on read, probed through the batch query's own
+    hq_quantile_estimates path. The drained estimate equals the batch
+    sketch over the same corpus — the oracle replays the batch probe."""
+    return streaming_events.quantile_ingest_append(spark, sf_dir)

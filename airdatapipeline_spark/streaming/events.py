@@ -861,3 +861,100 @@ def hll_register_ingest_append(
         .agg(F.max("m").alias("m"))
     )
     return hll_scope_estimates(merged).orderBy("scope")
+
+
+def quantile_ingest_append(
+    spark: SparkSession,
+    sf_dir: str,
+    landing_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+    out_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Quantile-sketch-maintenance-at-ingest: each arriving micro-batch of
+    events appends its PARTIAL 256-bin histogram counters
+    (operators/sketches.hq_histogram — byte-identical to the batch build)
+    to an append-only counter store; the live per-type quantile estimates
+    are the merge-on-read SUM of everything appended, probed through the
+    SAME hq_quantile_estimates path as the batch query, so online and
+    offline estimates cannot drift (completes the r9 streaming-sketch set:
+    HLL had its twin, the histogram sketch was batch-only — VERDICT-r9
+    item 7).
+
+    Redelivery contract: SUM-merge, unlike HLL's max-merge, is NOT
+    idempotent — a redelivered file would double-count. The fix stays
+    CRDT-shaped rather than falling back to committed-key bookkeeping:
+    partial counters are keyed by a CONTENT fingerprint of their source
+    file (order-free XOR of per-row xxhash64 over the columns the sketch
+    consumes, mixed with the row count), and the read path max-merges duplicates
+    per (file_fp, type, bin) BEFORE summing across files. A redelivered
+    file — same content, any path, any batch — reproduces byte-identical
+    partial rows under the same fingerprint, and the max-merge absorbs
+    them with zero drift (pytest redelivers within-run and cross-run and
+    asserts bit-identical estimates). Two genuinely distinct files with
+    identical content collapse too; that is the content-addressed
+    at-least-once semantic, same as the shard-ingest gate.
+
+    At 100 TB: per-batch state is <= files x types x HQ_BINS rows of
+    integer counters, cross-batch state is the same append-only store
+    (compactable by pre-merging, exactly like shard compaction), and
+    exactly-once delivery is not required for correctness. The drained
+    estimate equals the batch sketch over the same corpus — what the
+    DuckDB oracle replays."""
+    from ..operators.sketches import hq_bin_expr, hq_histogram, hq_quantile_estimates
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    reader = spark.readStream.schema(batch_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(landing_dir or _landing_dir(sf_dir))
+
+    out = out_dir or tempfile.mkdtemp(prefix="hq_regs_sink_")
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="hq_regs_ckpt_")
+    out_schema = "file_fp long, event_type string, bin int, cnt long"
+
+    def contribute(bdf: DataFrame, _bid: int) -> None:
+        rows = bdf.select(
+            F.input_file_name().alias("fpath"), "event_id", "event_type", "value"
+        )
+        # content fingerprint per source file: order-free XOR (overflow-free
+        # under ANSI, unlike a hash SUM) over exactly the columns the sketch
+        # consumes (+ event_id for row identity), so a redelivered file
+        # fingerprints identically under any path/batch
+        fps = rows.groupBy("fpath").agg(
+            F.expr(
+                "bit_xor(xxhash64(event_id, event_type, value)) ^ count(*)"
+            ).alias("file_fp")
+        )
+        part = (
+            rows.filter(F.col("value").isNotNull())
+            .select("fpath", "event_type", hq_bin_expr().alias("bin"))
+            .groupBy("fpath", "event_type", "bin")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .join(F.broadcast(fps), "fpath")
+            .select("file_fp", "event_type", "bin", "cnt")
+        )
+        part.write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(contribute)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    merged = (
+        spark.read.schema(out_schema)
+        .parquet(out)
+        # duplicate partial rows from redelivered content are bit-identical
+        # under their fingerprint key: max-merge absorbs them...
+        .groupBy("file_fp", "event_type", "bin")
+        .agg(F.max("cnt").alias("cnt"))
+        # ...then counts SUM across distinct files (the mergeable-histogram
+        # property the batch sketch's docstring advertises)
+        .groupBy("event_type", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return hq_quantile_estimates(spark, merged).orderBy("event_type", "q")

@@ -1149,3 +1149,66 @@ def test_hll_register_ingest_redelivery_free(spark, tmp_path):
         ).collect()
     }
     assert redelivered == once
+
+
+def test_quantile_ingest_redelivery_content_keyed(spark, tmp_path):
+    """The streaming quantile sketch's merge contract (VERDICT-r9 item 7):
+    SUM-merge is not idempotent, so partial histogram counters are keyed by
+    a CONTENT fingerprint of their source file and max-merged per key
+    before the cross-file SUM. Within-run (same file twice, one per
+    micro-batch, under DIFFERENT names) AND cross-run (fresh checkpoint,
+    same pinned sink — the full landing dir replays and appends duplicate
+    partial counters) must both produce BIT-IDENTICAL estimates to the
+    single-delivery run, and the drained estimate must equal the batch
+    sketch's probe over the same corpus."""
+    import shutil
+
+    from airdatapipeline_spark.operators import sketches as sk
+    from airdatapipeline_spark.streaming import events as se
+
+    sf = SF_SMALL
+    batch = {
+        (r["event_type"], r["q"]): (r["n_events"], r["est"])
+        for r in sk.quantile_histogram_sketch(spark, sf).collect()
+    }
+
+    landing = str(tmp_path / "landing")
+    shutil.os.makedirs(landing)
+    shutil.copy(f"{sf}/events.parquet", f"{landing}/a.parquet")
+    once = {
+        (r["event_type"], r["q"]): (r["n_events"], r["est"])
+        for r in se.quantile_ingest_append(spark, sf, landing_dir=landing).collect()
+    }
+    assert once == batch  # streaming merge-on-read == batch sketch probe
+
+    # within-run redelivery: same content under two names, one per batch —
+    # the path-independent content fingerprint must collapse them
+    landing2 = str(tmp_path / "landing2")
+    shutil.os.makedirs(landing2)
+    shutil.copy(f"{sf}/events.parquet", f"{landing2}/a.parquet")
+    shutil.copy(f"{sf}/events.parquet", f"{landing2}/b.parquet")
+    dup = {
+        (r["event_type"], r["q"]): (r["n_events"], r["est"])
+        for r in se.quantile_ingest_append(
+            spark, sf, landing_dir=landing2, max_files_per_trigger=1
+        ).collect()
+    }
+    assert dup == once
+
+    # cross-run redelivery against the SAME pinned sink, fresh checkpoint:
+    # the counter store now holds every partial counter TWICE — the
+    # per-fingerprint max-merge must absorb it with zero drift
+    out = str(tmp_path / "sink")
+    shutil.os.makedirs(out)
+    se.quantile_ingest_append(
+        spark, sf, landing_dir=landing, out_dir=out,
+        checkpoint_dir=str(tmp_path / "ckpt1"),
+    )
+    redelivered = {
+        (r["event_type"], r["q"]): (r["n_events"], r["est"])
+        for r in se.quantile_ingest_append(
+            spark, sf, landing_dir=landing, out_dir=out,
+            checkpoint_dir=str(tmp_path / "ckpt2"),
+        ).collect()
+    }
+    assert redelivered == once
