@@ -988,6 +988,10 @@ def fuzzy_decontamination(
         .localCheckpoint(eager=True)  # candidate pairs (tiny) feed three
         # joins below; without this each re-runs the banded join
     )
+    # the eager checkpoint above decouples every downstream read from the
+    # band stream — release the cache instead of leaking it for the
+    # session lifetime (ADVICE-r9)
+    bands.unpersist(blocking=False)
     sh = _shingles(load_table(spark, sf_dir, "documents"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     tr_sh = sh.join(cand, on="doc_id", how="inner")  # candidates' shingles

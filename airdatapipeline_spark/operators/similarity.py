@@ -1732,25 +1732,27 @@ def rp_rerank_topk(
     """The PRODUCTION RP serve (the BQ tier's two-stage shape): stage 1
     ranks in the 16-dim projected space and keeps top-RP_RERANK candidates
     per query (4x narrower scan/shuffle); stage 2 re-ranks ONLY those
-    O(Q·rerank) ids by true 64-dim cosine via broadcast join-backs —
-    corpus-size-independent, exactly like simsearch_bq_topk's stage 2."""
+    O(Q·rerank) ids by true 64-dim cosine. The BROADCAST side of stage 2
+    is the Q·rerank candidate table (with its query vectors attached) —
+    the corpus streams through one scan against it, so the broadcast is
+    corpus-size-independent, not just the output row count (ADVICE-r9:
+    the first cut broadcast the full embeddings table, which OOMs at
+    100 TB; broadcasting the small side keeps the identical join result)."""
     cand = rp_topk(spark, sf_dir, n_queries, RP_RERANK).select(
         "query_id", "neighbor_id"
     )
     full = with_norm(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "emb", "norm"
     )
-    qside = F.broadcast(
-        full.filter(F.col("vec_id") < n_queries).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("emb").alias("q_emb"),
-            F.col("norm").alias("q_norm"),
-        )
+    qside = full.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
     )
     scored = (
-        cand.join(qside, on="query_id", how="inner")
+        full.withColumnRenamed("vec_id", "neighbor_id")
         .join(
-            F.broadcast(full.withColumnRenamed("vec_id", "neighbor_id")),
+            F.broadcast(cand.join(qside, on="query_id", how="inner")),
             on="neighbor_id",
             how="inner",
         )

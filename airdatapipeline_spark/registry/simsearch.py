@@ -1025,6 +1025,19 @@ _RP_LIST_SQL = "[" + ", ".join(
 ) + "]::DOUBLE[]"
 
 
+# Oracle constants bound to the Spark callables' OWN defaults (inspect, not
+# re-typed literals) so a changed default cannot silently desync engine and
+# oracle (ADVICE-r9: these two oracles hardcoded n_queries/k/top_n/min_tf
+# while the Spark side took them as function defaults).
+import inspect as _inspect  # noqa: E402
+
+_RP_SIG = _inspect.signature(similarity.rp_recall).parameters
+_RP_NQ = _RP_SIG["n_queries"].default
+_RP_K = _RP_SIG["k"].default
+_CL_SIG = _inspect.signature(similarity.cluster_labels).parameters
+_CL_TOP_N = _CL_SIG["top_n"].default
+_CL_MIN_TF = _CL_SIG["min_tf"].default
+
 @register(
     "simsearch_rp_recall",
     f"""
@@ -1039,9 +1052,9 @@ _RP_LIST_SQL = "[" + ", ".join(
                  ORDER BY list_dot_product(q.emb, c.emb) / (q.norm * c.norm) DESC,
                           c.vec_id
                ) AS rank
-        FROM e c, (SELECT * FROM e WHERE vec_id < 10) q
+        FROM e c, (SELECT * FROM e WHERE vec_id < {_RP_NQ}) q
         WHERE c.vec_id <> q.vec_id
-      ) WHERE rank <= 5),
+      ) WHERE rank <= {_RP_K}),
     rpranked AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                row_number() OVER (
@@ -1049,9 +1062,9 @@ _RP_LIST_SQL = "[" + ", ".join(
                  ORDER BY list_dot_product(q.rp, c.rp) / (q.rp_norm * c.rp_norm) DESC,
                           c.vec_id
                ) AS rank
-        FROM rp c, (SELECT * FROM rp WHERE vec_id < 10) q
+        FROM rp c, (SELECT * FROM rp WHERE vec_id < {_RP_NQ}) q
         WHERE c.vec_id <> q.vec_id),
-    rptop AS (SELECT query_id, neighbor_id FROM rpranked WHERE rank <= 5),
+    rptop AS (SELECT query_id, neighbor_id FROM rpranked WHERE rank <= {_RP_K}),
     cand AS (SELECT query_id, neighbor_id FROM rpranked
              WHERE rank <= {similarity.RP_RERANK}),
     rr AS (
@@ -1065,7 +1078,7 @@ _RP_LIST_SQL = "[" + ", ".join(
         FROM cand c
         JOIN e qe ON qe.vec_id = c.query_id
         JOIN e ne ON ne.vec_id = c.neighbor_id
-      ) WHERE rank <= 5),
+      ) WHERE rank <= {_RP_K}),
     hits AS (SELECT t.query_id, COUNT(*) AS rp_hits
              FROM truth t JOIN rptop r
                ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id
@@ -1081,10 +1094,10 @@ _RP_LIST_SQL = "[" + ", ".join(
              LEFT JOIN hits h ON h.query_id = s.query_id
              LEFT JOIN rrhits rh ON rh.query_id = s.query_id)
     SELECT query_id, rp_hits, rp_rerank_hits,
-           rp_hits / 5.0 AS rp_recall,
-           rp_rerank_hits / 5.0 AS rp_rerank_recall,
-           (SELECT CAST(SUM(rp_hits) AS DOUBLE) / 50.0 FROM outq) AS panel_rp_recall,
-           (SELECT CAST(SUM(rp_rerank_hits) AS DOUBLE) / 50.0 FROM outq)
+           rp_hits / CAST({_RP_K} AS DOUBLE) AS rp_recall,
+           rp_rerank_hits / CAST({_RP_K} AS DOUBLE) AS rp_rerank_recall,
+           (SELECT CAST(SUM(rp_hits) AS DOUBLE) / ({_RP_NQ} * {_RP_K}) FROM outq) AS panel_rp_recall,
+           (SELECT CAST(SUM(rp_rerank_hits) AS DOUBLE) / ({_RP_NQ} * {_RP_K}) FROM outq)
              AS panel_rp_rerank_recall
     FROM outq ORDER BY query_id
     """,
@@ -1129,7 +1142,7 @@ def ss_rp_recall(spark, sf_dir):
       JOIN nc n ON n.cluster_id = f.cluster_id
       JOIN tg g ON g.token = f.token
       CROSS JOIN tot t
-      WHERE f.tf_in_cluster >= 5),
+      WHERE f.tf_in_cluster >= {_CL_MIN_TF}),
     ranked AS (
       SELECT *, row_number() OVER (
                PARTITION BY cluster_id
@@ -1137,7 +1150,7 @@ def ss_rp_recall(spark, sf_dir):
       FROM scored)
     SELECT cluster_id, CAST(rank AS INTEGER) AS rank, token, tf_in_cluster,
            cluster_tokens, tf_corpus, total_tokens, distinctiveness
-    FROM ranked WHERE rank <= 3
+    FROM ranked WHERE rank <= {_CL_TOP_N}
     ORDER BY cluster_id, rank
     """,
 )
