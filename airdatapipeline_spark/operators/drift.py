@@ -1,0 +1,112 @@
+"""Snapshot drift detection for training-data pipelines.
+
+Extension family (no reference counterpart — the reference's ETL,
+/root/reference/scripts/*.py, processes one day's headlines; a web-scale
+corpus pipeline re-ingests continuously and must detect when a NEW
+snapshot's distribution has drifted from the one the filters/mixers were
+tuned on — the data-quality gate every production training pipeline runs
+before retraining: "did the crawler/upstream change under us?").
+
+Design (the repo's engine-parity + 100 TB rules):
+
+- **Fixed-bin histograms, not quantile comparisons**: each per-document
+  metric (token count, char length) is clamped into DRIFT_BINS fixed
+  equi-width bins — per-snapshot state is <= metrics x DRIFT_BINS integer
+  counters, mergeable by plain SUM (the quantile-sketch contract), built
+  by ONE partial-aggregated groupBy over ONE corpus scan (both metrics
+  ride a single stack() unpivot — no second scan).
+- **ln-free divergence**: PSI's per-bin ln(pA/pB) would hang parity on
+  libm rounding (the BM25/LM lesson). The drift statistic here is total
+  variation distance, computed EXACTLY in integers before one final
+  division: |cA*totB - cB*totA| summed as BIGINT (order-free, no float
+  accumulation hazard), TVD = that sum / (2*totA*totB) — a single
+  deterministic IEEE division from exact integer state, bit-equal in both
+  engines. Per-bin probability columns are likewise single divisions.
+- **Deterministic snapshots**: A/B = doc_id parity (stands in for
+  yesterday's vs today's ingest partition; at 100 TB the two sides are
+  two date partitions and the histogram build prunes to them).
+
+Empty-bin behavior: bins unseen in BOTH snapshots contribute nothing and
+are absent from the output; a bin seen in only one contributes its full
+mass to the TVD (|cA*totB - 0|), which is exactly the drift signal —
+no +1 smoothing noise needed (the c-TF-IDF exactness argument).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from .text import tokens_col
+
+DRIFT_BINS = 16
+DRIFT_TOKEN_WIDTH = 16  # documents run ~tens-to-hundreds of tokens
+DRIFT_CHAR_WIDTH = 128
+
+
+def _bin(col, width: int):
+    return F.greatest(
+        F.least(
+            F.floor(col / F.lit(width)).cast("int"), F.lit(DRIFT_BINS - 1)
+        ),
+        F.lit(0),
+    )
+
+
+def snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two corpus snapshots, per metric:
+    one row per (metric, bin) present in either snapshot, with the exact
+    per-snapshot counts, single-division probabilities, the bin's exact
+    integer TVD contribution, and the metric-level total variation
+    distance repeated per row (so the oracle value-hashes the whole
+    decision surface, not just the scalar).
+
+    Columns: metric, bin, n_a, n_b, p_a, p_b, tvd_num (exact integer
+    |cA*totB - cB*totA|), tvd (metric-level, in [0,1])."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        ((F.col("doc_id") % 2) == 0).alias("is_a"),
+        F.size(tokens_col()).alias("n_tok"),
+        F.length("text").alias("n_chr"),
+    )
+    # one scan, both metrics: stack() unpivots the two bin columns into
+    # (metric, bin) rows, so the single groupBy's partial aggregation
+    # collapses map-side to <= 2 x DRIFT_BINS x 2 counters per task
+    binned = (
+        docs.withColumn("tok_bin", _bin(F.col("n_tok"), DRIFT_TOKEN_WIDTH))
+        .withColumn("chr_bin", _bin(F.col("n_chr"), DRIFT_CHAR_WIDTH))
+        .selectExpr(
+            "is_a",
+            "stack(2, 'tokens', tok_bin, 'chars', chr_bin) AS (metric, bin)",
+        )
+    )
+    hist = binned.groupBy("metric", "bin").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).cast("long").alias("n_b"),
+    )
+    from pyspark.sql import Window
+
+    per_metric = Window.partitionBy("metric")
+    scored = (
+        hist.withColumn("tot_a", F.sum("n_a").over(per_metric))
+        .withColumn("tot_b", F.sum("n_b").over(per_metric))
+        .withColumn(
+            "tvd_num",
+            F.abs(F.col("n_a") * F.col("tot_b") - F.col("n_b") * F.col("tot_a")),
+        )
+        .withColumn("tvd_den", F.lit(2) * F.col("tot_a") * F.col("tot_b"))
+    )
+    return scored.select(
+        "metric",
+        F.col("bin").cast("long").alias("bin"),  # BIGINT — matches the
+        # oracle's DuckDB integer promotion through stack/union
+        "n_a",
+        "n_b",
+        (F.col("n_a").cast("double") / F.col("tot_a").cast("double")).alias("p_a"),
+        (F.col("n_b").cast("double") / F.col("tot_b").cast("double")).alias("p_b"),
+        "tvd_num",
+        (
+            F.sum("tvd_num").over(per_metric).cast("double")
+            / F.col("tvd_den").cast("double")
+        ).alias("tvd"),
+    ).orderBy("metric", "bin")

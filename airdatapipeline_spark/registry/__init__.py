@@ -74,16 +74,17 @@ from . import sources_sinks  # noqa: F401,E402
 #     (both value-hash-green locally every pytest run since late r9);
 #   - new r10 registrations (stream_quantile_ingest_append — the
 #     merge-on-read streaming twin of the quantile histogram sketch,
-#     VERDICT-r9 item 7);
-#   - the remaining 44 slots: 44 of the 47 r6-stale queries (tpch
+#     VERDICT-r9 item 7; text_snapshot_drift — exact-integer-TVD
+#     distribution drift between corpus snapshots, the retrain gate);
+#   - the remaining 43 slots: 43 of the 47 r6-stale queries (tpch
 #     q1/q3/q5..., the shard lifecycle family, repetition filters,
 #     epoch_schedule, curated_append, the streaming append family, ...).
 #     Left at r6 for r11: mm_decode_features (mm family re-proven r7),
-#     stream_dedup_append + stream_sliding_append (stream family gained
-#     three fresh r9 greens; all three stay value-hash-checked every
-#     pytest run).
-# Max driver-row staleness after a green r10 window: r6 for those three,
-# r7 for everything else — and 193/193 have a driver row again.
+#     stream_dedup_append + stream_sliding_append + stream_session_append
+#     (stream family gained three fresh r9 greens and two r10 window
+#     slots; all four stay value-hash-checked every pytest run).
+# Max driver-row staleness after a green r10 window: r6 for those four,
+# r7 for everything else — and every registered query has a driver row.
 _DRIVER_WINDOW = [
     # --- §2 family flagships (regression canaries) -------------------------
     "flagship_enrichment_gold",
@@ -92,9 +93,10 @@ _DRIVER_WINDOW = [
     # --- never driver-checked (late-r9 registrations) -----------------------
     "agg_quantile_histogram_sketch",
     "dedup_fuzzy_decontamination",
-    # --- new r10 registration ----------------------------------------------
+    # --- new r10 registrations ---------------------------------------------
     "stream_quantile_ingest_append",
-    # --- newest driver row is r6 (44 of the 47) ----------------------------
+    "text_snapshot_drift",
+    # --- newest driver row is r6 (43 of the 47) ----------------------------
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_regional_revenue",
@@ -136,7 +138,6 @@ _DRIVER_WINDOW = [
     "dedup_exact_groups",
     "dedup_ngram_jaccard_pairs",
     "stream_tumbling_append",
-    "stream_session_append",
     "stream_shard_ingest",
     "scd2_customer_dim",
 ]

@@ -1792,3 +1792,61 @@ def t_kmv_overlap(spark, sf_dir):
     (sketches.py module docstring). The bottom-k cut is rank-pushed below
     the exchange (InferWindowGroupLimit, plan-asserted)."""
     return sketches.kmv_source_overlap(spark, sf_dir)
+
+
+# --- snapshot drift detection (r10) ------------------------------------------
+
+from ..operators import drift as _drift  # noqa: E402
+
+
+@register(
+    "text_snapshot_drift",
+    f"""
+    WITH per AS (
+      SELECT doc_id % 2 = 0 AS is_a,
+             len({_TOKS}) AS n_tok,
+             length(text) AS n_chr
+      FROM documents),
+    binned AS (
+      SELECT is_a, metric, bin FROM (
+        SELECT is_a, 'tokens' AS metric,
+               GREATEST(LEAST(CAST(floor(n_tok / {_drift.DRIFT_TOKEN_WIDTH}) AS INTEGER),
+                              {_drift.DRIFT_BINS - 1}), 0) AS bin
+        FROM per
+        UNION ALL
+        SELECT is_a, 'chars',
+               GREATEST(LEAST(CAST(floor(n_chr / {_drift.DRIFT_CHAR_WIDTH}) AS INTEGER),
+                              {_drift.DRIFT_BINS - 1}), 0)
+        FROM per)),
+    hist AS (
+      SELECT metric, bin,
+             CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+      FROM binned GROUP BY 1, 2),
+    scored AS (
+      SELECT *,
+             CAST(SUM(n_a) OVER (PARTITION BY metric) AS BIGINT) AS tot_a,
+             CAST(SUM(n_b) OVER (PARTITION BY metric) AS BIGINT) AS tot_b
+      FROM hist),
+    num AS (
+      SELECT *, CAST(abs(n_a * tot_b - n_b * tot_a) AS BIGINT) AS tvd_num
+      FROM scored)
+    SELECT metric, bin, n_a, n_b,
+           CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE) AS p_a,
+           CAST(n_b AS DOUBLE) / CAST(tot_b AS DOUBLE) AS p_b,
+           tvd_num,
+           CAST(SUM(tvd_num) OVER (PARTITION BY metric) AS DOUBLE)
+             / CAST(2 * tot_a * tot_b AS DOUBLE) AS tvd
+    FROM num ORDER BY metric, bin
+    """,
+)
+def t_snapshot_drift(spark, sf_dir):
+    """Distribution drift between two corpus snapshots (doc_id-parity
+    halves standing in for two ingest partitions): fixed-bin mergeable
+    histograms per metric (token count, char length) built in ONE scan /
+    one partial-agg shuffle, with the drift statistic as EXACT-integer
+    total variation distance (|cA*totB - cB*totA| summed as BIGINT, one
+    final division) — the ln-free alternative to PSI, so no cross-engine
+    libm hazard (operators/drift.py module docstring). The retrain-gate
+    data-quality check every production training pipeline runs."""
+    return _drift.snapshot_drift(spark, sf_dir)

@@ -137,6 +137,10 @@ HEADLINE = [
     # count + cumulative/probe over types x 256 rows (its exact verifier
     # is the sort shuffle that dominates at test scale)
     "agg_quantile_histogram_sketch",
+    # r10: snapshot drift — one documents scan (stack unpivot carries both
+    # metrics), one partial-agg shuffle of <= metrics x bins x 2 counters,
+    # exact-integer TVD over <= 32 rows
+    "text_snapshot_drift",
     # the end-to-end curate→chunk→split→pack composite (extension flagship)
     "training_data_build",
     # r4: window/events analytics family (heaviest two) so window-function
@@ -235,6 +239,21 @@ SCALING = [
     # (types x 256 counters); the exact rank-select verifier's sort is
     # what grows with the replica, called out in MEASURED.md
     "agg_quantile_histogram_sketch",
+    # r10: cluster labeling (train+assign on the rotated replica vectors,
+    # doc join via the shared key offset, vocab x k count shuffle — vocab
+    # grows by only the 9 repN suffix tokens, so expect ~linear-in-corpus
+    # scan cost with the label window fixed)
+    "emb_cluster_labels",
+    # r10: snapshot drift — fixed-bin mergeable state; the scan grows
+    # linearly, the shuffled counter state does not (the sketch contract)
+    "text_snapshot_drift",
+    # dedup_fuzzy_decontamination is scale-tiered via a DEDICATED row (see
+    # main()): on the replica every copy of an eval doc stays eval
+    # (offsets are multiples of eval_mod) and all copies are near-dups, so
+    # the stock query's candidates grow as copies^2 by construction — an
+    # artifact of replication. The honest production scenario is a FIXED
+    # eval benchmark against a growing train corpus, expressed by scaling
+    # eval_mod with the copy count (same eval cardinality, 10x train).
 ]
 
 
@@ -445,9 +464,30 @@ def _writes_tier(spark) -> dict:
             t0 = time.time()
             similarity.build_ivf_index(spark, sf, out)
             return time.time() - t0
+        if op == "train_residual_pq":
+            # the offline codebook-training half of the residual-IVFPQ
+            # build economics (VERDICT-r9 item 8): 8 subspace KMeans fits
+            # over the clustered corpus's residuals
+            t0 = time.time()
+            cbs = similarity.train_residual_codebooks(spark, sf)
+            _trained_cbs[sf] = cbs  # reused untimed by the encode row
+            return time.time() - t0
+        if op == "build_residual_ivfpq":
+            # the encode+write half, with training untimed (pretrained
+            # codebooks — train cost has its own row above)
+            if sf not in _trained_cbs:
+                _trained_cbs[sf] = similarity.train_residual_codebooks(spark, sf)
+            out = os.path.join(workdir, "rivfpq")
+            shutil.rmtree(out, ignore_errors=True)
+            t0 = time.time()
+            similarity.build_residual_ivfpq_index(
+                spark, sf, out, codebooks=_trained_cbs[sf]
+            )
+            return time.time() - t0
         raise ValueError(op)
 
     result: dict[str, dict] = {}
+    _trained_cbs: dict[str, list] = {}
     for op in (
         "write_shards",
         "append_shards",
@@ -455,12 +495,19 @@ def _writes_tier(spark) -> dict:
         "delete_from_shards",
         "compact_parquet",
         "build_ivf_index",
+        "train_residual_pq",
+        "build_residual_ivfpq",
     ):
         entry: dict = {}
+        # the codebook-training row is an offline ECONOMICS number (8
+        # spark.ml KMeans fits, ~36s even at base — scheduling-overhead
+        # bound at test scale), not a regression-tracked hot path: one
+        # run, or the tier pays ~4 min per bench for a coarse figure
+        op_runs = 1 if op == "train_residual_pq" else WRITE_RUNS
         for tier, sf in tiers:
             workdir = os.path.join(root, f"{op}_{tier}")
             os.makedirs(workdir, exist_ok=True)
-            runs = sorted(round(run_once(op, sf, workdir), 3) for _ in range(WRITE_RUNS))
+            runs = sorted(round(run_once(op, sf, workdir), 3) for _ in range(op_runs))
             entry[tier] = {"runs": runs, "med": _median(runs)}
             sys.stderr.write(f"[writes/{tier}] {op}: {entry[tier]['med']}s (runs {runs})\n")
         # ratio vs data_ratio: near-linear expected — the shard write's
@@ -525,6 +572,65 @@ def _writes_distinct_tier(spark) -> dict:
         shutil.rmtree(big, ignore_errors=True)
 
 
+BPE_PROD_MERGES = 64  # production-shaped merge count (VERDICT-r9 item 5);
+# the registered query stays at K=4 for oracle unrollability — this tier
+# exercises the documented scale story (checkpoint every 32 merges,
+# vocab-proportional per-iteration cost) at a K that actually hits the
+# checkpoint cadence, and records per-merge flatness
+
+
+def _bpe_production_tier(spark) -> dict:
+    """Train BPE_PROD_MERGES merges on the sf documents corpus with the
+    production checkpoint cadence, recording each iteration's wall time.
+    The design claim is per-iteration cost ∝ DISTINCT vocabulary (flat
+    across merges — each iteration is one vocab-proportional pair count +
+    a 1-row collect), NOT corpus- or rank-proportional; `flatness` is the
+    measured form: median of the last 8 iterations over the first 8.
+    Checkpoint iterations pay one extra vocab-sized materialization and
+    are listed so they are not misread as drift."""
+    from airdatapipeline_spark.io import load_table
+    from airdatapipeline_spark.operators.text import (
+        BPE_CHECKPOINT_EVERY,
+        bpe_iterate,
+        bpe_word_table,
+    )
+
+    times: list[float] = []
+    t0 = time.time()
+    merges, _seqs = bpe_iterate(
+        bpe_word_table(load_table(spark, SF_DIR, "documents")),
+        BPE_PROD_MERGES,
+        keep_cache=False,
+        merge_times=times,
+    )
+    total = round(time.time() - t0, 3)
+    first8 = sorted(times[:8])
+    last8 = sorted(times[-8:])
+    return {
+        "n_merges": len(merges),
+        "checkpoint_every": BPE_CHECKPOINT_EVERY,
+        "total_s": total,
+        "per_merge_s": times,
+        "first8_med": _median(first8) if first8 else None,
+        "last8_med": _median(last8) if last8 else None,
+        "flatness_last8_over_first8": (
+            round(_median(last8) / _median(first8), 2)
+            if first8 and last8 and _median(first8) > 0
+            else None
+        ),
+        "checkpoint_iterations": [
+            i + 1 for i in range(len(times)) if (i + 1) % BPE_CHECKPOINT_EVERY == 0
+        ],
+        "note": (
+            "production-K BPE training: per-iteration cost is bound by the "
+            "distinct vocabulary (flat across merges) — flatness ~1 is the "
+            "measured claim; the K=4 registered query covers value "
+            "correctness, this tier covers the scale story including the "
+            "32-merge lineage checkpoint cadence"
+        ),
+    }
+
+
 def main() -> None:
     # The bench session runs with the UI on: its status REST API is where
     # the per-query io section (shuffle/input volumes) comes from. Tests
@@ -553,6 +659,28 @@ def main() -> None:
 
     ensure_bucketed_facts(spark, SF_DIR)
 
+    def make_fn(name: str, sf_dir: str):
+        if name == "flagship_pipeline":
+            from airdatapipeline_spark.pipeline import flagship
+
+            return lambda: flagship(spark, sf_dir)
+        return lambda: queries[name](spark, sf_dir)
+
+    # Untimed warm-up lap of the front-of-suite cohort (VERDICT-r9 item 3):
+    # the r9 driver window showed the FIRST benched queries (flagship 1.57x,
+    # tpch_q1 1.79x, a2_w1 1.51x, j1 1.45x normalized) taxed by residual
+    # JIT ramp — their code had an empty diff and the rest of the suite sat
+    # at ~1.0x, while jvm_drift read 2.055 within the run. The generic
+    # range-sum/footer warm-up above matures the interpreter tiers but not
+    # the join/agg/window codegen paths the first real plans compile; one
+    # full untimed lap of the leading headline queries runs those exact
+    # shapes so the start probe AND the first timed queries read a warm JVM.
+    for name in HEADLINE[:6]:
+        if name != "flagship_pipeline" and name not in queries:
+            continue
+        make_fn(name, SF_DIR)().write.format("noop").mode("overwrite").save()
+    sys.stderr.write("[warmup] front-of-suite lap done\n")
+
     # Machine-speed calibration: two fixed workloads (one pure-Python, one
     # JVM whole-stage-codegen) timed on the warm session. Query timings
     # only compare fairly across runs/rounds when the HOST was equally
@@ -566,13 +694,6 @@ def main() -> None:
     # before attributing a delta to a plan.
     cal_start = _calibrate(spark)
     sys.stderr.write(f"[calibration/start] {cal_start}\n")
-
-    def make_fn(name: str, sf_dir: str):
-        if name == "flagship_pipeline":
-            from airdatapipeline_spark.pipeline import flagship
-
-            return lambda: flagship(spark, sf_dir)
-        return lambda: queries[name](spark, sf_dir)
 
     timings: dict[str, float] = {}
     dispersion: dict[str, list[float]] = {}
@@ -615,6 +736,43 @@ def main() -> None:
                 "base": timings[name], "big": big, "ratio": ratio, "big_runs": runs,
             }
             sys.stderr.write(f"[x{SCALE_COPIES}] {name}: {big}s (ratio {ratio})\n")
+        # fuzzy decontamination: fixed-eval-benchmark variant (VERDICT-r9
+        # item 6). The stock query on the replica is quadratic BY
+        # CONSTRUCTION (every copy of an eval doc stays eval — copy
+        # offsets are multiples of eval_mod — and all copies of one
+        # original are near-dups of each other), so the row would measure
+        # the synthesis, not the plan. The production claim is "work ∝
+        # candidates ∝ |eval| x dup-rate, never |train| x |eval|": hold
+        # the eval benchmark at the BASE cardinality (eval_mod scaled by
+        # the copy count selects the same NUMBER of eval docs from the
+        # 10x corpus) and let only the train side grow.
+        fd_name = "dedup_fuzzy_decontamination"
+        if fd_name in timings:
+            from airdatapipeline_spark.operators.dedup import fuzzy_decontamination
+
+            runs = _run_samples(
+                lambda: fuzzy_decontamination(
+                    spark, SCALE_DIR, eval_mod=50 * SCALE_COPIES
+                )
+            )
+            big = _median(runs)
+            per_query[fd_name] = {
+                "base": timings[fd_name],
+                "big": big,
+                "ratio": round(big / timings[fd_name], 2) if timings[fd_name] > 0 else None,
+                "big_runs": runs,
+                "note": (
+                    "fixed-eval variant: eval_mod scaled by the copy count "
+                    "(same eval-doc cardinality, 10x train corpus) — the "
+                    "stock query on the replica is copies^2 by replication "
+                    "artifact (all copies of an eval doc stay eval and are "
+                    "mutual near-dups), see SCALING list comment"
+                ),
+            }
+            sys.stderr.write(
+                f"[x{SCALE_COPIES}] {fd_name} (fixed-eval): {big}s "
+                f"(ratio {per_query[fd_name]['ratio']})\n"
+            )
         scaling = {
             "data_ratio": float(SCALE_COPIES),
             "queries": per_query,
@@ -639,6 +797,18 @@ def main() -> None:
         writes_distinct = _writes_distinct_tier(spark)
     except Exception as exc:  # noqa: BLE001 - bench must still emit its line
         writes_distinct = {"error": f"{type(exc).__name__}: {exc}"}
+
+    # --- BPE production-merge-count tier (VERDICT-r9 item 5) ----------------
+    bpe_production: dict | None = None
+    try:
+        bpe_production = _bpe_production_tier(spark)
+        sys.stderr.write(
+            f"[bpe_production] {bpe_production['n_merges']} merges in "
+            f"{bpe_production['total_s']}s (flatness "
+            f"{bpe_production['flatness_last8_over_first8']})\n"
+        )
+    except Exception as exc:  # noqa: BLE001 - bench must still emit its line
+        bpe_production = {"error": f"{type(exc).__name__}: {exc}"}
 
     # end-of-suite probe: brackets the run so a mid-suite throttle window
     # is visible (a single start-of-run sample cannot attribute third-run
@@ -726,6 +896,7 @@ def main() -> None:
         "scaling": scaling,
         "writes": writes,
         "writes_distinct": writes_distinct,
+        "bpe_production": bpe_production,
         "note": (
             "headline contains scale-safe plans only (brute-force ANN "
             "lives in the verifier section); scaling re-measures the "

@@ -1030,3 +1030,130 @@ def test_kmeans_sq8_plan_shape(spark):
     assert "BroadcastHashJoin" in plan
     for bad in ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert bad not in plan
+
+
+def test_bpe_checkpoint_cadence_truncates_lineage(spark):
+    """VERDICT-r9 item 5: the 32-merge checkpoint cadence is a real code
+    path. Semantics: the rule sequence and final sequences are IDENTICAL
+    with and without checkpointing (a checkpoint is a plan cut, not a
+    computation change). Lineage: the final seqs plan without checkpoints
+    nests one replace-projection per merge, while the checkpointed run's
+    plan is cut at the last checkpoint — its analyzed-plan depth must stay
+    bounded by the cadence instead of growing with K."""
+    from airdatapipeline_spark.operators import text as t
+
+    wf_rows = [("abababab", 7), ("abab", 5), ("bcbc", 4), ("cdcd", 3),
+               ("abcd", 2), ("dddd", 2), ("bcd", 1)]
+    K, EVERY = 10, 4
+
+    wf1 = spark.createDataFrame(wf_rows, "word string, wcount long")
+    plain_merges, plain_seqs = t.bpe_iterate(wf1, K, checkpoint_every=None)
+    wf2 = spark.createDataFrame(wf_rows, "word string, wcount long")
+    ck_merges, ck_seqs = t.bpe_iterate(wf2, K, checkpoint_every=EVERY)
+
+    assert ck_merges == plain_merges
+    assert sorted((r.word, r.seq, r.wcount) for r in ck_seqs.collect()) == sorted(
+        (r.word, r.seq, r.wcount) for r in plain_seqs.collect()
+    )
+
+    def depth(df):
+        plan = df._jdf.queryExecution().analyzed().toString()
+        return max(
+            (len(line) - len(line.lstrip())) for line in plan.splitlines()
+        )
+
+    n_merges = len(plain_merges)
+    assert n_merges > EVERY  # the cadence actually fired
+    # the un-checkpointed plan grows with K; the checkpointed one is cut
+    # at the last multiple of EVERY, so at most EVERY-1 merge projections
+    # (plus constant overhead) remain above the scan
+    assert depth(ck_seqs) < depth(plain_seqs)
+
+    def merge_replaces(df):
+        plan = df._jdf.queryExecution().analyzed().toString()
+        # exclude the initial regexp_replace seeding projection
+        return plan.count("replace(") - plan.count("regexp_replace(")
+
+    merge_nodes = merge_replaces(plain_seqs)
+    ck_nodes = merge_replaces(ck_seqs)
+    tail = n_merges - (n_merges // EVERY) * EVERY
+    assert merge_nodes == 2 * n_merges  # two replace passes per merge
+    assert ck_nodes == 2 * tail, (ck_nodes, tail)
+
+
+# --- snapshot drift (r10) -----------------------------------------------------
+
+
+def test_snapshot_drift_pure_python_reference(spark):
+    """Independent pure-Python differential (the test_sketches pattern):
+    recompute the per-bin counters and the exact-integer TVD from the raw
+    parquet with none of the engine's expressions, and require exact
+    integer equality plus bit-equal divisions (each output float is ONE
+    IEEE division from exact integer state, so == is the right check)."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from airdatapipeline_spark.operators import drift as dr
+
+    got = {
+        (r.metric, r.bin): r
+        for r in dr.snapshot_drift(spark, SF_SMALL).collect()
+    }
+
+    pdf = pd.read_parquet(f"{SF_SMALL}/documents.parquet")
+    counts: Counter = Counter()
+    for doc_id, text in zip(pdf.doc_id, pdf.text):
+        is_a = doc_id % 2 == 0
+        n_tok = len(re.split(r"\s+", text.strip()))
+        n_chr = len(text)
+        for metric, val, width in (
+            ("tokens", n_tok, dr.DRIFT_TOKEN_WIDTH),
+            ("chars", n_chr, dr.DRIFT_CHAR_WIDTH),
+        ):
+            b = max(min(val // width, dr.DRIFT_BINS - 1), 0)
+            counts[(metric, b, is_a)] += 1
+
+    for metric in ("tokens", "chars"):
+        tot_a = sum(v for (m, _, a), v in counts.items() if m == metric and a)
+        tot_b = sum(v for (m, _, a), v in counts.items() if m == metric and not a)
+        bins = sorted({b for (m, b, _) in counts if m == metric})
+        tvd_sum = sum(
+            abs(
+                counts.get((metric, b, True), 0) * tot_b
+                - counts.get((metric, b, False), 0) * tot_a
+            )
+            for b in bins
+        )
+        for b in bins:
+            row = got[(metric, b)]
+            n_a = counts.get((metric, b, True), 0)
+            n_b = counts.get((metric, b, False), 0)
+            assert (row.n_a, row.n_b) == (n_a, n_b), (metric, b)
+            assert row.p_a == n_a / tot_a and row.p_b == n_b / tot_b
+            assert row.tvd_num == abs(n_a * tot_b - n_b * tot_a)
+            assert row.tvd == tvd_sum / (2 * tot_a * tot_b)
+    assert {(m, b) for (m, b) in got} == {
+        (m, b) for (m, b, _) in counts
+    }  # bins absent from both snapshots are absent from the output
+
+
+def test_snapshot_drift_plan_one_scan_no_join(spark):
+    """Scale shape: both metrics ride ONE documents scan (the stack()
+    unpivot), the histogram is a partial (map-side) aggregation, and
+    nothing joins — per-snapshot state is <= metrics x DRIFT_BINS
+    counters, the mergeable-sketch contract."""
+    from airdatapipeline_spark.operators import drift as dr
+
+    plan = (
+        dr.snapshot_drift(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("FileScan") == 1
+    assert "partial" in plan.lower()
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                "BroadcastNestedLoopJoin"):
+        assert bad not in plan
