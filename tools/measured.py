@@ -77,6 +77,9 @@ QUERIES_TO_MEASURE = [
     "emb_cluster_labels",
     "dedup_fuzzy_decontamination",
     "agg_quantile_histogram_sketch",
+    # r10: snapshot drift (one scan, one partial-agg shuffle of bounded
+    # fixed-bin counter state)
+    "text_snapshot_drift",
 ]
 
 
@@ -572,6 +575,42 @@ def sketch_lines(spark, sf_dir: str) -> list[str]:
 # appended verbatim by main() so regenerating MEASURED.md preserves the
 # round-level findings the numbers above build on.
 ROUND_NOTES = [
+    "",
+    "## r10 reference bench window + front-of-suite fix — history note",
+    "",
+    "Full exclusive `bench.py` run at sf0.1: **80.97s over 45 queries,",
+    "`throttled: false`** (python probe 0.342 start / 0.349 end, py_drift",
+    "1.02). VERDICT-r9 item 3 (the r9 window taxed its FIRST benched",
+    "queries 1.45-1.79x normalized on residual JIT ramp) is fixed by two",
+    "instrument changes: the calibration ramp now runs TO CONVERGENCE (two",
+    "consecutive untimed jvm runs within 10%, cap 10 — two fixed ramp runs",
+    "still left a 0.382s start probe on a window whose end probe read",
+    "0.156s) and the front-of-suite warm-up runs TWO full untimed laps of",
+    "the first six headline plans. Result: the cohort's r8-probe-normalized",
+    "ratios are flagship 0.97x, a1 0.96x, a2_w1 0.87x, j1 1.03x, tpch_q1",
+    "1.13x, d1_d2 0.98x, t3 1.03x — all within the +-15% done-bar — and the",
+    "33-query common subset normalizes to 1.026x vs r8 (0.96x was r9's",
+    "like-for-like; machine-for-machine the engine is flat across three",
+    "rounds). Residual instrument finding: even a CONVERGED start probe",
+    "(0.143s) reads 1.47x the suite-end value (0.097s) — the jvm probe",
+    "keeps deepening with total JVM activity long past ramp convergence, so",
+    "jvm_drift stays informational and the python probe keys `throttled`.",
+    "",
+    "New r10 tiers, same window: BPE production training (64 merges,",
+    "checkpoints at 32/64) reads 12.0s total with per-merge flatness 0.96",
+    "(median of last 8 iterations / first 8) — the vocab-bound per-iteration",
+    "claim measured at a K that exercises the lineage-checkpoint cadence.",
+    "Residual-IVFPQ build economics: codebook training 47.2s base /182.7s",
+    "10x (ratio 3.9 — spark.ml KMeans fit scheduling amortizes), encode+",
+    "write 2.9s/7.4s (ratio 2.5), beside the coarse IVF build's 1.0s/2.8s.",
+    "New 10x scaling rows (VERDICT-r9 item 6): snapshot drift 4.48 (the",
+    "scan is linear; the SHUFFLE is 36 records at sf0.1 — the fixed-bin",
+    "counter state claim, measured), fuzzy decontamination FIXED-EVAL",
+    "variant 4.48 (eval benchmark held at base cardinality while train",
+    "grows 10x — candidates ∝ eval x dup-rate; the stock query on the",
+    "replica is copies^2 by construction, a synthesis artifact, so it is",
+    "excluded), cluster labels 3.31, k-means 2.78, quantile sketch 2.14,",
+    "HLL 4.51, KMV 3.70 — all well under the 10x data ratio.",
     "",
     "## Calibration-probe instrument finding (continuation r9) — history note",
     "",
