@@ -54,36 +54,46 @@ def _bin(col, width: int):
     )
 
 
-def snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution drift between two corpus snapshots, per metric:
-    one row per (metric, bin) present in either snapshot, with the exact
-    per-snapshot counts, single-division probabilities, the bin's exact
-    integer TVD contribution, and the metric-level total variation
-    distance repeated per row (so the oracle value-hashes the whole
-    decision surface, not just the scalar).
-
-    Columns: metric, bin, n_a, n_b, p_a, p_b, tvd_num (exact integer
-    |cA*totB - cB*totA|), tvd (metric-level, in [0,1])."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        ((F.col("doc_id") % 2) == 0).alias("is_a"),
+def drift_binned(docs_with_flag: DataFrame, keys: tuple = ()) -> DataFrame:
+    """(*keys, is_a, metric, bin) rows from documents carrying an `is_a`
+    snapshot flag — ONE scan for both metrics (the stack() unpivot), so
+    the single downstream groupBy's partial aggregation collapses
+    map-side to <= 2 x DRIFT_BINS x 2 counters per task (per key). SHARED
+    by the batch query and the streaming gate so the two binnings cannot
+    drift; the gate passes keys=("fpath",) to carry the per-file counter
+    key through."""
+    docs = docs_with_flag.select(
+        *keys,
+        "is_a",
         F.size(tokens_col()).alias("n_tok"),
         F.length("text").alias("n_chr"),
     )
-    # one scan, both metrics: stack() unpivots the two bin columns into
-    # (metric, bin) rows, so the single groupBy's partial aggregation
-    # collapses map-side to <= 2 x DRIFT_BINS x 2 counters per task
-    binned = (
+    return (
         docs.withColumn("tok_bin", _bin(F.col("n_tok"), DRIFT_TOKEN_WIDTH))
         .withColumn("chr_bin", _bin(F.col("n_chr"), DRIFT_CHAR_WIDTH))
         .selectExpr(
+            *keys,
             "is_a",
             "stack(2, 'tokens', tok_bin, 'chars', chr_bin) AS (metric, bin)",
         )
     )
-    hist = binned.groupBy("metric", "bin").agg(
+
+
+def drift_histogram(binned: DataFrame) -> DataFrame:
+    """(metric, bin, n_a, n_b) counter state — mergeable by plain SUM,
+    which is what the streaming gate's merge-on-read exploits."""
+    return binned.groupBy("metric", "bin").agg(
         F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias("n_a"),
         F.sum(F.when(F.col("is_a"), 0).otherwise(1)).cast("long").alias("n_b"),
     )
+
+
+def drift_scores(hist: DataFrame) -> DataFrame:
+    """TVD probe over histogram state (metric, bin, n_a, n_b) — SHARED
+    verbatim by the batch query and the streaming gate's read path so
+    online and offline drift decisions cannot diverge. Exact-integer
+    numerators, one final IEEE division per float column (module
+    docstring)."""
     from pyspark.sql import Window
 
     per_metric = Window.partitionBy("metric")
@@ -110,3 +120,19 @@ def snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("tvd_den").cast("double")
         ).alias("tvd"),
     ).orderBy("metric", "bin")
+
+
+def snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two corpus snapshots, per metric:
+    one row per (metric, bin) present in either snapshot, with the exact
+    per-snapshot counts, single-division probabilities, the bin's exact
+    integer TVD contribution, and the metric-level total variation
+    distance repeated per row (so the oracle value-hashes the whole
+    decision surface, not just the scalar).
+
+    Columns: metric, bin, n_a, n_b, p_a, p_b, tvd_num (exact integer
+    |cA*totB - cB*totA|), tvd (metric-level, in [0,1])."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        ((F.col("doc_id") % 2) == 0).alias("is_a"), "text"
+    )
+    return drift_scores(drift_histogram(drift_binned(docs)))

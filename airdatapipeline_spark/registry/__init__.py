@@ -75,15 +75,19 @@ from . import sources_sinks  # noqa: F401,E402
 #   - new r10 registrations (stream_quantile_ingest_append — the
 #     merge-on-read streaming twin of the quantile histogram sketch,
 #     VERDICT-r9 item 7; text_snapshot_drift — exact-integer-TVD
-#     distribution drift between corpus snapshots, the retrain gate);
-#   - the remaining 43 slots: 43 of the 47 r6-stale queries (tpch
+#     distribution drift between corpus snapshots, the retrain gate;
+#     stream_drift_gate_ingest — that gate at the ingest door, completing
+#     the model-at-the-door twin set);
+#   - the remaining 42 slots: 42 of the 47 r6-stale queries (tpch
 #     q1/q3/q5..., the shard lifecycle family, repetition filters,
 #     epoch_schedule, curated_append, the streaming append family, ...).
 #     Left at r6 for r11: mm_decode_features (mm family re-proven r7),
 #     stream_dedup_append + stream_sliding_append + stream_session_append
-#     (stream family gained three fresh r9 greens and two r10 window
-#     slots; all four stay value-hash-checked every pytest run).
-# Max driver-row staleness after a green r10 window: r6 for those four,
+#     (stream family gained three fresh r9 greens and three r10 window
+#     slots), dedup_ngram_jaccard_pairs (family covered in-window by
+#     d1_d2/exact_groups/fuzzy_decontamination); all five stay
+#     value-hash-checked every pytest run.
+# Max driver-row staleness after a green r10 window: r6 for those five,
 # r7 for everything else — and every registered query has a driver row.
 _DRIVER_WINDOW = [
     # --- §2 family flagships (regression canaries) -------------------------
@@ -96,7 +100,8 @@ _DRIVER_WINDOW = [
     # --- new r10 registrations ---------------------------------------------
     "stream_quantile_ingest_append",
     "text_snapshot_drift",
-    # --- newest driver row is r6 (43 of the 47) ----------------------------
+    "stream_drift_gate_ingest",
+    # --- newest driver row is r6 (42 of the 47) ----------------------------
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_regional_revenue",
@@ -136,7 +141,6 @@ _DRIVER_WINDOW = [
     "text_epoch_token_slice",
     "text_curated_append",
     "dedup_exact_groups",
-    "dedup_ngram_jaccard_pairs",
     "stream_tumbling_append",
     "stream_shard_ingest",
     "scd2_customer_dim",

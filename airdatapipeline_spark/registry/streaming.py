@@ -332,3 +332,20 @@ def st_quantile_ingest(spark, sf_dir):
     hq_quantile_estimates path. The drained estimate equals the batch
     sketch over the same corpus — the oracle replays the batch probe."""
     return streaming_events.quantile_ingest_append(spark, sf_dir)
+
+
+from .text import _DRIFT_SQL  # noqa: E402  (the batch drift oracle, reused)
+
+
+@register("stream_drift_gate_ingest", _DRIFT_SQL)
+def st_drift_gate_ingest(spark, sf_dir):
+    """Drift-monitoring-at-ingest: the batch retrain gate evaluated
+    continuously — the reference snapshot's histogram is the deployed
+    model artifact (the LM/k-means/HLL pattern), each arriving
+    micro-batch appends content-fingerprint-keyed partial counters for
+    its NEW docs (max-merge absorbs redelivered content before the
+    cross-file SUM, the quantile twin's idiom), and the read path scores
+    reference+arriving state through the SAME drift_scores probe as the
+    batch query. The drained result equals batch snapshot_drift over the
+    same corpus — the oracle is that query's SQL, reused verbatim."""
+    return streaming_events.drift_gate_ingest_append(spark, sf_dir)

@@ -1799,9 +1799,9 @@ def t_kmv_overlap(spark, sf_dir):
 from ..operators import drift as _drift  # noqa: E402
 
 
-@register(
-    "text_snapshot_drift",
-    f"""
+# shared verbatim with stream_drift_gate_ingest's oracle (the drained gate
+# result equals the batch snapshot_drift over the same corpus)
+_DRIFT_SQL = f"""
     WITH per AS (
       SELECT doc_id % 2 = 0 AS is_a,
              len({_TOKS}) AS n_tok,
@@ -1838,8 +1838,10 @@ from ..operators import drift as _drift  # noqa: E402
            CAST(SUM(tvd_num) OVER (PARTITION BY metric) AS DOUBLE)
              / CAST(2 * tot_a * tot_b AS DOUBLE) AS tvd
     FROM num ORDER BY metric, bin
-    """,
-)
+    """
+
+
+@register("text_snapshot_drift", _DRIFT_SQL)
 def t_snapshot_drift(spark, sf_dir):
     """Distribution drift between two corpus snapshots (doc_id-parity
     halves standing in for two ingest partitions): fixed-bin mergeable

@@ -958,3 +958,103 @@ def quantile_ingest_append(
         .agg(F.sum("cnt").alias("cnt"))
     )
     return hq_quantile_estimates(spark, merged).orderBy("event_type", "q")
+
+
+def drift_gate_ingest_append(
+    spark: SparkSession,
+    sf_dir: str,
+    landing_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+    out_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Drift-monitoring-at-ingest: the retrain gate
+    (operators/drift.snapshot_drift) evaluated continuously as new data
+    lands — the production shape is "alert BEFORE the bad snapshot is
+    trained on", not a nightly batch diff. The REFERENCE side (is_a=true,
+    the even-doc_id snapshot the filters/mixers were tuned on) is computed
+    once batch-side — it is the deployed model artifact, like the LM
+    tables and k-means centroids of the other ingest twins. Each arriving
+    micro-batch appends partial (metric, bin) counters for its NEW docs
+    (odd doc_ids — the post-snapshot ingest slice), built by the
+    byte-identical drift_binned/drift_histogram path and keyed by a
+    CONTENT fingerprint of the source file (the quantile twin's idiom:
+    SUM-merge is not idempotent, so the read path max-merges duplicates
+    per fingerprint before the cross-file SUM — redelivered content is
+    absorbed with zero drift and zero committed-key bookkeeping). The
+    read path unions reference + arriving state and scores through the
+    SAME drift_scores probe, so the online drift decision cannot diverge
+    from the offline one; the drained result equals the batch
+    snapshot_drift over the same corpus — what the DuckDB oracle replays.
+
+    At 100 TB: reference state is <= metrics x DRIFT_BINS rows (a
+    broadcast-sized artifact), per-batch appended state is the same per
+    file, and the gate's alert is one ~32-row probe per trigger."""
+    from ..operators.drift import drift_binned, drift_histogram, drift_scores
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    reader = spark.readStream.schema(batch_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(landing_dir or _doc_landing_dir(sf_dir))
+
+    out = out_dir or tempfile.mkdtemp(prefix="drift_regs_sink_")
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="drift_regs_ckpt_")
+    out_schema = "file_fp long, metric string, bin int, cnt long"
+
+    def contribute(bdf: DataFrame, _bid: int) -> None:
+        rows = bdf.select(
+            F.input_file_name().alias("fpath"), "doc_id", "text"
+        )
+        # content fingerprint per source file (the quantile twin's idiom:
+        # order-free XOR, overflow-free under ANSI, path-independent)
+        fps = rows.groupBy("fpath").agg(
+            F.expr("bit_xor(xxhash64(doc_id, text)) ^ count(*)").alias("file_fp")
+        )
+        arriving = rows.filter((F.col("doc_id") % 2) != 0).withColumn(
+            "is_a", F.lit(False)
+        )
+        counters = (
+            drift_binned(arriving, keys=("fpath",))
+            .groupBy("fpath", "metric", "bin")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .join(F.broadcast(fps), "fpath")
+            .select("file_fp", "metric", "bin", "cnt")
+        )
+        counters.write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(contribute)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    arrived = (
+        spark.read.schema(out_schema)
+        .parquet(out)
+        .groupBy("file_fp", "metric", "bin")
+        .agg(F.max("cnt").alias("cnt"))  # absorb redelivered content
+        .groupBy("metric", "bin")
+        .agg(F.sum("cnt").alias("n_b"))
+    )
+    reference = drift_histogram(
+        drift_binned(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter((F.col("doc_id") % 2) == 0)
+            .select(F.lit(True).alias("is_a"), "text")
+        )
+    ).select("metric", "bin", "n_a")
+    hist = (
+        reference.join(arrived, on=["metric", "bin"], how="full_outer")
+        .select(
+            "metric",
+            "bin",
+            F.coalesce(F.col("n_a"), F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce(F.col("n_b"), F.lit(0)).cast("long").alias("n_b"),
+        )
+    )
+    return drift_scores(hist).orderBy("metric", "bin")

@@ -1212,3 +1212,58 @@ def test_quantile_ingest_redelivery_content_keyed(spark, tmp_path):
         ).collect()
     }
     assert redelivered == once
+
+
+def test_drift_gate_ingest_redelivery_content_keyed(spark, tmp_path):
+    """The streaming drift gate's merge contract (the quantile twin's
+    idiom): arriving-side counters are SUM-merged, so they are keyed by a
+    content fingerprint of the source file and max-merged per key first.
+    Within-run (same content, two names, one per micro-batch) AND
+    cross-run (fresh checkpoint, same pinned sink) redelivery must both
+    produce BIT-IDENTICAL drift rows, and the drained gate must equal the
+    batch snapshot_drift over the same corpus."""
+    import shutil
+
+    from airdatapipeline_spark.operators import drift as dr
+    from airdatapipeline_spark.streaming import events as se
+
+    sf = SF_SMALL
+    key = lambda r: (r["metric"], r["bin"])  # noqa: E731
+    val = lambda r: (r["n_a"], r["n_b"], r["p_a"], r["p_b"], r["tvd_num"], r["tvd"])  # noqa: E731
+    batch = {key(r): val(r) for r in dr.snapshot_drift(spark, sf).collect()}
+
+    landing = str(tmp_path / "landing")
+    shutil.os.makedirs(landing)
+    shutil.copy(f"{sf}/documents.parquet", f"{landing}/a.parquet")
+    once = {
+        key(r): val(r)
+        for r in se.drift_gate_ingest_append(spark, sf, landing_dir=landing).collect()
+    }
+    assert once == batch  # drained gate == batch retrain check
+
+    landing2 = str(tmp_path / "landing2")
+    shutil.os.makedirs(landing2)
+    shutil.copy(f"{sf}/documents.parquet", f"{landing2}/a.parquet")
+    shutil.copy(f"{sf}/documents.parquet", f"{landing2}/b.parquet")
+    dup = {
+        key(r): val(r)
+        for r in se.drift_gate_ingest_append(
+            spark, sf, landing_dir=landing2, max_files_per_trigger=1
+        ).collect()
+    }
+    assert dup == once
+
+    out = str(tmp_path / "sink")
+    shutil.os.makedirs(out)
+    se.drift_gate_ingest_append(
+        spark, sf, landing_dir=landing, out_dir=out,
+        checkpoint_dir=str(tmp_path / "ckpt1"),
+    )
+    redelivered = {
+        key(r): val(r)
+        for r in se.drift_gate_ingest_append(
+            spark, sf, landing_dir=landing, out_dir=out,
+            checkpoint_dir=str(tmp_path / "ckpt2"),
+        ).collect()
+    }
+    assert redelivered == once
