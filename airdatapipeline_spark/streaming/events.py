@@ -1011,9 +1011,13 @@ def drift_gate_ingest_append(
         fps = rows.groupBy("fpath").agg(
             F.expr("bit_xor(xxhash64(doc_id, text)) ^ count(*)").alias("file_fp")
         )
-        arriving = rows.filter((F.col("doc_id") % 2) != 0).withColumn(
-            "is_a", F.lit(False)
-        )
+        # NULL policy pinned to the batch query: a NULL doc_id makes is_a
+        # NULL there, and the counter's otherwise(0) books the row on the
+        # ARRIVING side — so the gate must keep NULL-doc_id rows too
+        # (coalesce), not silently drop them through a NULL comparison
+        arriving = rows.filter(
+            F.coalesce((F.col("doc_id") % 2) != 0, F.lit(True))
+        ).withColumn("is_a", F.lit(False))
         counters = (
             drift_binned(arriving, keys=("fpath",))
             .groupBy("fpath", "metric", "bin")

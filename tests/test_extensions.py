@@ -1157,3 +1157,68 @@ def test_snapshot_drift_plan_one_scan_no_join(spark):
     for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
                 "BroadcastNestedLoopJoin"):
         assert bad not in plan
+
+
+def test_drift_null_doc_id_policy_batch_vs_gate(spark, tmp_path):
+    """NULL policy pinned across the batch query and the ingest gate: a
+    NULL doc_id makes is_a NULL in the batch build, and the counter's
+    otherwise(0) books the row on the ARRIVING side (n_b) — both engines
+    agree (DuckDB's CASE WHEN NULL takes ELSE). The gate must do the
+    same, not silently drop the row through a NULL comparison."""
+    from airdatapipeline_spark.operators import drift as dr
+    from airdatapipeline_spark.streaming import events as se
+
+    sf = str(tmp_path / "sf")
+    shutil_os = __import__("shutil").os
+    shutil_os.makedirs(sf)
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "delta epsilon"), (None, "zeta eta theta iota"),
+         (2, "kappa"), (None, "lambda mu")],
+        "doc_id long, text string",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    batch = {
+        (r.metric, r.bin): (r.n_a, r.n_b)
+        for r in dr.snapshot_drift(spark, sf).collect()
+    }
+    # the two NULL-doc_id rows must be counted, on the arriving side
+    assert sum(v[0] + v[1] for v in batch.values()) == 2 * 5  # 2 metrics x 5 docs
+
+    landing = str(tmp_path / "landing")
+    shutil_os.makedirs(landing)
+    __import__("shutil").copy(
+        [p for p in __import__("glob").glob(f"{sf}/documents.parquet/*.parquet")][0],
+        f"{landing}/a.parquet",
+    )
+    gate = {
+        (r.metric, r.bin): (r.n_a, r.n_b)
+        for r in se.drift_gate_ingest_append(spark, sf, landing_dir=landing).collect()
+    }
+    assert gate == batch
+
+
+def test_drift_null_text_bins_identically(spark, duck):
+    """NULL text lands in the TOP bin in BOTH engines — not by an explicit
+    policy but because both Spark's and DuckDB's least()/greatest() skip
+    NULL arguments (LEAST(NULL, 15) = 15, then GREATEST(15, 0) = 15).
+    Pin the accident so an engine upgrade that changes NULL semantics
+    reds here instead of silently desyncing the drift histograms."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from airdatapipeline_spark.operators.drift import drift_binned
+
+    got = {
+        (r.metric, r.bin)
+        for r in drift_binned(
+            spark.createDataFrame([(True, None)], "is_a boolean, text string")
+        ).collect()
+    }
+    assert got == {("tokens", 15), ("chars", 15)}
+    (tb, cb) = duck.execute(
+        r"""SELECT GREATEST(LEAST(CAST(floor(len(regexp_split_to_array(trim(t), '\s+')) / 16)
+                                  AS INTEGER), 15), 0),
+                   GREATEST(LEAST(CAST(floor(length(t) / 128) AS INTEGER), 15), 0)
+            FROM (SELECT NULL::VARCHAR AS t)"""
+    ).fetchone()
+    assert (tb, cb) == (15, 15)
