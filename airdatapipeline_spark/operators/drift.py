@@ -106,18 +106,30 @@ def drift_scores(hist: DataFrame) -> DataFrame:
         )
         .withColumn("tvd_den", F.lit(2) * F.col("tot_a") * F.col("tot_b"))
     )
+    # one-sided snapshots (a brand-new pipeline with no reference yet, or
+    # zero arrivals) have no defined probability/TVD: NULL, not a
+    # divide-by-zero crash (ANSI) — found by the drift differential fuzz;
+    # mirrored as CASE WHEN in the oracle and as None in the pure-Python
+    # reference
     return scored.select(
         "metric",
         F.col("bin").cast("long").alias("bin"),  # BIGINT — matches the
         # oracle's DuckDB integer promotion through stack/union
         "n_a",
         "n_b",
-        (F.col("n_a").cast("double") / F.col("tot_a").cast("double")).alias("p_a"),
-        (F.col("n_b").cast("double") / F.col("tot_b").cast("double")).alias("p_b"),
+        F.when(
+            F.col("tot_a") > 0,
+            F.col("n_a").cast("double") / F.col("tot_a").cast("double"),
+        ).alias("p_a"),
+        F.when(
+            F.col("tot_b") > 0,
+            F.col("n_b").cast("double") / F.col("tot_b").cast("double"),
+        ).alias("p_b"),
         "tvd_num",
-        (
+        F.when(
+            (F.col("tot_a") > 0) & (F.col("tot_b") > 0),
             F.sum("tvd_num").over(per_metric).cast("double")
-            / F.col("tvd_den").cast("double")
+            / F.col("tvd_den").cast("double"),
         ).alias("tvd"),
     ).orderBy("metric", "bin")
 

@@ -1832,11 +1832,14 @@ _DRIFT_SQL = f"""
       SELECT *, CAST(abs(n_a * tot_b - n_b * tot_a) AS BIGINT) AS tvd_num
       FROM scored)
     SELECT metric, bin, n_a, n_b,
-           CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE) AS p_a,
-           CAST(n_b AS DOUBLE) / CAST(tot_b AS DOUBLE) AS p_b,
+           CASE WHEN tot_a > 0
+                THEN CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE) END AS p_a,
+           CASE WHEN tot_b > 0
+                THEN CAST(n_b AS DOUBLE) / CAST(tot_b AS DOUBLE) END AS p_b,
            tvd_num,
-           CAST(SUM(tvd_num) OVER (PARTITION BY metric) AS DOUBLE)
-             / CAST(2 * tot_a * tot_b AS DOUBLE) AS tvd
+           CASE WHEN tot_a > 0 AND tot_b > 0
+                THEN CAST(SUM(tvd_num) OVER (PARTITION BY metric) AS DOUBLE)
+                     / CAST(2 * tot_a * tot_b AS DOUBLE) END AS tvd
     FROM num ORDER BY metric, bin
     """
 

@@ -797,3 +797,130 @@ def test_lm_scores_match_pure_python_reference(spark, docs):
         assert got[d][0] == want[d][0]
         assert got[d][1] == want[d][1]
         assert got[d][2] == want[d][2], (d, got[d][2], want[d][2])  # bit-exact
+
+
+# --- snapshot-drift differential fuzz (r10) -----------------------------------
+# Random corpora — NULL doc_ids, NULL/empty/whitespace-only texts, repeated
+# separators — scored by operators/drift's shared build/score path and by a
+# pure-Python reference that mirrors the pinned NULL policy (NULL doc_id
+# books on the arriving side; NULL text lands in the top bin via both
+# engines' NULL-skipping least/greatest; empty/blank text tokenizes to ONE
+# empty token, the split(trim(.)) contract the BM25/LM fuzzes document).
+
+
+def _drift_reference(rows):
+    import re as _re
+    from collections import Counter
+
+    from airdatapipeline_spark.operators import drift as dr
+
+    counts: Counter = Counter()
+    for doc_id, text in rows:
+        is_a = (doc_id is not None) and (doc_id % 2 == 0)
+        if text is None:
+            bins = {"tokens": dr.DRIFT_BINS - 1, "chars": dr.DRIFT_BINS - 1}
+        else:
+            n_tok = len(_re.split(r"\s+", text.strip()))
+            n_chr = len(text)
+            bins = {
+                "tokens": max(min(n_tok // dr.DRIFT_TOKEN_WIDTH, dr.DRIFT_BINS - 1), 0),
+                "chars": max(min(n_chr // dr.DRIFT_CHAR_WIDTH, dr.DRIFT_BINS - 1), 0),
+            }
+        for metric, b in bins.items():
+            counts[(metric, b, bool(is_a))] += 1
+    out = {}
+    for metric in ("tokens", "chars"):
+        tot_a = sum(v for (m, _, a), v in counts.items() if m == metric and a)
+        tot_b = sum(v for (m, _, a), v in counts.items() if m == metric and not a)
+        bins = sorted({b for (m, b, _) in counts if m == metric})
+        tvd_sum = sum(
+            abs(
+                counts.get((metric, b, True), 0) * tot_b
+                - counts.get((metric, b, False), 0) * tot_a
+            )
+            for b in bins
+        )
+        for b in bins:
+            n_a = counts.get((metric, b, True), 0)
+            n_b = counts.get((metric, b, False), 0)
+            out[(metric, b)] = (
+                n_a,
+                n_b,
+                (n_a / tot_a) if tot_a else None,
+                (n_b / tot_b) if tot_b else None,
+                abs(n_a * tot_b - n_b * tot_a),
+                (tvd_sum / (2 * tot_a * tot_b)) if tot_a and tot_b else None,
+            )
+    return out
+
+
+_drift_text = st.one_of(
+    st.none(),
+    st.text(
+        alphabet=st.sampled_from(list("ab xyz\t\n  ")),
+        min_size=0,
+        max_size=400,
+    ),
+)
+_drift_rows = st.lists(
+    st.tuples(st.one_of(st.none(), st.integers(0, 50)), _drift_text),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=_drift_rows)
+@settings(max_examples=_ex(10), deadline=None)
+def test_drift_matches_pure_python_reference_on_fuzzed_corpora(spark, rows):
+    import pyspark.sql.functions as F
+
+    from airdatapipeline_spark.operators.drift import (
+        drift_binned,
+        drift_histogram,
+        drift_scores,
+    )
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    flagged = docs.select(((F.col("doc_id") % 2) == 0).alias("is_a"), "text")
+    got = {
+        (r.metric, r.bin): (r.n_a, r.n_b, r.p_a, r.p_b, r.tvd_num, r.tvd)
+        for r in drift_scores(drift_histogram(drift_binned(flagged))).collect()
+    }
+    assert got == _drift_reference(rows)
+
+
+def test_drift_adversarial_whitespace_matches_duckdb(spark, tmp_path):
+    """Tabs, newlines, runs of spaces, blank and empty strings through the
+    REGISTERED query and its DuckDB oracle over the same parquet — the
+    direct Java-regex vs RE2 \\s+ parity check on adversarial separators
+    (the sf corpora contain none of these shapes)."""
+    import duckdb
+
+    from airdatapipeline_spark.registry import ORACLES, QUERIES
+
+    sf = str(tmp_path / "sf")
+    __import__("shutil").os.makedirs(sf)
+    rows = [
+        (0, "a\tb\nc"), (1, "  leading  and   trailing   "), (2, ""),
+        (3, "   "), (4, "\t\n\t"), (5, "one"), (None, "x  y"),
+        (6, "a" * 300), (7, " ".join(["tok"] * 90)),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    spdf = QUERIES["text_snapshot_drift"](spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    ddf = con.execute(ORACLES["text_snapshot_drift"]).df()
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"),
+    )
+    from check_oracle import compare
+
+    assert compare("drift_adversarial", spdf, ddf) == []
