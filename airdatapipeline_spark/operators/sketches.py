@@ -360,23 +360,36 @@ def hq_bin_expr():
     the original clamp was upper-only, so an out-of-domain negative value
     would mint unbounded negative bin ids and break the 'state bounded at
     HQ_BINS counters per group' contract — out-of-domain mass now lands in
-    the edge bins, keeping the state bound unconditional)."""
+    the edge bins, keeping the state bound unconditional). The clamp runs
+    in DOUBLE space BEFORE the int cast: the earlier cast-then-clamp order
+    crashed on ANSI int overflow for any finite value >= 2^31 * width
+    (and on +/-inf), where clamp-then-cast books all of them in the edge
+    bins — the fuzz's finding; mirrored in the oracle. NaN stays outside
+    the contract (the declared domain is finite doubles)."""
     return F.greatest(
         F.least(
-            F.floor(F.col("value") / F.lit(HQ_WIDTH)).cast("int"),
-            F.lit(HQ_BINS - 1),
+            F.floor(F.col("value") / F.lit(HQ_WIDTH)),
+            F.lit(float(HQ_BINS - 1)),
         ),
-        F.lit(0),
-    )
+        F.lit(0.0),
+    ).cast("int")
 
 
 def hq_histogram(ev: DataFrame) -> DataFrame:
     """(event_type, bin, cnt) histogram state from (event_type, value)
     rows — the ONE partial-aggregated shuffle whose map side collapses to
     <= HQ_BINS counters per type per task. Mergeable by plain SUM, which
-    is what the streaming twin exploits."""
+    is what the streaming twin exploits.
+
+    NULL policy, pinned EXPLICITLY (fuzz finding): a NULL event_type
+    group would survive the groupBy but then vanish silently in the
+    probe's equi-joins (Spark join-on-NULL and DuckDB USING both drop
+    it) — the classic NULL-key trap. Excluding it here makes the
+    contract visible and keeps the reference implementation honest;
+    NULL values are likewise out (quantiles are over present values,
+    and NULL ordering differs across engines)."""
     return (
-        ev.filter(F.col("value").isNotNull())
+        ev.filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
         .select("event_type", hq_bin_expr().alias("bin"))
         .groupBy("event_type", "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -446,7 +459,7 @@ def quantile_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         load_table(spark, sf_dir, "events")
         .select("event_type", "value")
-        .filter(F.col("value").isNotNull())
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
     )
     probe = hq_quantile_estimates(spark, hq_histogram(ev))
     totals = probe.select("event_type", "n_events").distinct()

@@ -323,10 +323,10 @@ _HQ_W = repr(_sk.HQ_WIDTH)
 HQ_PROBE_CTES = f"""
     binned AS (
       SELECT event_type,
-             GREATEST(LEAST(CAST(floor(value / {_HQ_W}) AS INTEGER),
-                            {_sk.HQ_BINS - 1}), 0) AS bin,
+             CAST(GREATEST(LEAST(floor(value / {_HQ_W}),
+                                 {float(_sk.HQ_BINS - 1)!r}), 0.0) AS INTEGER) AS bin,
              value
-      FROM events WHERE value IS NOT NULL),
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
     hist AS (SELECT event_type, bin, COUNT(*) AS cnt FROM binned GROUP BY 1, 2),
     totals AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_events
                FROM hist GROUP BY 1),

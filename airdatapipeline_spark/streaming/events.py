@@ -927,7 +927,9 @@ def quantile_ingest_append(
             ).alias("file_fp")
         )
         part = (
-            rows.filter(F.col("value").isNotNull())
+            # the batch sketch's pinned NULL policy (hq_histogram): NULL
+            # values and NULL event_type are out of the contract
+            rows.filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
             .select("fpath", "event_type", hq_bin_expr().alias("bin"))
             .groupBy("fpath", "event_type", "bin")
             .agg(F.count(F.lit(1)).alias("cnt"))

@@ -924,3 +924,81 @@ def test_drift_adversarial_whitespace_matches_duckdb(spark, tmp_path):
     from check_oracle import compare
 
     assert compare("drift_adversarial", spdf, ddf) == []
+
+
+# --- quantile-histogram-sketch differential fuzz (r10) -------------------------
+# Random (event_type, value) corpora — NULLs, negatives, huge magnitudes and
+# +/-inf (all clamped into the edge bins; the fuzz is what exposed the old
+# cast-then-clamp ANSI overflow) — probed through the SHARED
+# hq_histogram/hq_quantile_estimates path and a pure-Python reference that
+# mirrors the arithmetic (floor/clamp in float space, ceil(q*n) rank,
+# identical interpolation op order).
+
+
+def _hq_reference(rows):
+    import math
+    from collections import Counter
+
+    from airdatapipeline_spark.operators import sketches as sk
+
+    hist: Counter = Counter()
+    for etype, v in rows:
+        if v is None or etype is None:  # pinned NULL policy (hq_histogram)
+            continue
+        x = v / sk.HQ_WIDTH
+        if math.isfinite(x):  # floor(inf) stays inf in SQL; Python raises
+            x = math.floor(x)
+        b = int(max(min(x, float(sk.HQ_BINS - 1)), 0.0))
+        hist[(etype, b)] += 1
+    out = {}
+    types = sorted({t for (t, _) in hist})
+    for t in types:
+        bins = sorted(b for (tt, b) in hist if tt == t)
+        n = sum(hist[(t, b)] for b in bins)
+        for q in sk.HQ_QS:
+            r = math.ceil(q * n)
+            cum = 0
+            for b in bins:
+                cnt = hist[(t, b)]
+                if cum + cnt >= r and cum < r:
+                    est = float(b) * sk.HQ_WIDTH + sk.HQ_WIDTH * (
+                        float(r - cum) / float(cnt)
+                    )
+                    out[(t, q)] = (n, est)
+                    break
+                cum += cnt
+    return out
+
+
+_hq_value = st.one_of(
+    st.none(),
+    st.floats(
+        min_value=-1e12, max_value=1e12, allow_nan=False, allow_infinity=False
+    ),
+    st.sampled_from([float("inf"), float("-inf"), -1.0, 0.0, 511.9, 512.0, 1e10]),
+)
+_hq_rows = st.lists(
+    st.tuples(st.sampled_from(["view", "click", None]), _hq_value),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(rows=_hq_rows)
+@settings(max_examples=_ex(10), deadline=None)
+def test_quantile_sketch_matches_pure_python_reference_on_fuzzed_values(spark, rows):
+    import pyspark.sql.functions as F
+
+    from airdatapipeline_spark.operators.sketches import (
+        hq_histogram,
+        hq_quantile_estimates,
+    )
+
+    ev = spark.createDataFrame(rows, "event_type string, value double")
+    got = {
+        (r.event_type, r.q): (r.n_events, r.est)
+        for r in hq_quantile_estimates(
+            spark, hq_histogram(ev.filter(F.col("value").isNotNull()))
+        ).collect()
+    }
+    assert got == _hq_reference(rows)
