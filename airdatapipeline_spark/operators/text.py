@@ -273,9 +273,14 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
         " (a, b) -> concat(a, ' ', b))"
     )
+    # guarded: sequence(1, size-2) on a <3-token doc DESCENDS (Spark
+    # auto-steps -1 when start > stop) and element_at then crashes out of
+    # bounds — short docs get an empty trigram set instead (fuzz finding)
     trigrams = F.expr(
-        "transform(sequence(1, size(t) - 2),"
-        " i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))"
+        "if(size(t) >= 3,"
+        " transform(sequence(1, size(t) - 2),"
+        "  i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))),"
+        " cast(array() as array<string>))"
     )
     # run-length fold over the sorted bigram array: longest run == highest
     # frequency of any single bigram (ties collapse to the same max)
@@ -299,8 +304,15 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.size("tg") - F.size(F.array_distinct("tg"))).cast("long").alias("dup_trigram_n"),
         )
     )
-    top_frac = F.col("top_bigram_n") / F.col("n_bigrams")
-    dup_frac = F.col("dup_trigram_n") / F.col("n_trigrams")
+    # a doc with no bigrams/trigrams has NO repetition evidence: fractions
+    # are NULL (not a divide-by-zero crash — ANSI; fuzz finding) and the
+    # filter KEEPS it (each threshold vacuously passes when undefined)
+    top_frac = F.when(
+        F.col("n_bigrams") > 0, F.col("top_bigram_n") / F.col("n_bigrams")
+    )
+    dup_frac = F.when(
+        F.col("n_trigrams") > 0, F.col("dup_trigram_n") / F.col("n_trigrams")
+    )
     return df.select(
         "doc_id",
         "source",
@@ -310,7 +322,10 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_trigrams",
         "dup_trigram_n",
         dup_frac.alias("dup_trigram_frac"),
-        ((top_frac <= 0.18) & (dup_frac <= 0.30)).alias("keep"),
+        (
+            F.coalesce(top_frac <= 0.18, F.lit(True))
+            & F.coalesce(dup_frac <= 0.30, F.lit(True))
+        ).alias("keep"),
     )
 
 

@@ -266,14 +266,19 @@ def t_mix(spark, sf_dir):
     )
     SELECT g.doc_id, source,
            CAST(len(bg) AS BIGINT) AS n_bigrams,
-           CAST(top.top_bigram_n AS BIGINT) AS top_bigram_n,
-           top.top_bigram_n / len(bg) AS top_bigram_frac,
+           CAST(COALESCE(top.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+           CASE WHEN len(bg) > 0
+                THEN COALESCE(top.top_bigram_n, 0) / len(bg) END AS top_bigram_frac,
            CAST(len(tg) AS BIGINT) AS n_trigrams,
            CAST(len(tg) - len(list_distinct(tg)) AS BIGINT) AS dup_trigram_n,
-           (len(tg) - len(list_distinct(tg))) / len(tg) AS dup_trigram_frac,
-           top.top_bigram_n / len(bg) <= 0.18
-             AND (len(tg) - len(list_distinct(tg))) / len(tg) <= 0.30 AS keep
-    FROM g JOIN top ON g.doc_id = top.doc_id
+           CASE WHEN len(tg) > 0
+                THEN (len(tg) - len(list_distinct(tg))) / len(tg) END AS dup_trigram_frac,
+           COALESCE(CASE WHEN len(bg) > 0
+                         THEN COALESCE(top.top_bigram_n, 0) / len(bg) END <= 0.18, TRUE)
+             AND COALESCE(CASE WHEN len(tg) > 0
+                               THEN (len(tg) - len(list_distinct(tg))) / len(tg)
+                          END <= 0.30, TRUE) AS keep
+    FROM g LEFT JOIN top ON g.doc_id = top.doc_id
     """,
 )
 def t_repetition(spark, sf_dir):

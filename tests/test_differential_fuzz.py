@@ -1002,3 +1002,51 @@ def test_quantile_sketch_matches_pure_python_reference_on_fuzzed_values(spark, r
         ).collect()
     }
     assert got == _hq_reference(rows)
+
+
+def test_repetition_filters_short_docs_match_duckdb(spark, tmp_path):
+    """1- and 2-token documents through the registered repetition query
+    and its DuckDB oracle. Before r10 BOTH sides were wrong differently:
+    Spark crashed (sequence(1, -1) descends and element_at walked out of
+    bounds, then the fraction divided by zero under ANSI) while the
+    oracle's inner join silently DROPPED short docs. The pinned contract:
+    every document gets a row; empty n-gram sets give NULL fractions and
+    keep=true (no repetition evidence)."""
+    import duckdb
+    import os as _os
+    import sys as _sys
+
+    from airdatapipeline_spark.registry import ORACLES, QUERIES
+
+    sf = str(tmp_path / "sf")
+    __import__("shutil").os.makedirs(sf)
+    rows = [
+        (1, "solo", "web"), (2, "two words", "web"), (3, "a b c", "web"),
+        (4, "x x x x x x x x", "web"), (5, "", "web"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string, source string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    spdf = QUERIES["text_repetition_filters"](spark, sf).toPandas()
+    assert len(spdf) == len(rows)  # every doc present, none dropped/crashed
+    by_id = {r.doc_id: r for r in spdf.itertuples()}
+    # no n-grams at all -> vacuous pass (NULL fractions)
+    assert by_id[1].keep and by_id[5].keep
+    # a 2-token doc's single bigram is 100% of its bigrams: over threshold
+    # by the rule as defined (Gopher gates short docs on length upstream)
+    assert not by_id[2].keep
+    assert not by_id[4].keep  # pure repetition must still be dropped
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    ddf = con.execute(ORACLES["text_repetition_filters"]).df()
+    _sys.path.insert(
+        0,
+        _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "tools"),
+    )
+    from check_oracle import compare
+
+    assert compare("repetition_short_docs", spdf, ddf) == []
