@@ -236,6 +236,57 @@ def hll_shingle_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmv_pair_estimates(bk: DataFrame) -> DataFrame:
+    """Pairwise Jaccard/union estimates from per-source bottom-k sketch
+    tables (source, h) — SHARED verbatim by the batch query and the
+    streaming ingest twin so online and offline estimates cannot drift.
+    For each source pair: union the two sketches with membership flags,
+    re-cut to the k smallest of the union, overlap fraction estimates
+    Jaccard, (k-1)/h_k estimates the union cardinality (Beyer et al.
+    2007; sources with < k distinct hashes are their own exact sketch).
+    Returns (source_a, source_b, sketch_union_size, sketch_overlap,
+    jaccard_est, union_est) over pairs x k rows."""
+    sources = bk.select("source").distinct()
+    pairs = (
+        sources.select(F.col("source").alias("source_a"))
+        .crossJoin(sources.select(F.col("source").alias("source_b")))
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    ua = pairs.join(
+        bk.withColumnRenamed("source", "source_a"), on="source_a", how="inner"
+    ).select("source_a", "source_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    ub = pairs.join(
+        bk.withColumnRenamed("source", "source_b"), on="source_b", how="inner"
+    ).select("source_a", "source_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    merged = (
+        ua.unionByName(ub)
+        .groupBy("source_a", "source_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wp = Window.partitionBy("source_a", "source_b").orderBy(F.asc("h"))
+    cut = merged.withColumn("r", F.row_number().over(wp)).filter(F.col("r") <= KMV_K)
+    sk = cut.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("sketch_union_size"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("sketch_overlap"),
+        F.max("h").alias("h_k"),
+    )
+    return sk.select(
+        "source_a",
+        "source_b",
+        "sketch_union_size",
+        "sketch_overlap",
+        (F.col("sketch_overlap").cast("double") / F.col("sketch_union_size")).alias(
+            "jaccard_est"
+        ),
+        F.when(
+            F.col("sketch_union_size") < KMV_K,
+            F.col("sketch_union_size").cast("double"),
+        )
+        .otherwise(F.lit(KMV_EST_NUM) / F.col("h_k").cast("double"))
+        .alias("union_est"),
+    )
+
+
 def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise cross-source overlap estimated from per-source KMV
     (bottom-k distinct-hash) sketches, graded against the exact Jaccard.
@@ -265,47 +316,8 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # read re-runs the ranked corpus scan (recall-panel localCheckpoint
     # precedent).
     bk = kmv_bottom_k(hashed).localCheckpoint(eager=True)
-    sources = bk.select("source").distinct()
-    pairs = (
-        sources.select(F.col("source").alias("source_a"))
-        .crossJoin(sources.select(F.col("source").alias("source_b")))
-        .filter(F.col("source_a") < F.col("source_b"))
-    )
-    # merged sketch per pair: union of the two bottom-k sets with
-    # membership flags, re-cut to the k smallest of the union
-    ua = pairs.join(
-        bk.withColumnRenamed("source", "source_a"), on="source_a", how="inner"
-    ).select("source_a", "source_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
-    ub = pairs.join(
-        bk.withColumnRenamed("source", "source_b"), on="source_b", how="inner"
-    ).select("source_a", "source_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
-    merged = (
-        ua.unionByName(ub)
-        .groupBy("source_a", "source_b", "h")
-        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
-    )
-    wp = Window.partitionBy("source_a", "source_b").orderBy(F.asc("h"))
-    cut = merged.withColumn("r", F.row_number().over(wp)).filter(F.col("r") <= KMV_K)
-    sk = cut.groupBy("source_a", "source_b").agg(
-        F.count(F.lit(1)).alias("sketch_union_size"),
-        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("sketch_overlap"),
-        F.max("h").alias("h_k"),
-    )
-    sk = sk.select(
-        "source_a",
-        "source_b",
-        "sketch_union_size",
-        "sketch_overlap",
-        (F.col("sketch_overlap").cast("double") / F.col("sketch_union_size")).alias(
-            "jaccard_est"
-        ),
-        F.when(
-            F.col("sketch_union_size") < KMV_K,
-            F.col("sketch_union_size").cast("double"),
-        )
-        .otherwise(F.lit(KMV_EST_NUM) / F.col("h_k").cast("double"))
-        .alias("union_est"),
-    )
+    sk = kmv_pair_estimates(bk)
+    pairs = sk.select("source_a", "source_b")
     # exact verifier: full distinct shingle sets (test-scale / sampled-only
     # at 100 TB)
     ssets = sh.distinct().localCheckpoint(eager=True)

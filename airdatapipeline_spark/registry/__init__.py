@@ -76,18 +76,20 @@ from . import sources_sinks  # noqa: F401,E402
 #     merge-on-read streaming twin of the quantile histogram sketch,
 #     VERDICT-r9 item 7; text_snapshot_drift — exact-integer-TVD
 #     distribution drift between corpus snapshots, the retrain gate;
-#     stream_drift_gate_ingest — that gate at the ingest door, completing
-#     the model-at-the-door twin set);
-#   - the remaining 42 slots: 42 of the 47 r6-stale queries (tpch
+#     stream_drift_gate_ingest — that gate at the ingest door;
+#     stream_kmv_register_ingest — the KMV set-union twin completing the
+#     streaming merge-class triad);
+#   - the remaining 41 slots: 41 of the 47 r6-stale queries (tpch
 #     q1/q3/q5..., the shard lifecycle family, repetition filters,
 #     epoch_schedule, curated_append, the streaming append family, ...).
 #     Left at r6 for r11: mm_decode_features (mm family re-proven r7),
 #     stream_dedup_append + stream_sliding_append + stream_session_append
 #     (stream family gained three fresh r9 greens and three r10 window
 #     slots), dedup_ngram_jaccard_pairs (family covered in-window by
-#     d1_d2/exact_groups/fuzzy_decontamination); all five stay
-#     value-hash-checked every pytest run.
-# Max driver-row staleness after a green r10 window: r6 for those five,
+#     d1_d2/exact_groups/fuzzy_decontamination), events_json_extract
+#     (events family re-proven r7/r8 for its heavier members); all six
+#     stay value-hash-checked every pytest run.
+# Max driver-row staleness after a green r10 window: r6 for those six,
 # r7 for everything else — and every registered query has a driver row.
 _DRIVER_WINDOW = [
     # --- §2 family flagships (regression canaries) -------------------------
@@ -101,7 +103,8 @@ _DRIVER_WINDOW = [
     "stream_quantile_ingest_append",
     "text_snapshot_drift",
     "stream_drift_gate_ingest",
-    # --- newest driver row is r6 (42 of the 47) ----------------------------
+    "stream_kmv_register_ingest",
+    # --- newest driver row is r6 (41 of the 47) ----------------------------
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_regional_revenue",
@@ -120,7 +123,6 @@ _DRIVER_WINDOW = [
     "bucketed_order_revenue",
     "j_salted_hotkey_events",
     "events_daily_by_type",
-    "events_json_extract",
     "events_sessionization",
     "ev_range_errors_near_clicks",
     "text_token_stats_by_source",

@@ -349,3 +349,30 @@ def st_drift_gate_ingest(spark, sf_dir):
     batch query. The drained result equals batch snapshot_drift over the
     same corpus — the oracle is that query's SQL, reused verbatim."""
     return streaming_events.drift_gate_ingest_append(spark, sf_dir)
+
+
+from .text import _SKETCH_SHINGLE_CTES as _SH_CTES  # noqa: E402
+from .text import KMV_SK_CTES, KMV_SK_SELECT  # noqa: E402
+
+
+@register(
+    "stream_kmv_register_ingest",
+    f"""
+    WITH {_SH_CTES},
+    {KMV_SK_CTES}
+    SELECT {KMV_SK_SELECT}
+    FROM sk s ORDER BY s.source_a, s.source_b
+    """,
+)
+def st_kmv_register_ingest(spark, sf_dir):
+    """Overlap-sketch-maintenance-at-ingest: per micro-batch bottom-k
+    candidates appended (byte-identical kmv_bottom_k build), the live
+    pairwise estimates re-cut the appended union through the batch
+    query's own kmv_pair_estimates path. Completes the streaming merge
+    triad — HLL max-merge (keyless), quantile SUM-merge (content-keyed),
+    KMV set-union + re-cut (keyless: dense_rank's duplicates-share-a-rank
+    cut absorbs redelivered rows; the Beyer et al. superset property
+    makes the union re-cut EXACTLY the batch sketch). The oracle replays
+    the batch sketch columns verbatim (exact-Jaccard verifier columns
+    stay with the batch query; sketch state cannot reproduce them)."""
+    return streaming_events.kmv_register_ingest_append(spark, sf_dir)

@@ -1735,10 +1735,12 @@ def t_hll_shingles(spark, sf_dir):
     return sketches.hll_shingle_cardinality(spark, sf_dir)
 
 
-@register(
-    "text_kmv_source_overlap",
-    f"""
-    WITH {_SKETCH_SHINGLE_CTES},
+# bottom-k build + pair merge CTE chain, shared VERBATIM by the batch
+# oracle (which adds the exact-Jaccard verifier) and the streaming twin's
+# oracle (stream_kmv_register_ingest in registry/streaming.py — the
+# drained union re-cut equals the batch sketch, the Beyer et al. superset
+# property)
+KMV_SK_CTES = f"""
     bk AS (SELECT DISTINCT source, h FROM (
              SELECT source, h,
                     dense_rank() OVER (PARTITION BY source ORDER BY h) AS r
@@ -1762,7 +1764,21 @@ def t_hll_shingles(spark, sf_dir):
                   CAST(COUNT(*) AS BIGINT) AS sketch_union_size,
                   CAST(SUM(in_a * in_b) AS BIGINT) AS sketch_overlap,
                   MAX(h) AS h_k
-           FROM cut GROUP BY 1, 2),
+           FROM cut GROUP BY 1, 2)"""
+
+# the sketch-column projection, shared by both oracles
+KMV_SK_SELECT = f"""s.source_a, s.source_b, s.sketch_union_size, s.sketch_overlap,
+           CAST(s.sketch_overlap AS DOUBLE) / s.sketch_union_size AS jaccard_est,
+           CASE WHEN s.sketch_union_size < {sketches.KMV_K}
+                THEN CAST(s.sketch_union_size AS DOUBLE)
+                ELSE {sketches.KMV_EST_NUM!r} / CAST(s.h_k AS DOUBLE) END AS union_est"""
+
+
+@register(
+    "text_kmv_source_overlap",
+    f"""
+    WITH {_SKETCH_SHINGLE_CTES},
+    {KMV_SK_CTES},
     ssets AS (SELECT DISTINCT source, shingle FROM sh),
     sizes AS (SELECT source, COUNT(DISTINCT shingle) AS n FROM ssets GROUP BY 1),
     inter AS (SELECT a.source AS source_a, b.source AS source_b,
@@ -1778,11 +1794,7 @@ def t_hll_shingles(spark, sf_dir):
               JOIN sizes sb ON sb.source = p.source_b
               LEFT JOIN inter i ON i.source_a = p.source_a
                                AND i.source_b = p.source_b)
-    SELECT s.source_a, s.source_b, s.sketch_union_size, s.sketch_overlap,
-           CAST(s.sketch_overlap AS DOUBLE) / s.sketch_union_size AS jaccard_est,
-           CASE WHEN s.sketch_union_size < {sketches.KMV_K}
-                THEN CAST(s.sketch_union_size AS DOUBLE)
-                ELSE {sketches.KMV_EST_NUM!r} / CAST(s.h_k AS DOUBLE) END AS union_est,
+    SELECT {KMV_SK_SELECT},
            e.jaccard_exact,
            abs(CAST(s.sketch_overlap AS DOUBLE) / s.sketch_union_size
                - e.jaccard_exact) AS abs_err

@@ -1064,3 +1064,73 @@ def drift_gate_ingest_append(
         )
     )
     return drift_scores(hist).orderBy("metric", "bin")
+
+
+def kmv_register_ingest_append(
+    spark: SparkSession,
+    sf_dir: str,
+    landing_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+    out_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Overlap-sketch-maintenance-at-ingest: each arriving micro-batch of
+    documents contributes its PARTIAL per-source bottom-k hash sets
+    (operators/sketches.kmv_bottom_k — byte-identical to the batch build)
+    to an append-only candidate store; the live pairwise Jaccard/union
+    estimates re-cut the union of everything appended through the SAME
+    kmv_bottom_k + kmv_pair_estimates path as the batch query.
+
+    This completes the streaming-sketch merge-class triad: HLL merges by
+    register MAX (idempotent, keyless), the quantile histogram merges by
+    SUM (content-fingerprint-keyed), and KMV merges by SET UNION + re-cut
+    — idempotent with NO bookkeeping at all, because a redelivered file
+    appends duplicate (source, hash) rows that dense_rank's
+    duplicates-share-a-rank cut and the final distinct absorb exactly
+    (pytest redelivers within-run and cross-run and asserts bit-identical
+    estimates). Exactness of the merge: any hash in a source's GLOBAL
+    bottom-k is necessarily in its own batch's bottom-k, so the re-cut
+    over the appended union equals the batch sketch — the superset
+    property that makes bottom-k sketches mergeable (Beyer et al. 2007).
+
+    At 100 TB: per-batch appended state is <= sources x k rows, the store
+    is compactable by re-cutting (shard-compaction's idiom), and the
+    drained estimates equal the batch query's sketch columns — what the
+    DuckDB oracle replays (the exact-Jaccard verifier columns stay with
+    the batch query; sketch state cannot reproduce them, by design)."""
+    from ..operators.sketches import (
+        _hash56,
+        _source_shingles_df,
+        kmv_bottom_k,
+        kmv_pair_estimates,
+    )
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    reader = spark.readStream.schema(batch_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(landing_dir or _doc_landing_dir(sf_dir))
+
+    out = out_dir or tempfile.mkdtemp(prefix="kmv_regs_sink_")
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="kmv_regs_ckpt_")
+    out_schema = "source string, h long"
+
+    def contribute(bdf: DataFrame, _bid: int) -> None:
+        hashed = _source_shingles_df(bdf).select("source", _hash56().alias("h"))
+        # partial bottom-k of THIS batch only — union + re-cut on read
+        # absorbs duplicates, so no committed-key bookkeeping
+        kmv_bottom_k(hashed).write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(contribute)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    merged = kmv_bottom_k(
+        spark.read.schema(out_schema).parquet(out)
+    ).localCheckpoint(eager=True)
+    return kmv_pair_estimates(merged).orderBy("source_a", "source_b")

@@ -1267,3 +1267,61 @@ def test_drift_gate_ingest_redelivery_content_keyed(spark, tmp_path):
         ).collect()
     }
     assert redelivered == once
+
+
+def test_kmv_register_ingest_redelivery_free(spark, tmp_path):
+    """The streaming KMV sketch's merge contract: set-union + re-cut is
+    idempotent with NO bookkeeping (dense_rank's duplicates-share-a-rank
+    cut + distinct absorb redelivered rows), and the Beyer et al.
+    superset property makes the union re-cut EXACTLY the batch sketch.
+    Within-run (same content, two names, one per micro-batch) AND
+    cross-run (fresh checkpoint, same pinned sink) redelivery must both
+    produce BIT-IDENTICAL estimates equal to the batch query's sketch
+    columns."""
+    import shutil
+
+    from airdatapipeline_spark.operators import sketches as sk
+    from airdatapipeline_spark.streaming import events as se
+
+    sf = SF_SMALL
+    key = lambda r: (r["source_a"], r["source_b"])  # noqa: E731
+    val = lambda r: (  # noqa: E731
+        r["sketch_union_size"], r["sketch_overlap"], r["jaccard_est"], r["union_est"]
+    )
+    batch = {key(r): val(r) for r in sk.kmv_source_overlap(spark, sf).collect()}
+
+    landing = str(tmp_path / "landing")
+    shutil.os.makedirs(landing)
+    shutil.copy(f"{sf}/documents.parquet", f"{landing}/a.parquet")
+    once = {
+        key(r): val(r)
+        for r in se.kmv_register_ingest_append(spark, sf, landing_dir=landing).collect()
+    }
+    assert once == batch  # drained union re-cut == batch sketch
+
+    landing2 = str(tmp_path / "landing2")
+    shutil.os.makedirs(landing2)
+    shutil.copy(f"{sf}/documents.parquet", f"{landing2}/a.parquet")
+    shutil.copy(f"{sf}/documents.parquet", f"{landing2}/b.parquet")
+    dup = {
+        key(r): val(r)
+        for r in se.kmv_register_ingest_append(
+            spark, sf, landing_dir=landing2, max_files_per_trigger=1
+        ).collect()
+    }
+    assert dup == once
+
+    out = str(tmp_path / "sink")
+    shutil.os.makedirs(out)
+    se.kmv_register_ingest_append(
+        spark, sf, landing_dir=landing, out_dir=out,
+        checkpoint_dir=str(tmp_path / "ckpt1"),
+    )
+    redelivered = {
+        key(r): val(r)
+        for r in se.kmv_register_ingest_append(
+            spark, sf, landing_dir=landing, out_dir=out,
+            checkpoint_dir=str(tmp_path / "ckpt2"),
+        ).collect()
+    }
+    assert redelivered == once
