@@ -18,10 +18,21 @@ Design (the repo's engine-parity + 100 TB rules):
 - **ln-free divergence**: PSI's per-bin ln(pA/pB) would hang parity on
   libm rounding (the BM25/LM lesson). The drift statistic here is total
   variation distance, computed EXACTLY in integers before one final
-  division: |cA*totB - cB*totA| summed as BIGINT (order-free, no float
-  accumulation hazard), TVD = that sum / (2*totA*totB) — a single
-  deterministic IEEE division from exact integer state, bit-equal in both
-  engines. Per-bin probability columns are likewise single divisions.
+  division: |cA*totB - cB*totA| summed order-free (no float accumulation
+  hazard), TVD = that sum / (2*totA*totB) — a single deterministic IEEE
+  division from exact integer state, bit-equal in both engines. Per-bin
+  probability columns are likewise single divisions. The exact integer
+  arithmetic runs in decimal(38,0) on the Spark side and HUGEINT (int128)
+  in the DuckDB oracle (ADVICE-r10: BIGINT numerators overflow once a
+  snapshot exceeds ~3e9 docs; both widened types are exact past 1e18 docs
+  per side, i.e. unbounded at any realistic corpus). The reported
+  `tvd_num` column is the exact value cast once to double — both engines
+  round-to-nearest the same integer, so the cast is bit-equal too.
+- **Thresholded decision**: the gate's yes/no is itself part of the
+  contract — `retrain_alert` = (tvd > DRIFT_ALERT_TVD), NULL when TVD is
+  undefined (one-sided snapshot). The threshold is a pinned module
+  constant interpolated into the oracle, so online, offline, and oracle
+  alert decisions are the same comparison on the same bit-equal double.
 - **Deterministic snapshots**: A/B = doc_id parity (stands in for
   yesterday's vs today's ingest partition; at 100 TB the two sides are
   two date partitions and the histogram build prunes to them).
@@ -43,6 +54,11 @@ from .text import tokens_col
 DRIFT_BINS = 16
 DRIFT_TOKEN_WIDTH = 16  # documents run ~tens-to-hundreds of tokens
 DRIFT_CHAR_WIDTH = 128
+# Retrain-alert threshold on metric-level TVD (in [0,1]). 0.1 is the
+# common "significant shift" bar from the PSI literature's 0.1/0.25
+# bands, applied to TVD's comparable scale. Interpolated into the DuckDB
+# oracle (registry/text.py) so both engines run the same comparison.
+DRIFT_ALERT_TVD = 0.1
 
 
 def _bin(col, width: int):
@@ -79,59 +95,78 @@ def drift_binned(docs_with_flag: DataFrame, keys: tuple = ()) -> DataFrame:
     )
 
 
-def drift_histogram(binned: DataFrame) -> DataFrame:
-    """(metric, bin, n_a, n_b) counter state — mergeable by plain SUM,
-    which is what the streaming gate's merge-on-read exploits."""
-    return binned.groupBy("metric", "bin").agg(
+def drift_histogram(binned: DataFrame, keys: tuple = ()) -> DataFrame:
+    """(*keys, metric, bin, n_a, n_b) counter state — mergeable by plain
+    SUM, which is what the streaming gate's merge-on-read exploits. With
+    keys=("source",) the state is sources x metrics x DRIFT_BINS integer
+    counters — still broadcast-sized for any realistic source count."""
+    return binned.groupBy(*keys, "metric", "bin").agg(
         F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias("n_a"),
         F.sum(F.when(F.col("is_a"), 0).otherwise(1)).cast("long").alias("n_b"),
     )
 
 
-def drift_scores(hist: DataFrame) -> DataFrame:
-    """TVD probe over histogram state (metric, bin, n_a, n_b) — SHARED
-    verbatim by the batch query and the streaming gate's read path so
-    online and offline drift decisions cannot diverge. Exact-integer
-    numerators, one final IEEE division per float column (module
-    docstring)."""
+def drift_scores(hist: DataFrame, keys: tuple = ()) -> DataFrame:
+    """TVD probe over histogram state (*keys, metric, bin, n_a, n_b) —
+    SHARED verbatim by the batch queries and the streaming gate's read
+    path so online and offline drift decisions cannot diverge.
+    Exact-integer numerators in decimal(38,0) (module docstring: BIGINT
+    cross-products overflow past ~3e9 docs/side; decimal(38,0) and the
+    oracle's HUGEINT are exact past 1e18), one final IEEE division per
+    float column, and the thresholded `retrain_alert` decision on the
+    metric-level TVD."""
     from pyspark.sql import Window
 
-    per_metric = Window.partitionBy("metric")
+    per_metric = Window.partitionBy(*keys, "metric")
+
+    def dec(col):
+        return col.cast("decimal(38,0)")
+
     scored = (
         hist.withColumn("tot_a", F.sum("n_a").over(per_metric))
         .withColumn("tot_b", F.sum("n_b").over(per_metric))
         .withColumn(
-            "tvd_num",
-            F.abs(F.col("n_a") * F.col("tot_b") - F.col("n_b") * F.col("tot_a")),
+            "tvd_num_x",
+            F.abs(dec(F.col("n_a")) * F.col("tot_b") - dec(F.col("n_b")) * F.col("tot_a")),
         )
-        .withColumn("tvd_den", F.lit(2) * F.col("tot_a") * F.col("tot_b"))
+        .withColumn("tvd_den", dec(F.lit(2)) * F.col("tot_a") * F.col("tot_b"))
     )
     # one-sided snapshots (a brand-new pipeline with no reference yet, or
     # zero arrivals) have no defined probability/TVD: NULL, not a
     # divide-by-zero crash (ANSI) — found by the drift differential fuzz;
     # mirrored as CASE WHEN in the oracle and as None in the pure-Python
     # reference
-    return scored.select(
-        "metric",
-        F.col("bin").cast("long").alias("bin"),  # BIGINT — matches the
-        # oracle's DuckDB integer promotion through stack/union
-        "n_a",
-        "n_b",
-        F.when(
-            F.col("tot_a") > 0,
-            F.col("n_a").cast("double") / F.col("tot_a").cast("double"),
-        ).alias("p_a"),
-        F.when(
-            F.col("tot_b") > 0,
-            F.col("n_b").cast("double") / F.col("tot_b").cast("double"),
-        ).alias("p_b"),
-        "tvd_num",
-        F.when(
-            (F.col("tot_a") > 0) & (F.col("tot_b") > 0),
-            F.sum("tvd_num").over(per_metric).cast("double")
-            / F.col("tvd_den").cast("double"),
-        ).alias("tvd"),
-    ).orderBy("metric", "bin")
+    return (
+        scored.select(
+            *keys,
+            "metric",
+            F.col("bin").cast("long").alias("bin"),  # BIGINT — matches the
+            # oracle's DuckDB integer promotion through stack/union
+            "n_a",
+            "n_b",
+            F.when(
+                F.col("tot_a") > 0,
+                F.col("n_a").cast("double") / F.col("tot_a").cast("double"),
+            ).alias("p_a"),
+            F.when(
+                F.col("tot_b") > 0,
+                F.col("n_b").cast("double") / F.col("tot_b").cast("double"),
+            ).alias("p_b"),
+            F.col("tvd_num_x").cast("double").alias("tvd_num"),
+            F.when(
+                (F.col("tot_a") > 0) & (F.col("tot_b") > 0),
+                F.sum("tvd_num_x").over(per_metric).cast("double")
+                / F.col("tvd_den").cast("double"),
+            ).alias("tvd"),
+        )
+        .withColumn(
+            "retrain_alert",
+            F.when(
+                F.col("tvd").isNotNull(), F.col("tvd") > F.lit(DRIFT_ALERT_TVD)
+            ),
+        )
+        .orderBy(*keys, "metric", "bin")
+    )
 
 
 def snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -142,9 +177,43 @@ def snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance repeated per row (so the oracle value-hashes the whole
     decision surface, not just the scalar).
 
-    Columns: metric, bin, n_a, n_b, p_a, p_b, tvd_num (exact integer
-    |cA*totB - cB*totA|), tvd (metric-level, in [0,1])."""
+    Columns: metric, bin, n_a, n_b, p_a, p_b, tvd_num (exact
+    |cA*totB - cB*totA|, computed in decimal(38,0) and reported as
+    double), tvd (metric-level, in [0,1]), retrain_alert
+    (tvd > DRIFT_ALERT_TVD; NULL when tvd is undefined)."""
     docs = load_table(spark, sf_dir, "documents").select(
         ((F.col("doc_id") % 2) == 0).alias("is_a"), "text"
     )
     return drift_scores(drift_histogram(drift_binned(docs)))
+
+
+def snapshot_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source snapshot drift — the production question behind the
+    global check is "WHICH upstream changed under us": one global TVD can
+    stay flat while a single crawler source shifts hard (its mass is
+    diluted by the stable sources). Same one-scan build as
+    `snapshot_drift` with `source` threaded through `keys` (the seam the
+    streaming gate already uses for its per-file counter key), so the
+    state is sources x metrics x DRIFT_BINS integer counters and the
+    per-source decision surface — counts, probabilities, exact TVD
+    numerators, metric-level TVD, and the thresholded retrain_alert — is
+    value-hashed per (source, metric, bin).
+
+    At 100 TB: the extra key multiplies counter state by the source
+    count (tens to thousands), still a broadcast-sized probe table; the
+    shuffle stays the single partial-aggregated groupBy. Skew-safe: a
+    hot source concentrates mass in its own key's <= metrics x
+    DRIFT_BINS rows, never in a hot shuffle partition (bench.py scaling
+    tier measures the skewed-source regime).
+
+    Snapshot flag: `doc_id % 7 < 4` rather than the global check's
+    parity — the synthetic corpora stripe source = doc_id mod n_sources
+    (TESTDATA.md), so parity is CONSTANT within a source and every
+    per-source comparison would be one-sided; a modulus coprime to the
+    striping splits every source. In production both flags are the same
+    thing: the ingest date-partition column."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", ((F.col("doc_id") % 7) < 4).alias("is_a"), "text"
+    )
+    keys = ("source",)
+    return drift_scores(drift_histogram(drift_binned(docs, keys=keys), keys=keys), keys=keys)

@@ -1816,49 +1816,70 @@ def t_kmv_overlap(spark, sf_dir):
 from ..operators import drift as _drift  # noqa: E402
 
 
-# shared verbatim with stream_drift_gate_ingest's oracle (the drained gate
-# result equals the batch snapshot_drift over the same corpus)
-_DRIFT_SQL = f"""
+def _drift_sql(keys: tuple = (), is_a_sql: str = "doc_id % 2 = 0") -> str:
+    """DuckDB twin of operators/drift's build+score path, parameterized
+    on the grouping keys exactly as the Spark side threads them. Exact
+    integer arithmetic runs in HUGEINT (int128 — the oracle counterpart
+    of the Spark side's decimal(38,0); plain BIGINT numerators overflow
+    past ~3e9 docs/side, ADVICE-r10), with `tvd_num` reported as one
+    round-to-nearest cast to DOUBLE, bit-equal to Spark's decimal cast.
+    The retrain_alert threshold is interpolated from the module constant
+    so both engines run the same comparison on the same bit-equal tvd."""
+    k = "".join(f"{c}, " for c in keys)  # "source, " or ""
+    return f"""
     WITH per AS (
-      SELECT doc_id % 2 = 0 AS is_a,
+      SELECT {k}{is_a_sql} AS is_a,
              len({_TOKS}) AS n_tok,
              length(text) AS n_chr
       FROM documents),
     binned AS (
-      SELECT is_a, metric, bin FROM (
-        SELECT is_a, 'tokens' AS metric,
+      SELECT {k}is_a, metric, bin FROM (
+        SELECT {k}is_a, 'tokens' AS metric,
                GREATEST(LEAST(CAST(floor(n_tok / {_drift.DRIFT_TOKEN_WIDTH}) AS INTEGER),
                               {_drift.DRIFT_BINS - 1}), 0) AS bin
         FROM per
         UNION ALL
-        SELECT is_a, 'chars',
+        SELECT {k}is_a, 'chars',
                GREATEST(LEAST(CAST(floor(n_chr / {_drift.DRIFT_CHAR_WIDTH}) AS INTEGER),
                               {_drift.DRIFT_BINS - 1}), 0)
         FROM per)),
     hist AS (
-      SELECT metric, bin,
+      SELECT {k}metric, bin,
              CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
              CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
-      FROM binned GROUP BY 1, 2),
+      FROM binned GROUP BY ALL),
     scored AS (
       SELECT *,
-             CAST(SUM(n_a) OVER (PARTITION BY metric) AS BIGINT) AS tot_a,
-             CAST(SUM(n_b) OVER (PARTITION BY metric) AS BIGINT) AS tot_b
-      FROM hist),
+             CAST(SUM(n_a) OVER w AS BIGINT) AS tot_a,
+             CAST(SUM(n_b) OVER w AS BIGINT) AS tot_b
+      FROM hist WINDOW w AS (PARTITION BY {k}metric)),
     num AS (
-      SELECT *, CAST(abs(n_a * tot_b - n_b * tot_a) AS BIGINT) AS tvd_num
-      FROM scored)
-    SELECT metric, bin, n_a, n_b,
-           CASE WHEN tot_a > 0
-                THEN CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE) END AS p_a,
-           CASE WHEN tot_b > 0
-                THEN CAST(n_b AS DOUBLE) / CAST(tot_b AS DOUBLE) END AS p_b,
-           tvd_num,
-           CASE WHEN tot_a > 0 AND tot_b > 0
-                THEN CAST(SUM(tvd_num) OVER (PARTITION BY metric) AS DOUBLE)
-                     / CAST(2 * tot_a * tot_b AS DOUBLE) END AS tvd
-    FROM num ORDER BY metric, bin
+      SELECT *,
+             abs(CAST(n_a AS HUGEINT) * tot_b - CAST(n_b AS HUGEINT) * tot_a)
+               AS tvd_num_x
+      FROM scored),
+    sel AS (
+      SELECT {k}metric, bin, n_a, n_b,
+             CASE WHEN tot_a > 0
+                  THEN CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE) END AS p_a,
+             CASE WHEN tot_b > 0
+                  THEN CAST(n_b AS DOUBLE) / CAST(tot_b AS DOUBLE) END AS p_b,
+             CAST(tvd_num_x AS DOUBLE) AS tvd_num,
+             CASE WHEN tot_a > 0 AND tot_b > 0
+                  THEN CAST(SUM(tvd_num_x) OVER (PARTITION BY {k}metric) AS DOUBLE)
+                       / CAST(2 * CAST(tot_a AS HUGEINT) * tot_b AS DOUBLE) END AS tvd
+      FROM num)
+    SELECT *,
+           CASE WHEN tvd IS NOT NULL
+                THEN tvd > CAST({_drift.DRIFT_ALERT_TVD!r} AS DOUBLE)
+                END AS retrain_alert
+    FROM sel ORDER BY {k}metric, bin
     """
+
+
+# shared verbatim with stream_drift_gate_ingest's oracle (the drained gate
+# result equals the batch snapshot_drift over the same corpus)
+_DRIFT_SQL = _drift_sql()
 
 
 @register("text_snapshot_drift", _DRIFT_SQL)
@@ -1867,8 +1888,29 @@ def t_snapshot_drift(spark, sf_dir):
     halves standing in for two ingest partitions): fixed-bin mergeable
     histograms per metric (token count, char length) built in ONE scan /
     one partial-agg shuffle, with the drift statistic as EXACT-integer
-    total variation distance (|cA*totB - cB*totA| summed as BIGINT, one
-    final division) — the ln-free alternative to PSI, so no cross-engine
-    libm hazard (operators/drift.py module docstring). The retrain-gate
+    total variation distance (|cA*totB - cB*totA| summed in decimal(38,0)
+    / HUGEINT — overflow-free past 1e18 docs/side — one final division)
+    — the ln-free alternative to PSI, so no cross-engine libm hazard
+    (operators/drift.py module docstring) — and the thresholded
+    retrain_alert decision the gate acts on. The retrain-gate
     data-quality check every production training pipeline runs."""
     return _drift.snapshot_drift(spark, sf_dir)
+
+
+@register(
+    "text_snapshot_drift_by_source",
+    # coprime-modulus snapshot flag: the synthetic corpora stripe
+    # source = doc_id mod n_sources, so the global check's parity flag is
+    # constant within a source (operators/drift.snapshot_drift_by_source)
+    _drift_sql(keys=("source",), is_a_sql="doc_id % 7 < 4"),
+)
+def t_snapshot_drift_by_source(spark, sf_dir):
+    """Per-source snapshot drift — WHICH upstream changed: the global TVD
+    dilutes a single shifted crawler source under the stable majority,
+    so production keys the same one-scan histogram build by `source`
+    (state: sources x metrics x 16 integer counters, still a
+    broadcast-sized probe; hot sources concentrate in their own key's
+    rows, never a hot shuffle partition). Same decimal/HUGEINT
+    exact-TVD arithmetic and retrain_alert threshold as the global
+    check, value-hashed per (source, metric, bin)."""
+    return _drift.snapshot_drift_by_source(spark, sf_dir)

@@ -840,6 +840,7 @@ def _drift_reference(rows):
             )
             for b in bins
         )
+        tvd = (tvd_sum / (2 * tot_a * tot_b)) if tot_a and tot_b else None
         for b in bins:
             n_a = counts.get((metric, b, True), 0)
             n_b = counts.get((metric, b, False), 0)
@@ -848,8 +849,11 @@ def _drift_reference(rows):
                 n_b,
                 (n_a / tot_a) if tot_a else None,
                 (n_b / tot_b) if tot_b else None,
-                abs(n_a * tot_b - n_b * tot_a),
-                (tvd_sum / (2 * tot_a * tot_b)) if tot_a and tot_b else None,
+                float(abs(n_a * tot_b - n_b * tot_a)),
+                tvd,
+                # one-sided snapshots: undefined TVD -> NULL alert, never a
+                # false negative booked as False
+                (tvd > dr.DRIFT_ALERT_TVD) if tvd is not None else None,
             )
     return out
 
@@ -883,7 +887,9 @@ def test_drift_matches_pure_python_reference_on_fuzzed_corpora(spark, rows):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     flagged = docs.select(((F.col("doc_id") % 2) == 0).alias("is_a"), "text")
     got = {
-        (r.metric, r.bin): (r.n_a, r.n_b, r.p_a, r.p_b, r.tvd_num, r.tvd)
+        (r.metric, r.bin): (
+            r.n_a, r.n_b, r.p_a, r.p_b, r.tvd_num, r.tvd, r.retrain_alert
+        )
         for r in drift_scores(drift_histogram(drift_binned(flagged))).collect()
     }
     assert got == _drift_reference(rows)

@@ -1134,9 +1134,67 @@ def test_snapshot_drift_pure_python_reference(spark):
             assert row.p_a == n_a / tot_a and row.p_b == n_b / tot_b
             assert row.tvd_num == abs(n_a * tot_b - n_b * tot_a)
             assert row.tvd == tvd_sum / (2 * tot_a * tot_b)
+            # the thresholded decision is the same comparison on the same
+            # bit-equal double in every engine
+            assert row.retrain_alert == (row.tvd > dr.DRIFT_ALERT_TVD)
     assert {(m, b) for (m, b) in got} == {
         (m, b) for (m, b, _) in counts
     }  # bins absent from both snapshots are absent from the output
+
+
+def test_snapshot_drift_by_source_matches_global_arithmetic(spark):
+    """Keyed drift is the global arithmetic applied per source: for each
+    source, recompute TVD from the keyed query's own integer counters
+    and require bit-equality; the coprime-modulus snapshot flag must
+    split EVERY source two-sided (the reason parity can't be the flag —
+    the synthetic corpora stripe source by doc_id modulus)."""
+    from collections import defaultdict
+
+    from airdatapipeline_spark.operators import drift as dr
+
+    rows = dr.snapshot_drift_by_source(spark, SF_SMALL).collect()
+    by_sm = defaultdict(list)
+    for r in rows:
+        by_sm[(r.source, r.metric)].append(r)
+    srcs = {s for s, _ in by_sm}
+    assert len(srcs) > 1
+    for (s, m), grp in by_sm.items():
+        tot_a, tot_b = sum(r.n_a for r in grp), sum(r.n_b for r in grp)
+        assert tot_a > 0 and tot_b > 0, (s, m, "one-sided source split")
+        tvd_sum = sum(abs(r.n_a * tot_b - r.n_b * tot_a) for r in grp)
+        for r in grp:
+            assert r.tvd_num == abs(r.n_a * tot_b - r.n_b * tot_a)
+            assert r.tvd == tvd_sum / (2 * tot_a * tot_b)
+            assert r.retrain_alert == (r.tvd > dr.DRIFT_ALERT_TVD)
+
+
+def test_retrain_alert_fires_on_shifted_snapshot(spark, tmp_path):
+    """The thresholded decision, both ways: a corpus whose post-snapshot
+    half has a hard length shift must alert (TVD -> 1), and a corpus
+    whose halves are identically distributed must not (TVD = 0) — the
+    gate's yes/no is part of the contract, not display sugar."""
+    import shutil
+
+    from airdatapipeline_spark.operators import drift as dr
+
+    shifted = str(tmp_path / "shifted")
+    shutil.os.makedirs(shifted)
+    rows = [(i, "tok " * 3) for i in range(0, 40, 2)] + [
+        (i, "tok " * 200) for i in range(1, 40, 2)
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+        f"{shifted}/documents.parquet"
+    )
+    out = dr.snapshot_drift(spark, shifted).collect()
+    assert out and all(r.retrain_alert for r in out)
+
+    flat = str(tmp_path / "flat")
+    shutil.os.makedirs(flat)
+    spark.createDataFrame(
+        [(i, "same text each side") for i in range(40)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(f"{flat}/documents.parquet")
+    out = dr.snapshot_drift(spark, flat).collect()
+    assert out and all(r.tvd == 0.0 and r.retrain_alert is False for r in out)
 
 
 def test_snapshot_drift_plan_one_scan_no_join(spark):

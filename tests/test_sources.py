@@ -1229,7 +1229,12 @@ def test_drift_gate_ingest_redelivery_content_keyed(spark, tmp_path):
 
     sf = SF_SMALL
     key = lambda r: (r["metric"], r["bin"])  # noqa: E731
-    val = lambda r: (r["n_a"], r["n_b"], r["p_a"], r["p_b"], r["tvd_num"], r["tvd"])  # noqa: E731
+    # retrain_alert rides the comparison: redelivered content must not
+    # flap the gate's yes/no, not just its scores (VERDICT-r10 item 6)
+    val = lambda r: (  # noqa: E731
+        r["n_a"], r["n_b"], r["p_a"], r["p_b"], r["tvd_num"], r["tvd"],
+        r["retrain_alert"],
+    )
     batch = {key(r): val(r) for r in dr.snapshot_drift(spark, sf).collect()}
 
     landing = str(tmp_path / "landing")
