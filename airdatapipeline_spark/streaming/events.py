@@ -886,7 +886,10 @@ def quantile_ingest_append(
     CRDT-shaped rather than falling back to committed-key bookkeeping:
     partial counters are keyed by a CONTENT fingerprint of their source
     file (order-free XOR of per-row xxhash64 over the columns the sketch
-    consumes, mixed with the row count), and the read path max-merges duplicates
+    consumes, plus an order-free bounded SUM of the same row hashes and
+    the row count, mixed through one final xxhash64 — XOR alone would let
+    pairwise-duplicated rows cancel two distinct files onto one
+    fingerprint), and the read path max-merges duplicates
     per (file_fp, type, bin) BEFORE summing across files. A redelivered
     file — same content, any path, any batch — reproduces byte-identical
     partial rows under the same fingerprint, and the max-merge absorbs
@@ -917,13 +920,21 @@ def quantile_ingest_append(
         rows = bdf.select(
             F.input_file_name().alias("fpath"), "event_id", "event_type", "value"
         )
-        # content fingerprint per source file: order-free XOR (overflow-free
-        # under ANSI, unlike a hash SUM) over exactly the columns the sketch
-        # consumes (+ event_id for row identity), so a redelivered file
-        # fingerprints identically under any path/batch
+        # content fingerprint per source file over exactly the columns the
+        # sketch consumes (+ event_id for row identity), so a redelivered
+        # file fingerprints identically under any path/batch. Order-free
+        # XOR alone cancels pairwise-duplicated rows (two identical rows
+        # XOR to 0 — ADVICE-r10), so a second order-free combinator rides
+        # along: the SUM of each row hash mod 2^20 (bounded terms keep the
+        # ANSI sum overflow-free below 2^43 rows/file, far past any real
+        # file), mixed with the count through one final xxhash64. Distinct
+        # files now collide only if XOR, bounded SUM, and row count all
+        # collide at once.
         fps = rows.groupBy("fpath").agg(
             F.expr(
-                "bit_xor(xxhash64(event_id, event_type, value)) ^ count(*)"
+                "xxhash64(bit_xor(xxhash64(event_id, event_type, value)),"
+                " sum(pmod(xxhash64(event_id, event_type, value), 1048576)),"
+                " count(*))"
             ).alias("file_fp")
         )
         part = (
@@ -1009,9 +1020,14 @@ def drift_gate_ingest_append(
             F.input_file_name().alias("fpath"), "doc_id", "text"
         )
         # content fingerprint per source file (the quantile twin's idiom:
-        # order-free XOR, overflow-free under ANSI, path-independent)
+        # XOR + bounded-SUM + count mixed through one xxhash64 — XOR alone
+        # cancels pairwise-duplicated rows, ADVICE-r10; path-independent,
+        # overflow-free under ANSI)
         fps = rows.groupBy("fpath").agg(
-            F.expr("bit_xor(xxhash64(doc_id, text)) ^ count(*)").alias("file_fp")
+            F.expr(
+                "xxhash64(bit_xor(xxhash64(doc_id, text)),"
+                " sum(pmod(xxhash64(doc_id, text), 1048576)), count(*))"
+            ).alias("file_fp")
         )
         # NULL policy pinned to the batch query: a NULL doc_id makes is_a
         # NULL there, and the counter's otherwise(0) books the row on the

@@ -1214,6 +1214,55 @@ def test_quantile_ingest_redelivery_content_keyed(spark, tmp_path):
     assert redelivered == once
 
 
+def test_content_fingerprint_survives_pairwise_duplicate_cancellation(spark, tmp_path):
+    """ADVICE-r10: bit_xor alone cancels pairwise-duplicated rows (two
+    identical rows XOR to 0), so two DISTINCT files built as
+    {r, r, shared} xor to the same value and carry the same row count —
+    under the old fingerprint the gate's max-merge would silently
+    collapse one file's counters into the other's. The mixed-in bounded
+    SUM combinator must keep such files distinct: the drained gate books
+    all six arriving docs, not three."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from airdatapipeline_spark.streaming import events as se
+
+    sf = str(tmp_path / "sf")
+    shutil.os.makedirs(sf)
+    spark.createDataFrame(
+        [(0, "ref doc one"), (2, "ref doc two")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    # same char/token lengths on the non-shared rows so the two files'
+    # per-bin counters are IDENTICAL — a fingerprint collision is then
+    # indistinguishable from redelivery and max-merge halves the mass
+    file_a = [(1, "x"), (1, "x"), (3, "z")]
+    file_b = [(5, "y"), (5, "y"), (3, "z")]
+    landing = str(tmp_path / "landing")
+    shutil.os.makedirs(landing)
+    for name, rows in (("a", file_a), ("b", file_b)):
+        d = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(d)
+        shutil.copy(glob.glob(f"{d}/*.parquet")[0], f"{landing}/{name}.parquet")
+
+    # the adversarial premise: the OLD xor^count fingerprint collides
+    xors = [
+        spark.createDataFrame(rows, "doc_id long, text string")
+        .agg(F.expr("bit_xor(xxhash64(doc_id, text)) ^ count(*)"))
+        .collect()[0][0]
+        for rows in (file_a, file_b)
+    ]
+    assert xors[0] == xors[1]
+
+    got = se.drift_gate_ingest_append(spark, sf, landing_dir=landing).collect()
+    for metric in ("tokens", "chars"):
+        assert sum(r.n_b for r in got if r.metric == metric) == 6, metric
+
+
 def test_drift_gate_ingest_redelivery_content_keyed(spark, tmp_path):
     """The streaming drift gate's merge contract (the quantile twin's
     idiom): arriving-side counters are SUM-merged, so they are keyed by a
