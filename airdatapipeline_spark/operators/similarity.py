@@ -52,9 +52,20 @@ def _dot(a: str, b: str, dim: int = EMB_DIM) -> Column:
 
 
 def with_norm(embeddings: DataFrame) -> DataFrame:
-    """Add emb (double[]) and norm columns."""
+    """Add emb (double[]) and norm columns, EXCLUDING zero-norm vectors.
+
+    A zero-norm embedding has no direction, so every cosine against it is
+    0/0 — which under ANSI (Spark 4's default) is not NaN but a
+    DIVIDE_BY_ZERO crash that kills the whole job the moment one
+    null-ish vector lands in a 100 TB corpus (found by the r11
+    similarity differential fuzz). The contract, pinned in BOTH engines
+    at this single edge (the oracle twin is _EMB_CTE's WHERE norm > 0,
+    the NULL-key-sketch precedent): zero-norm vectors are outside the
+    similarity surface — never a query, never a neighbor, never a
+    dedup-pair member. The SQ8 audit path still REPRESENTS them exactly
+    (with_sq8's scale guard) so the codec itself stays total."""
     e = embeddings.withColumn("emb", F.expr("transform(embedding, x -> cast(x as double))"))
-    return e.withColumn("norm", F.sqrt(_dot("emb", "emb")))
+    return e.withColumn("norm", F.sqrt(_dot("emb", "emb"))).filter(F.col("norm") > 0)
 
 
 def cosine_expr(a_alias: str, b_alias: str) -> Column:
@@ -68,6 +79,13 @@ def brute_force_topk(
     """Exact cosine top-k for the first `n_queries` vectors (self excluded).
     Query side broadcast; ties broken by neighbor id."""
     corpus = with_norm(load_table(spark, sf_dir, "embeddings")).select("vec_id", "emb", "norm")
+    return _brute_force_over(corpus, n_queries, k)
+
+
+def _brute_force_over(corpus: DataFrame, n_queries: int, k: int) -> DataFrame:
+    """The exact serve over any (vec_id, emb, norm) corpus — shared by
+    brute_force_topk (parquet embeddings) and the r11 differential fuzz
+    (adversarial generated corpora: duplicates, ties, zero-norm rows)."""
     queries = corpus.filter(F.col("vec_id") < n_queries)
     q = F.broadcast(queries).alias("q")
     c = corpus.alias("c")
@@ -959,9 +977,20 @@ def with_sq8(embeddings: DataFrame) -> DataFrame:
     100 TB the quantized corpus is what stays hot; full-precision vectors
     page in only for final re-ranking. Adds `scale` (double) and `q`
     (int array) columns."""
-    e = embeddings.withColumn("emb", F.expr("transform(embedding, x -> cast(x as double))"))
+    e = embeddings
+    if "emb" not in e.columns:
+        e = e.withColumn("emb", F.expr("transform(embedding, x -> cast(x as double))"))
+    # the all-zero vector would make scale 127/0 — a DIVIDE_BY_ZERO crash
+    # under ANSI (r11 fuzz finding). It has an exact int8 representation:
+    # scale 1, all-zero codes, zero reconstruction error — so the codec is
+    # total even though the serving paths exclude zero-norm vectors at the
+    # with_norm edge. Mirrored as CASE WHEN in the oracle's sq8 CTE.
     e = e.withColumn(
-        "scale", F.lit(127.0) / F.expr("array_max(transform(emb, x -> abs(x)))")
+        "scale",
+        F.when(
+            F.expr("array_max(transform(emb, x -> abs(x)))") > 0,
+            F.lit(127.0) / F.expr("array_max(transform(emb, x -> abs(x)))"),
+        ).otherwise(F.lit(1.0)),
     )
     return e.withColumn(
         "q", F.expr("transform(emb, x -> cast(round(x * scale) as int))")
@@ -971,8 +1000,10 @@ def with_sq8(embeddings: DataFrame) -> DataFrame:
 def quantize_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantization audit: per-vector scale, an md5 fingerprint of the int8
     codes (hash-verifies the full quantization byte-for-byte against the
-    oracle) and the max absolute reconstruction error."""
-    e = with_sq8(load_table(spark, sf_dir, "embeddings"))
+    oracle) and the max absolute reconstruction error. Audits the
+    similarity corpus, i.e. downstream of with_norm's zero-norm
+    exclusion — the oracle's `e` CTE carries the same WHERE."""
+    e = with_sq8(with_norm(load_table(spark, sf_dir, "embeddings")))
     return e.select(
         "vec_id",
         "scale",
@@ -994,7 +1025,16 @@ def sq8_topk(
     top-k' by quantized score, re-rank the short list at full precision
     (recall loss of SQ8 at this k is near zero — measurable with the
     recall_at_k pattern)."""
-    base = with_sq8(load_table(spark, sf_dir, "embeddings")).select("vec_id", "scale", "q")
+    base = with_sq8(with_norm(load_table(spark, sf_dir, "embeddings"))).select(
+        "vec_id", "scale", "q"
+    )
+    return _sq8_topk_over(base, n_queries, k)
+
+
+def _sq8_topk_over(base: DataFrame, n_queries: int, k: int) -> DataFrame:
+    """The quantized-domain serve over any (vec_id, scale, q) corpus —
+    shared by sq8_topk (parquet embeddings) and the r11 differential
+    fuzz."""
     qdot = " + ".join(
         f"element_at(a.q, {i}) * element_at(b.q, {i})" for i in range(1, EMB_DIM + 1)
     )

@@ -59,11 +59,18 @@ _BAND_SELECTS = "\n      UNION ALL ".join(
 )
 
 
+# WHERE norm > 0: the oracle twin of operators/similarity.with_norm's
+# zero-norm exclusion — a zero-norm vector has no direction, and under
+# ANSI Spark its 0/0 cosine is a job-killing DIVIDE_BY_ZERO (r11 fuzz).
+# The synthetic corpora contain none, so the filter is vacuous at sf;
+# it pins the contract, not the data.
 _EMB_CTE = """
 e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS emb,
-         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
-  FROM embeddings
+  SELECT * FROM (
+    SELECT vec_id, embedding::DOUBLE[] AS emb,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+    FROM embeddings)
+  WHERE norm > 0
 )
 """.strip()
 

@@ -18,7 +18,9 @@ sq8 AS (
       SELECT vec_id, emb, scale,
              list_transform(emb, x -> CAST(round(x * scale) AS INT)) AS q
       FROM (SELECT vec_id, emb,
-                   127.0 / list_max(list_transform(emb, x -> abs(x))) AS scale
+                   CASE WHEN list_max(list_transform(emb, x -> abs(x))) > 0
+                        THEN 127.0 / list_max(list_transform(emb, x -> abs(x)))
+                        ELSE 1.0 END AS scale
             FROM e)
     )
 """.strip()
@@ -74,10 +76,12 @@ _PROBE_FLIPS_SQL = "[bucket, " + ", ".join(
     "simsearch_lsh_topk",
     f"""
     WITH e AS (
-      SELECT vec_id, embedding::DOUBLE[] AS emb,
-             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm,
-             {_BUCKET_SQL} AS bucket
-      FROM embeddings
+      SELECT * FROM (
+        SELECT vec_id, embedding::DOUBLE[] AS emb,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm,
+               {_BUCKET_SQL} AS bucket
+        FROM embeddings)
+      WHERE norm > 0
     ),
     q AS (
       SELECT vec_id, emb, norm, unnest({_PROBE_FLIPS_SQL}) AS bucket
@@ -201,10 +205,12 @@ _TOPK_RANK = """
     "simsearch_recall",
     f"""
     WITH eb AS (
-      SELECT vec_id, embedding::DOUBLE[] AS emb,
-             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm,
-             {_BUCKET_SQL} AS bucket
-      FROM embeddings
+      SELECT * FROM (
+        SELECT vec_id, embedding::DOUBLE[] AS emb,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm,
+               {_BUCKET_SQL} AS bucket
+        FROM embeddings)
+      WHERE norm > 0
     ),
     e AS (SELECT vec_id, emb, norm FROM eb),
     cent AS (

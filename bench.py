@@ -364,8 +364,10 @@ def _calibrate(spark) -> dict[str, float]:
     either (r10: a start probe still read 0.382 vs 0.156 at suite end —
     jvm_drift 2.45 on a py_drift-1.02 window), so the ramp now runs TO
     CONVERGENCE: repeat untimed until two consecutive runs agree within
-    10% (cap 10), which is the operational definition of 'a WARM session'
-    the probe's contract states — for both brackets symmetrically."""
+    10% (1 initial + up to 9 convergence probes, then 1 timed run — at
+    most 11 executions), which is the operational definition of 'a WARM
+    session' the probe's contract states — for both brackets
+    symmetrically."""
     t0 = time.time()
     _ = sum(i * i for i in range(5_000_000))
     py_cal = round(time.time() - t0, 3)

@@ -1056,3 +1056,196 @@ def test_repetition_filters_short_docs_match_duckdb(spark, tmp_path):
     from check_oracle import compare
 
     assert compare("repetition_short_docs", spdf, ddf) == []
+
+
+# --- similarity / ANN differential fuzz (r11, VERDICT-r10 item 4) -------------
+# Adversarial geometry through the hand-built codec and serve seams
+# (_dot unrolls, SQ8 round/scale, BQ sign packs, rank-window cuts) vs a
+# pure-Python reference that mirrors the pinned IEEE op ORDER (left-fold
+# accumulation, one multiply + one divide per cosine) — bit-equality, not
+# closeness. Corpora are drawn from a small vector pool so duplicate
+# vectors and EXACT cosine ties are guaranteed, with an optional all-zero
+# vector to pin the zero-norm exclusion contract this fuzz discovered
+# (under ANSI, 0/0 cosine and 127/0 scale were job-killing crashes).
+
+import math
+
+
+def _fold_dot(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _py_norm(v):
+    return math.sqrt(_fold_dot(v, v))
+
+
+def _py_brute_topk(rows, n_queries, k):
+    live = [(i, v, _py_norm(v)) for i, v in rows if _py_norm(v) > 0]
+    out = {}
+    for qid, qv, qn in live:
+        if qid >= n_queries:
+            continue
+        cand = [
+            (nid, _fold_dot(qv, nv) / (qn * nn))
+            for nid, nv, nn in live
+            if nid != qid
+        ]
+        cand.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (nid, cos) in enumerate(cand[:k], start=1):
+            out[(qid, rank)] = (nid, cos)
+    return out
+
+
+def _spark_round(x: float) -> int:
+    """Spark round(double, 0): HALF_UP on the double's decimal value."""
+    import decimal
+
+    return int(
+        decimal.Decimal(x).quantize(decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP)
+    )
+
+
+def _py_sq8(rows):
+    out = {}
+    for vid, v in rows:
+        maxabs = max(abs(x) for x in v)
+        scale = 127.0 / maxabs if maxabs > 0 else 1.0
+        out[vid] = (scale, [_spark_round(x * scale) for x in v])
+    return out
+
+
+def _py_sq8_topk(rows, n_queries, k):
+    codes = _py_sq8(rows)
+    live = [(i, codes[i][1]) for i, v in rows if _py_norm(v) > 0]
+    out = {}
+    for qid, qq in live:
+        if qid >= n_queries:
+            continue
+        na = sum(c * c for c in qq)
+        cand = []
+        for nid, nq in live:
+            if nid == qid:
+                continue
+            nb = sum(c * c for c in nq)
+            dot = sum(a * b for a, b in zip(qq, nq))
+            cand.append(
+                (nid, float(dot) / math.sqrt(float(na)) / math.sqrt(float(nb)))
+            )
+        cand.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (nid, cos) in enumerate(cand[:k], start=1):
+            out[(qid, rank)] = (nid, cos)
+    return out
+
+
+def _py_bq_topk(rows, n_queries, k, rerank):
+    def words(v):
+        lo = sum(1 << i for i in range(32) if v[i] > 0)
+        hi = sum(1 << i for i in range(32) if v[32 + i] > 0)
+        return lo, hi
+
+    live = [(i, v, _py_norm(v), words(v)) for i, v in rows if _py_norm(v) > 0]
+    out = {}
+    for qid, qv, qn, (qlo, qhi) in live:
+        if qid >= n_queries:
+            continue
+        ham = [
+            (nid, ((qlo ^ nlo).bit_count() + (qhi ^ nhi).bit_count()))
+            for nid, _, _, (nlo, nhi) in live
+            if nid != qid
+        ]
+        ham.sort(key=lambda t: (t[1], t[0]))
+        cand = ham[:rerank]
+        rer = []
+        for nid, h in cand:
+            nv, nn = next((v, n) for i, v, n, _ in live if i == nid)
+            rer.append((nid, h, _fold_dot(qv, nv) / (qn * nn)))
+        rer.sort(key=lambda t: (-t[2], t[0]))
+        for rank, (nid, h, cos) in enumerate(rer[:k], start=1):
+            out[(qid, rank)] = (nid, h, cos)
+    return out
+
+
+# exact-representable values dominate (halves/quarters make dot products
+# exact, manufacturing EXACT cosine ties across duplicated vectors); two
+# non-dyadic values exercise rounding in the same accumulation order
+_vec_entry = st.sampled_from(
+    [0.0, 1.0, -1.0, 0.5, -0.5, 0.25, -0.25, 2.0, 3.5, -2.75, 0.1, -0.3]
+)
+_vec64 = st.lists(_vec_entry, min_size=64, max_size=64)
+
+
+@st.composite
+def _emb_corpus(draw):
+    import numpy as np
+
+    pool = draw(st.lists(_vec64, min_size=1, max_size=4))
+    picks = draw(st.lists(st.integers(0, 63), min_size=3, max_size=14))
+    rows = [
+        (i, [float(np.float32(x)) for x in pool[p % len(pool)]])
+        for i, p in enumerate(picks)
+    ]
+    if draw(st.booleans()):
+        rows.append((len(rows), [0.0] * 64))
+    return rows
+
+
+@given(rows=_emb_corpus())
+@settings(max_examples=_ex(8), deadline=None)
+def test_bruteforce_topk_matches_pure_python_on_fuzzed_corpora(spark, rows):
+    from airdatapipeline_spark.operators.similarity import (
+        _brute_force_over,
+        with_norm,
+    )
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    corpus = with_norm(df).select("vec_id", "emb", "norm")
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in _brute_force_over(corpus, n_queries=4, k=5).collect()
+    }
+    assert got == _py_brute_topk(rows, n_queries=4, k=5)
+
+
+@given(rows=_emb_corpus())
+@settings(max_examples=_ex(8), deadline=None)
+def test_sq8_codec_and_topk_match_pure_python_on_fuzzed_corpora(spark, rows):
+    from airdatapipeline_spark.operators.similarity import (
+        _sq8_topk_over,
+        with_norm,
+        with_sq8,
+    )
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # codec totality: ALL rows (including the zero vector) quantize
+    codec = {
+        r.vec_id: (r.scale, list(r.q)) for r in with_sq8(df).select("vec_id", "scale", "q").collect()
+    }
+    assert codec == _py_sq8(rows)
+    # serving path: zero-norm rows excluded at the with_norm edge
+    base = with_sq8(with_norm(df)).select("vec_id", "scale", "q")
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.q_cosine)
+        for r in _sq8_topk_over(base, n_queries=4, k=5).collect()
+    }
+    assert got == _py_sq8_topk(rows, n_queries=4, k=5)
+
+
+@given(rows=_emb_corpus())
+@settings(max_examples=_ex(8), deadline=None)
+def test_bq_two_stage_matches_pure_python_on_fuzzed_corpora(spark, rows):
+    from airdatapipeline_spark.operators.similarity import (
+        _bq_topk_over,
+        with_bq,
+        with_norm,
+    )
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    base = with_bq(with_norm(df)).select("vec_id", "emb", "norm", "code_lo", "code_hi")
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.hamming, r.cosine)
+        for r in _bq_topk_over(base, n_queries=4, k=3, rerank=6).collect()
+    }
+    assert got == _py_bq_topk(rows, n_queries=4, k=3, rerank=6)
