@@ -17,7 +17,14 @@ so Spark never plans a cross/theta join:
   adjacent buckets, turning the inequality |Δt| ≤ W into an EQUI-join on
   (user_id, bucket) plus a residual filter. The plan is a plain shuffled
   hash join — no BroadcastNestedLoopJoin — and each row joins at most 3
-  bucket copies regardless of data size.
+  bucket copies regardless of data size. Because the output is an
+  aggregate COUNT (not the matched pairs), the error side pre-aggregates
+  to one (user, second, n) row per distinct second BEFORE the join — so
+  a hot (user, bucket) cell joins at most clicks x (2W+1) rows no matter
+  how many error events pile into the window (the classic
+  quadratic-blowup-under-skew cell is bounded by WINDOW WIDTH, not by
+  event count; tools/measured.py's interval-skew tier measures the bound
+  engaging).
 """
 
 from __future__ import annotations
@@ -71,7 +78,15 @@ def range_join_errors_near_clicks(spark: SparkSession, sf_dir: str) -> DataFrame
     """Per click event: how many error events the same user produced within
     ±5 minutes. Bucketed equi-join (see module docstring); an error at
     bucket b can only match clicks in buckets b-1..b+1, so exploding the
-    error side into those three buckets makes the equi-join complete."""
+    error side into those three buckets makes the equi-join complete.
+
+    Skew bound (r11): the error side first collapses to (user, second,
+    count) — a partial-aggregated groupBy — so a hot user who logs a
+    million errors inside one window contributes at most 2W+1 distinct
+    seconds to any click's join cell. The join's intermediate row count
+    is clicks x min(errors, 2W+1) per cell instead of clicks x errors;
+    the per-second counts ride the join and SUM back to the exact
+    per-event count the oracle computes."""
     ev = load_table(spark, sf_dir, "events")
     # timestamp_ntz → epoch seconds; session TZ is pinned UTC (io.load_table)
     sec = F.col("ts").cast("timestamp").cast("long")
@@ -83,13 +98,10 @@ def range_join_errors_near_clicks(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     errors = (
         ev.filter(F.col("event_type") == "error")
-        .select(
-            F.col("user_id").alias("e_user"),
-            sec.alias("e_sec"),
-            F.expr(
-                f"cast(cast(ts as timestamp) as bigint) div {RANGE_WINDOW_SEC}"
-            ).alias("e_bucket"),
-        )
+        .select(F.col("user_id").alias("e_user"), sec.alias("e_sec"))
+        .groupBy("e_user", "e_sec")
+        .agg(F.count(F.lit(1)).alias("e_n"))
+        .withColumn("e_bucket", F.expr(f"e_sec div {RANGE_WINDOW_SEC}"))
         .withColumn("bucket", F.explode(F.expr("array(e_bucket - 1, e_bucket, e_bucket + 1)")))
     )
     joined = clicks.join(
@@ -100,5 +112,5 @@ def range_join_errors_near_clicks(spark: SparkSession, sf_dir: str) -> DataFrame
         "left",
     )
     return joined.groupBy("event_id", "user_id").agg(
-        F.count("e_sec").alias("n_errors_5min")
+        F.coalesce(F.sum("e_n"), F.lit(0)).alias("n_errors_5min")
     )

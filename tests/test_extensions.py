@@ -1168,6 +1168,35 @@ def test_snapshot_drift_by_source_matches_global_arithmetic(spark):
             assert r.retrain_alert == (r.tvd > dr.DRIFT_ALERT_TVD)
 
 
+def test_range_join_counts_events_not_seconds_under_duplicates(spark, tmp_path):
+    """The r11 skew bound pre-aggregates errors per (user, second) before
+    the join; the per-second counts must SUM back to the exact per-EVENT
+    count (five errors in one second are five, not one), and a click with
+    no errors must read 0, not NULL (the left join's coalesce)."""
+    import shutil
+
+    from airdatapipeline_spark.operators import temporal as tp
+
+    sf = str(tmp_path / "sf")
+    shutil.os.makedirs(sf)
+    base = "2024-06-01 12:00:"
+    rows = (
+        [(1, f"{base}30", 7, "click", None, None)]
+        + [(10 + i, f"{base}10", 7, "error", None, None) for i in range(5)]
+        + [(20, f"{base}50", 7, "error", None, None)]
+        + [(21, f"{base}40", 7, "purchase", None, None)]  # not an error
+        + [(30, f"{base}30", 8, "click", None, None)]  # other user: no errors
+    )
+    spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz")).coalesce(1).write.parquet(
+        f"{sf}/events.parquet"
+    )
+    got = {r.event_id: r.n_errors_5min for r in tp.range_join_errors_near_clicks(spark, sf).collect()}
+    assert got == {1: 6, 30: 0}
+
+
 def test_retrain_alert_fires_on_shifted_snapshot(spark, tmp_path):
     """The thresholded decision, both ways: a corpus whose post-snapshot
     half has a hard length shift must alert (TVD -> 1), and a corpus

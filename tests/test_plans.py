@@ -140,6 +140,11 @@ def test_range_join_is_equi_hash_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan  # bucketed equi keys drive a hash join
+    # the skew bound: the error side pre-aggregates to (user, second)
+    # BEFORE the join (r11) — the plan carries an aggregate on the join's
+    # error input in addition to the final per-click aggregate, so a hot
+    # cell's intermediate is clicks x distinct-seconds, not clicks x events
+    assert plan.count("HashAggregate") >= 4  # partial+final x (pre-agg, final agg)
 
 
 def test_ivf_candidate_join_is_equi_on_centroid(spark):

@@ -219,6 +219,114 @@ def skew_lines(spark, sf_dir: str) -> list[str]:
     ]
 
 
+def interval_skew_lines(spark, sf_dir: str) -> list[str]:
+    """Adversarial hot-user skew for the interval joins (VERDICT-r10
+    item 7): the range join is the classic quadratic-blowup-under-skew
+    operator — one user logging clicks AND errors inside a single ±W
+    window makes that (user, bucket) cell's intermediate clicks x errors.
+    Corpus: sf events + ONE synthetic user with 1,000 clicks and
+    HOT_ERR errors, all inside one 300 s bucket; HOT_ERR grows 10x
+    across tiers while the distinct seconds stay <= 300. Measures the
+    r11 bound engaging: error rows entering the join are
+    3 x distinct (user, second) — flat across tiers — so the hot cell's
+    join output is clicks x (2W+1) and wall time stays flat while the
+    stock (per-event) plan's cell pairs would grow 10x. The as-of join
+    rides the same corpora: its hot user is ONE window partition (a
+    linear straggler, never quadratic), so its time should track the hot
+    event count ~linearly."""
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from airdatapipeline_spark.io import load_table
+    from airdatapipeline_spark.operators import temporal as tp
+
+    HOT_USER = 10**9
+    HOT_CLICKS = 1_000
+    base = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    rows = []
+    for tier, hot_err in (("base", 10_000), ("10x", 100_000)):
+        tmp = tempfile.mkdtemp(prefix=f"intervalskew_{tier}_")
+        try:
+
+            def hot(n, id_lo, etype):
+                return spark.range(n).selectExpr(
+                    f"{id_lo} + id AS event_id",
+                    # epoch 2024-06-01 12:00:00 UTC; id%300 keeps every event
+                    # inside one RANGE_WINDOW_SEC bucket with <=300 distinct s
+                    "cast(timestamp_micros((1717243200 + id % 300) * 1000000)"
+                    " as timestamp_ntz) AS ts",
+                    f"cast({HOT_USER} as bigint) AS user_id",
+                    f"'{etype}' AS event_type",
+                    "cast(null as double) AS value",
+                    "cast(null as string) AS props",
+                )
+
+            base.unionByName(hot(HOT_CLICKS, 2 * 10**9, "click")).unionByName(
+                hot(hot_err, 3 * 10**9, "error")
+            ).repartition(8).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+
+            df = tp.range_join_errors_near_clicks(spark, tmp)
+            df.collect()  # warm
+            t0 = time.time()
+            df = tp.range_join_errors_near_clicks(spark, tmp)
+            df.collect()
+            range_s = time.time() - t0
+
+            ev = load_table(spark, tmp, "events")
+            sec = F.col("ts").cast("timestamp").cast("long")
+            dsec = (
+                ev.filter(F.col("event_type") == "error")
+                .select("user_id", sec.alias("s"))
+                .distinct()
+                .count()
+            )
+            n_err = ev.filter(F.col("event_type") == "error").count()
+            hot_cell = (
+                df.filter(F.col("user_id") == HOT_USER)
+                .agg(F.max("n_errors_5min"))
+                .first()[0]
+            )
+
+            adf = tp.asof_last_purchase_before_click(spark, tmp)
+            adf.collect()  # warm
+            t0 = time.time()
+            tp.asof_last_purchase_before_click(spark, tmp).collect()
+            asof_s = time.time() - t0
+            rows.append((tier, hot_err, n_err, dsec, hot_cell, range_s, asof_s))
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    lines = [
+        "",
+        "## Adversarial hot-user skew (interval joins: one user, 1,000 clicks + HOT_ERR errors in ONE ±300 s window)",
+        "",
+        "| tier | hot errors | error events | distinct (user,s) rows into join (x3 buckets) | max n_errors_5min | range-join s | as-of s |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for tier, hot_err, n_err, dsec, hot_cell, range_s, asof_s in rows:
+        lines.append(
+            f"| {tier} | {hot_err} | {n_err} | {dsec} | {hot_cell} | "
+            f"{range_s:.3f} | {asof_s:.3f} |"
+        )
+    lines += [
+        "",
+        "The error side enters the join as per-second COUNTS: rows into the",
+        "join stay ~flat while hot-cell error events grow 10x (the stock",
+        "per-event plan's hot cell would be 1,000 x HOT_ERR pairs — 10^8 at",
+        "the 10x tier). `max n_errors_5min` verifies the counts still SUM to",
+        "every EVENT. The as-of join's hot user is one window partition —",
+        "expect ~linear time in the hot event count, never quadratic",
+        "(`test_range_join_counts_events_not_seconds_under_duplicates`,",
+        "`test_range_join_is_equi_hash_not_nested_loop` pin the plan/sum).",
+    ]
+    return lines
+
+
 def _build_distinct_10x(spark, sf_dir: str) -> str:
     """The honest sf1-shaped corpus: 10 copies of every document, each
     copy's token sequence ROTATED by a copy-specific amount — same token
@@ -745,6 +853,7 @@ def main() -> None:
         )
         print(name, "ok", file=sys.stderr)
     out.extend(skew_lines(spark, sf_dir))
+    out.extend(interval_skew_lines(spark, sf_dir))
     # build the 10x-distinct corpus ONCE for both stress sections, and
     # clean it up afterwards (each section also self-builds when called
     # standalone)
