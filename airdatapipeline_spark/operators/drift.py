@@ -203,8 +203,9 @@ def snapshot_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     count (tens to thousands), still a broadcast-sized probe table; the
     shuffle stays the single partial-aggregated groupBy. Skew-safe: a
     hot source concentrates mass in its own key's <= metrics x
-    DRIFT_BINS rows, never in a hot shuffle partition (bench.py scaling
-    tier measures the skewed-source regime).
+    DRIFT_BINS rows, never in a hot shuffle partition (tools/measured.py's
+    skewed-source tier measures the bound; bench.py's replica tier
+    measures linear-scan scaling under fixed counter state).
 
     Snapshot flag: `doc_id % 7 < 4` rather than the global check's
     parity — the synthetic corpora stripe source = doc_id mod n_sources

@@ -141,6 +141,10 @@ HEADLINE = [
     # metrics), one partial-agg shuffle of <= metrics x bins x 2 counters,
     # exact-integer TVD over <= 32 rows
     "text_snapshot_drift",
+    # r11: the keyed variant (WHICH upstream changed) — same one-scan
+    # build with `source` threaded through the counter key, so the
+    # shuffle is sources x metrics x bins rows (still sketch-sized)
+    "text_snapshot_drift_by_source",
     # the end-to-end curate→chunk→split→pack composite (extension flagship)
     "training_data_build",
     # r4: window/events analytics family (heaviest two) so window-function
@@ -247,6 +251,10 @@ SCALING = [
     # r10: snapshot drift — fixed-bin mergeable state; the scan grows
     # linearly, the shuffled counter state does not (the sketch contract)
     "text_snapshot_drift",
+    # r11: keyed drift — the replica multiplies rows under the SAME 20
+    # sources, so the counter state is fixed while the scan grows; a hot
+    # source concentrates mass in its own key's <= metrics x bins rows
+    "text_snapshot_drift_by_source",
     # dedup_fuzzy_decontamination is scale-tiered via a DEDICATED row (see
     # main()): on the replica every copy of an eval doc stays eval
     # (offsets are multiples of eval_mod) and all copies are near-dups, so
