@@ -62,90 +62,94 @@ from . import sources_sinks  # noqa: F401,E402
 # 50 names.
 # ---------------------------------------------------------------------------
 
-# r10 rotation (VERDICT-r9 item 2 — restore the round-4 invariant "every
-# registered query has >= 1 driver row", then keep lowering max staleness).
-# After r9 the staleness profile is: 2 never-driver-checked (the late-r9
-# registrations that landed after the r9 window was already committed),
-# 47 newest-green at r6, 47 at r7, 47 at r8, 50 at r9 (computed from
-# CORRECTNESS_r01-r09). Composition:
+# r11 rotation (VERDICT-r10 item 1 + changed-code re-proofs). After a
+# green r10 window the staleness profile is r6: 6, r7: 47, r8: 47,
+# r9: 47, r10: 50 (tools/staleness.py). Composition:
 #   - 3 family canaries (pinned by the window-integrity test);
-#   - slots 4-5: the two queries with NO driver row ever —
-#     agg_quantile_histogram_sketch + dedup_fuzzy_decontamination
-#     (both value-hash-green locally every pytest run since late r9);
-#   - new r10 registrations (stream_quantile_ingest_append — the
-#     merge-on-read streaming twin of the quantile histogram sketch,
-#     VERDICT-r9 item 7; text_snapshot_drift — exact-integer-TVD
-#     distribution drift between corpus snapshots, the retrain gate;
-#     stream_drift_gate_ingest — that gate at the ingest door;
-#     stream_kmv_register_ingest — the KMV set-union twin completing the
-#     streaming merge-class triad);
-#   - the remaining 41 slots: 41 of the 47 r6-stale queries (tpch
-#     q1/q3/q5..., the shard lifecycle family, repetition filters,
-#     epoch_schedule, curated_append, the streaming append family, ...).
-#     Left at r6 for r11: mm_decode_features (mm family re-proven r7),
-#     stream_dedup_append + stream_sliding_append + stream_session_append
-#     (stream family gained three fresh r9 greens and three r10 window
-#     slots), dedup_ngram_jaccard_pairs (family covered in-window by
-#     d1_d2/exact_groups/fuzzy_decontamination), events_json_extract
-#     (events family re-proven r7/r8 for its heavier members); all six
-#     stay value-hash-checked every pytest run.
-# Max driver-row staleness after a green r10 window: r6 for those six,
-# r7 for everything else — and every registered query has a driver row.
+#   - slots 4-9: the LAST six r6-stale rows (VERDICT-r10 item 1 —
+#     dedup_ngram_jaccard_pairs, events_json_extract, mm_decode_features,
+#     stream_dedup/session/sliding_append), after which max staleness
+#     drops to r7;
+#   - slot 10: the new r11 registration (text_snapshot_drift_by_source —
+#     WHICH upstream changed, never driver-checked);
+#   - slots 11-21: queries whose CODE or ORACLE changed in r11 and need
+#     re-proof regardless of freshness: the drift family (decimal/HUGEINT
+#     numerators + retrain_alert column: text_snapshot_drift,
+#     stream_drift_gate_ingest), the fingerprint-hardened quantile twin
+#     (stream_quantile_ingest_append), the skew-bounded range join
+#     (ev_range_errors_near_clicks), and the zero-norm-contract /
+#     SQ8-scale-guard similarity surface (emb_quantize_sq8,
+#     simsearch_sq8_topk, simsearch_bruteforce_topk, simsearch_lsh_topk,
+#     simsearch_recall, simsearch_bq_topk, dedup_embedding_cosine_pairs
+#     — the last six doubling as r7/r8-stale rotations);
+#   - the remaining 29 slots: r7-stale rows (tpch q10/q15-q22, the
+#     merge/CDC/SCD sink family, streaming outer-join/stateful/curated,
+#     the multimodal family, grouping-sets/cube/quantiles, transition
+#     matrix, bloom join, and five text rows). Left at r7 for r12 (13):
+#     the dedup candidate/cluster family (candidate_triangles,
+#     cluster_assignments_star, exact_substring_pairs,
+#     fingerprint_quality_decisions, incremental_candidates,
+#     paragraph_rebuild, prefix_jaccard_pairs, semantic_decisions,
+#     simhash_pairs, substring_clusters — 3 dedup rows are in-window) and
+#     simsearch_ivf_list_stats / ivfpq_topk / pq_adc_topk (5 simsearch
+#     re-proofs in-window); all value-hash-checked every pytest run.
+# Max driver-row staleness after a green r11 window: r7.
 _DRIVER_WINDOW = [
     # --- §2 family flagships (regression canaries) -------------------------
     "flagship_enrichment_gold",
     "a2_w1_daily_category_gold",
     "src1_scrape_clean",
-    # --- never driver-checked (late-r9 registrations) -----------------------
-    "agg_quantile_histogram_sketch",
-    "dedup_fuzzy_decontamination",
-    # --- new r10 registrations ---------------------------------------------
-    "stream_quantile_ingest_append",
+    # --- the last six r6-stale rows (VERDICT-r10 item 1) -------------------
+    "dedup_ngram_jaccard_pairs",
+    "events_json_extract",
+    "mm_decode_features",
+    "stream_dedup_append",
+    "stream_session_append",
+    "stream_sliding_append",
+    # --- new r11 registration ----------------------------------------------
+    "text_snapshot_drift_by_source",
+    # --- r11 changed-code re-proofs ----------------------------------------
     "text_snapshot_drift",
     "stream_drift_gate_ingest",
-    "stream_kmv_register_ingest",
-    # --- newest driver row is r6 (41 of the 47) ----------------------------
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_regional_revenue",
-    "agg_rollup_lineitem",
-    "agg_distinct_customers_per_segment",
-    "w_topk_customers_per_nation",
-    "w_running_daily_revenue",
-    "tpch_q4_order_priority_exists",
-    "tpch_q13_custdist",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q12_priority_shipping",
-    "tpch_q14_promo_revenue_pct",
-    "tpch_q9_profit_by_nation_year",
-    "bucketed_order_revenue",
-    "j_salted_hotkey_events",
-    "events_daily_by_type",
-    "events_sessionization",
+    "stream_quantile_ingest_append",
     "ev_range_errors_near_clicks",
-    "text_token_stats_by_source",
-    "text_quality_scores",
-    "text_langid_confusion",
-    "text_fingerprint_clusters",
-    "text_train_val_split",
-    "text_decontamination",
-    "text_repetition_filters",
-    "text_pii_redaction",
-    "text_sequence_packing",
-    "text_chunking",
-    "text_shard_append_conservation",
-    "text_shard_compact_conservation",
-    "text_shard_delete_conservation",
-    "text_shard_verify_report",
-    "text_epoch_schedule",
-    "text_epoch_token_slice",
-    "text_curated_append",
-    "dedup_exact_groups",
-    "stream_tumbling_append",
-    "stream_shard_ingest",
-    "scd2_customer_dim",
+    "emb_quantize_sq8",
+    "simsearch_sq8_topk",
+    "simsearch_bruteforce_topk",
+    "simsearch_lsh_topk",
+    "simsearch_recall",
+    "simsearch_bq_topk",
+    "dedup_embedding_cosine_pairs",
+    # --- r7-stale rotations (29 of the remaining 42) -----------------------
+    "tpch_q10_returned_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_count",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_volume",
+    "tpch_q19_bracketed_revenue",
+    "tpch_q21_sole_returned_supplier",
+    "tpch_q22_idle_customers",
+    "snk_cdc_apply_changes",
+    "snk_merge_upsert_delete",
+    "snk_snapshot_diff",
+    "snk_targeted_delete",
+    "stream_curated_ingest",
+    "stream_join_outer_append",
+    "stream_stateful_user_counts",
+    "mm_audio_features",
+    "mm_binary_features",
+    "mm_frame_sample",
+    "mm_resize_roundtrip",
+    "agg_cube_orders",
+    "agg_grouping_sets_orders",
+    "agg_quantiles_quantity",
+    "events_transition_matrix",
+    "j_bloom_pruned_urgent_revenue",
+    "text_adaptive_source_filter",
+    "text_length_quantiles_by_lang",
+    "text_postings_phrase_search",
+    "text_shard_delete_tombstone",
+    "text_training_mix_sample",
 ]
 
 # All previously driver-proven names (newest green driver row in some
@@ -153,6 +157,12 @@ _DRIVER_WINDOW = [
 # tests/test_oracle_parity.py) — these yield the window to never-checked
 # queries. Grouped below by the round whose rotation moved them out.
 _PRIOR_GREEN = {
+    # r10 greens (the whole r10 window was green 50/50; names below are
+    # the six r10-window members without an earlier _PRIOR_GREEN row —
+    # the late-r9 and r10 registrations proven in r10)
+    "agg_quantile_histogram_sketch", "dedup_fuzzy_decontamination",
+    "stream_quantile_ingest_append", "text_snapshot_drift",
+    "stream_drift_gate_ingest", "stream_kmv_register_ingest",
     # r09 greens (the whole r9 window was green 50/50; names below are the
     # 15 queries registered and proven in r9, rotated out for r10)
     "simsearch_clustered_tier_recall", "simsearch_clustered_residual_ivfpq",

@@ -29,3 +29,52 @@ def duck():
             f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{SF_SMALL}/{t}.parquet')"
         )
     yield con
+
+
+# --- slow-lane markers (VERDICT-r10 item 8) -----------------------------------
+# The full suite is ~21 min and grows every round; the QUICK lane
+# (`pytest -m "not slow"`) keeps the oracle-parity gate + unit tiers for
+# iteration, while the FULL lane (no -m) remains the exit gate
+# (tools/exit_verify.py). Membership is an explicit list (not a duration
+# heuristic) so lane composition is reviewable in the diff: whole modules
+# for the e2e lifecycle and fuzz-soak tiers, named tests for the heavy
+# streaming-redelivery / recall-panel outliers (>= ~6 s each on the
+# r11 durations run). New heavy tests belong here the round they land.
+
+SLOW_MODULES = {
+    "test_corpus_ops",  # shard-lifecycle e2e (append/compact/delete/vacuum swaps)
+    "test_differential_fuzz",  # hypothesis soak tiers (SPARK_GRAFT_FUZZ_SOAK)
+}
+
+SLOW_TESTS = {
+    # streaming ingest / redelivery e2e (foreachBatch drains per call)
+    "test_lm_gated_ingest_idempotent_under_redelivery",
+    "test_streaming_watermark_drops_late_rows_across_batches",
+    "test_content_fingerprint_survives_pairwise_duplicate_cancellation",
+    "test_kmeans_assign_ingest_idempotent_under_redelivery",
+    "test_kmv_register_ingest_redelivery_free",
+    "test_curated_ingest_dedups_across_micro_batches",
+    "test_quantile_ingest_redelivery_content_keyed",
+    "test_hll_register_ingest_redelivery_free",
+    "test_drift_gate_ingest_redelivery_content_keyed",
+    "test_jobs_cli_shard_lifecycle",
+    "test_streaming_index_ingest_builds_equivalent_index",
+    # ANN recall panels (brute-force truth tiers at test scale)
+    "test_rpq_refine_reaches_full_recall_and_trained_matches_sampled",
+    "test_residual_ivfpq_beats_plain_pq_on_clustered",
+    "test_recall_at_k_floor_column_true",
+    "test_kmeans_sq8_partitioning_invariant_and_converging",
+    "test_trained_ivf_recall_meets_floor",
+    # heavy property soaks
+    "test_shard_lifecycle_matches_set_model",
+    "test_pii_patterns_count_injected_occurrences",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if (
+            item.module.__name__ in SLOW_MODULES
+            or item.name.split("[")[0] in SLOW_TESTS
+        ):
+            item.add_marker(pytest.mark.slow)

@@ -1249,3 +1249,94 @@ def test_bq_two_stage_matches_pure_python_on_fuzzed_corpora(spark, rows):
         for r in _bq_topk_over(base, n_queries=4, k=3, rerank=6).collect()
     }
     assert got == _py_bq_topk(rows, n_queries=4, k=3, rerank=6)
+
+
+# --- as-of join differential fuzz (r11) ----------------------------------------
+# The union + ordered-carry-forward as-of strategy vs a pure-Python walk:
+# ties at the same second (purchase sorts BEFORE click — inclusive as-of;
+# among equal-ts purchases the highest event_id wins), NULL purchase
+# values (the struct must carry ts+value TOGETHER — a NULL value must not
+# decouple from its ts), clicks with no prior purchase (NULL, NULL).
+
+
+def _py_asof(rows):
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for eid, sec, uid, etype, val in rows:
+        per_user[uid].append((eid, sec, etype, val))
+    out = {}
+    for uid, evs in per_user.items():
+        evs.sort(key=lambda e: (e[1], 0 if e[2] == "purchase" else 1, e[0]))
+        last = (None, None)
+        for eid, sec, etype, val in evs:
+            if etype == "purchase":
+                last = (sec, val)
+            elif etype == "click":
+                out[eid] = (uid, sec, last[0], last[1])
+    return out
+
+
+@st.composite
+def _asof_corpus(draw):
+    n = draw(st.integers(4, 20))
+    rows = []
+    for eid in range(n):
+        rows.append(
+            (
+                eid,
+                draw(st.integers(0, 6)),  # tiny second range -> many ties
+                draw(st.integers(1, 2)),
+                draw(st.sampled_from(["click", "purchase", "view"])),
+                draw(st.one_of(st.none(), st.integers(0, 5).map(float))),
+            )
+        )
+    return rows
+
+
+@given(rows=_asof_corpus())
+@settings(max_examples=_ex(8), deadline=None)
+def test_asof_join_matches_pure_python_on_fuzzed_streams(spark, tmp_path_factory, rows):
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from airdatapipeline_spark.operators import temporal as tp
+
+    sf = str(tmp_path_factory.mktemp("asof_fuzz"))
+    spark.createDataFrame(
+        [
+            (eid, 1_700_000_000 + sec, uid, etype, val, None)
+            for eid, sec, uid, etype, val in rows
+        ],
+        "event_id long, sec long, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id",
+        "cast(timestamp_micros(sec * 1000000) as timestamp_ntz) AS ts",
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+
+    import datetime as _dt
+
+    def _naive_utc(sec):
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(seconds=1_700_000_000 + sec)
+
+    got = {
+        r.event_id: (r.user_id, r.click_ts, r.last_purchase_ts, r.last_purchase_value)
+        for r in tp.asof_last_purchase_before_click(spark, sf).collect()
+    }
+    want = {
+        eid: (
+            uid,
+            _naive_utc(csec),
+            _naive_utc(psec) if psec is not None else None,
+            pval,
+        )
+        for eid, (uid, csec, psec, pval) in _py_asof(rows).items()
+    }
+    assert got == want
+    shutil.rmtree(sf, ignore_errors=True)
