@@ -1340,3 +1340,99 @@ def test_asof_join_matches_pure_python_on_fuzzed_streams(spark, tmp_path_factory
     }
     assert got == want
     shutil.rmtree(sf, ignore_errors=True)
+
+
+# --- PQ-ADC differential fuzz (r11) --------------------------------------------
+# The product-quantization codec end-to-end — codebook derivation, the
+# mapInPandas argmin encoder, the driver-side distance tables, and the
+# M-lookup ADC ranking — vs a pure-Python reference mirroring the pinned
+# IEEE fold order ((||x||^2 - 2 x.c) + ||c||^2, left-fold over dims, sum
+# of M lookups in order). Duplicate codebook entries manufacture argmin
+# TIES (np.argmin first-min must equal the reference's min-index walk);
+# duplicate corpus vectors manufacture exact ADC-distance ties broken by
+# neighbor id; zero vectors are legal here (no divisions in ADC space).
+
+
+def _py_pq_adc(rows, n_queries, k):
+    from airdatapipeline_spark.operators import similarity as sim
+
+    M, SUB, K = sim.PQ_M, sim.PQ_SUBDIM, sim.PQ_K
+    by_id = dict(rows)
+    cbs = [
+        [by_id[sim.PQ_CB_LO + kk][m * SUB : (m + 1) * SUB] for kk in range(K)]
+        for m in range(M)
+    ]
+
+    def subdist(xm, c):
+        x2 = 0.0
+        dot = 0.0
+        c2 = 0.0
+        for i in range(SUB):
+            x2 = x2 + xm[i] * xm[i]
+            dot = dot + xm[i] * c[i]
+            c2 = c2 + c[i] * c[i]
+        return (x2 - 2.0 * dot) + c2
+
+    codes = {}
+    for vid, v in rows:
+        codes[vid] = [
+            min(range(K), key=lambda kk: (subdist(v[m * SUB : (m + 1) * SUB], cbs[m][kk]), kk))
+            for m in range(M)
+        ]
+    out = {}
+    for qid, qv in rows:
+        if qid >= n_queries:
+            continue
+        dtab = [
+            [subdist(qv[m * SUB : (m + 1) * SUB], cbs[m][kk]) for kk in range(K)]
+            for m in range(M)
+        ]
+        cand = []
+        for nid, _ in rows:
+            if nid == qid:
+                continue
+            acc = 0.0
+            for m in range(M):
+                acc = acc + dtab[m][codes[nid][m]]
+            cand.append((nid, acc))
+        cand.sort(key=lambda t: (t[1], t[0]))
+        for rank, (nid, d) in enumerate(cand[:k], start=1):
+            out[(qid, rank)] = (nid, d)
+    return out
+
+
+@st.composite
+def _pq_corpus(draw):
+    import numpy as np
+
+    pool = draw(st.lists(_vec64, min_size=2, max_size=5))
+    f32 = lambda v: [float(np.float32(x)) for x in v]  # noqa: E731
+    n = draw(st.integers(3, 10))
+    rows = [(i, f32(pool[draw(st.integers(0, len(pool) - 1))])) for i in range(n)]
+    from airdatapipeline_spark.operators import similarity as sim
+
+    # codebook rows drawn from the same pool: duplicates => argmin ties
+    rows += [
+        (sim.PQ_CB_LO + kk, f32(pool[draw(st.integers(0, len(pool) - 1))]))
+        for kk in range(sim.PQ_K)
+    ]
+    return rows
+
+
+@given(rows=_pq_corpus())
+@settings(max_examples=_ex(6), deadline=None)
+def test_pq_adc_matches_pure_python_on_fuzzed_corpora(spark, tmp_path_factory, rows):
+    import shutil
+
+    from airdatapipeline_spark.operators import similarity as sim
+
+    sf = str(tmp_path_factory.mktemp("pq_fuzz"))
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.adc_dist)
+        for r in sim.pq_adc_topk(spark, sf, n_queries=3, k=4).collect()
+    }
+    assert got == _py_pq_adc(rows, n_queries=3, k=4)
+    shutil.rmtree(sf, ignore_errors=True)

@@ -61,9 +61,14 @@ def main() -> int:
         text=True,
     )
     sweep_s = time.time() - t0
-    ok = len(re.findall(r"^ok    ", sweep.stdout, re.M))
-    skip = len(re.findall(r"^skip  ", sweep.stdout, re.M))
-    fails = re.search(r"^(\d+) failures", sweep.stdout, re.M)
+    # Spark's console progress bar emits \r-terminated segments on STDOUT,
+    # so an "ok" line can share a physical line with a progress bar and a
+    # plain ^-anchored count silently undercounts (this exact artifact hid
+    # one green row from ad-hoc greps in r11) — normalize \r to \n first
+    sweep_out = sweep.stdout.replace("\r", "\n")
+    ok = len(re.findall(r"^ok    ", sweep_out, re.M))
+    skip = len(re.findall(r"^skip  ", sweep_out, re.M))
+    fails = re.search(r"^(\d+) failures", sweep_out, re.M)
     n_fail = int(fails.group(1)) if fails else -1
     if sweep.returncode != 0 or n_fail != 0 or ok + skip != n_registered:
         print(sweep.stdout[-4000:])
