@@ -734,6 +734,19 @@ def main() -> None:
             f"{name}: {timings[name]}s (runs {runs}) io {io_by_query.get(name)}\n"
         )
 
+    # post-headline probe (r11): the compact line's value/queries ARE the
+    # headline tier, but the end probe used to run after ~20 more minutes
+    # of replica/writes/stress churn in the SAME driver process — and read
+    # a stable ~1.18x on two otherwise-clean r11 windows (process-state
+    # tax: heap/GC pressure from the write tiers slows the pure-Python
+    # loop too, not just the jvm probe). The headline `throttled` flag now
+    # keys on the start -> post-headline bracket, which is the window the
+    # reported numbers actually ran in; the suite-end probe stays recorded
+    # so contamination of the LATER tiers remains visible (their own
+    # sections quote per-run spreads).
+    cal_headline = _calibrate(spark)
+    sys.stderr.write(f"[calibration/post-headline] {cal_headline}\n")
+
     verifier: dict[str, float] = {}
     for name in VERIFIER:
         if name not in queries:
@@ -839,10 +852,12 @@ def main() -> None:
     # outliers in `dispersion` to host drift)
     cal_end = _calibrate(spark)
     sys.stderr.write(f"[calibration/end] {cal_end}\n")
-    jvm_pair = sorted((cal_start["jvm_range_sum_s"], cal_end["jvm_range_sum_s"]))
-    py_pair = sorted((cal_start["python_loop_s"], cal_end["python_loop_s"]))
+    jvm_pair = sorted((cal_start["jvm_range_sum_s"], cal_headline["jvm_range_sum_s"]))
+    py_pair = sorted((cal_start["python_loop_s"], cal_headline["python_loop_s"]))
     jvm_drift = round(jvm_pair[1] / jvm_pair[0], 3) if jvm_pair[0] > 0 else None
     py_drift = round(py_pair[1] / py_pair[0], 3) if py_pair[0] > 0 else None
+    py_full = sorted((cal_start["python_loop_s"], cal_end["python_loop_s"]))
+    py_drift_full = round(py_full[1] / py_full[0], 3) if py_full[0] > 0 else None
     # The flag keys on the PYTHON probe: measured across one session the
     # JVM probe's value keeps improving with JVM age (5.2s -> 0.62 ->
     # 0.41 -> ... -> 0.073 by suite end — deeper JIT tiers reached via
@@ -857,9 +872,11 @@ def main() -> None:
     throttled = bool(py_drift and py_drift > 1.15)
     calibration_line = {
         "start": cal_start,
+        "post_headline": cal_headline,
         "end": cal_end,
         "jvm_drift": jvm_drift,
         "py_drift": py_drift,
+        "py_drift_full": py_drift_full,
         "throttled": throttled,
     }
 
@@ -869,14 +886,19 @@ def main() -> None:
             "note": (
                 "fixed-workload machine-speed reference (pure-Python loop "
                 "+ JVM codegen range-sum on the warm session), probed at "
-                "suite START and END — same dict as the compact line's "
-                "`calibration` key. Compare two runs' query medians only "
-                "after dividing by their python-probe ratio: identical-HEAD "
-                "runs drift uniformly ~1.3x under ambient host throttling "
-                "(observed r7). throttled = start/end PYTHON-probe drift > "
-                "1.15 (either direction): the reading is not comparable "
-                "cross-round without normalizing. The jvm probe is recorded "
-                "as informational only — its value improves with JVM age "
+                "suite START, POST-HEADLINE and END — same dict as the "
+                "compact line's `calibration` key. Compare two runs' query "
+                "medians only after dividing by their python-probe ratio: "
+                "identical-HEAD runs drift uniformly ~1.3x under ambient "
+                "host throttling (observed r7). throttled = start/"
+                "post-headline PYTHON-probe drift > 1.15 (either "
+                "direction) — the bracket the reported headline numbers "
+                "actually ran in (r11: the old full-suite bracket read a "
+                "stable ~1.18x process-state tax from the write/stress "
+                "tiers that run AFTER the headline tier, flagging two "
+                "clean headline windows; that full drift stays recorded "
+                "as py_drift_full). The jvm probe is recorded as "
+                "informational only — its value improves with JVM age "
                 "across a session (measured 5.2s -> 0.073s start to end), "
                 "so its drift reflects JIT maturity, not host speed."
             ),
@@ -943,8 +965,10 @@ def main() -> None:
 
     # The compact line is the LAST stdout line (driver parses the tail).
     # `calibration` rides in-band (VERDICT-r7 item 1) so BENCH_r0N.json is
-    # self-normalizing: cross-round deltas divide by the jvm probe ratio,
-    # and `throttled` flags a run whose own start/end probes disagree.
+    # self-normalizing: cross-round deltas divide by the python probe
+    # ratio, and `throttled` flags a run whose start/post-headline probes
+    # disagree (the bracket the reported numbers ran in; full-suite drift
+    # stays visible as py_drift_full).
     print(
         json.dumps(
             {

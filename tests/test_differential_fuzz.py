@@ -1436,3 +1436,72 @@ def test_pq_adc_matches_pure_python_on_fuzzed_corpora(spark, tmp_path_factory, r
     }
     assert got == _py_pq_adc(rows, n_queries=3, k=4)
     shutil.rmtree(sf, ignore_errors=True)
+
+
+# --- range-join differential fuzz (r11) ----------------------------------------
+# The bucketed range join after the skew-bounding rewrite (errors
+# pre-aggregated per (user, second) and SUMmed back): random event
+# streams with duplicate seconds, window-boundary gaps (|dt| == W
+# inclusive), users with errors but no clicks and vice versa — the count
+# must equal the naive per-event O(n^2) walk exactly, and every click
+# must appear exactly once (left join, 0 not NULL).
+
+
+def _py_range_counts(rows, w=300):
+    clicks = [(e, u, s) for e, s, u, t in rows if t == "click"]
+    errors = [(u, s) for _, s, u, t in rows if t == "error"]
+    return {
+        e: sum(1 for uu, ss in errors if uu == u and abs(ss - s) <= w)
+        for e, u, s in clicks
+    }
+
+
+@st.composite
+def _range_corpus(draw):
+    n = draw(st.integers(3, 24))
+    rows = []
+    for eid in range(n):
+        rows.append(
+            (
+                eid,
+                draw(
+                    st.one_of(
+                        st.integers(0, 30),        # dense: same-second stacks
+                        st.integers(280, 320),     # straddles the W boundary
+                        st.integers(580, 650),     # next bucket over
+                    )
+                ),
+                draw(st.integers(1, 2)),
+                draw(st.sampled_from(["click", "error", "view"])),
+            )
+        )
+    return rows
+
+
+@given(rows=_range_corpus())
+@settings(max_examples=_ex(8), deadline=None)
+def test_range_join_matches_quadratic_walk_on_fuzzed_streams(spark, tmp_path_factory, rows):
+    import shutil
+
+    from airdatapipeline_spark.operators import temporal as tp
+
+    sf = str(tmp_path_factory.mktemp("range_fuzz"))
+    spark.createDataFrame(
+        [(eid, 1_700_000_000 + sec, uid, t, None, None) for eid, sec, uid, t in rows],
+        "event_id long, sec long, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id",
+        "cast(timestamp_micros(sec * 1000000) as timestamp_ntz) AS ts",
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+
+    got = {
+        r.event_id: r.n_errors_5min
+        for r in tp.range_join_errors_near_clicks(spark, sf).collect()
+    }
+    assert got == _py_range_counts(rows)
+    shutil.rmtree(sf, ignore_errors=True)
