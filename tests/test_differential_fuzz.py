@@ -1505,3 +1505,83 @@ def test_range_join_matches_quadratic_walk_on_fuzzed_streams(spark, tmp_path_fac
     }
     assert got == _py_range_counts(rows)
     shutil.rmtree(sf, ignore_errors=True)
+
+
+# --- sessionization differential fuzz (r11) ------------------------------------
+# Gap-based sessionization (lag -> flag -> cumsum) vs a pure-Python walk:
+# equal-timestamp stacks (gap 0 -> same session, order pinned by
+# (ts, event_id)), gaps exactly AT the 30-min threshold (strictly-greater
+# starts a session, equality does not), single-event users, and
+# interleaved users sharing timestamps.
+
+
+def _py_sessionize(rows, gap_min=30):
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for eid, sec, uid in rows:
+        per_user[uid].append((sec, eid))
+    out = {}
+    g_us = gap_min * 60 * 1_000_000
+    for uid, evs in per_user.items():
+        evs.sort()
+        sizes = []
+        prev = None
+        for sec, _ in evs:
+            if prev is None or (sec - prev) * 1_000_000 > g_us:
+                sizes.append(0)
+            sizes[-1] += 1
+            prev = sec
+        out[uid] = (len(sizes), max(sizes), sum(sizes))
+    return out
+
+
+@st.composite
+def _session_corpus(draw):
+    n = draw(st.integers(3, 26))
+    g = 30 * 60
+    rows = []
+    for eid in range(n):
+        rows.append(
+            (
+                eid,
+                draw(
+                    st.one_of(
+                        st.integers(0, 10),                  # same-session stacks
+                        st.sampled_from([g, g + 1, 2 * g, 2 * g + 1]),  # AT and past
+                        st.integers(3 * g, 3 * g + 40),
+                    )
+                ),
+                draw(st.integers(1, 3)),
+            )
+        )
+    return rows
+
+
+@given(rows=_session_corpus())
+@settings(max_examples=_ex(8), deadline=None)
+def test_sessionization_matches_pure_python_on_fuzzed_streams(spark, tmp_path_factory, rows):
+    import shutil
+
+    from airdatapipeline_spark.operators import tpch as tq
+
+    sf = str(tmp_path_factory.mktemp("sess_fuzz"))
+    spark.createDataFrame(
+        [(eid, 1_700_000_000 + sec, uid, "view", None, None) for eid, sec, uid in rows],
+        "event_id long, sec long, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id",
+        "cast(timestamp_micros(sec * 1000000) as timestamp_ntz) AS ts",
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+
+    got = {
+        r.user_id: (r.n_sessions, r.max_session_events, r.total_events)
+        for r in tq.sessionize_events(spark, sf).collect()
+    }
+    assert got == _py_sessionize(rows)
+    shutil.rmtree(sf, ignore_errors=True)
