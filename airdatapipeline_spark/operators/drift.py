@@ -207,14 +207,22 @@ def snapshot_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     skewed-source tier measures the bound; bench.py's replica tier
     measures linear-scan scaling under fixed counter state).
 
-    Snapshot flag: `doc_id % 7 < 4` rather than the global check's
+    Snapshot flag: bit 16 of the Knuth multiplicative hash
+    `(doc_id * 2654435761) div 65536 % 2` rather than the global check's
     parity — the synthetic corpora stripe source = doc_id mod n_sources
     (TESTDATA.md), so parity is CONSTANT within a source and every
-    per-source comparison would be one-sided; a modulus coprime to the
-    striping splits every source. In production both flags are the same
-    thing: the ingest date-partition column."""
+    per-source comparison would be one-sided; an earlier `% 7` flag was
+    only two-sided because 7 happened to be coprime to the striping
+    (ADVICE-r11), while a mixed hash bit splits every source regardless
+    of the stripe modulus (the carries from the odd multiplier reach bit
+    16 from every input bit, so no residue class is constant). Same
+    64-bit integer arithmetic in DuckDB (`//` = `div` for non-negative
+    ids); products fit BIGINT through doc_id < 2^32. In production both
+    flags are the same thing: the ingest date-partition column."""
     docs = load_table(spark, sf_dir, "documents").select(
-        "source", ((F.col("doc_id") % 7) < 4).alias("is_a"), "text"
+        "source",
+        F.expr("((doc_id * 2654435761) div 65536) % 2 = 0").alias("is_a"),
+        "text",
     )
     keys = ("source",)
     return drift_scores(drift_histogram(drift_binned(docs, keys=keys), keys=keys), keys=keys)

@@ -51,8 +51,9 @@ def _dot(a: str, b: str, dim: int = EMB_DIM) -> Column:
     return F.expr(f"cast(0.0 as double) + {terms}")
 
 
-def with_norm(embeddings: DataFrame) -> DataFrame:
-    """Add emb (double[]) and norm columns, EXCLUDING zero-norm vectors.
+def with_norm(embeddings: DataFrame, total: bool = False) -> DataFrame:
+    """Add emb (double[]) and norm columns; by default EXCLUDE zero-norm
+    vectors, with ``total=True`` keeping every row.
 
     A zero-norm embedding has no direction, so every cosine against it is
     0/0 — which under ANSI (Spark 4's default) is not NaN but a
@@ -61,11 +62,14 @@ def with_norm(embeddings: DataFrame) -> DataFrame:
     similarity differential fuzz). The contract, pinned in BOTH engines
     at this single edge (the oracle twin is _EMB_CTE's WHERE norm > 0,
     the NULL-key-sketch precedent): zero-norm vectors are outside the
-    similarity surface — never a query, never a neighbor, never a
-    dedup-pair member. The SQ8 audit path still REPRESENTS them exactly
-    (with_sq8's scale guard) so the codec itself stays total."""
+    SERVING surface — never a query, never a neighbor, never a
+    dedup-pair member. Audit/codec paths that must cover every stored
+    vector (quantize_sq8's per-row audit; with_sq8's scale guard keeps
+    the codec itself total) pass ``total=True`` so coverage loss is a
+    visible per-call-site choice, not a silent default (ADVICE-r11)."""
     e = embeddings.withColumn("emb", F.expr("transform(embedding, x -> cast(x as double))"))
-    return e.withColumn("norm", F.sqrt(_dot("emb", "emb"))).filter(F.col("norm") > 0)
+    e = e.withColumn("norm", F.sqrt(_dot("emb", "emb")))
+    return e if total else e.filter(F.col("norm") > 0)
 
 
 def cosine_expr(a_alias: str, b_alias: str) -> Column:
@@ -1000,10 +1004,13 @@ def with_sq8(embeddings: DataFrame) -> DataFrame:
 def quantize_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantization audit: per-vector scale, an md5 fingerprint of the int8
     codes (hash-verifies the full quantization byte-for-byte against the
-    oracle) and the max absolute reconstruction error. Audits the
-    similarity corpus, i.e. downstream of with_norm's zero-norm
-    exclusion — the oracle's `e` CTE carries the same WHERE."""
-    e = with_sq8(with_norm(load_table(spark, sf_dir, "embeddings")))
+    oracle) and the max absolute reconstruction error. The audit is
+    TOTAL — one row per stored embedding, zero-norm included (with_sq8
+    represents the zero vector exactly: scale 1, all-zero codes), so a
+    storage-coverage consumer never silently loses rows; only SERVING
+    paths exclude zero-norm at the with_norm edge (ADVICE-r11). The
+    oracle's `e` CTE is the unfiltered twin (_EMB_CTE_TOTAL)."""
+    e = with_sq8(with_norm(load_table(spark, sf_dir, "embeddings"), total=True))
     return e.select(
         "vec_id",
         "scale",

@@ -74,6 +74,19 @@ e AS (
 )
 """.strip()
 
+# The unfiltered twin for TOTAL-coverage paths (the SQ8 storage audit):
+# one row per stored embedding, zero-norm included — mirrors
+# with_norm(..., total=True). Vacuous difference on the synthetic
+# corpora (they contain no zero-norm rows); it pins the coverage
+# contract, not the data (ADVICE-r11).
+_EMB_CTE_TOTAL = """
+e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+  FROM embeddings
+)
+""".strip()
+
 _SQ8_COSINE = (
     "CAST(list_dot_product(a.q, b.q) AS DOUBLE)"
     " / sqrt(CAST(list_dot_product(a.q, a.q) AS DOUBLE))"

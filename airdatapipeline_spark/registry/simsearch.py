@@ -7,7 +7,14 @@ from pyspark.sql import functions as F
 from ..operators import similarity
 from ..operators import corpus
 from .core import register
-from ._shared import _EMB_CTE, _IVF_ASSIGN_SQL, _PQ_X2, _PQ_XDOT, _SQ8_COSINE
+from ._shared import (
+    _EMB_CTE,
+    _EMB_CTE_TOTAL,
+    _IVF_ASSIGN_SQL,
+    _PQ_X2,
+    _PQ_XDOT,
+    _SQ8_COSINE,
+)
 
 
 # SQ8 quantization fragments shared by emb_quantize_sq8, simsearch_sq8_topk
@@ -396,8 +403,11 @@ def ss_recall_clustered(spark, sf_dir):
 
 @register(
     "emb_quantize_sq8",
+    # _EMB_CTE_TOTAL, not _EMB_CTE: the storage audit covers every stored
+    # vector, zero-norm included (ADVICE-r11) — serving queries keep the
+    # filtered CTE.
     f"""
-    WITH {_EMB_CTE},
+    WITH {_EMB_CTE_TOTAL},
     {_SQ8_Q_CTE}
     SELECT vec_id, scale,
            md5(array_to_string(q, ',')) AS codes_md5,
@@ -407,7 +417,8 @@ def ss_recall_clustered(spark, sf_dir):
     """,
 )
 def emb_sq8(spark, sf_dir):
-    """Int8 scalar quantization audit — codes hash-verified byte-for-byte."""
+    """Int8 scalar quantization audit (TOTAL: one row per stored
+    embedding) — codes hash-verified byte-for-byte."""
     return similarity.quantize_sq8(spark, sf_dir)
 
 

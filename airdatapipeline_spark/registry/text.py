@@ -1899,10 +1899,13 @@ def t_snapshot_drift(spark, sf_dir):
 
 @register(
     "text_snapshot_drift_by_source",
-    # coprime-modulus snapshot flag: the synthetic corpora stripe
-    # source = doc_id mod n_sources, so the global check's parity flag is
-    # constant within a source (operators/drift.snapshot_drift_by_source)
-    _drift_sql(keys=("source",), is_a_sql="doc_id % 7 < 4"),
+    # striping-independent snapshot flag (bit 16 of the Knuth
+    # multiplicative hash): the synthetic corpora stripe source = doc_id
+    # mod n_sources, so any pure-modulus flag is one-sided whenever its
+    # modulus divides the stripe count — a mixed hash bit splits every
+    # source (operators/drift.snapshot_drift_by_source; ADVICE-r11).
+    # DuckDB // is floor-div = Spark's div for the non-negative ids here.
+    _drift_sql(keys=("source",), is_a_sql="((doc_id * 2654435761) // 65536) % 2 = 0"),
 )
 def t_snapshot_drift_by_source(spark, sf_dir):
     """Per-source snapshot drift — WHICH upstream changed: the global TVD

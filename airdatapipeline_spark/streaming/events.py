@@ -65,6 +65,12 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_to_table(agg: DataFrame, mode: str) -> DataFrame:
+    """TEST-ONLY HARNESS — never a registered/scale path. Complete-mode
+    memory sink + driver collect: state grows with every window ever
+    seen and the result lives on the driver, both of which die at 100 TB.
+    Registered streaming queries use `_run_append_to_files` (watermark
+    eviction, distributed file sink). tests/test_pipeline.py statically
+    asserts no registry module reaches this harness (VERDICT-r11 #4)."""
     name = f"stream_out_{uuid.uuid4().hex[:12]}"
     q = agg.writeStream.outputMode(mode).format("memory").queryName(name).start()
     try:
@@ -244,7 +250,10 @@ def clicks_errors_join_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1-hour tumbling-window counts/sums per event_type with a 10-minute
+    """TEST-ONLY teaching twin (complete-mode memory sink via
+    _run_to_table — unbounded state + driver collect; the registered
+    scale path is `tumbling_counts_append`). 1-hour tumbling-window
+    counts/sums per event_type with a 10-minute
     watermark. Decimal-exact value sums (deterministic under any trigger
     cadence / partitioning — the property that matters for exactly-once)."""
     ev = _event_stream(spark, sf_dir)
@@ -266,7 +275,9 @@ def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def session_counts(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") -> DataFrame:
-    """Stateful session-window aggregation per user (gap-merged sessions).
+    """TEST-ONLY teaching twin (complete-mode memory sink; registered
+    scale path: `session_counts_append`). Stateful session-window
+    aggregation per user (gap-merged sessions).
     Streaming twin of the batch lag/cumsum sessionization."""
     ev = _event_stream(spark, sf_dir)
     agg = (
@@ -283,7 +294,8 @@ def session_counts(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") ->
 
 
 def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1-hour windows sliding every 30 minutes — each event contributes to
+    """TEST-ONLY teaching twin (complete-mode memory sink; registered
+    scale path: `sliding_counts_append`). 1-hour windows sliding every 30 minutes — each event contributes to
     exactly 2 overlapping windows (Spark expands this JVM-side via the
     window() table function, no Python boundary). Completes the window
     family: tumbling / sliding / session."""
@@ -903,7 +915,17 @@ def quantile_ingest_append(
     (compactable by pre-merging, exactly like shard compaction), and
     exactly-once delivery is not required for correctness. The drained
     estimate equals the batch sketch over the same corpus — what the
-    DuckDB oracle replays."""
+    DuckDB oracle replays.
+
+    FINGERPRINT FORMAT BREAK (r11): the XOR-only fingerprint became
+    XOR+bounded-SUM+count, so counter state persisted by a pre-r11 build
+    carries DIFFERENT file_fp values than post-upgrade redeliveries of
+    the same file — the max-merge cannot pair them, and each such file
+    double-counts ONCE across the upgrade boundary. Do not mix old and
+    new partials: on a fingerprint-format upgrade, drain (rebuild) the
+    counter store from the source files — it is derived state, the
+    rebuild is one batch pass (ADVICE-r11; same rule for any future
+    format change)."""
     from ..operators.sketches import hq_bin_expr, hq_histogram, hq_quantile_estimates
 
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
@@ -1002,7 +1024,13 @@ def drift_gate_ingest_append(
 
     At 100 TB: reference state is <= metrics x DRIFT_BINS rows (a
     broadcast-sized artifact), per-batch appended state is the same per
-    file, and the gate's alert is one ~32-row probe per trigger."""
+    file, and the gate's alert is one ~32-row probe per trigger.
+
+    FINGERPRINT FORMAT BREAK (r11): same rule as the quantile twin —
+    pre-r11 XOR-only partials carry different file_fp values than the
+    r11 XOR+bounded-SUM+count format, so redeliveries across the upgrade
+    boundary double-count once; drain (rebuild) gate state on a
+    fingerprint-format upgrade rather than mixing formats (ADVICE-r11)."""
     from ..operators.drift import drift_binned, drift_histogram, drift_scores
 
     batch_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema

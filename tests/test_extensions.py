@@ -1309,3 +1309,28 @@ def test_drift_null_text_bins_identically(spark, duck):
             FROM (SELECT NULL::VARCHAR AS t)"""
     ).fetchone()
     assert (tb, cb) == (15, 15)
+
+
+def test_sq8_audit_total_but_serving_excludes_zero_norm(spark, tmp_path):
+    """ADVICE-r11 contract: the SQ8 storage audit (quantize_sq8) covers
+    EVERY stored embedding — the zero vector quantizes exactly (scale 1,
+    all-zero codes, zero reconstruction error) — while the serving-path
+    with_norm edge still excludes it, as an explicit per-call-site
+    choice rather than a silent default inside with_norm."""
+    import shutil
+
+    sf = str(tmp_path / "sf")
+    shutil.os.makedirs(sf)
+    rows = [(0, [1.0] * 64), (1, [0.0] * 64), (2, [0.5] * 64)]
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").coalesce(
+        1
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    audit = {r.vec_id: r for r in similarity.quantize_sq8(spark, sf).collect()}
+    assert set(audit) == {0, 1, 2}  # total: zero-norm row present
+    assert audit[1].scale == 1.0 and audit[1].max_abs_err == 0.0
+    from airdatapipeline_spark.io import load_table
+
+    served = similarity.with_norm(load_table(spark, sf, "embeddings"))
+    assert {r.vec_id for r in served.select("vec_id").collect()} == {0, 2}
+    total = similarity.with_norm(load_table(spark, sf, "embeddings"), total=True)
+    assert {r.vec_id for r in total.select("vec_id").collect()} == {0, 1, 2}

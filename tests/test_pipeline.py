@@ -156,6 +156,33 @@ def test_driver_window_invariants():
     assert set(registry.QUERIES) == set(registry.ORACLES)
 
 
+def test_no_registered_query_uses_memory_sink_harness():
+    """The complete-mode memory-sink streaming twins (_run_to_table:
+    unbounded window state + driver collect) are TEST-ONLY harnesses —
+    registered streaming queries must go through the watermark-evicting
+    file sink (_run_append_to_files). Static guard (VERDICT-r11 #4) so a
+    future registration can't reach the non-scale path by accident: no
+    registry module (or the driver entry) may reference the harness or
+    the three teaching twins."""
+    import glob
+    import os
+    import re
+
+    import airdatapipeline_spark.registry as reg
+
+    banned = re.compile(
+        r"_run_to_table|\b(?:tumbling_counts|session_counts|sliding_counts)\s*\("
+    )
+    paths = glob.glob(os.path.join(os.path.dirname(reg.__file__), "*.py"))
+    paths.append(os.path.join(os.path.dirname(os.path.dirname(reg.__file__)), "..", "__spark_entry__.py"))
+    hits = []
+    for p in paths:
+        for i, line in enumerate(open(p), 1):
+            if banned.search(line):
+                hits.append(f"{os.path.basename(p)}:{i}: {line.strip()}")
+    assert not hits, f"registered path references a test-only streaming harness: {hits}"
+
+
 def test_readme_counts_match_registry():
     """The hand-written query counts are pinned to the registry — every
     'N queries' / 'N-query' / 'N registered queries' mention in README.md

@@ -61,6 +61,7 @@ def main() -> None:
 
     wt = os.path.join(REPO, ".ab_worktrees")
     roots = {}
+    created = []  # only remove worktrees THIS invocation created (ADVICE-r11)
     for rev in (rev_a, rev_b):
         d = os.path.join(wt, rev)
         if not os.path.isdir(d):
@@ -70,6 +71,26 @@ def main() -> None:
                 check=True,
                 capture_output=True,
             )
+            created.append(d)
+        else:
+            # a stale dir from an interrupted run (or a moved branch name)
+            # would silently time the WRONG code — re-pin it to the
+            # requested revision before trusting it (ADVICE-r11)
+            subprocess.run(
+                ["git", "-C", d, "checkout", "--detach", rev],
+                check=True,
+                capture_output=True,
+            )
+        want = subprocess.run(
+            ["git", "rev-parse", f"{rev}^{{commit}}"], cwd=REPO, check=True,
+            capture_output=True, text=True,
+        ).stdout.strip()
+        have = subprocess.run(
+            ["git", "-C", d, "rev-parse", "HEAD"], check=True,
+            capture_output=True, text=True,
+        ).stdout.strip()
+        if have != want:
+            raise SystemExit(f"worktree {d} is at {have[:12]}, wanted {rev} ({want[:12]})")
         roots[rev] = d
 
     results: dict[str, list] = {rev_a: [], rev_b: []}
@@ -80,7 +101,7 @@ def main() -> None:
                 results[rev].append((med, lo, hi))
                 print(f"pair {i + 1} {rev[:9]}: median {med:.3f} [{lo:.3f}, {hi:.3f}]", flush=True)
     finally:
-        for rev, d in roots.items():
+        for d in created:
             subprocess.run(
                 ["git", "worktree", "remove", "--force", d], cwd=REPO, capture_output=True
             )
