@@ -91,21 +91,42 @@ def apply_changes(
     per-key sequence) to a snapshot — the APPLY CHANGES INTO pattern.
 
     Resolution is latest-wins per key: one window over (key ORDER BY seq
-    DESC) picks each key's final change ((key, seq) must be unique — a
-    changelog with duplicate sequence numbers is ill-defined in any
-    engine); a final 'D' deletes the key, 'I'/'U' upserts the row via
-    `merge_into`. Cost: one shuffle for the window (on the same key the
-    merge join shuffles on) + the merge's full-outer join. At scale the
-    changelog is tiny relative to the snapshot and the merge is
-    partition-scoped, exactly as with merge_into."""
+    DESC) picks each key's final change; a final 'D' deletes the key,
+    'I'/'U' upserts the row via `merge_into`. Cost: one shuffle for the
+    window (on the same key the merge join shuffles on) + the merge's
+    full-outer join. At scale the changelog is tiny relative to the
+    snapshot and the merge is partition-scoped, exactly as with
+    merge_into.
+
+    Duplicate sequence numbers (r12 fuzz hardening): EXACT duplicate rows
+    are a redelivered batch — deduplicated up front, so redelivery is a
+    no-op by construction. Two DIFFERENT changes sharing one (key, seq)
+    are changelog corruption (no latest-wins order exists), and the old
+    row_number tie-break silently picked a partition-order-dependent
+    winner; now the winning row raises at execution time instead
+    (raise_error on a top-of-key seq tie — checked via lead() over the
+    SAME window spec, so the guard adds no extra shuffle). Ties below
+    the winning sequence never affect the result and are not policed."""
     data_cols = [c for c in snapshot.columns if c not in on]
     from pyspark.sql import Window
 
     w = Window.partitionBy(*on).orderBy(F.desc(seq_col))
     latest = (
-        changes.withColumn("__rn", F.row_number().over(w))
+        changes.dropDuplicates()
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__next_seq", F.lead(seq_col).over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        .withColumn(
+            op_col,
+            F.when(
+                F.col("__next_seq").eqNullSafe(F.col(seq_col)),
+                F.expr(
+                    "raise_error('apply_changes: two different changes "
+                    "share one (key, seq) — changelog is corrupt')"
+                ),
+            ).otherwise(F.col(op_col)),
+        )
+        .drop("__rn", "__next_seq")
     )
     upserts = latest.filter(F.col(op_col) != "D").select(*on, *data_cols)
     deletes = latest.filter(F.col(op_col) == "D").select(*on)

@@ -42,7 +42,16 @@ def scd2_merge(
     get their current row closed (valid_to = eff date, is_current = false)
     plus a new open version. One equi-join on the key (updates broadcast),
     no window functions — the plan a MERGE statement would compile to.
-    """
+
+    Only the CURRENT version of a key participates in change detection:
+    `dim` is the full dimension INCLUDING closed history rows, and a
+    closed version whose attributes differ from today's update is just
+    history, not a change — without the is_current gate a second update
+    batch would rewrite closed rows' valid_to and open one duplicate
+    version per historical row (caught by the r12 multi-batch
+    differential fuzz). Updates for keys absent from `dim` are ignored
+    (this is an update merge, not an insert path — mirror of the
+    registered oracle's semantics)."""
     changed_any = None
     for a in attrs:
         neq = ~F.col(f"d.{a}").eqNullSafe(F.col(f"u.{a}"))
@@ -53,7 +62,9 @@ def scd2_merge(
     j = d.join(u, on=F.col(f"d.{key}") == F.col(f"u.{key}"), how="left")
 
     # current rows: closed out if a genuinely-changed update arrived
-    is_changed = F.col(f"u.{key}").isNotNull() & changed_any
+    is_changed = (
+        F.col(f"u.{key}").isNotNull() & changed_any & F.col("d.is_current")
+    )
     current = j.select(
         F.col(f"d.{key}").alias(key),
         *[F.col(f"d.{a}").alias(a) for a in attrs],

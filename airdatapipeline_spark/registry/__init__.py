@@ -62,94 +62,85 @@ from . import sources_sinks  # noqa: F401,E402
 # 50 names.
 # ---------------------------------------------------------------------------
 
-# r11 rotation (VERDICT-r10 item 1 + changed-code re-proofs). After a
-# green r10 window the staleness profile is r6: 6, r7: 47, r8: 47,
-# r9: 47, r10: 50 (tools/staleness.py). Composition:
+# r12 rotation (VERDICT-r11 item 3 + changed-code re-proofs). After a
+# green r11 window the staleness profile is r7: 13, r8: 45, r9: 47,
+# r10: 43, r11: 50 (tools/staleness.py). Composition:
 #   - 3 family canaries (pinned by the window-integrity test);
-#   - slots 4-9: the LAST six r6-stale rows (VERDICT-r10 item 1 —
-#     dedup_ngram_jaccard_pairs, events_json_extract, mm_decode_features,
-#     stream_dedup/session/sliding_append), after which max staleness
-#     drops to r7;
-#   - slot 10: the new r11 registration (text_snapshot_drift_by_source —
-#     WHICH upstream changed, never driver-checked);
-#   - slots 11-21: queries whose CODE or ORACLE changed in r11 and need
-#     re-proof regardless of freshness: the drift family (decimal/HUGEINT
-#     numerators + retrain_alert column: text_snapshot_drift,
-#     stream_drift_gate_ingest), the fingerprint-hardened quantile twin
-#     (stream_quantile_ingest_append), the skew-bounded range join
-#     (ev_range_errors_near_clicks), and the zero-norm-contract /
-#     SQ8-scale-guard similarity surface (emb_quantize_sq8,
-#     simsearch_sq8_topk, simsearch_bruteforce_topk, simsearch_lsh_topk,
-#     simsearch_recall, simsearch_bq_topk, dedup_embedding_cosine_pairs
-#     — the last six doubling as r7/r8-stale rotations);
-#   - the remaining 29 slots: r7-stale rows (tpch q10/q15-q22, the
-#     merge/CDC/SCD sink family, streaming outer-join/stateful/curated,
-#     the multimodal family, grouping-sets/cube/quantiles, transition
-#     matrix, bloom join, and five text rows). Left at r7 for r12 (13):
-#     the dedup candidate/cluster family (candidate_triangles,
-#     cluster_assignments_star, exact_substring_pairs,
-#     fingerprint_quality_decisions, incremental_candidates,
-#     paragraph_rebuild, prefix_jaccard_pairs, semantic_decisions,
-#     simhash_pairs, substring_clusters — 3 dedup rows are in-window) and
-#     simsearch_ivf_list_stats / ivfpq_topk / pq_adc_topk (5 simsearch
-#     re-proofs in-window); all value-hash-checked every pytest run.
-# Max driver-row staleness after a green r11 window: r7.
+#   - slots 4-16: ALL 13 r7-stale rows (VERDICT-r11 item 3 — the dedup
+#     candidate/cluster family + simsearch_ivf_list_stats/ivfpq_topk/
+#     pq_adc_topk), after which max staleness drops to r8;
+#   - slots 17-25: queries whose CODE or ORACLE changed in r12 and need
+#     re-proof regardless of freshness: the striping-independent drift
+#     flag (text_snapshot_drift_by_source — flag AND oracle changed),
+#     the total-coverage SQ8 audit (emb_quantize_sq8 — CTE changed),
+#     the with_norm total= refactor's serving representatives
+#     (simsearch_bruteforce_topk, simsearch_bq_topk — also the r11
+#     watch flag, closed as dispersion in MEASURED.md —
+#     dedup_embedding_cosine_pairs), the SCD2 is_current gate
+#     (scd2_customer_dim), the apply_changes redelivery-dedup +
+#     conflicting-tie guard (snk_cdc_apply_changes), and the multimodal
+#     _over-seam refactor (mm_decode_features, mm_audio_features);
+#   - the remaining 25 slots: the oldest r8-stale rows (pipelines,
+#     events family, snk/sources, sql-api, heavy dedup/simsearch picks).
+# Left at r8 for r13 (20): the text shard/quality/mix family, tpch
+# q2/q10/q11/q20, training_data_build, u1_union_dedup and the w_*
+# window family; all value-hash-checked every pytest run.
+# Max driver-row staleness after a green r12 window: r8.
 _DRIVER_WINDOW = [
     # --- §2 family flagships (regression canaries) -------------------------
     "flagship_enrichment_gold",
     "a2_w1_daily_category_gold",
     "src1_scrape_clean",
-    # --- the last six r6-stale rows (VERDICT-r10 item 1) -------------------
-    "dedup_ngram_jaccard_pairs",
-    "events_json_extract",
-    "mm_decode_features",
-    "stream_dedup_append",
-    "stream_session_append",
-    "stream_sliding_append",
-    # --- new r11 registration ----------------------------------------------
+    # --- all 13 r7-stale rows (VERDICT-r11 item 3) -------------------------
+    "dedup_candidate_triangles",
+    "dedup_cluster_assignments_star",
+    "dedup_exact_substring_pairs",
+    "dedup_fingerprint_quality_decisions",
+    "dedup_incremental_candidates",
+    "dedup_paragraph_rebuild",
+    "dedup_prefix_jaccard_pairs",
+    "dedup_semantic_decisions",
+    "dedup_simhash_pairs",
+    "dedup_substring_clusters",
+    "simsearch_ivf_list_stats",
+    "simsearch_ivfpq_topk",
+    "simsearch_pq_adc_topk",
+    # --- r12 changed-code re-proofs ----------------------------------------
     "text_snapshot_drift_by_source",
-    # --- r11 changed-code re-proofs ----------------------------------------
-    "text_snapshot_drift",
-    "stream_drift_gate_ingest",
-    "stream_quantile_ingest_append",
-    "ev_range_errors_near_clicks",
     "emb_quantize_sq8",
-    "simsearch_sq8_topk",
     "simsearch_bruteforce_topk",
-    "simsearch_lsh_topk",
-    "simsearch_recall",
     "simsearch_bq_topk",
     "dedup_embedding_cosine_pairs",
-    # --- r7-stale rotations (29 of the remaining 42) -----------------------
-    "tpch_q10_returned_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_count",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_volume",
-    "tpch_q19_bracketed_revenue",
-    "tpch_q21_sole_returned_supplier",
-    "tpch_q22_idle_customers",
+    "scd2_customer_dim",
     "snk_cdc_apply_changes",
-    "snk_merge_upsert_delete",
-    "snk_snapshot_diff",
-    "snk_targeted_delete",
-    "stream_curated_ingest",
-    "stream_join_outer_append",
-    "stream_stateful_user_counts",
+    "mm_decode_features",
     "mm_audio_features",
-    "mm_binary_features",
-    "mm_frame_sample",
-    "mm_resize_roundtrip",
-    "agg_cube_orders",
-    "agg_grouping_sets_orders",
-    "agg_quantiles_quantity",
-    "events_transition_matrix",
-    "j_bloom_pruned_urgent_revenue",
-    "text_adaptive_source_filter",
-    "text_length_quantiles_by_lang",
-    "text_postings_phrase_search",
-    "text_shard_delete_tombstone",
-    "text_training_mix_sample",
+    # --- oldest r8-stale rotations (25 of the 45) --------------------------
+    "agg_approx_family_check",
+    "curation_pipeline",
+    "dedup_cluster_assignments",
+    "dedup_minhash_lsh_candidates",
+    "dedup_simhash_lsh_candidates",
+    "ev_asof_last_purchase",
+    "events_cohort_retention",
+    "events_daily_anomalies",
+    "events_funnel",
+    "events_multires_rollup",
+    "events_stratified_sample",
+    "events_user_features",
+    "q_validation_gates",
+    "simsearch_ivf_topk",
+    "simsearch_recall_clustered",
+    "snk_compaction_roundtrip",
+    "snk_incremental_gold",
+    "snk_silver_partitioned_prune",
+    "sql_api_daily_sentiment",
+    "sql_api_error_cascades",
+    "src1_datasource_scrape",
+    "src_format_roundtrip",
+    "stream_join_append",
+    "table_profile_documents",
+    "text_bm25_topk",
 ]
 
 # All previously driver-proven names (newest green driver row in some

@@ -64,13 +64,19 @@ def _marker(out_dir: str) -> str:
 
 
 def build_replica_warehouse(
-    spark: SparkSession, src_dir: str, out_dir: str, copies: int = 10
+    spark: SparkSession, src_dir: str, out_dir: str, copies: int = 10,
+    tables: tuple[str, ...] | None = None,
 ) -> str:
     """Build (or reuse) a `copies`-x replica of every table in `src_dir`
-    under `out_dir`. Returns `out_dir`, readable via `io.load_table`."""
+    under `out_dir`. Returns `out_dir`, readable via `io.load_table`.
+    `tables` restricts the build to a subset (the beyond-10x probe
+    replicates only the tables its queries scan — at 100x the unused
+    fact tables dominate the build cost); None = all of TABLES."""
     # layout bumps when the synthesis changes (r9: embedding rotation) so
     # stale replicas rebuild instead of silently serving the old shape
     want = {"src": os.path.abspath(src_dir), "copies": copies, "layout": 2}
+    if tables is not None:
+        want["tables"] = sorted(tables)
     try:
         with open(_marker(out_dir)) as fh:
             if json.load(fh) == want:
@@ -81,7 +87,7 @@ def build_replica_warehouse(
     idx = F.broadcast(
         spark.range(copies).select(F.col("id").cast("long").alias("__copy"))
     )
-    for name in TABLES:
+    for name in TABLES if tables is None else tables:
         df = load_table(spark, src_dir, name)
         if name in _SHARED_DIMS:
             out = df

@@ -13,7 +13,12 @@ regression. Sections:
 
 - queries/value — the HEADLINE tier: only plans whose shape survives a
   100x scale-up (equi-join candidate generation, pushed filters, partial
-  aggs). This is the number to compare across rounds.
+  aggs). This is the number to compare across rounds. Self-healing under
+  ambient throttle (VERDICT-r11 #1): if the start->post-headline python
+  probe bracket drifts past 1.15, the tier re-runs ONCE in the same
+  invocation and the compact line reports whichever attempt ran in the
+  cleaner bracket (both attempts preserved in BENCH_DETAIL's
+  headline_retry section; `headline_retried` marks the line).
 - verifier — the quadratic-by-design audit tier (exact brute-force ANN:
   O(N*Q) full-precision scan). It exists to grade the approximate tiers'
   recall, never to run at corpus scale, so its time is reported separately
@@ -716,23 +721,29 @@ def main() -> None:
     # direction) marks the whole reading untrustworthy for cross-round
     # comparison. Divide two runs' query medians by their jvm-probe ratio
     # before attributing a delta to a plan.
+    def _py_drift(cal_a: dict, cal_b: dict) -> float | None:
+        pair = sorted((cal_a["python_loop_s"], cal_b["python_loop_s"]))
+        return round(pair[1] / pair[0], 3) if pair[0] > 0 else None
+
+    def run_headline_tier() -> tuple[dict, dict, dict]:
+        t: dict[str, float] = {}
+        d: dict[str, list[float]] = {}
+        io: dict[str, dict[str, int]] = {}
+        for name in HEADLINE:
+            if name != "flagship_pipeline" and name not in queries:
+                continue
+            runs = _run_samples(
+                make_fn(name, SF_DIR), spark=spark, io_sink=io, io_key=name
+            )
+            d[name] = runs
+            t[name] = _median(runs)
+            sys.stderr.write(f"{name}: {t[name]}s (runs {runs}) io {io.get(name)}\n")
+        return t, d, io
+
     cal_start = _calibrate(spark)
     sys.stderr.write(f"[calibration/start] {cal_start}\n")
 
-    timings: dict[str, float] = {}
-    dispersion: dict[str, list[float]] = {}
-    io_by_query: dict[str, dict[str, int]] = {}
-    for name in HEADLINE:
-        if name != "flagship_pipeline" and name not in queries:
-            continue
-        runs = _run_samples(
-            make_fn(name, SF_DIR), spark=spark, io_sink=io_by_query, io_key=name
-        )
-        dispersion[name] = runs
-        timings[name] = _median(runs)
-        sys.stderr.write(
-            f"{name}: {timings[name]}s (runs {runs}) io {io_by_query.get(name)}\n"
-        )
+    timings, dispersion, io_by_query = run_headline_tier()
 
     # post-headline probe (r11): the compact line's value/queries ARE the
     # headline tier, but the end probe used to run after ~20 more minutes
@@ -746,6 +757,72 @@ def main() -> None:
     # sections quote per-run spreads).
     cal_headline = _calibrate(spark)
     sys.stderr.write(f"[calibration/post-headline] {cal_headline}\n")
+
+    # Self-healing under throttle (VERDICT-r11 item 1): BENCH_r11's
+    # official window ran inside an ambient-throttle bracket (py_drift
+    # 1.306) while the same code read 29% faster in a clean window — the
+    # flag worked, but the round's headline artifact still shipped
+    # noise-inflated numbers that a reader takes at face value. When the
+    # start -> post-headline bracket flags, re-run the headline tier ONCE
+    # in this same invocation, bracketed by its own probes, and report
+    # whichever attempt ran in the cleaner bracket; BOTH attempts stay
+    # recorded in BENCH_DETAIL's headline_retry section for honesty. One
+    # retry only: a host that is still throttled twice in a row is
+    # genuinely busy, and the flag (keyed on the chosen bracket) then
+    # correctly stays true.
+    headline_retry: dict | None = None
+    drift1 = _py_drift(cal_start, cal_headline)
+    # SPARK_GRAFT_FORCE_HEADLINE_RETRY=1 exercises the retry path on a
+    # clean host (there is no honest way to produce ambient throttle on
+    # demand); the recorded drifts stay the real measurements
+    force_retry = os.environ.get("SPARK_GRAFT_FORCE_HEADLINE_RETRY") == "1"
+    if (drift1 and drift1 > 1.15) or force_retry:
+        sys.stderr.write(
+            f"[headline-retry] start->post-headline py_drift {drift1} > 1.15; "
+            "re-running the headline tier once in a fresh probe bracket\n"
+        )
+        cal_start2 = _calibrate(spark)
+        sys.stderr.write(f"[calibration/retry-start] {cal_start2}\n")
+        timings2, dispersion2, io2 = run_headline_tier()
+        cal_headline2 = _calibrate(spark)
+        sys.stderr.write(f"[calibration/retry-post-headline] {cal_headline2}\n")
+        drift2 = _py_drift(cal_start2, cal_headline2)
+        attempt1 = {
+            "py_drift": drift1,
+            "start": cal_start,
+            "post_headline": cal_headline,
+            "total": round(sum(timings.values()), 3),
+            "queries": timings,
+            "runs": dispersion,
+        }
+        attempt2 = {
+            "py_drift": drift2,
+            "start": cal_start2,
+            "post_headline": cal_headline2,
+            "total": round(sum(timings2.values()), 3),
+            "queries": timings2,
+            "runs": dispersion2,
+        }
+        retry_chosen = bool(drift2 is not None and drift2 < drift1)
+        headline_retry = {
+            "note": (
+                "the first headline pass ran inside a flagged probe "
+                "bracket (py_drift > 1.15), so the tier was re-run once "
+                "in this invocation; the compact line and the sections "
+                "above report the attempt with the cleaner bracket, and "
+                "the other attempt is preserved here (VERDICT-r11 #1)"
+            ),
+            "attempt1": attempt1,
+            "attempt2": attempt2,
+            "reported": "attempt2" if retry_chosen else "attempt1",
+        }
+        if retry_chosen:
+            timings, dispersion, io_by_query = timings2, dispersion2, io2
+            cal_start, cal_headline = cal_start2, cal_headline2
+        sys.stderr.write(
+            f"[headline-retry] attempt1 py_drift {drift1}, attempt2 py_drift "
+            f"{drift2}; reporting {headline_retry['reported']}\n"
+        )
 
     verifier: dict[str, float] = {}
     for name in VERIFIER:
@@ -870,6 +947,15 @@ def main() -> None:
     # whose tail queries read 3-7x slow while both jvm probes were fast).
     # jvm_drift stays recorded as informational.
     throttled = bool(py_drift and py_drift > 1.15)
+    # throttled_late (ADVICE-r11): ambient throttling that begins AFTER
+    # the headline bracket — during the verifier/scaling/writes tiers —
+    # never trips `throttled`, so nothing downstream guarded the
+    # non-headline comparisons. Flag the full start->end bracket
+    # separately; the later tiers' sections quote per-run spreads, and
+    # this flag says which rounds' spreads ran on a drifting host.
+    throttled_late = bool(
+        not throttled and py_drift_full and py_drift_full > 1.15
+    )
     calibration_line = {
         "start": cal_start,
         "post_headline": cal_headline,
@@ -878,6 +964,8 @@ def main() -> None:
         "py_drift": py_drift,
         "py_drift_full": py_drift_full,
         "throttled": throttled,
+        "throttled_late": throttled_late,
+        "headline_retried": headline_retry is not None,
     }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -897,10 +985,17 @@ def main() -> None:
                 "stable ~1.18x process-state tax from the write/stress "
                 "tiers that run AFTER the headline tier, flagging two "
                 "clean headline windows; that full drift stays recorded "
-                "as py_drift_full). The jvm probe is recorded as "
-                "informational only — its value improves with JVM age "
-                "across a session (measured 5.2s -> 0.073s start to end), "
-                "so its drift reflects JIT maturity, not host speed."
+                "as py_drift_full, and throttled_late flags a run whose "
+                "LATER tiers drifted past 1.15 even though the headline "
+                "bracket was clean — ADVICE-r11). When the headline "
+                "bracket flags, the tier is re-run once in the same "
+                "invocation and the cleaner bracket is reported "
+                "(headline_retried; both attempts preserved in the "
+                "headline_retry section — VERDICT-r11 #1). The jvm probe "
+                "is recorded as informational only — its value improves "
+                "with JVM age across a session (measured 5.2s -> 0.073s "
+                "start to end), so its drift reflects JIT maturity, not "
+                "host speed."
             ),
             **calibration_line,
         },
@@ -939,6 +1034,7 @@ def main() -> None:
             ),
             "queries": io_by_query,
         },
+        "headline_retry": headline_retry,
         "scaling": scaling,
         "writes": writes,
         "writes_distinct": writes_distinct,

@@ -1585,3 +1585,217 @@ def test_sessionization_matches_pure_python_on_fuzzed_streams(spark, tmp_path_fa
     }
     assert got == _py_sessionize(rows)
     shutil.rmtree(sf, ignore_errors=True)
+
+
+# --- merge / CDC / SCD2 differential fuzz (r12) --------------------------------
+# The one hand-rolled-semantics family the fuzz harness had not visited
+# (VERDICT-r11 item 4). Each operator runs against a pure-Python reference
+# over adversarial inputs: NULL-vs-NULL change detection (eqNullSafe arms),
+# delete-then-reinsert inside one changelog, redelivered (exactly
+# duplicated) batches, and conflicting duplicate sequence numbers. The
+# multi-batch SCD2 property below caught a real bug on first run: without
+# the is_current gate, a second update batch rewrote CLOSED history rows'
+# valid_to and opened one duplicate version per historical row.
+
+_MKEYS = st.integers(min_value=0, max_value=5)
+_MVAL = st.one_of(st.none(), st.integers(min_value=-3, max_value=3))
+_MSTR = st.one_of(st.none(), st.sampled_from(["a", "b"]))
+_MTABLE = st.dictionaries(_MKEYS, st.tuples(_MVAL, _MSTR), max_size=6)
+
+_MERGE_SCHEMA = "k long, v long, s string"
+
+
+def _mk_table(spark, table: dict):
+    rows = [(k, v, s) for k, (v, s) in sorted(table.items())]
+    return spark.createDataFrame(rows, _MERGE_SCHEMA)
+
+
+@given(
+    target=_MTABLE,
+    source=_MTABLE,
+    mode=st.sampled_from(["update", "ignore"]),
+    ins=st.booleans(),
+    use_del=st.booleans(),
+)
+@settings(max_examples=_ex(8), deadline=None)
+def test_merge_into_matches_pure_python_on_fuzzed_tables(
+    spark, target, source, mode, ins, use_del
+):
+    from airdatapipeline_spark.operators.merge import merge_into
+
+    out = merge_into(
+        _mk_table(spark, target),
+        _mk_table(spark, source),
+        on=["k"],
+        when_matched=mode,
+        matched_delete=(lambda t, s: s["v"].isNull()) if use_del else None,
+        insert_not_matched=ins,
+    )
+    got = {r.k: (r.v, r.s) for r in out.collect()}
+
+    expected = {}
+    for k, (v, s) in target.items():
+        if k in source:
+            sv, ss = source[k]
+            if use_del and sv is None:
+                continue  # matched_delete fires before the update arm
+            expected[k] = (sv, ss) if mode == "update" else (v, s)
+        else:
+            expected[k] = (v, s)
+    if ins:
+        for k, (v, s) in source.items():
+            if k not in target:
+                expected[k] = (v, s)
+    assert got == expected
+
+
+_CDC_SCHEMA = "k long, v long, s string, seq long, op string"
+_CHANGELOG = st.dictionaries(
+    st.tuples(_MKEYS, st.integers(min_value=0, max_value=6)),
+    st.tuples(st.sampled_from(["I", "U", "D"]), _MVAL, _MSTR),
+    max_size=8,
+)
+
+
+@given(snapshot=_MTABLE, changes=_CHANGELOG, redeliver=st.booleans())
+@settings(max_examples=_ex(8), deadline=None)
+def test_apply_changes_matches_pure_python_and_is_idempotent(
+    spark, snapshot, changes, redeliver
+):
+    """Latest-wins per key over adversarial changelogs (delete-then-
+    reinsert, reinsert-then-delete, NULL payloads), with the batch
+    optionally REDELIVERED in full (every row exactly duplicated) — the
+    dedup guard must make redelivery a no-op. Applying the same changelog
+    to the result a second time must also be a no-op (the terminal
+    change per key is already in place)."""
+    from airdatapipeline_spark.operators.merge import apply_changes
+
+    rows = [
+        (k, v, s, seq, op) for (k, seq), (op, v, s) in sorted(changes.items())
+    ]
+    if redeliver:
+        rows = rows + rows
+    snap_df = _mk_table(spark, snapshot)
+    chg_df = spark.createDataFrame(rows, _CDC_SCHEMA)
+
+    out = apply_changes(snap_df, chg_df, on=["k"])
+    got = {r.k: (r.v, r.s) for r in out.collect()}
+
+    expected = dict(snapshot)
+    for k in {k for (k, _seq) in changes}:
+        top = max(seq for (kk, seq) in changes if kk == k)
+        op, v, s = changes[(k, top)]
+        if op == "D":
+            expected.pop(k, None)
+        else:
+            expected[k] = (v, s)
+    assert got == expected
+
+    again = {r.k: (r.v, r.s) for r in apply_changes(out, chg_df, on=["k"]).collect()}
+    assert again == got
+
+
+def test_apply_changes_conflicting_duplicate_seq_raises(spark):
+    """Two DIFFERENT changes sharing one (key, seq) have no latest-wins
+    order; the old row_number tie-break silently picked a partition-order-
+    dependent winner. The guard must raise at execution time instead."""
+    import pytest as _pytest
+
+    from airdatapipeline_spark.operators.merge import apply_changes
+
+    snap = _mk_table(spark, {0: (1, "a")})
+    chg = spark.createDataFrame(
+        [(0, 2, "b", 5, "U"), (0, None, None, 5, "D")], _CDC_SCHEMA
+    )
+    with _pytest.raises(Exception, match="changelog is corrupt"):
+        apply_changes(snap, chg, on=["k"]).collect()
+
+
+_ATTR_M = st.one_of(st.none(), st.sampled_from(["x", "y"]))
+_ATTR_B = st.one_of(st.none(), st.integers(min_value=0, max_value=1))
+_DIM = st.dictionaries(_MKEYS, st.tuples(_ATTR_M, _ATTR_B), max_size=5)
+# update batches may carry keys the dimension has never seen (ignored)
+_BATCH = st.dictionaries(
+    st.integers(min_value=0, max_value=7), st.tuples(_ATTR_M, _ATTR_B), max_size=6
+)
+
+_SCD_SCHEMA = (
+    "k long, m string, b long, valid_from date, valid_to date, is_current boolean"
+)
+_UPD_SCHEMA = "k long, m string, b long, eff_date date"
+
+
+@given(dim0=_DIM, batch1=_BATCH, batch2=_BATCH)
+@settings(max_examples=_ex(8), deadline=None)
+def test_scd2_two_batches_match_pure_python_versioning(spark, dim0, batch1, batch2):
+    """TWO consecutive SCD2 update batches vs a pure-Python version store:
+    NULL<->NULL attribute transitions must not open versions (null-safe
+    change detection), NULL->value and value->NULL must, a batch
+    re-sending the current attributes must be a no-op (idempotent
+    redelivery), and — the multi-batch property — batch 2 must never
+    touch rows batch 1 closed. Found the missing is_current gate: closed
+    history rows matching a later update had valid_to rewritten and a
+    duplicate open version emitted."""
+    import datetime
+
+    from airdatapipeline_spark.operators.scd import scd2_merge
+
+    base = datetime.date(2025, 1, 1)
+    eff1 = datetime.date(2025, 6, 1)
+    eff2 = datetime.date(2025, 9, 1)
+
+    dim_rows = [
+        (k, m, b, base, None, True) for k, (m, b) in sorted(dim0.items())
+    ]
+    dim_df = spark.createDataFrame(dim_rows, _SCD_SCHEMA)
+
+    def batch_df(batch, eff):
+        rows = [(k, m, b, eff) for k, (m, b) in sorted(batch.items())]
+        return spark.createDataFrame(rows, _UPD_SCHEMA)
+
+    merged = scd2_merge(dim_df, batch_df(batch1, eff1), "k", ["m", "b"])
+    merged = scd2_merge(merged, batch_df(batch2, eff2), "k", ["m", "b"])
+    got = sorted(
+        ((r.k, r.m, r.b, r.valid_from, r.valid_to, r.is_current)
+         for r in merged.collect()),
+        key=repr,  # rows mix None with str/int/date; repr is a total order
+    )
+
+    # pure-Python version store
+    versions = {k: [[m, b, base, None, True]] for k, (m, b) in dim0.items()}
+    for batch, eff in ((batch1, eff1), (batch2, eff2)):
+        for k, (m2, b2) in batch.items():
+            if k not in versions:
+                continue  # update merge, not an insert path
+            cur = next(v for v in versions[k] if v[4])
+            if (cur[0], cur[1]) != (m2, b2):
+                cur[3], cur[4] = eff, False
+                versions[k].append([m2, b2, eff, None, True])
+    expected = sorted(
+        ((k, m, b, vf, vt, cur)
+         for k, vs in versions.items()
+         for (m, b, vf, vt, cur) in vs),
+        key=repr,
+    )
+    assert got == expected
+
+
+@given(old=_MTABLE, new=_MTABLE)
+@settings(max_examples=_ex(8), deadline=None)
+def test_snapshot_diff_matches_pure_python_on_fuzzed_tables(spark, old, new):
+    """added/removed/changed/unchanged classification vs a dict walk —
+    the null-safe arm matters: NULL->NULL is unchanged, NULL->value and
+    value->NULL are changed (eqNullSafe, not =)."""
+    from airdatapipeline_spark.operators.merge import snapshot_diff
+
+    out = snapshot_diff(_mk_table(spark, old), _mk_table(spark, new), on=["k"])
+    got = {r.k: r.change for r in out.collect()}
+    expected = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            expected[k] = "added"
+        elif k not in new:
+            expected[k] = "removed"
+        else:
+            expected[k] = "unchanged" if old[k] == new[k] else "changed"
+    assert got == expected
