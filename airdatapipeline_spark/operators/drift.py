@@ -217,11 +217,17 @@ def snapshot_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the stripe modulus (the carries from the odd multiplier reach bit
     16 from every input bit, so no residue class is constant). Same
     64-bit integer arithmetic in DuckDB (`//` = `div` for non-negative
-    ids); products fit BIGINT through doc_id < 2^32. In production both
-    flags are the same thing: the ingest date-partition column."""
+    ids). doc_id is masked to 31 bits BEFORE the multiply: the raw
+    product overflows BIGINT past doc_id ~3.4e9 under ANSI — found live
+    by the r12 beyond-10x probe, whose x100 replica ids (copy x 1e8
+    key offsets) crashed the unmasked flag — while (2^31-1) x
+    2654435761 < 2^63 stays exact for ANY id, and the mask keeps all
+    low bits so the striping-independence argument is unchanged. In
+    production both flags are the same thing: the ingest date-partition
+    column."""
     docs = load_table(spark, sf_dir, "documents").select(
         "source",
-        F.expr("((doc_id * 2654435761) div 65536) % 2 = 0").alias("is_a"),
+        F.expr("(((doc_id % 2147483648) * 2654435761) div 65536) % 2 = 0").alias("is_a"),
         "text",
     )
     keys = ("source",)

@@ -1905,7 +1905,12 @@ def t_snapshot_drift(spark, sf_dir):
     # modulus divides the stripe count — a mixed hash bit splits every
     # source (operators/drift.snapshot_drift_by_source; ADVICE-r11).
     # DuckDB // is floor-div = Spark's div for the non-negative ids here.
-    _drift_sql(keys=("source",), is_a_sql="((doc_id * 2654435761) // 65536) % 2 = 0"),
+    # doc_id masked to 31 bits before the multiply: the raw product
+    # overflows BIGINT past id ~3.4e9 (r12 beyond-10x probe finding).
+    _drift_sql(
+        keys=("source",),
+        is_a_sql="(((doc_id % 2147483648) * 2654435761) // 65536) % 2 = 0",
+    ),
 )
 def t_snapshot_drift_by_source(spark, sf_dir):
     """Per-source snapshot drift — WHICH upstream changed: the global TVD
