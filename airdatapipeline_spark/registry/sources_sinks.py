@@ -595,3 +595,110 @@ def snk_zorder(spark, sf_dir):
     filter touches on each — value-hashed; the physical parquet write +
     SQLMetrics pruning proof lives in tests/test_layout.py."""
     return _layout.zorder_layout_stats(spark, sf_dir)
+
+
+# --- versioned table layer (r12: manifest log, time travel, change feed) ------
+
+_VT_CHAIN_CTES = """
+v1 AS (
+  SELECT c_custkey AS k, c_name AS name, c_mktsegment AS seg, c_acctbal AS bal
+  FROM customer
+),
+v2 AS (
+  SELECT k, name,
+         CASE WHEN k % 7 = 3 THEN 'MOVED' ELSE seg END AS seg,
+         CASE WHEN k % 7 = 3 THEN bal + 100.0 ELSE bal END AS bal
+  FROM v1
+  UNION ALL
+  SELECT k + 50000000, name, 'NEW', bal FROM v1 WHERE k % 11 = 0
+),
+v3 AS (SELECT * FROM v2 WHERE bal <= 9000.0)
+""".strip()
+
+
+def _vt_build_chain(spark, sf_dir):
+    """The deterministic 3-version chain both vt_* queries replay:
+    v1 create (customer projection) -> v2 MERGE (keys %7=3 change
+    segment+balance, %7=5 arrive identical — the no-op idempotence arm —
+    and %11=0 insert under offset keys) -> v3 DELETE (bal > 9000).
+    Built fresh in a temp dir per call (same pattern as the snk_* sink
+    scenarios); file-granular COW and the atomic manifest protocol are
+    exercised on every oracle run."""
+    from ..io import load_table
+    from ..sources import versioned
+
+    base = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    t = versioned.create_table(
+        spark, tempfile.mkdtemp(prefix="vt_"), base.repartition(8)
+    )
+    mod7 = F.col("k") % 7
+    src = (
+        base.filter(mod7.isin(3, 5))
+        .select(
+            "k",
+            "name",
+            F.when(mod7 == 3, F.lit("MOVED")).otherwise(F.col("seg")).alias("seg"),
+            F.when(mod7 == 3, F.col("bal") + 100.0).otherwise(F.col("bal")).alias("bal"),
+        )
+        .unionByName(
+            base.filter(F.col("k") % 11 == 0).select(
+                (F.col("k") + 50_000_000).alias("k"),
+                "name",
+                F.lit("NEW").alias("seg"),
+                "bal",
+            )
+        )
+    )
+    t.merge(src, on=["k"])
+    t.delete_where(F.col("bal") > 9000.0)
+    return t
+
+
+@register(
+    "vt_time_travel_chain",
+    f"""
+    WITH {_VT_CHAIN_CTES}
+    SELECT 1 AS version, * FROM v1
+    UNION ALL SELECT 2, * FROM v2
+    UNION ALL SELECT 3, * FROM v3
+    """,
+)
+def q_vt_time_travel(spark, sf_dir):
+    """Time travel over the versioned table (sources/versioned.py): every
+    row of every committed version, read back through the manifest log —
+    create, file-pruned COW merge, COW delete. Proves snapshot isolation
+    at the value level: the v1 read after two mutations still hashes to
+    the original projection."""
+    t = _vt_build_chain(spark, sf_dir)
+    out = None
+    for v in (1, 2, 3):
+        part = t.read(v).select(F.lit(v).cast("int").alias("version"), "*")
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+@register(
+    "vt_change_feed_versions",
+    f"""
+    WITH {_VT_CHAIN_CTES}
+    SELECT COALESCE(a.k, b.k) AS k,
+           CASE WHEN a.k IS NULL THEN 'added'
+                WHEN b.k IS NULL THEN 'removed'
+                WHEN a.name IS NOT DISTINCT FROM b.name
+                 AND a.seg  IS NOT DISTINCT FROM b.seg
+                 AND a.bal  IS NOT DISTINCT FROM b.bal THEN 'unchanged'
+                ELSE 'changed' END AS change
+    FROM v1 a FULL OUTER JOIN v3 b ON a.k = b.k
+    """,
+)
+def q_vt_change_feed(spark, sf_dir):
+    """Change feed between table versions: per-key added / removed /
+    changed / unchanged from v1 to v3 (snapshot_diff over two manifest
+    reads) — the CDC-out counterpart of snk_cdc_apply_changes' CDC-in."""
+    t = _vt_build_chain(spark, sf_dir)
+    return t.changes(["k"], 1, 3)

@@ -1379,3 +1379,152 @@ def test_kmv_register_ingest_redelivery_free(spark, tmp_path):
         ).collect()
     }
     assert redelivered == once
+
+
+# --- versioned table layer (r12: manifest log, time travel, COW) --------------
+
+
+def _vt_fixture(spark, tmp_path):
+    from airdatapipeline_spark.sources import versioned as vt
+
+    rows = [(k, f"n{k}", float(k * 10)) for k in range(1, 9)]
+    df = spark.createDataFrame(rows, "k long, name string, bal double")
+    # 4 files of 2 rows each so COW file pruning has something to prune
+    t = vt.create_table(spark, str(tmp_path / "tbl"), df.repartition(4))
+    return vt, t
+
+
+def test_versioned_create_append_time_travel(spark, tmp_path):
+    vt, t = _vt_fixture(spark, tmp_path)
+    assert t.latest_version() == 1 and t.read().count() == 8
+    t.append(spark.createDataFrame([(100, "x", 1.0)], "k long, name string, bal double"))
+    assert t.latest_version() == 2
+    # time travel: v1 unchanged, v2 sees the append
+    assert t.read(1).count() == 8
+    assert {r.k for r in t.read(2).collect()} == set(range(1, 9)) | {100}
+    hist = {r.version: (r.op, r.n_rows) for r in t.history().collect()}
+    assert hist == {1: ("create", 8), 2: ("append", 9)}
+
+
+def test_versioned_cow_delete_prunes_files(spark, tmp_path):
+    """File-granular copy-on-write: deleting rows rewrites ONLY the files
+    containing them — every other file carries over by the SAME relative
+    path, and a NULL predicate row is kept (SQL DELETE semantics)."""
+    vt, t = _vt_fixture(spark, tmp_path)
+    before = t.manifest()
+    # NULL-predicate row: k=2 -> predicate NULL (division guard via when)
+    pred = F.when(F.col("k") != 2, F.col("k").isin(3, 7)).otherwise(F.lit(None))
+    t.delete_where(pred)
+    after = t.manifest()
+    assert {r.k for r in t.read().collect()} == {1, 2, 4, 5, 6, 8}
+    carried = set(before["files"]) & set(after["files"])
+    rewritten = set(before["files"]) - set(after["files"])
+    # only the files that held k=3 / k=7 were rewritten
+    assert rewritten and carried, (before["files"], after["files"])
+    # pruning is partial: the rewrite touched strictly fewer rows than the
+    # table holds (repartition spreads 8 rows over 4 files unevenly, so
+    # the exact hit-file row count varies — the bound is what matters)
+    assert sum(before["file_rows"][f] for f in rewritten) < before["n_rows"]
+    # time travel still serves the pre-delete snapshot
+    assert t.read(1).count() == 8
+
+
+def test_versioned_merge_matches_full_snapshot_merge(spark, tmp_path):
+    """COW merge equivalence: file-pruned MERGE == merge_into over the
+    full snapshot (any file holding a matched key is a hit file), with
+    source-only keys inserted."""
+    from airdatapipeline_spark.operators.merge import merge_into
+
+    vt, t = _vt_fixture(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(3, "upd3", 999.0), (7, "upd7", 777.0), (50, "new", 5.0)],
+        "k long, name string, bal double",
+    )
+    expected = {
+        (r.k, r.name, r.bal)
+        for r in merge_into(t.read(), src, on=["k"]).collect()
+    }
+    before = t.manifest()
+    t.merge(src, on=["k"])
+    after = t.manifest()
+    got = {(r.k, r.name, r.bal) for r in t.read().collect()}
+    assert got == expected
+    assert set(before["files"]) & set(after["files"]), "untouched files must carry over"
+
+
+def test_versioned_rollback_and_change_feed(spark, tmp_path):
+    vt, t = _vt_fixture(spark, tmp_path)
+    t.delete_where(F.col("k") <= 4)  # v2
+    t.rollback(1)  # v3: contents == v1, history append-only
+    assert t.read().count() == 8
+    assert [r.op for r in t.history().collect()] == ["create", "delete", "rollback"]
+    # change feed v1 -> v2: keys 1-4 removed, rest unchanged
+    feed = {r.k: r.change for r in t.changes(["k"], 1, 2).collect()}
+    assert feed == {k: ("removed" if k <= 4 else "unchanged") for k in range(1, 9)}
+
+
+def test_versioned_concurrent_commit_loses_cleanly(spark, tmp_path):
+    """Two racing writers serialize on the create-exclusive manifest link:
+    the loser gets ConcurrentWriteError and NO partial state becomes
+    visible (its data files are orphans, removed by vacuum)."""
+    import os
+
+    vt, t = _vt_fixture(spark, tmp_path)
+    # simulate the race: the "other writer" commits version 2 first
+    other = vt.VersionedTable(spark, t.path)
+    other.append(spark.createDataFrame([(200, "o", 2.0)], "k long, name string, bal double"))
+    # our writer computed against a STALE view: it still believes latest
+    # is v1, so _commit targets v2 — the slot the other writer just took.
+    # (the real race window is between latest_version() and link(2);
+    # pinning latest_version models a writer inside that window)
+    man1 = t.manifest(1)
+    t.latest_version = lambda: 1
+    with pytest.raises(vt.ConcurrentWriteError):
+        t._commit("append", dict(man1["file_rows"]), man1["schema"])
+    del t.latest_version
+    # the winning commit is intact and no partial state is visible
+    assert t.read().count() == 9
+    assert t.latest_version() == 2
+
+
+def test_versioned_crash_leaves_no_torn_state_and_vacuum_reclaims(spark, tmp_path):
+    """A writer that dies between data write and manifest link leaves only
+    unreferenced files: readers at every version are unaffected, and
+    vacuum() removes exactly the orphans (never time-travel files)."""
+    vt, t = _vt_fixture(spark, tmp_path)
+    t.delete_where(F.col("k") == 1)  # v2 keeps some v1 files referenced
+    # simulate the crash: files written, no manifest
+    orphans = t._write_files(
+        spark.createDataFrame([(300, "crash", 3.0)], "k long, name string, bal double")
+    )
+    assert t.read().count() == 7  # invisible to readers
+    removed = t.vacuum()
+    assert set(removed) == set(orphans)
+    assert t.read(1).count() == 8 and t.read(2).count() == 7  # history intact
+    assert t.vacuum() == []  # idempotent
+
+
+def test_versioned_compact_and_retention(spark, tmp_path):
+    """OPTIMIZE + retention close the small-file loop: compact() rewrites
+    the current snapshot into one file as a new version with contents
+    bit-identical; expire_versions() shrinks the time-travel window, and
+    vacuum() then reclaims exactly the files no surviving version
+    references (the compacted-away originals), never the live ones."""
+    vt, t = _vt_fixture(spark, tmp_path)
+    t.append(spark.createDataFrame([(9, "n9", 90.0)], "k long, name string, bal double"))
+    before = {(r.k, r.name, r.bal) for r in t.read().collect()}
+    v = t.compact(target_files=1)
+    assert t.manifest(v)["op"] == "compact" and len(t.manifest(v)["files"]) == 1
+    assert {(r.k, r.name, r.bal) for r in t.read().collect()} == before
+    # nothing reclaimable yet: v1/v2 still reference the original files
+    assert t.vacuum() == []
+    expired = t.expire_versions(keep_last=1)
+    assert expired == [1, 2]
+    removed = t.vacuum()
+    assert removed, "compacted-away originals must be reclaimed"
+    assert {(r.k, r.name, r.bal) for r in t.read().collect()} == before
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        t.manifest(1)
+    assert [r.version for r in t.history().collect()] == [v]
