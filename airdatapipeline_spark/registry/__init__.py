@@ -80,14 +80,14 @@ from . import sources_sinks  # noqa: F401,E402
 #     (scd2_customer_dim), the apply_changes redelivery-dedup +
 #     conflicting-tie guard (snk_cdc_apply_changes), and the multimodal
 #     _over-seam refactor (mm_decode_features, mm_audio_features);
-#   - slots 26-27: the NEW r12 registrations (the versioned-table layer:
-#     vt_time_travel_chain, vt_change_feed_versions — never
-#     driver-checked, highest priority per the ladder);
-#   - the remaining 23 slots: the oldest r8-stale rows (pipelines,
+#   - slots 26-28: the NEW r12 registrations (the versioned-table layer:
+#     vt_time_travel_chain, vt_change_feed_versions, stream_vt_ingest —
+#     never driver-checked, highest priority per the ladder);
+#   - the remaining 22 slots: the oldest r8-stale rows (pipelines,
 #     events family, snk/sources, sql-api, heavy dedup/simsearch picks).
-# Left at r8 for r13 (22): the text shard/quality/mix family +
-# table_profile_documents/text_bm25_topk (displaced by the new
-# registrations), tpch q2/q10/q11/q20, training_data_build,
+# Left at r8 for r13 (23): the text shard/quality/mix family +
+# table_profile_documents/text_bm25_topk/stream_join_append (displaced
+# by the new registrations), tpch q2/q10/q11/q20, training_data_build,
 # u1_union_dedup and the w_* window family; all value-hash-checked
 # every pytest run.
 # Max driver-row staleness after a green r12 window: r8.
@@ -123,7 +123,8 @@ _DRIVER_WINDOW = [
     # --- new r12 registrations (versioned-table layer) ---------------------
     "vt_time_travel_chain",
     "vt_change_feed_versions",
-    # --- oldest r8-stale rotations (23 of the 45) --------------------------
+    "stream_vt_ingest",
+    # --- oldest r8-stale rotations (22 of the 45) --------------------------
     "agg_approx_family_check",
     "curation_pipeline",
     "dedup_cluster_assignments",
@@ -146,7 +147,6 @@ _DRIVER_WINDOW = [
     "sql_api_error_cascades",
     "src1_datasource_scrape",
     "src_format_roundtrip",
-    "stream_join_append",
 ]
 
 # All previously driver-proven names (newest green driver row in some

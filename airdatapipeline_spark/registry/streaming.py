@@ -376,3 +376,21 @@ def st_kmv_register_ingest(spark, sf_dir):
     the batch sketch columns verbatim (exact-Jaccard verifier columns
     stay with the batch query; sketch state cannot reproduce them)."""
     return streaming_events.kmv_register_ingest_append(spark, sf_dir)
+
+
+@register(
+    "stream_vt_ingest",
+    "SELECT doc_id, source, md5(text) AS text_md5 FROM documents",
+)
+def st_vt_ingest(spark, sf_dir):
+    """Streaming ingest into the VERSIONED table: each micro-batch commits
+    one atomic manifest version (sources/versioned.py), content-
+    fingerprint-keyed so a redelivered batch is a no-op instead of a
+    duplicate version — the versioned twin of stream_curated_ingest's
+    plain-append landing. Oracle = the drained table equals the batch
+    corpus; the redelivery and per-batch-version properties are pinned in
+    tests/test_sources.py::test_versioned_stream_ingest_*."""
+    from pyspark.sql import functions as F
+
+    out = streaming_events.versioned_ingest_append(spark, sf_dir)
+    return out.select("doc_id", "source", F.md5("text").alias("text_md5"))

@@ -91,11 +91,16 @@ class VersionedTable:
         with open(_manifest_path(self.path, v)) as fh:
             return json.load(fh)
 
-    def _commit(self, op: str, file_rows: dict[str, int], schema_json: str) -> int:
+    def _commit(
+        self, op: str, file_rows: dict[str, int], schema_json: str,
+        extra: dict | None = None,
+    ) -> int:
         """Atomic create-exclusive manifest commit (see module docstring).
         `file_rows` maps each referenced data file to its row count — the
         minimal file-statistics a manifest carries so COW commits and
-        history never rescan untouched files."""
+        history never rescan untouched files. `extra` rides in the
+        manifest verbatim (e.g. the streaming ingester's batch content
+        fingerprint, which makes redelivered batches skippable)."""
         os.makedirs(_manifest_dir(self.path), exist_ok=True)
         try:
             version = self.latest_version() + 1
@@ -111,6 +116,7 @@ class VersionedTable:
             "schema": schema_json,
             "parent": parent,
             "ts": time.time(),
+            **({"extra": extra} if extra else {}),
         }
         tmp = os.path.join(_manifest_dir(self.path), f".tmp-{_uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
@@ -187,10 +193,24 @@ class VersionedTable:
 
     # --- writes ------------------------------------------------------------
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, extra: dict | None = None) -> int:
         man = self.manifest()
         new = self._write_files(df)
-        return self._commit("append", {**man["file_rows"], **new}, man["schema"])
+        return self._commit(
+            "append", {**man["file_rows"], **new}, man["schema"], extra=extra
+        )
+
+    def committed_extras(self, key: str) -> set:
+        """All values of manifest extra[key] across surviving versions —
+        the streaming ingester's idempotence probe (has this batch's
+        content fingerprint already been committed?)."""
+        out = set()
+        for v in range(1, self.latest_version() + 1):
+            if os.path.exists(_manifest_path(self.path, v)):
+                val = self.manifest(v).get("extra", {}).get(key)
+                if val is not None:
+                    out.add(val)
+        return out
 
     def _read_with_file(self) -> tuple[dict, DataFrame]:
         man = self.manifest()

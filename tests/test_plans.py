@@ -368,3 +368,24 @@ def test_stratified_sample_uses_window_group_limit(spark):
     per = pdf.groupby("event_type").size()
     assert (per == tpch.STRATA_K).all()
     assert pdf.groupby("event_type").srank.max().eq(tpch.STRATA_K).all()
+
+
+def test_versioned_read_keeps_pushdown_and_pruning(spark, tmp_path):
+    """The versioned table's snapshot read (explicit manifest file list +
+    pinned schema) must not cost the scan its optimizations: a filtered,
+    projected read still shows PushedFilters and a pruned ReadSchema —
+    i.e. the manifest layer is invisible to Catalyst's scan planning."""
+    from airdatapipeline_spark.sources import versioned as vt
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+        F.lit("pad").alias("w"),
+    )
+    t = vt.create_table(spark, str(tmp_path / "tbl"), df.repartition(4))
+    q = t.read().filter(F.col("k") == 7).select("k", "v")
+    ex = _explain(q)
+    assert "PushedFilters" in ex and "k" in ex.split("PushedFilters")[1][:120]
+    read_schema = ex.split("ReadSchema:")[1].splitlines()[0]
+    assert "w" not in read_schema  # projection pruned at the scan
+    assert {r.v for r in q.collect()} == {14}

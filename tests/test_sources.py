@@ -1528,3 +1528,54 @@ def test_versioned_compact_and_retention(spark, tmp_path):
     with _pytest.raises(FileNotFoundError):
         t.manifest(1)
     assert [r.version for r in t.history().collect()] == [v]
+
+
+def test_versioned_stream_ingest_one_version_per_batch_and_redelivery_noop(spark, tmp_path):
+    """Streaming-to-versioned ingest: maxFilesPerTrigger=1 over a 3-file
+    landing dir commits exactly one append version per micro-batch (each
+    time-travel addressable); re-running with a FRESH checkpoint (the
+    lost-checkpoint redelivery case) re-delivers every file but commits
+    NOTHING — the content fingerprint in each manifest's extra makes the
+    replay a no-op."""
+    import shutil
+
+    from airdatapipeline_spark.sources import versioned as vt
+    from airdatapipeline_spark.streaming import events as se
+
+    # a private landing dir with 3 single-row files
+    land = str(tmp_path / "landing")
+    shutil.os.makedirs(land)
+    sf = str(tmp_path / "sf")
+    shutil.os.makedirs(sf)
+    rows = [(i, f"text {i}", "en", f"s{i % 2}", 6) for i in range(3)]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    for i in range(3):
+        spark.createDataFrame([rows[i]], schema).coalesce(1).write.parquet(
+            f"{land}/f{i}"
+        )
+    # file-source streams consume a flat dir of files; stage each part file
+    flat = str(tmp_path / "flat")
+    shutil.os.makedirs(flat)
+    n = 0
+    for i in range(3):
+        for f in shutil.os.listdir(f"{land}/f{i}"):
+            if f.endswith(".parquet"):
+                shutil.copy(f"{land}/f{i}/{f}", f"{flat}/part{n}.parquet")
+                n += 1
+    tdir = str(tmp_path / "tbl")
+    out = se.versioned_ingest_append(
+        spark, sf, landing_dir=flat, table_dir=tdir, max_files_per_trigger=1,
+        checkpoint_dir=str(tmp_path / "ckpt1"),
+    )
+    assert out.count() == 3
+    t = vt.VersionedTable(spark, tdir)
+    hist = [(r.op, r.n_rows) for r in t.history().collect()]
+    assert hist == [("create", 0), ("append", 1), ("append", 2), ("append", 3)]
+    # redelivery: fresh checkpoint replays all 3 files -> zero new versions
+    out2 = se.versioned_ingest_append(
+        spark, sf, landing_dir=flat, table_dir=tdir, max_files_per_trigger=1,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    assert out2.count() == 3
+    assert t.latest_version() == 4  # unchanged
