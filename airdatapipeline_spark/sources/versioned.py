@@ -60,6 +60,14 @@ class ConcurrentWriteError(RuntimeError):
     """Another writer committed this version first; re-read and retry."""
 
 
+class CommitRejected(RuntimeError):
+    """A commit-time expectation failed; nothing was committed."""
+
+    def __init__(self, violations: dict[str, int]):
+        self.violations = violations
+        super().__init__(f"commit rejected by expectations: {violations}")
+
+
 def _manifest_dir(path: str) -> str:
     return os.path.join(path, "_manifests")
 
@@ -94,6 +102,8 @@ class VersionedTable:
     def _commit(
         self, op: str, file_rows: dict[str, int], schema_json: str,
         extra: dict | None = None,
+        file_stats: dict[str, dict] | None = None,
+        stats_cols: list[str] | None = None,
     ) -> int:
         """Atomic create-exclusive manifest commit (see module docstring).
         `file_rows` maps each referenced data file to its row count — the
@@ -117,6 +127,9 @@ class VersionedTable:
             "parent": parent,
             "ts": time.time(),
             **({"extra": extra} if extra else {}),
+            **({"file_stats": {f: file_stats[f] for f in sorted(file_stats)}}
+               if file_stats else {}),
+            **({"stats_cols": list(stats_cols)} if stats_cols else {}),
         }
         tmp = os.path.join(_manifest_dir(self.path), f".tmp-{_uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
@@ -133,9 +146,15 @@ class VersionedTable:
             os.unlink(tmp)
         return version
 
-    def _write_files(self, df: DataFrame) -> dict[str, int]:
-        """Write a new immutable file set; return {relpath: n_rows} (one
-        count aggregation over the just-written files only)."""
+    def _write_files(
+        self, df: DataFrame, stats_cols: list[str] | None = None
+    ) -> tuple[dict[str, int], dict[str, dict]]:
+        """Write a new immutable file set; return ({relpath: n_rows},
+        {relpath: {col: [min, max]}}) — counts and the per-file min/max
+        statistics for `stats_cols`, all from ONE aggregation over the
+        just-written files (the Iceberg manifest-stats pattern: the
+        writer that just produced the bytes is the cheapest place to
+        collect the skipping index)."""
         commit_dir = f"data/c-{_uuid.uuid4().hex}"
         out = os.path.join(self.path, commit_dir)
         df.write.mode("errorifexists").parquet(out)
@@ -145,28 +164,76 @@ class VersionedTable:
             if f.endswith(".parquet")
         )
         if not files:
-            return {}
-        counts = {
-            r.f: r.n
-            for r in self.spark.read.parquet(out)
+            return {}, {}
+        aggs = [F.count("*").alias("n")]
+        for c in stats_cols or []:
+            if c in df.columns:
+                aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+        rows = (
+            self.spark.read.parquet(out)
             .withColumn("__file", F.input_file_name())
-            .select(self._file_rel_col().alias("f"))
-            .groupBy("f")
-            .agg(F.count("*").alias("n"))
+            .select(self._file_rel_col().alias("__relf"), "*")
+            .groupBy("__relf")
+            .agg(*aggs)
             .collect()
+        )
+
+        def _js(v):  # JSON-safe stat values (dates/timestamps -> ISO strings)
+            return v if isinstance(v, (int, float, str, bool, type(None))) else str(v)
+
+        counts = {r["__relf"]: r.n for r in rows}
+        stats = {
+            r["__relf"]: {
+                c: [_js(r[f"__lo_{c}"]), _js(r[f"__hi_{c}"])]
+                for c in stats_cols or []
+                if f"__lo_{c}" in r.asDict()
+            }
+            for r in rows
         }
-        return {f: counts.get(f, 0) for f in files}
+        return (
+            {f: counts.get(f, 0) for f in files},
+            {f: stats.get(f, {}) for f in files} if stats_cols else {},
+        )
 
     # --- reads -------------------------------------------------------------
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def stats_cols(self, version: int | None = None) -> list[str]:
+        return list(self.manifest(version).get("stats_cols", []))
+
+    def read(self, version: int | None = None, prune: dict | None = None) -> DataFrame:
         """Snapshot read: resolve the manifest once, read its explicit file
-        list — immune to concurrent commits for the query's lifetime."""
+        list — immune to concurrent commits for the query's lifetime.
+
+        `prune={'col': (lo, hi)}` is manifest-level FILE SKIPPING over the
+        per-file min/max stats (None bound = open side): only files whose
+        recorded range overlaps every requested range are read; files
+        with no recorded stats for a column are always read (skipping is
+        an optimization, never a filter — the result is a row SUPERSET of
+        the predicate and the caller still applies its own filter). This
+        is the Iceberg manifest-pruning pattern: at 100 TB the planner
+        eliminates files from a few MB of JSON instead of opening 10^6
+        parquet footers."""
         man = self.manifest(version)
         schema = T.StructType.fromJson(json.loads(man["schema"]))
-        if not man["files"]:
+        files = man["files"]
+        if prune:
+            stats = man.get("file_stats", {})
+
+            def keep(f: str) -> bool:
+                for c, (lo, hi) in prune.items():
+                    rng = stats.get(f, {}).get(c)
+                    if rng is None or rng[0] is None or rng[1] is None:
+                        continue  # no stats -> cannot skip safely
+                    if (hi is not None and rng[0] > hi) or (
+                        lo is not None and rng[1] < lo
+                    ):
+                        return False
+                return True
+
+            files = [f for f in files if keep(f)]
+        if not files:
             return self.spark.createDataFrame([], schema)
-        paths = [os.path.join(self.path, f) for f in man["files"]]
+        paths = [os.path.join(self.path, f) for f in files]
         return self.spark.read.schema(schema).parquet(*paths)
 
     def history(self) -> DataFrame:
@@ -193,11 +260,73 @@ class VersionedTable:
 
     # --- writes ------------------------------------------------------------
 
-    def append(self, df: DataFrame, extra: dict | None = None) -> int:
+    def check_expectations(
+        self, df: DataFrame, expect: list[tuple[str, Column]]
+    ) -> None:
+        """Writer-side quality gate (the Delta CHECK-constraint twin):
+        every (name, predicate) must hold — be TRUE, not NULL — for every
+        row, verified in ONE aggregation pass; any violation raises
+        CommitRejected with per-rule counts and NOTHING is written. At
+        scale this is the cheap place to enforce quality: one map-side
+        combine over data the writer is about to shuffle anyway, instead
+        of a post-hoc audit over the committed table."""
+        aggs = [
+            F.sum(
+                F.when(~F.coalesce(pred, F.lit(False)), 1).otherwise(0)
+            ).cast("long").alias(f"__v{i}")
+            for i, (_name, pred) in enumerate(expect)
+        ]
+        row = df.agg(*aggs).collect()[0]
+        bad = {
+            name: int(row[f"__v{i}"] or 0)
+            for i, (name, _p) in enumerate(expect)
+            if (row[f"__v{i}"] or 0) > 0
+        }
+        if bad:
+            raise CommitRejected(bad)
+
+    def append(
+        self, df: DataFrame, extra: dict | None = None,
+        merge_schema: bool = False,
+        expect: list[tuple[str, Column]] | None = None,
+    ) -> int:
+        """Append a new file set. With ``merge_schema=True`` the batch may
+        carry ADDITIVE new columns: the committed schema becomes old
+        fields + new fields, historical files read NULL for the new
+        columns under the widened schema (by-name parquet resolution),
+        and time travel to older versions still shows the old schema —
+        additive-only, a type change on an existing column raises. With
+        ``expect``, check_expectations gates the commit first."""
+        if expect:
+            self.check_expectations(df, expect)
         man = self.manifest()
-        new = self._write_files(df)
+        schema = T.StructType.fromJson(json.loads(man["schema"]))
+        have = {f.name: f.dataType for f in schema.fields}
+        extra_cols = [c for c in df.schema.fields if c.name not in have]
+        for f_ in df.schema.fields:
+            if f_.name in have and f_.dataType != have[f_.name]:
+                raise ValueError(
+                    f"type change on {f_.name!r} ({have[f_.name]} -> "
+                    f"{f_.dataType}): schema evolution is additive-only"
+                )
+        missing = [n for n in have if n not in {f_.name for f_ in df.schema.fields}]
+        if missing:
+            raise ValueError(f"append batch is missing columns {missing}")
+        if extra_cols and not merge_schema:
+            raise ValueError(
+                f"batch has new columns {[c.name for c in extra_cols]}; "
+                "pass merge_schema=True to evolve the table schema"
+            )
+        schema_json = man["schema"]
+        if extra_cols:
+            schema_json = json.dumps(
+                T.StructType(schema.fields + extra_cols).jsonValue()
+            )
+        new, new_stats = self._write_files(df, self.stats_cols())
         return self._commit(
-            "append", {**man["file_rows"], **new}, man["schema"], extra=extra
+            "append", {**man["file_rows"], **new}, schema_json, extra=extra,
+            file_stats={**man.get("file_stats", {}), **new_stats},
+            stats_cols=man.get("stats_cols"),
         )
 
     def committed_extras(self, key: str) -> set:
@@ -228,8 +357,15 @@ class VersionedTable:
         rescanned to commit."""
         hit = set(hit_files)
         kept_rows = {f: n for f, n in man["file_rows"].items() if f not in hit}
-        new = self._write_files(replacement)
-        return self._commit(op, {**kept_rows, **new}, man["schema"])
+        kept_stats = {
+            f: st for f, st in man.get("file_stats", {}).items() if f not in hit
+        }
+        new, new_stats = self._write_files(replacement, man.get("stats_cols"))
+        return self._commit(
+            op, {**kept_rows, **new}, man["schema"],
+            file_stats={**kept_stats, **new_stats},
+            stats_cols=man.get("stats_cols"),
+        )
 
     def _file_rel_col(self) -> Column:
         """input_file_name() as a table-relative path (strips the file:
@@ -256,7 +392,10 @@ class VersionedTable:
             .collect()
         ]
         if not hit_files:
-            return self._commit("delete", man["file_rows"], man["schema"])
+            return self._commit(
+                "delete", man["file_rows"], man["schema"],
+                file_stats=man.get("file_stats"), stats_cols=man.get("stats_cols"),
+            )
         survivors = (
             cur.filter(self._file_rel_col().isin(hit_files))
             .filter(~is_hit)
@@ -295,7 +434,10 @@ class VersionedTable:
         list — history stays append-only and the rolled-back version
         remains auditable (time travel still reaches it)."""
         old = self.manifest(version)
-        return self._commit("rollback", old["file_rows"], old["schema"])
+        return self._commit(
+            "rollback", old["file_rows"], old["schema"],
+            file_stats=old.get("file_stats"), stats_cols=old.get("stats_cols"),
+        )
 
     def compact(self, target_files: int = 1) -> int:
         """OPTIMIZE: rewrite the CURRENT snapshot's files into
@@ -309,7 +451,11 @@ class VersionedTable:
         commit instead of a directory rename."""
         man = self.manifest()
         packed = self.read(man["version"]).coalesce(max(1, target_files))
-        return self._commit("compact", self._write_files(packed), man["schema"])
+        new, new_stats = self._write_files(packed, man.get("stats_cols"))
+        return self._commit(
+            "compact", new, man["schema"],
+            file_stats=new_stats, stats_cols=man.get("stats_cols"),
+        )
 
     def expire_versions(self, keep_last: int) -> list[int]:
         """Retention: drop manifests older than the newest `keep_last`
@@ -350,9 +496,18 @@ class VersionedTable:
         return removed
 
 
-def create_table(spark: SparkSession, path: str, df: DataFrame) -> VersionedTable:
-    """Create version 1 of a table at `path` from `df`."""
+def create_table(
+    spark: SparkSession, path: str, df: DataFrame,
+    stats_cols: tuple[str, ...] = (),
+) -> VersionedTable:
+    """Create version 1 of a table at `path` from `df`. `stats_cols`
+    selects the columns whose per-file min/max ride in every manifest —
+    the file-skipping index `read(prune=...)` consults."""
     t = VersionedTable(spark, path)
     os.makedirs(t.path, exist_ok=True)
-    t._commit("create", t._write_files(df), json.dumps(df.schema.jsonValue()))
+    files, stats = t._write_files(df, list(stats_cols) or None)
+    t._commit(
+        "create", files, json.dumps(df.schema.jsonValue()),
+        file_stats=stats or None, stats_cols=list(stats_cols) or None,
+    )
     return t

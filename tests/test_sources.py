@@ -1494,7 +1494,7 @@ def test_versioned_crash_leaves_no_torn_state_and_vacuum_reclaims(spark, tmp_pat
     vt, t = _vt_fixture(spark, tmp_path)
     t.delete_where(F.col("k") == 1)  # v2 keeps some v1 files referenced
     # simulate the crash: files written, no manifest
-    orphans = t._write_files(
+    orphans, _stats = t._write_files(
         spark.createDataFrame([(300, "crash", 3.0)], "k long, name string, bal double")
     )
     assert t.read().count() == 7  # invisible to readers
@@ -1579,3 +1579,89 @@ def test_versioned_stream_ingest_one_version_per_batch_and_redelivery_noop(spark
     )
     assert out2.count() == 3
     assert t.latest_version() == 4  # unchanged
+
+
+def test_versioned_manifest_stats_prune_files(spark, tmp_path):
+    """Manifest file skipping: with stats_cols=('k',), read(prune={'k':
+    (lo, hi)}) plans strictly fewer files than the full snapshot while
+    still returning a row SUPERSET of the range (skipping is an
+    optimization, never a filter); the caller's own filter then gives
+    exact results. Stats survive COW commits on untouched files."""
+    from airdatapipeline_spark.sources import versioned as vt
+
+    rows = [(k, float(k)) for k in range(40)]
+    df = spark.createDataFrame(rows, "k long, v double").repartitionByRange(4, "k")
+    t = vt.create_table(spark, str(tmp_path / "tbl"), df, stats_cols=("k",))
+    man = t.manifest()
+    assert len(man["files"]) == 4 and all(
+        man["file_stats"][f]["k"] for f in man["files"]
+    )
+    full = t.read()
+    pruned = t.read(prune={"k": (10, 12)})
+    # the pruned plan reads fewer source files
+    n_full = full.select(F.input_file_name()).distinct().count()
+    n_pruned = pruned.select(F.input_file_name()).distinct().count()
+    assert n_pruned < n_full
+    got = {r.k for r in pruned.filter(F.col("k").between(10, 12)).collect()}
+    assert got == {10, 11, 12}
+    # superset property: pruned rows contain every in-range row
+    assert {r.k for r in pruned.collect()} >= got
+    # stats propagate through a COW delete for carried-over files
+    t.delete_where(F.col("k") == 0)
+    man2 = t.manifest()
+    carried = set(man["files"]) & set(man2["files"])
+    assert carried and all(man2["file_stats"][f]["k"] for f in carried)
+    # a column with no recorded stats can never skip: same rows as full
+    assert t.read(prune={"v": (0.0, 1.0)}).count() == t.read().count()
+
+
+def test_versioned_schema_evolution_additive(spark, tmp_path):
+    """Additive schema evolution: an evolving append widens the committed
+    schema; historical files read NULL for the new column, time travel to
+    the pre-evolution version shows the OLD schema, and a type change on
+    an existing column is refused."""
+    from airdatapipeline_spark.sources import versioned as vt
+
+    t = vt.create_table(
+        spark, str(tmp_path / "tbl"),
+        spark.createDataFrame([(1, "a")], "k long, name string"),
+    )
+    batch2 = spark.createDataFrame([(2, "b", 0.9)], "k long, name string, score double")
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        t.append(batch2)
+    t.append(batch2, merge_schema=True)
+    cur = {r.k: (r.name, r.score) for r in t.read().collect()}
+    assert cur == {1: ("a", None), 2: ("b", 0.9)}  # old file -> NULL score
+    assert t.read(1).columns == ["k", "name"]  # time travel: old schema
+    with pytest.raises(ValueError, match="additive-only"):
+        t.append(
+            spark.createDataFrame([(3, 5, 0.1)], "k long, name long, score double"),
+            merge_schema=True,
+        )
+    with pytest.raises(ValueError, match="missing columns"):
+        t.append(spark.createDataFrame([(4,)], "k long"), merge_schema=True)
+
+
+def test_versioned_commit_expectations_gate(spark, tmp_path):
+    """Writer-side quality gate: an append whose batch violates any
+    expectation raises CommitRejected with per-rule counts and commits
+    NOTHING (no new version, no orphan files — the gate runs before the
+    write); a clean batch with the same rules commits normally. A NULL
+    predicate counts as a violation (must be TRUE, not merely not-FALSE)."""
+    from airdatapipeline_spark.sources import versioned as vt
+
+    t = vt.create_table(
+        spark, str(tmp_path / "tbl"),
+        spark.createDataFrame([(1, 10.0)], "k long, bal double"),
+    )
+    rules = [
+        ("k_positive", F.col("k") > 0),
+        ("bal_not_null", F.col("bal").isNotNull()),
+    ]
+    bad = spark.createDataFrame([(-2, None), (3, 5.0)], "k long, bal double")
+    with pytest.raises(vt.CommitRejected) as exc:
+        t.append(bad, expect=rules)
+    assert exc.value.violations == {"k_positive": 1, "bal_not_null": 1}
+    assert t.latest_version() == 1 and t.vacuum() == []  # nothing written
+    t.append(spark.createDataFrame([(3, 5.0)], "k long, bal double"), expect=rules)
+    assert t.latest_version() == 2 and t.read().count() == 2
