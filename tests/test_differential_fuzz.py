@@ -1799,3 +1799,62 @@ def test_snapshot_diff_matches_pure_python_on_fuzzed_tables(spark, old, new):
         else:
             expected[k] = "unchanged" if old[k] == new[k] else "changed"
     assert got == expected
+
+
+# --- versioned-table model fuzz (r12) ------------------------------------------
+# Random append/merge/delete/rollback/compact chains vs a pure-Python
+# version store: after the whole chain runs, EVERY version's read must
+# equal the model's snapshot for that version (time travel is the
+# property under test — a COW bug that corrupts carried-over files shows
+# up in OLD versions, which no final-state check would catch).
+
+_VOP = st.one_of(
+    st.tuples(st.just("append"), _MTABLE),
+    st.tuples(st.just("merge"), _MTABLE),
+    st.tuples(st.just("delete"), st.integers(min_value=0, max_value=5)),
+    st.tuples(st.just("rollback"), st.integers(min_value=0, max_value=3)),
+    st.tuples(st.just("compact"), st.just(None)),
+)
+
+
+@given(init=_MTABLE, ops=st.lists(_VOP, max_size=4))
+@settings(max_examples=_ex(6), deadline=None)
+def test_versioned_chain_matches_model_at_every_version(spark, tmp_path_factory, init, ops):
+    from pyspark.sql import functions as F
+
+    from airdatapipeline_spark.sources import versioned as vt
+
+    tmp = tmp_path_factory.mktemp("vtfuzz")
+    t = vt.create_table(
+        spark, str(tmp / "tbl"), _mk_table(spark, init).repartition(2)
+    )
+    snapshots = [dict(init)]  # model: version v = snapshots[v-1]
+
+    for i, (op, arg) in enumerate(ops):
+        cur = dict(snapshots[-1])
+        if op == "append":
+            # append is bag semantics (no key constraint), so keep the
+            # dict model valid by shifting each append into its own
+            # disjoint key range — per-op offset so two appends can
+            # never collide with each other either
+            fresh = {k + 100 * (i + 1): v for k, v in arg.items()}
+            t.append(_mk_table(spark, fresh))
+            cur.update(fresh)
+        elif op == "merge":
+            t.merge(_mk_table(spark, arg), on=["k"])
+            cur.update(arg)
+        elif op == "delete":
+            t.delete_where(F.col("k") == arg)
+            cur.pop(arg, None)
+        elif op == "rollback":
+            target = min(arg + 1, len(snapshots))
+            t.rollback(target)
+            cur = dict(snapshots[target - 1])
+        elif op == "compact":
+            t.compact(target_files=1)
+        snapshots.append(cur)
+
+    assert t.latest_version() == len(snapshots)
+    for v, model in enumerate(snapshots, start=1):
+        got = {r.k: (r.v, r.s) for r in t.read(v).collect()}
+        assert got == model, f"version {v} diverged"
