@@ -104,9 +104,14 @@ def apply_changes(
     are changelog corruption (no latest-wins order exists), and the old
     row_number tie-break silently picked a partition-order-dependent
     winner; now the winning row raises at execution time instead
-    (raise_error on a top-of-key seq tie — checked via lead() over the
-    SAME window spec, so the guard adds no extra shuffle). Ties below
-    the winning sequence never affect the result and are not policed."""
+    (raise_error on a top-of-key seq tie, checked via lead() over the
+    SAME window spec as the row_number). Honest cost accounting (visible
+    in PLANS.md's snk_cdc_apply_changes delta): the dropDuplicates is
+    one extra CHANGELOG-sized all-columns exchange, and adding lead()
+    forfeits Spark's WindowGroupLimit top-1 pruning on the window sort —
+    both bounded by the changelog, which at scale is orders of magnitude
+    smaller than the snapshot the subsequent merge joins. Ties below the
+    winning sequence never affect the result and are not policed."""
     data_cols = [c for c in snapshot.columns if c not in on]
     from pyspark.sql import Window
 

@@ -24,7 +24,8 @@ regression. Sections:
   recall, never to run at corpus scale, so its time is reported separately
   and excluded from the headline total.
 - writes — the I/O lifecycle WRITE paths (shard layout write, parquet
-  compaction, IVF index build) timed at base and on the 10x replica
+  compaction, IVF index build, r12: the versioned-table commit chain)
+  timed at base and on the 10x replica
   (VERDICT-r5 item 6); detail-only, excluded from the headline total.
 - io — per-headline-query shuffle/input/output byte+record deltas from
   the status REST API (r8): the measured form of the plan-shape claims
@@ -510,6 +511,29 @@ def _writes_tier(spark) -> dict:
                 spark, sf, out, codebooks=_trained_cbs[sf]
             )
             return time.time() - t0
+        if op == "vt_commit_chain":
+            # the r12 versioned-table layer's write economics: create a
+            # manifest table from documents, one append (10% delta), one
+            # file-pruned COW delete — three atomic commits. The claim:
+            # commit overhead is manifest JSON + link(2), so the chain's
+            # cost is the DATA writes and scales with the delta/hit
+            # files, not with the manifest history.
+            from pyspark.sql import functions as F
+
+            from airdatapipeline_spark.sources import versioned
+
+            out = os.path.join(workdir, "vt")
+            shutil.rmtree(out, ignore_errors=True)
+            docs = load_table(spark, sf, "documents")
+            base = docs.filter(F.col("doc_id") % 10 != 0)
+            delta = docs.filter(F.col("doc_id") % 10 == 0)
+            t0 = time.time()
+            t = versioned.create_table(
+                spark, out, base.repartition(8), stats_cols=("doc_id",)
+            )
+            t.append(delta.repartition(2))
+            t.delete_where(F.col("doc_id") % 70 == 0)
+            return time.time() - t0
         raise ValueError(op)
 
     result: dict[str, dict] = {}
@@ -523,6 +547,7 @@ def _writes_tier(spark) -> dict:
         "build_ivf_index",
         "train_residual_pq",
         "build_residual_ivfpq",
+        "vt_commit_chain",
     ):
         entry: dict = {}
         # the codebook-training row is an offline ECONOMICS number (8
