@@ -80,6 +80,13 @@ QUERIES_TO_MEASURE = [
     # r10: snapshot drift (one scan, one partial-agg shuffle of bounded
     # fixed-bin counter state)
     "text_snapshot_drift",
+    # r11: keyed drift (source threaded through the counter key)
+    "text_snapshot_drift_by_source",
+    # r12: the versioned-table chain — measured properties: the time-travel
+    # read is three plain parquet scans (manifest layer costs the plan
+    # nothing), and the build side's shuffles are the merge/delete COW
+    # rewrites, bounded by hit files
+    "vt_time_travel_chain",
 ]
 
 
@@ -742,6 +749,63 @@ def sketch_lines(spark, sf_dir: str) -> list[str]:
 # appended verbatim by main() so regenerating MEASURED.md preserves the
 # round-level findings the numbers above build on.
 ROUND_NOTES = [
+    '',
+    '## r12: beyond 10x — 30x/100x replica rows (VERDICT-r11 item 6)',
+    '',
+    "The per-round bench's scaling tier stops at 10x; `tools/scale_probe.py`",
+    'extends the same replica methodology (sources/scale.py key-offset',
+    'copies; only the scanned tables — events, documents — replicated, so',
+    'the 100x build stays cheap) to 30x and 100x for the two shapes',
+    'VERDICT-r11 named riskiest. sf0.1 base, noop-forced median-of-3,',
+    'ascending tiers in one warm session:',
+    '',
+    '| query | x1 | x10 | x30 | x100 | t(100x)/t(1x) |',
+    '|---|---|---|---|---|---|',
+    '| ev_range_errors_near_clicks (interval join, r11 skew bound) | 1.579s | 2.268s (1.44x) | 4.643s (2.94x) | 15.992s (10.1x) | **10.1x at 100x data** |',
+    '| text_snapshot_drift_by_source (keyed drift, 16-bin counters) | 1.185s | 1.355s (1.14x) | 2.278s (1.92x) | 5.471s (4.62x) | **4.6x at 100x data** |',
+    '',
+    '(run spreads tight: drift x100 [5.373, 5.471, 5.476]; range x100',
+    '[14.695, 15.992, 17.652].)',
+    '',
+    'Reading: both stay at-or-under linear through two orders of magnitude.',
+    "The range join's curve bends toward linear (1.44x -> 2.94x -> 10.1x as",
+    'the data term overtakes fixed overhead) exactly as the io-tier',
+    'bytes/row predicted; the per-(user, bucket) hot-cell bound means the',
+    'quadratic term never appears even at 10M events. Keyed drift stays far',
+    'under linear (4.6x at 100x) because the plan is one partial-aggregated',
+    'scan into FIXED sources x metrics x 16-bin counter state — the scan',
+    'grows, the shuffle does not (state was 218 rows at every tier).',
+    '',
+    'The probe also caught a REAL at-scale bug before it could ship: the r12',
+    'striping-independent drift flag multiplied raw doc_id by 2654435761,',
+    'which overflows BIGINT (ANSI ArithmeticException, job killed) once ids',
+    "pass ~3.4e9 — the x100 replica's key offsets (copy x 1e8) reached that",
+    'range on the first run. Fixed by masking doc_id to 31 bits before the',
+    'multiply (identical flag values for all real ids, overflow-free for',
+    'any id); the failing tier now passes. That is the argument for',
+    'measuring beyond 10x rather than extrapolating: the failure was a',
+    'VALUE-RANGE cliff, invisible to any time-vs-data curve fit.',
+    '',
+    '## r12: the simsearch_bq_topk clean-window flag — CLOSED as dispersion',
+    '',
+    'VERDICT-r11 item 2 (watch flag: 2.36s r11 clean-window median vs',
+    "r10's 1.61s, +47%, with similarity.py changed in r11 — candidate:",
+    'the zero-norm with_norm filter). Interleaved A/B per the committed',
+    'protocol — `python tools/ab_interleaved.py e2fa703 HEAD',
+    'simsearch_bq_topk /root/testdata/sf0.1 5` (e2fa703 = pre-zero-norm',
+    'r10 code; HEAD = r12 with the total= refactor), fresh',
+    'subprocess+JVM per trial, 1 warm lap + median-of-3, strict A/B',
+    'alternation: **ratio HEAD/r10 = 0.926** (medians 2.746 vs 2.966) —',
+    'HEAD at-or-below the pre-change code in 3 of 5 pairs (pairwise',
+    '1.30, 1.33, 0.90, 0.81, 1.53 against per-pair medians that',
+    'themselves swing 1.87→3.22 on the A side). The regression does NOT',
+    'reproduce under interleaving; both revisions read ~1.5-1.8x the r10',
+    "clean-window absolute value on today's host (shared-host ambient,",
+    'which the alternation cancels out of the ratio). Mechanism check',
+    "agrees: with_norm's filter adds one codegen'd `norm > 0` predicate",
+    'on a 2 000-row corpus scan — nanoseconds, not 0.75s. Flag dropped;',
+    "the r12 `total=` refactor (ADVICE-r11) leaves the serving path's",
+    'plan unchanged (same filter, now explicit at call sites).',
     "",
     "## r11: the text_bpe_train_merges timing flag — CLOSED as dispersion",
     "",
