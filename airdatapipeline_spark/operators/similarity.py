@@ -1808,7 +1808,11 @@ RP_RERANK = 40  # stage-1 candidate depth for the full-precision rerank
 
 
 def rp_rerank_topk(
-    spark: SparkSession, sf_dir: str, n_queries: int = 10, k: int = 5
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 5,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """The PRODUCTION RP serve (the BQ tier's two-stage shape): stage 1
     ranks in the 16-dim projected space and keeps top-RP_RERANK candidates
@@ -1818,24 +1822,35 @@ def rp_rerank_topk(
     the corpus streams through one scan against it, so the broadcast is
     corpus-size-independent, not just the output row count (ADVICE-r9:
     the first cut broadcast the full embeddings table, which OOMs at
-    100 TB; broadcasting the small side keeps the identical join result)."""
-    cand = rp_topk(spark, sf_dir, n_queries, RP_RERANK).select(
-        "query_id", "neighbor_id"
-    )
-    full = with_norm(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", "emb", "norm"
-    )
-    qside = full.filter(F.col("vec_id") < n_queries).select(
+    100 TB; broadcasting the small side keeps the identical join result).
+    The stage-2 corpus scan carries only (vec_id, embedding); the 64-term
+    dot/norm arithmetic runs AFTER the broadcast join, on the O(Q·rerank)
+    surviving rows instead of every corpus row (r12: the join is an inner
+    equi-join on ids, so filtering/row math commutes with it — identical
+    rows, 64 multiply-adds per corpus row removed from the scan).
+
+    `candidates` lets a caller that already ranked the projected space
+    (rp_recall shares ONE stage-1 scan between the raw-ranking panel and
+    this serve) pass the (query_id, neighbor_id) stage-1 survivors
+    directly; default rebuilds them with rp_topk."""
+    cand = (
+        candidates
+        if candidates is not None
+        else rp_topk(spark, sf_dir, n_queries, RP_RERANK)
+    ).select("query_id", "neighbor_id")
+    raw = load_table(spark, sf_dir, "embeddings")
+    qside = with_norm(raw.filter(F.col("vec_id") < n_queries)).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
         F.col("norm").alias("q_norm"),
     )
     scored = (
-        full.withColumnRenamed("vec_id", "neighbor_id")
-        .join(
-            F.broadcast(cand.join(qside, on="query_id", how="inner")),
-            on="neighbor_id",
-            how="inner",
+        with_norm(
+            raw.select(F.col("vec_id").alias("neighbor_id"), "embedding").join(
+                F.broadcast(cand.join(qside, on="query_id", how="inner")),
+                on="neighbor_id",
+                how="inner",
+            )
         )
         .select(
             "query_id",
@@ -1861,23 +1876,46 @@ def rp_recall(
     projected space, stage-2 full-precision re-rank), against the exact
     64-dim brute-force truth, per query + both panel means. Truth is
     materialized once (≤ Q·k rows) before the hit joins and the query
-    spine read it."""
-    truth = (
-        brute_force_topk(spark, sf_dir, n_queries, k)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)
+    spine read it.
+
+    One projected-space scan serves BOTH graded tiers (r12): the raw
+    ranking at depth k is the first k rows of the SAME deterministic
+    row_number order that yields the stage-1 rerank candidates at depth
+    RP_RERANK, so stage 1 runs once at the deeper cut, materializes
+    ≤ Q·RP_RERANK rows, and the rp panel is a rank filter over that table
+    — previously rp_topk and rp_rerank_topk each re-scanned and re-ranked
+    the projected corpus (two identical Exchange+Window passes). Truth and
+    stage 1 are independent, so their materializations run CONCURRENTLY
+    (operators/concurrency.py, guide §2.6) instead of serializing two job
+    latencies."""
+    from .concurrency import parallel_checkpoints
+
+    assert k <= RP_RERANK
+    truth, stage1 = parallel_checkpoints(
+        brute_force_topk(spark, sf_dir, n_queries, k).select(
+            "query_id", "neighbor_id"
+        ),
+        rp_topk(spark, sf_dir, n_queries, RP_RERANK).select(
+            "query_id", "neighbor_id", "rank"
+        ),
     )
-    rp = rp_topk(spark, sf_dir, n_queries, k).select("query_id", "neighbor_id")
-    rr = rp_rerank_topk(spark, sf_dir, n_queries, k).select("query_id", "neighbor_id")
+    rp = stage1.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    rr = rp_rerank_topk(
+        spark,
+        sf_dir,
+        n_queries,
+        k,
+        candidates=stage1.select("query_id", "neighbor_id"),
+    ).select("query_id", "neighbor_id")
 
     def hits(ann: DataFrame, name: str) -> DataFrame:
         return (
-            truth.join(ann, on=["query_id", "neighbor_id"], how="inner")
+            truth.join(F.broadcast(ann), on=["query_id", "neighbor_id"], how="inner")
             .groupBy("query_id")
             .agg(F.count(F.lit(1)).alias(name))
         )
 
-    out = (
+    out_rows = (
         truth.select("query_id")
         .distinct()
         .join(hits(rp, "rp_hits"), on="query_id", how="left")
@@ -1889,27 +1927,34 @@ def rp_recall(
             .cast("long")
             .alias("rp_rerank_hits"),
         )
-        .localCheckpoint(eager=True)
+        .collect()
     )
-    denom = F.lit(float(n_queries * k))
-    panel = out.agg(
-        (F.sum("rp_hits").cast("double") / denom).alias("panel_rp_recall"),
-        (F.sum("rp_rerank_hits").cast("double") / denom).alias(
-            "panel_rp_rerank_recall"
-        ),
-    )
-    return (
-        out.crossJoin(F.broadcast(panel))
-        .select(
-            "query_id",
-            "rp_hits",
-            "rp_rerank_hits",
-            (F.col("rp_hits") / F.lit(float(k))).alias("rp_recall"),
-            (F.col("rp_rerank_hits") / F.lit(float(k))).alias("rp_rerank_recall"),
-            "panel_rp_recall",
-            "panel_rp_rerank_recall",
+    # The panel is ≤ n_queries scalar report rows — the established K-row
+    # driver-side posture (IVF centroids, PQ dtabs, BM25 query terms).
+    # Collecting it replaces a localCheckpoint + aggregate job + crossJoin
+    # with ONE action; the panel means are exact-integer sums divided once
+    # (python float division == SQL double division, bit-identical).
+    denom = float(n_queries * k)
+    sum_rp = float(sum(int(r.rp_hits) for r in out_rows))
+    sum_rr = float(sum(int(r.rp_rerank_hits) for r in out_rows))
+    panel_rp, panel_rr = sum_rp / denom, sum_rr / denom
+    data = [
+        (
+            int(r.query_id),
+            int(r.rp_hits),
+            int(r.rp_rerank_hits),
+            int(r.rp_hits) / float(k),
+            int(r.rp_rerank_hits) / float(k),
+            panel_rp,
+            panel_rr,
         )
-        .orderBy("query_id")
+        for r in sorted(out_rows, key=lambda r: r.query_id)
+    ]
+    return spark.createDataFrame(
+        data,
+        "query_id bigint, rp_hits bigint, rp_rerank_hits bigint, "
+        "rp_recall double, rp_rerank_recall double, "
+        "panel_rp_recall double, panel_rp_rerank_recall double",
     )
 
 
