@@ -25,7 +25,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import load_table, spread
 
 N_PLANES = 6  # 2^6 = 64 buckets
 
@@ -359,14 +359,31 @@ def clustered_embeddings(spark: SparkSession, sf_dir: str, dim: int = CLU_DIM) -
     with the SF like every other query input. dim=CLU_DIM (8) keeps the
     unrolled oracle SQL short for the IVF-only panel; dim=EMB_DIM (64)
     generates the full-width corpus the production BQ/PQ codecs run on
-    unchanged (clustered_tier_recall)."""
-    ids = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    unchanged (clustered_tier_recall).
+
+    r12: the center half of each coordinate depends only on (cluster, j)
+    — 16 x dim distinct doubles — so the centers are generated ONCE as a
+    16-row table (clu_centroids, the same _clu_center_coord expressions)
+    and broadcast-joined on the cluster id, instead of re-evaluating a
+    per-row md5 chain for every coordinate of every row. That halves the
+    per-row hash work (64 noise md5s remain; 64 center md5s drop to an
+    element_at) and the added double is the SAME value, so emb/norm are
+    bit-identical. The id scan is spread() first: generation is the heavy
+    per-row work, and the pre-generation shuffle moves 8-byte ids only
+    (guide §8 — decide/shuffle on small rows, compute heavy columns
+    after)."""
+    ids = spread(load_table(spark, sf_dir, "embeddings").select("vec_id"))
     with_c = ids.withColumn("__c", F.expr(clu_cluster_expr()))
+    cent = F.broadcast(
+        clu_centroids(spark, dim).select(
+            F.col("centroid_id").alias("__c"), F.col("emb").alias("__cemb")
+        )
+    )
     coords = [
-        F.expr(f"{_clu_center_coord('__c', j)} + {_clu_noise_coord('vec_id', j)}")
+        F.expr(f"element_at(__cemb, {j + 1}) + {_clu_noise_coord('vec_id', j)}")
         for j in range(dim)
     ]
-    e = with_c.select("vec_id", F.array(*coords).alias("emb"))
+    e = with_c.join(cent, "__c").select("vec_id", F.array(*coords).alias("emb"))
     return e.withColumn("norm", F.sqrt(_dot("emb", "emb", dim)))
 
 
