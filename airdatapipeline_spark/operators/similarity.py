@@ -368,11 +368,8 @@ def clustered_embeddings(spark: SparkSession, sf_dir: str, dim: int = CLU_DIM) -
     per-row md5 chain for every coordinate of every row. That halves the
     per-row hash work (64 noise md5s remain; 64 center md5s drop to an
     element_at) and the added double is the SAME value, so emb/norm are
-    bit-identical. The id scan is spread() first: generation is the heavy
-    per-row work, and the pre-generation shuffle moves 8-byte ids only
-    (guide §8 — decide/shuffle on small rows, compute heavy columns
-    after)."""
-    ids = spread(load_table(spark, sf_dir, "embeddings").select("vec_id"))
+    bit-identical."""
+    ids = load_table(spark, sf_dir, "embeddings").select("vec_id")
     with_c = ids.withColumn("__c", F.expr(clu_cluster_expr()))
     cent = F.broadcast(
         clu_centroids(spark, dim).select(
