@@ -507,6 +507,13 @@ def _clustered_truth(corpus: DataFrame, n_queries: int, k: int) -> DataFrame:
     without the checkpoint each reference re-executes the corpus-wide
     scoring pass — 3 redundant full scans inside the very queries the
     bench times (r9 review finding)."""
+    return _clustered_truth_plan(corpus, n_queries, k).localCheckpoint(eager=True)
+
+
+def _clustered_truth_plan(corpus: DataFrame, n_queries: int, k: int) -> DataFrame:
+    """The UN-materialized brute-force truth plan behind _clustered_truth
+    — exposed so callers can overlap its materialization with another
+    independent subtree (concurrency.parallel_checkpoints, guide §2.6)."""
     q = F.broadcast(
         corpus.filter(F.col("vec_id") < n_queries).select(
             F.col("vec_id").alias("query_id"),
@@ -526,7 +533,7 @@ def _clustered_truth(corpus: DataFrame, n_queries: int, k: int) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id")
     )
-    return truth.localCheckpoint(eager=True)
+    return truth
 
 
 def clustered_tier_recall(
