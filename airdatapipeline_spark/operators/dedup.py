@@ -442,35 +442,48 @@ def cluster_assignments(spark: SparkSession, sf_dir: str, max_iter: int = 20) ->
     on block eviction — grows quadratically with iterations. Truncating
     lineage keeps every round O(graph). On a cluster, swap for
     `spark.sparkContext.setCheckpointDir` + `checkpoint()` (reliable,
-    executor-loss-safe); the loop is unchanged."""
+    executor-loss-safe); the loop is unchanged.
+
+    r12 (guide §1.2 — the serial-action floor dominates at bench scale
+    and idles the cluster tail at any scale): checkpoints are LAZY
+    (`eager=False`), so each round runs exactly ONE job — the convergence
+    probe's aggregation both materializes that round's label checkpoint
+    (local checkpointing piggybacks on the first computation) and reads
+    the sum. The eager form paid two jobs per round plus two at seed."""
     pairs = minhash_lsh_candidates(spark, sf_dir)
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # seed with min(self, min neighbor): exactly the result of the first
     # HashMin round, but computed in the same aggregation that enumerates
-    # the nodes — one full round (2 jobs) saved
+    # the nodes — one full round saved
     labels = (
         edges.groupBy("src")
         .agg(F.min("dst").alias("mn"))
         .select(F.col("src").alias("node"), F.least("src", "mn").alias("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # Convergence probe: HashMin labels are monotonically NON-INCREASING
     # (new label = min over a set containing the old label) and the node set
     # is fixed after seeding, so sum(label) strictly decreases iff ANY label
     # improved — one cheap scan of the just-checkpointed table per round,
     # where a join-against-previous probe would re-shuffle both label sets.
+    # This first probe also materializes the edge AND seed checkpoints.
     label_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
         prop = edges.join(labels, edges["dst"] == labels["node"]).select(
             edges["src"].alias("node"), "label"
         )
+        # (r12 measured, left alone: adding a pointer-jumping
+        # label-of-label shortcut halves the round count but adds a label
+        # self-join shuffle per round — net +0.6s at sf0.1 because rounds
+        # here are stage-floor-bound, not data-bound. Revisit only if a
+        # real corpus shows deep-diameter components.)
         labels = (
             labels.unionByName(prop).groupBy("node").agg(F.min("label").alias("label"))
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         new_sum = labels.agg(F.sum("label")).collect()[0][0]
         if new_sum == label_sum:
             break
@@ -565,12 +578,10 @@ def cluster_assignments_star(
     its component's min doc_id) — the same recursive-CTE oracle verifies
     both, and a property test asserts Spark-side equality."""
     pairs = minhash_lsh_candidates(spark, sf_dir)
-    edges = (
-        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint()
-    )
+    # no checkpoint here: star_components filters+distincts+checkpoints its
+    # input itself, so an eager materialization of the candidate pairs at
+    # this level was a full redundant pass over the LSH join (r12)
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     labels = star_components(edges, max_iter)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
@@ -580,12 +591,16 @@ def star_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     (columns a, b) → (node, label = component min). Factored out of
     `cluster_assignments_star` so synthetic graphs (chains, stars, forests)
     can exercise it directly in tests."""
-    edges = edges.filter(F.col("a") != F.col("b")).distinct().localCheckpoint()
+    # Lazy checkpoints (r12, guide §1.2): the edge set materializes inside
+    # the first round's probe job; the node spine is only read by the final
+    # root-labeling join, so its checkpoint materializes there — each
+    # eager form here was one extra serial job before any round ran.
+    edges = edges.filter(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("a").alias("node"))
         .unionByName(edges.select(F.col("b").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def large_star(e: DataFrame) -> DataFrame:
@@ -620,11 +635,17 @@ def star_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         return relink.unionByName(self_link).filter(F.col("a") != F.col("b")).distinct()
 
     for _ in range(max_iter):
-        contracted = small_star(large_star(edges)).localCheckpoint()
-        # converged when the edge set is stable (symmetric difference empty)
+        contracted = small_star(large_star(edges)).localCheckpoint(eager=False)
+        # converged when the edge set is stable (symmetric difference
+        # empty). Both directions of the probe run as ONE action — a union
+        # of the two limit-1 excepts — which also materializes this
+        # round's lazy checkpoint: 1 job/round where the eager form +
+        # two separate counts paid 3 (r12, guide §1.2).
         delta = (
-            contracted.exceptAll(edges).limit(1).count()
-            + edges.exceptAll(contracted).limit(1).count()
+            contracted.exceptAll(edges)
+            .limit(1)
+            .unionAll(edges.exceptAll(contracted).limit(1))
+            .count()
         )
         edges = contracted
         if delta == 0:
