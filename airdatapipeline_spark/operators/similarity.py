@@ -21,11 +21,12 @@ verified bit-identical (see tools/check_oracle.py runs).
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import load_table, spread
+from ..io import load_table
 
 N_PLANES = 6  # 2^6 = 64 buckets
 
@@ -353,6 +354,87 @@ def clu_cluster_duck(id_expr: str = "vec_id") -> str:
     return f"({_h56_duck(key)} % {CLU_K})"
 
 
+# Python twins of the generator expressions (r12, guide §1.2): every model
+# parameter of the clustered scenario — centers, probe assignments,
+# residual codebooks, ADC distance tables — is a K/Q-bounded pure function
+# of these md5 hashes, so the serve paths compute them DRIVER-side instead
+# of paying one Spark job per panel. Bit-equality with the Spark
+# expressions is asserted in tests/test_extensions.py (python ints/floats
+# follow the identical IEEE op order; md5 is md5).
+
+
+def _h56_py(s: str) -> int:
+    """Python twin of _h56_sql/_h56_duck: the same 56-bit md5 integer."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:14], 16)
+
+
+def _fold_norm_py(emb: list) -> float:
+    """sqrt of the left-fold self-dot — IEEE-identical to
+    F.sqrt(_dot(e, e)): same accumulation order, and sqrt is the
+    correctly-rounded IEEE operation in both engines."""
+    acc = 0.0
+    for v in emb:
+        acc = acc + v * v
+    return math.sqrt(acc)
+
+
+def _dot_py(a: list, b: list) -> float:
+    """Left-fold dot — the python twin of _dot's `0.0 + t0 + t1 + ...`."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _clu_center_emb_py(c: int, dim: int) -> list:
+    """Python twin of the _clu_center_coord expression column list."""
+    return [(_h56_py(f"cctr:{c}:{j}") % 2001 - 1000) / 1e3 for j in range(dim)]
+
+
+def _clu_emb_py(vid: int, centers: list, dim: int) -> list:
+    """Python twin of one clustered_embeddings row:
+    center[cluster(id)][j] + noise(id, j), same IEEE order per
+    coordinate."""
+    ce = centers[_h56_py(f"cclu:{vid}") % CLU_K]
+    return [
+        ce[j] + (_h56_py(f"cnoi:{vid}:{j}") % 2001 - 1000) * 3 / 2e4
+        for j in range(dim)
+    ]
+
+
+def _assign_top_py(emb: list, norm: float, cent_rows: list, n_keep: int) -> list:
+    """Python twin of _ivf_assign's ranked pick for ONE row: centroid ids
+    ordered by (cosine desc, centroid_id asc), top n_keep. `cent_rows`
+    are (centroid_id, emb) rows; the cosine uses the identical left-fold
+    dot, python-float centroid norm and `dot / (norm * cnorm)` grouping
+    as the expression form."""
+    scored = []
+    for r in cent_rows:
+        acc = 0.0
+        for v in r.emb:
+            acc = acc + float(v) * float(v)
+        cnorm = math.sqrt(acc)
+        cos = _dot_py(emb, [float(v) for v in r.emb]) / (norm * cnorm)
+        scored.append((cos, int(r.centroid_id)))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    return [cid for _, cid in scored[:n_keep]]
+
+
+def _present_ids(spark: SparkSession, sf_dir: str, pred_sql: str) -> list:
+    """The vec_ids actually present in the embeddings table matching a
+    pushed-down id predicate — ONE pruned parquet scan carrying no vector
+    math. The python twins generate model rows for exactly these ids, so
+    'the panel derives from the table' is preserved without a generation
+    pass per panel."""
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .filter(pred_sql)
+        .collect()
+    )
+    return sorted(int(r.vec_id) for r in rows)
+
+
 def clustered_embeddings(spark: SparkSession, sf_dir: str, dim: int = CLU_DIM) -> DataFrame:
     """(vec_id, emb double[dim], norm): the embeddings table's ids with
     mixture-of-clusters vectors — center[cluster(id)] + noise(id). Scales
@@ -386,11 +468,20 @@ def clustered_embeddings(spark: SparkSession, sf_dir: str, dim: int = CLU_DIM) -
 
 def clu_centroids(spark: SparkSession, dim: int = CLU_DIM) -> DataFrame:
     """The TRUE generating centers as the IVF coarse centroids (16 rows) —
-    deterministic, so the whole scenario value-hashes against DuckDB."""
-    cent = spark.range(CLU_K).select(F.col("id").alias("centroid_id"))
-    coords = [F.expr(_clu_center_coord("centroid_id", j)) for j in range(dim)]
-    cent = cent.select("centroid_id", F.array(*coords).alias("emb"))
-    return cent.withColumn("norm", F.sqrt(_dot("emb", "emb", dim)))
+    deterministic, so the whole scenario value-hashes against DuckDB.
+
+    r12: built driver-side from the python twins of the SAME md5
+    expressions and shipped as a 16-row local relation — the expression
+    form made every consumer's plan re-evaluate 16·dim md5 chains and pay
+    a broadcast-build of that subtree on the serve path. Bit-equality of
+    twin vs expression rows is pinned in tests/test_extensions.py."""
+    rows = []
+    for c in range(CLU_K):
+        emb = _clu_center_emb_py(c, dim)
+        rows.append((c, emb, _fold_norm_py(emb)))
+    return spark.createDataFrame(
+        rows, "centroid_id bigint, emb array<double>, norm double"
+    )
 
 
 def clustered_recall_panel(
@@ -656,56 +747,67 @@ def clustered_residual_ivfpq_recall(
     end to end, fully value-hashed by the DuckDB oracle."""
     from pyspark import StorageLevel
 
+    from pyspark.sql import Row
+
     corpus = clustered_embeddings(spark, sf_dir, dim=EMB_DIM).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    cent = clu_centroids(spark, dim=EMB_DIM)
-    cent_rows = cent.select("centroid_id", "emb").collect()
+    # r12 (guide §1.2): centers, probe assignments, residual codebooks and
+    # the per-(query, list) distance tables are all K/Q-bounded pure
+    # functions of the generator hashes — computed driver-side with the
+    # python twins (bit-equal, tests/test_extensions.py) instead of three
+    # serial Spark jobs. The only remaining pre-serve job is one pruned
+    # id scan establishing WHICH panel ids exist in the table.
+    centers = [_clu_center_emb_py(c, EMB_DIM) for c in range(CLU_K)]
+    cent_rows = [Row(centroid_id=c, emb=centers[c]) for c in range(CLU_K)]
     assigned = _ivf_assign(corpus, cent_rows, 1)
-    cdf = F.broadcast(cent.select("centroid_id", F.col("emb").alias("c_emb")))
+    cdf = F.broadcast(
+        spark.createDataFrame(
+            [(c, centers[c]) for c in range(CLU_K)],
+            "centroid_id bigint, c_emb array<double>",
+        )
+    )
     resid = assigned.join(cdf, "centroid_id").select(
         "vec_id",
         "centroid_id",
         F.expr("zip_with(emb, c_emb, (a, b) -> a - b)").alias("emb"),
     )
+    ids = _present_ids(
+        spark,
+        sf_dir,
+        f"vec_id < {n_queries}"
+        f" OR (vec_id >= {PQ_CB_LO} AND vec_id < {PQ_CB_LO + PQ_K})",
+    )
+    emb_of = {i: _clu_emb_py(i, centers, EMB_DIM) for i in ids}
+    norm_of = {i: _fold_norm_py(emb_of[i]) for i in ids}
     if codebooks is None:
         # default: deterministic sampled-row residual codebooks via the
-        # SAME derivation as the plain PQ tier (_pq_codebooks — one
-        # definition, so the codebook contract cannot drift between
-        # tiers); tests pass k-means-TRAINED residual codebooks here to
-        # measure how much training closes the gap
-        codebooks = _pq_codebooks(resid)
+        # SAME derivation as the plain PQ tier (_pq_codebooks' rows
+        # [PQ_CB_LO, PQ_CB_LO+PQ_K) sorted by vec_id, here over the
+        # residual corpus — twin-computed); tests pass k-means-TRAINED
+        # residual codebooks here to measure how much training closes
+        # the gap
+        cb_rows = []
+        for i in ids:
+            if i >= PQ_CB_LO:
+                c = _assign_top_py(emb_of[i], norm_of[i], cent_rows, 1)[0]
+                ce = centers[c]
+                cb_rows.append([a - b for a, b in zip(emb_of[i], ce)])
+        codebooks = [
+            [r[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM] for r in cb_rows]
+            for m in range(PQ_M)
+        ]
     cbs = codebooks
     codes = pq_encode(resid, cbs, keep=("centroid_id",))
 
     # per-(query, probed-list) residual distance tables, driver-side
-    probes = _ivf_assign(
-        corpus.filter(F.col("vec_id") < n_queries), cent_rows, CLU_N_PROBE
-    )
-    center_map = {int(r.centroid_id): [float(v) for v in r.emb] for r in cent_rows}
     data = []
-    for r in sorted(
-        probes.select("vec_id", "centroid_id", "emb").collect(),
-        key=lambda r: (r.vec_id, r.centroid_id),
-    ):
-        c = center_map[int(r.centroid_id)]
-        rq = [float(a) - c[i] for i, a in enumerate(r.emb)]
-        dtab = []
-        for m in range(PQ_M):
-            xm = rq[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
-            row_k = []
-            for kk in range(PQ_K):
-                cvec = cbs[m][kk]
-                x2 = 0.0
-                dot = 0.0
-                c2 = 0.0
-                for i in range(PQ_SUBDIM):
-                    x2 = x2 + xm[i] * xm[i]
-                    dot = dot + xm[i] * float(cvec[i])
-                    c2 = c2 + float(cvec[i]) * float(cvec[i])
-                row_k.append((x2 - 2.0 * dot) + c2)
-            dtab.append(row_k)
-        data.append((int(r.vec_id), int(r.centroid_id), dtab))
+    for vid in (i for i in ids if i < n_queries):
+        for cid in _assign_top_py(emb_of[vid], norm_of[vid], cent_rows, CLU_N_PROBE):
+            c = centers[cid]
+            rq = [float(a) - c[i2] for i2, a in enumerate(emb_of[vid])]
+            data.append((vid, cid, _pq_dtab_py(rq, cbs)))
+    data.sort(key=lambda t: (t[0], t[1]))
     dtabs = F.broadcast(
         spark.createDataFrame(
             data, "query_id bigint, centroid_id bigint, dtab array<array<double>>"
@@ -1389,25 +1491,38 @@ def _pq_query_dtabs(spark: SparkSession, e: DataFrame, n_queries: int, codebooks
         e.filter(F.col("vec_id") < n_queries).select("vec_id", "emb").collect(),
         key=lambda r: r.vec_id,
     )
-    data = []
-    for r in rows:
-        x = [float(v) for v in r.emb]
-        dtab = []
-        for m in range(PQ_M):
-            xm = x[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
-            row_k = []
-            for k in range(PQ_K):
-                c = codebooks[m][k]
-                x2 = 0.0
-                dot = 0.0
-                c2 = 0.0
-                for i in range(PQ_SUBDIM):
-                    x2 = x2 + xm[i] * xm[i]
-                    dot = dot + xm[i] * float(c[i])
-                    c2 = c2 + float(c[i]) * float(c[i])
-                row_k.append((x2 - 2.0 * dot) + c2)
-            dtab.append(row_k)
-        data.append((int(r.vec_id), dtab))
+    return _pq_dtabs_from_rows(
+        spark, [(int(r.vec_id), [float(v) for v in r.emb]) for r in rows], codebooks
+    )
+
+
+def _pq_dtab_py(x: list, codebooks: list) -> list:
+    """One M×K ADC distance table for query vector `x` — the python-float
+    left-fold `(‖x‖² − 2·x·c) + ‖c‖²` shared by every dtab builder."""
+    dtab = []
+    for m in range(PQ_M):
+        xm = x[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+        row_k = []
+        for kk in range(len(codebooks[m])):
+            c = codebooks[m][kk]
+            x2 = 0.0
+            dot = 0.0
+            c2 = 0.0
+            for i in range(PQ_SUBDIM):
+                x2 = x2 + xm[i] * xm[i]
+                dot = dot + xm[i] * float(c[i])
+                c2 = c2 + float(c[i]) * float(c[i])
+            row_k.append((x2 - 2.0 * dot) + c2)
+        dtab.append(row_k)
+    return dtab
+
+
+def _pq_dtabs_from_rows(spark: SparkSession, rows: list, codebooks: list) -> DataFrame:
+    """(query_id, dtab) table from already-materialized (vec_id, emb)
+    python rows — callers that obtained the query panel without a
+    dedicated collect job (the r12 single-scan/python-twin paths) build
+    the identical table here."""
+    data = [(vid, _pq_dtab_py(x, codebooks)) for vid, x in rows]
     return spark.createDataFrame(data, "query_id bigint, dtab array<array<double>>")
 
 

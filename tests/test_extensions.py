@@ -862,6 +862,75 @@ def test_residual_ivfpq_beats_plain_pq_on_clustered(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_clustered_python_twins_bit_equal_spark_expressions(spark):
+    """r12 optimization contract: the driver-side python twins of the
+    clustered-scenario generators (centers, per-row embeddings/norms,
+    probe assignment ranking) must be BIT-equal to the Spark expression
+    forms they replaced — python floats follow the identical IEEE op
+    order, md5 is md5. Exact ==, no tolerance."""
+    from pyspark.sql import Row
+
+    from airdatapipeline_spark.operators import similarity as s
+
+    # centers: driver-built clu_centroids vs the original expression form
+    expr_cent = (
+        spark.range(s.CLU_K)
+        .select(F.col("id").alias("centroid_id"))
+        .select(
+            "centroid_id",
+            F.array(
+                *[
+                    F.expr(s._clu_center_coord("centroid_id", j))
+                    for j in range(s.EMB_DIM)
+                ]
+            ).alias("emb"),
+        )
+        .withColumn("norm", F.sqrt(s._dot("emb", "emb", s.EMB_DIM)))
+        .collect()
+    )
+    twin_cent = s.clu_centroids(spark, dim=s.EMB_DIM).collect()
+    assert len(expr_cent) == len(twin_cent) == s.CLU_K
+    for a, b in zip(
+        sorted(expr_cent, key=lambda r: r.centroid_id),
+        sorted(twin_cent, key=lambda r: r.centroid_id),
+    ):
+        assert a.centroid_id == b.centroid_id
+        assert list(a.emb) == list(b.emb)  # exact, bit-equal doubles
+        assert a.norm == b.norm
+
+    # per-row embeddings + norms: _clu_emb_py vs clustered_embeddings rows
+    centers = [s._clu_center_emb_py(c, s.EMB_DIM) for c in range(s.CLU_K)]
+    table_rows = (
+        s.clustered_embeddings(spark, SF_SMALL, dim=s.EMB_DIM)
+        .filter(F.col("vec_id") < 24)
+        .collect()
+    )
+    assert table_rows
+    for r in table_rows:
+        twin = s._clu_emb_py(int(r.vec_id), centers, s.EMB_DIM)
+        assert list(r.emb) == twin
+        assert r.norm == s._fold_norm_py(twin)
+
+    # probe ranking: _assign_top_py vs _ivf_assign over the same rows
+    cent_rows = [Row(centroid_id=c, emb=centers[c]) for c in range(s.CLU_K)]
+    corpus = s.clustered_embeddings(spark, SF_SMALL, dim=s.EMB_DIM).filter(
+        F.col("vec_id") < 24
+    )
+    spark_assign = {}
+    for r in s._ivf_assign(corpus, cent_rows, s.CLU_N_PROBE).collect():
+        spark_assign.setdefault(int(r.vec_id), []).append(int(r.centroid_id))
+    for r in table_rows:
+        vid = int(r.vec_id)
+        twin = s._assign_top_py(
+            s._clu_emb_py(vid, centers, s.EMB_DIM),
+            s._fold_norm_py(s._clu_emb_py(vid, centers, s.EMB_DIM)),
+            cent_rows,
+            s.CLU_N_PROBE,
+        )
+        assert sorted(spark_assign[vid]) == sorted(twin)
+        assert set(twin) == set(spark_assign[vid])
+
+
 def test_rpq_refine_reaches_full_recall_and_trained_matches_sampled(spark):
     """The rest of the r9 measured arc, regression-pinned: (a) the full
     serve — residual ADC top-40 + exact refine — must hold near-exact
