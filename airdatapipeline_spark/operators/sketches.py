@@ -193,17 +193,23 @@ def hll_shingle_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied, keeping the family free of the ln() libm-parity hazard the
     BM25/LM operators had to pin)."""
     sh = _source_shingles(spark, sf_dir)
-    hashed = sh.select("source", _hash56().alias("h"))
-    # Materialize the per-source register table (<= sources x 64 rows)
-    # before it is read twice (its own rows + the merged __ALL__ branch):
-    # without this the union's two branches each re-scan the corpus — the
-    # recall panel's localCheckpoint precedent for tiny reused states.
-    regs_src = hll_registers(hashed).localCheckpoint(eager=True)
-    est = hll_scope_estimates(regs_src)
-    # Exact verifier: ONE distinct of (source, shingle), materialized, then
-    # both exact counts (per-source and global) read the distinct pairs —
-    # not the corpus — so the verifier adds one scan, not three.
+    # ONE corpus pass (r12, guide §2.4): the exact verifier needs the
+    # distinct (source, shingle) set anyway, and the HLL register state is
+    # dedup-invariant (max(rho) per (source, j) — duplicate pairs
+    # contribute identical rows), so the sketch is built FROM the
+    # materialized distinct set instead of paying a second
+    # tokenize+explode scan of the corpus. Bit-identical registers; the
+    # streaming twin keeps feeding hll_registers the raw stream, which is
+    # the 100 TB posture when the exact verifier is sampled out.
     ssets = sh.distinct().localCheckpoint(eager=True)
+    hashed = ssets.select("source", _hash56().alias("h"))
+    # The register table (<= sources x 64 rows) is read twice (its own
+    # rows + the merged __ALL__ branch), but both branches now re-derive
+    # it from the checkpointed distinct set — two tiny in-plan groupBys,
+    # no corpus re-scan, one serial driver job fewer than the previous
+    # eager localCheckpoint.
+    regs_src = hll_registers(hashed)
+    est = hll_scope_estimates(regs_src)
     exact = (
         ssets.groupBy(F.col("source").alias("scope"))
         .agg(F.count(F.lit(1)).alias("exact_distinct"))
@@ -310,17 +316,21 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Columns: source_a, source_b, sketch_union_size, sketch_overlap,
     jaccard_est, union_est, jaccard_exact, abs_err."""
     sh = _source_shingles(spark, sf_dir)
-    hashed = sh.select("source", _hash56().alias("h"))
+    # ONE corpus pass (r12, guide §2.4): the exact verifier's distinct
+    # (source, shingle) set is materialized first, and the KMV sketch —
+    # dedup-invariant by construction (dense_rank gives duplicate hashes
+    # one rank; the trailing distinct collapses them) — is built FROM it,
+    # removing the second tokenize+explode scan of the corpus. The
+    # streaming twin keeps feeding kmv_bottom_k the raw micro-batch
+    # stream, the 100 TB posture when the exact verifier is sampled out.
+    ssets = sh.distinct().localCheckpoint(eager=True)
+    hashed = ssets.select("source", _hash56().alias("h"))
     # Materialize the sketches (<= sources x k rows) before the three reads
     # below (source dim + both sides of the pair-merge) — otherwise each
-    # read re-runs the ranked corpus scan (recall-panel localCheckpoint
-    # precedent).
+    # read re-runs the ranked scan of the distinct set.
     bk = kmv_bottom_k(hashed).localCheckpoint(eager=True)
     sk = kmv_pair_estimates(bk)
     pairs = sk.select("source_a", "source_b")
-    # exact verifier: full distinct shingle sets (test-scale / sampled-only
-    # at 100 TB)
-    ssets = sh.distinct().localCheckpoint(eager=True)
     sizes = ssets.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         ssets.withColumnRenamed("source", "source_a")
