@@ -496,27 +496,22 @@ def clustered_recall_panel(
     division arithmetic — full value-hash oracle."""
     from pyspark import StorageLevel
 
+    from pyspark.sql import Row
+
     corpus = clustered_embeddings(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
-    cent = F.broadcast(
-        clu_centroids(spark).select(
-            F.col("centroid_id"), F.col("emb").alias("c_emb"), F.col("norm").alias("c_norm")
-        )
-    )
+    # r12 (guide §2.4): assignment was a crossJoin(16-row cent) +
+    # row_number window partitioned by vec_id — TWO full-corpus shuffles
+    # just to rank 16 scores per row. _ivf_assign's zero-shuffle in-row
+    # fold picks the identical lists (same cosine grouping, same
+    # (desc cos, asc centroid_id) order; centers twin-computed bit-equal
+    # to clu_centroids — tests/test_extensions.py), so both assignment
+    # passes are now shuffle-free map projections.
+    centers = [_clu_center_emb_py(c, CLU_DIM) for c in range(CLU_K)]
+    cent_rows = [Row(centroid_id=c, emb=centers[c]) for c in range(CLU_K)]
 
-    def assign(df: DataFrame, n: int, id_col: str) -> DataFrame:
-        scored = df.crossJoin(cent).select(
-            df["*"],
-            "centroid_id",
-            (_dot("emb", "c_emb", CLU_DIM) / (F.col("norm") * F.col("c_norm"))).alias("c_cos"),
-        )
-        w = Window.partitionBy(id_col).orderBy(F.desc("c_cos"), F.asc("centroid_id"))
-        return scored.withColumn("crank", F.row_number().over(w)).filter(
-            F.col("crank") <= n
-        )
-
-    assigned = assign(corpus, 1, "vec_id").select("vec_id", "emb", "norm", "centroid_id")
+    assigned = _ivf_assign(corpus, cent_rows, 1)
     queries = corpus.filter(F.col("vec_id") < n_queries)
-    probes = assign(queries, CLU_N_PROBE, "vec_id").select(
+    probes = _ivf_assign(queries, cent_rows, CLU_N_PROBE).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
         F.col("norm").alias("q_norm"),
@@ -569,12 +564,18 @@ def clustered_recall_panel(
         .groupBy("query_id")
         .agg(F.sum("list_n").alias("scanned_rows"))
     )
-    n_corpus = corpus.count()
+    # r12: the corpus count joins the plan as a broadcast 1-row scalar
+    # instead of a separate driver count() job — same long value, same
+    # IEEE division (long / double), so scanned_frac is bit-identical.
+    ncnt = F.broadcast(
+        corpus.groupBy().agg(F.count(F.lit(1)).cast("double").alias("__n_corpus"))
+    )
     return (
         truth.select("query_id")
         .distinct()
         .join(hits, "query_id", "left")
         .join(scanned, "query_id", "left")
+        .crossJoin(ncnt)
         .select(
             "query_id",
             F.coalesce("ivf_hits", F.lit(0)).cast("long").alias("ivf_hits"),
@@ -583,7 +584,8 @@ def clustered_recall_panel(
             ),
             F.coalesce("scanned_rows", F.lit(0)).cast("long").alias("scanned_rows"),
             (
-                F.coalesce("scanned_rows", F.lit(0)).cast("long") / F.lit(float(n_corpus))
+                F.coalesce("scanned_rows", F.lit(0)).cast("long")
+                / F.col("__n_corpus")
             ).alias("scanned_frac"),
         )
     )
@@ -649,14 +651,30 @@ def clustered_tier_recall(
     the two-regime comparison."""
     from pyspark import StorageLevel
 
+    from pyspark.sql import Row
+
     corpus = clustered_embeddings(spark, sf_dir, dim=EMB_DIM).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     queries = corpus.filter(F.col("vec_id") < n_queries)
     truth = _clustered_truth(corpus, n_queries, k)
 
+    # r12 (guide §1.2): centers, PQ codebooks and query distance tables
+    # are twin-computed driver-side (bit-equal, tests/test_extensions.py)
+    # — the only pre-serve Spark job is one pruned id scan establishing
+    # which panel ids exist in the table (was: three serial collect jobs
+    # each forcing generation work over the persisted corpus).
+    centers = [_clu_center_emb_py(c, EMB_DIM) for c in range(CLU_K)]
+    ids = _present_ids(
+        spark,
+        sf_dir,
+        f"vec_id < {n_queries}"
+        f" OR (vec_id >= {PQ_CB_LO} AND vec_id < {PQ_CB_LO + PQ_K})",
+    )
+    emb_of = {i: _clu_emb_py(i, centers, EMB_DIM) for i in ids}
+
     # IVF tier: true generating centers, zero-shuffle inline assignment
-    cent_rows = clu_centroids(spark, dim=EMB_DIM).select("centroid_id", "emb").collect()
+    cent_rows = [Row(centroid_id=c, emb=centers[c]) for c in range(CLU_K)]
     assigned = _ivf_assign(corpus, cent_rows, 1)
     probes = F.broadcast(
         _ivf_assign(queries, cent_rows, CLU_N_PROBE).select(
@@ -686,9 +704,15 @@ def clustered_tier_recall(
     ).select("query_id", "neighbor_id")
 
     # PQ-ADC tier: codebooks from the same deterministic corpus rows
-    cbs = _pq_codebooks(corpus)
+    # (twin-computed from the present ids — identical python floats)
+    cb_rows = [emb_of[i] for i in ids if i >= PQ_CB_LO]
+    cbs = [
+        [r[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM] for r in cb_rows]
+        for m in range(PQ_M)
+    ]
     codes = pq_encode(corpus.select("vec_id", "emb"), cbs)
-    dtabs = F.broadcast(_pq_query_dtabs(spark, corpus, n_queries, cbs))
+    qrows = [(i, emb_of[i]) for i in ids if i < n_queries]
+    dtabs = F.broadcast(_pq_dtabs_from_rows(spark, qrows, cbs))
     wp = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
     pqk = (
         codes.join(dtabs, F.col("vec_id") != F.col("query_id"))
@@ -1609,13 +1633,31 @@ def pq_adc_topk(
     e = load_table(spark, sf_dir, "embeddings").withColumn(
         "emb", F.expr("transform(embedding, x -> cast(x as double))")
     )
-    cbs = _pq_codebooks(e)
+    # r12 (guide §1.2): codebook rows + query panel in ONE pruned collect
+    # job instead of two serial ones — identical rows, split driver-side.
+    panel = sorted(
+        e.select("vec_id", "emb")
+        .filter(
+            (F.col("vec_id") < n_queries)
+            | ((F.col("vec_id") >= PQ_CB_LO) & (F.col("vec_id") < PQ_CB_LO + PQ_K))
+        )
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    cb_rows = [r for r in panel if PQ_CB_LO <= r.vec_id < PQ_CB_LO + PQ_K]
+    cbs = [
+        [[float(v) for v in r.emb[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]] for r in cb_rows]
+        for m in range(PQ_M)
+    ]
     codes = pq_encode(e, cbs)
     # The distance TABLE is materialized per QUERY before the join (PQ's
     # defining trick) — as driver-computed DATA, not an expression tree:
     # each of the N candidates pays only M array lookups, and the plan
     # carries no M×K arithmetic at all.
-    queries = F.broadcast(_pq_query_dtabs(spark, e, n_queries, cbs))
+    qrows = [
+        (int(r.vec_id), [float(v) for v in r.emb]) for r in panel if r.vec_id < n_queries
+    ]
+    queries = F.broadcast(_pq_dtabs_from_rows(spark, qrows, cbs))
     pair = codes.join(queries, F.col("vec_id") != F.col("query_id"))
     scored = pair.select(
         "query_id",
@@ -1641,22 +1683,50 @@ def ivfpq_topk(
     probe pruning × 64 by the code compression. Same deterministic
     centroid/codebook sources as the component tiers, so the DuckDB
     oracle reproduces the exact candidate sets and distances."""
+    from pyspark.sql import Row
+
     corpus = with_norm(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "emb", "norm"
     )
-    cbs = _pq_codebooks(corpus)
-    centroids = corpus.filter(
-        (F.col("vec_id") >= CENTROID_ID_LO)
-        & (F.col("vec_id") < CENTROID_ID_LO + N_CENTROIDS)
-    ).select(F.col("vec_id").alias("centroid_id"), "emb", "norm")
-    cent_rows = centroids.select("centroid_id", "emb").collect()
+    # r12 (guide §1.2): the three driver-side model panels — PQ codebook
+    # rows [PQ_CB_LO, PQ_CB_LO+PQ_K), IVF coarse centroids
+    # [CENTROID_ID_LO, +N_CENTROIDS), and the query panel [0, n_queries) —
+    # previously ran one pruned collect job EACH, serially. One scan with
+    # the union predicate fetches all three (the filter still pushes to
+    # parquet); values are the identical collected rows, split driver-side.
+    panel = sorted(
+        corpus.select("vec_id", "emb")
+        .filter(
+            (F.col("vec_id") < n_queries)
+            | (
+                (F.col("vec_id") >= CENTROID_ID_LO)
+                & (F.col("vec_id") < CENTROID_ID_LO + N_CENTROIDS)
+            )
+            | ((F.col("vec_id") >= PQ_CB_LO) & (F.col("vec_id") < PQ_CB_LO + PQ_K))
+        )
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    cb_rows = [r for r in panel if PQ_CB_LO <= r.vec_id < PQ_CB_LO + PQ_K]
+    cbs = [
+        [[float(v) for v in r.emb[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]] for r in cb_rows]
+        for m in range(PQ_M)
+    ]
+    cent_rows = [
+        Row(centroid_id=int(r.vec_id), emb=r.emb)
+        for r in panel
+        if CENTROID_ID_LO <= r.vec_id < CENTROID_ID_LO + N_CENTROIDS
+    ]
 
     assigned = _ivf_assign(corpus, cent_rows, 1)
     codes = pq_encode(assigned, cbs, keep=("centroid_id",))
+    qrows = [
+        (int(r.vec_id), [float(v) for v in r.emb]) for r in panel if r.vec_id < n_queries
+    ]
     probes = (
         _ivf_assign(corpus.filter(F.col("vec_id") < n_queries), cent_rows, N_PROBE)
         .select(F.col("vec_id").alias("query_id"), "centroid_id")
-        .join(_pq_query_dtabs(spark, corpus, n_queries, cbs), on="query_id")
+        .join(_pq_dtabs_from_rows(spark, qrows, cbs), on="query_id")
     )
     cand = codes.join(F.broadcast(probes), on="centroid_id").filter(
         F.col("vec_id") != F.col("query_id")

@@ -1088,6 +1088,8 @@ def lm_model_tables(spark: SparkSession, sf_dir: str) -> dict:
 
     from pyspark import StorageLevel
 
+    from .concurrency import parallel_run
+
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", "source", tokens_col().alias("toks"))
     uni = (
@@ -1096,20 +1098,26 @@ def lm_model_tables(spark: SparkSession, sf_dir: str) -> dict:
         .agg(F.count("*").alias("cu"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    vsz = uni.count()  # vocabulary size (scalar; also materializes the cache)
     bic = (
         _lm_bigrams(d)
         .groupBy("prev", "cur")
         .agg(F.count("*").alias("cb"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    args = {
-        int(r.a)
-        for r in bic.select((F.col("cb") + 1).alias("a")).distinct().collect()
-    } | {
-        int(r.a)
-        for r in uni.select((F.col("cu") + F.lit(vsz)).alias("a")).distinct().collect()
-    }
+    # r12 (guide §1.2/§2.6): vocabulary size + the Zipf-collapsed distinct
+    # count values come from ONE aggregate job per table (count +
+    # collect_set in the same pass, which also materializes the persist),
+    # and the two jobs — independent scans — run concurrently instead of
+    # as three serial driver actions. The +1/+V shifts move driver-side
+    # over the same integers, so the libm ln args are unchanged.
+    uni_stats, cb_vals = parallel_run(
+        lambda: uni.groupBy()
+        .agg(F.count(F.lit(1)).alias("v"), F.collect_set("cu").alias("cus"))
+        .collect()[0],
+        lambda: bic.groupBy().agg(F.collect_set("cb").alias("cbs")).collect()[0],
+    )
+    vsz = int(uni_stats.v)  # vocabulary size
+    args = {int(c) + 1 for c in cb_vals.cbs} | {int(c) + vsz for c in uni_stats.cus}
     lnt = F.broadcast(
         spark.createDataFrame(
             [(a, math.log(float(a))) for a in sorted(args)], "arg bigint, lnv double"
