@@ -115,10 +115,11 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(name).alias("layout"), "*")
         )
         stats = s if stats is None else stats.unionByName(s)
-    # materialize the <= 2·N_FILES stat rows once: they feed both the
-    # output and the touch aggregate (recall-panel localCheckpoint
-    # precedent — without it each reference re-scans lineitem)
-    stats = stats.localCheckpoint(eager=True)
+    # cache the <= 2·N_FILES stat rows once: they feed both the output
+    # and the touch aggregate (without this each reference re-scans
+    # lineitem). Lazy: both readers share the RDD, so the stat build is
+    # a shared stage of the final job, not a separate serial driver job.
+    stats = stats.localCheckpoint(eager=False)
     # layout-level pruning economics: a 2·N_FILES-row aggregate, broadcast
     # back onto the per-file rows
     touch = stats.groupBy("layout").agg(

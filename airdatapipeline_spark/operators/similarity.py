@@ -262,11 +262,13 @@ def recall_at_k(
     # the exact-hash check for the IVF plan itself lives in the
     # deterministic-centroid columns/rows of this query and ivf_topk.
     # Broadcast 1-row scalar join (not a global window — no single-partition
-    # shuffle of the panel). `out` is materialized once (Q rows — the panel)
+    # shuffle of the panel). `out` is cached once (Q rows — the panel)
     # before the scalar agg re-reads it; without this the brute-force truth
     # and all four ANN tiers would execute twice, once under the panel agg
-    # and once under the final select.
-    out = out.localCheckpoint(eager=True)
+    # and once under the final select. Lazy: the panel-agg broadcast build
+    # materializes the shared RDD and the final select reuses it — one job
+    # fewer than the eager form (CC-loop precedent).
+    out = out.localCheckpoint(eager=False)
     panel = out.agg(
         (F.sum(trained_hits) / (F.count(F.lit(1)) * F.lit(float(k))) >= F.lit(RECALL_FLOOR))
         .alias("ivf_trained_floor_met")
@@ -2202,7 +2204,10 @@ def cluster_labels(
     tf_c = (
         toks.groupBy("cluster_id", "token")
         .agg(F.count(F.lit(1)).alias("tf_in_cluster"))
-        .localCheckpoint(eager=True)
+        # lazy: all four readers (n_c, t_g, tot, scored) share this RDD,
+        # so the vocab×k aggregate is one shared stage of the final job
+        # instead of a separate serial driver job (CC-loop precedent)
+        .localCheckpoint(eager=False)
     )
     n_c = tf_c.groupBy("cluster_id").agg(
         F.sum("tf_in_cluster").alias("cluster_tokens")

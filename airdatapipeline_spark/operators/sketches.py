@@ -201,7 +201,12 @@ def hll_shingle_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenize+explode scan of the corpus. Bit-identical registers; the
     # streaming twin keeps feeding hll_registers the raw stream, which is
     # the 100 TB posture when the exact verifier is sampled out.
-    ssets = sh.distinct().localCheckpoint(eager=True)
+    # Lazy checkpoint (CC-loop precedent): the cached distinct set still
+    # computes exactly once — all readers share the same RDD, so its
+    # distinct shuffle is one shared stage of the FINAL job instead of a
+    # separate serial driver job; lineage still truncates at first
+    # materialization.
+    ssets = sh.distinct().localCheckpoint(eager=False)
     hashed = ssets.select("source", _hash56().alias("h"))
     # The register table (<= sources x 64 rows) is read twice (its own
     # rows + the merged __ALL__ branch), but both branches now re-derive
@@ -323,12 +328,17 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # removing the second tokenize+explode scan of the corpus. The
     # streaming twin keeps feeding kmv_bottom_k the raw micro-batch
     # stream, the 100 TB posture when the exact verifier is sampled out.
-    ssets = sh.distinct().localCheckpoint(eager=True)
+    # Both checkpoints are LAZY (CC-loop precedent): each cached table
+    # still computes exactly once — every reader shares the same RDD, so
+    # the distinct shuffle and the ranked sketch cut become shared stages
+    # of the FINAL job instead of two serial driver jobs; lineage still
+    # truncates at first materialization.
+    ssets = sh.distinct().localCheckpoint(eager=False)
     hashed = ssets.select("source", _hash56().alias("h"))
-    # Materialize the sketches (<= sources x k rows) before the three reads
+    # The sketches (<= sources x k rows) are cached before the three reads
     # below (source dim + both sides of the pair-merge) — otherwise each
     # read re-runs the ranked scan of the distinct set.
-    bk = kmv_bottom_k(hashed).localCheckpoint(eager=True)
+    bk = kmv_bottom_k(hashed).localCheckpoint(eager=False)
     sk = kmv_pair_estimates(bk)
     pairs = sk.select("source_a", "source_b")
     sizes = ssets.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
@@ -426,8 +436,10 @@ def hq_quantile_estimates(spark: SparkSession, hist: DataFrame) -> DataFrame:
     lo + width*(r - cum_before)/bin_count (exact-integer differences, one
     division, ordered identically in DuckDB). Returns
     (event_type, q, n_events, est)."""
-    hist = hist.localCheckpoint(eager=True)  # <= types x HQ_BINS rows,
-    # read by the totals, the cumulative pass and the probe
+    hist = hist.localCheckpoint(eager=False)  # <= types x HQ_BINS rows,
+    # read by the totals, the cumulative pass and the probe — lazy: all
+    # three readers share the RDD, so the histogram shuffle is one shared
+    # stage of the final job, not a separate serial driver job
     totals = hist.groupBy("event_type").agg(F.sum("cnt").alias("n_events"))
     wcum = (
         Window.partitionBy("event_type")
