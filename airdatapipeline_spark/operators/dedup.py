@@ -1014,9 +1014,34 @@ def fuzzy_decontamination(
     # session lifetime (ADVICE-r9)
     bands.unpersist(blocking=False)
     sh = _shingles(load_table(spark, sf_dir, "documents"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    tr_sh = sh.join(cand, on="doc_id", how="inner")  # candidates' shingles
-    ev_sh = sh.select(F.col("doc_id").alias("eval_id"), "shingle")
+    # Every consumer below is an inner join keyed by cand's ids, so pruning
+    # each corpus-side branch to those ids with a broadcast (semi-)join is
+    # bit-identical while making every shuffle/broadcast candidate-bounded
+    # instead of corpus-bounded: without the explicit broadcasts Catalyst
+    # builds the hash relation from the SHINGLE stream (corpus-sized) and
+    # probes with the tiny checkpointed cand, and the size aggregations
+    # shuffle one count per corpus doc when only candidate docs are read.
+    tr_ids = cand.select("doc_id")  # no distinct: a LeftSemi build side
+    ev_ids = cand.select(F.col("eval_id").alias("doc_id"))  # tolerates dups
+    sizes_tr = (
+        sh.join(F.broadcast(tr_ids), on="doc_id", how="leftsemi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sizes_ev = (
+        sh.join(F.broadcast(ev_ids), on="doc_id", how="leftsemi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # the leftsemi prefilter is a no-op vs the inner pair-join, but unlike
+    # the row-multiplying pair-join it pushes below the shingle Generate,
+    # so only candidate docs are ever tokenized on this branch
+    tr_sh = sh.join(F.broadcast(tr_ids), on="doc_id", how="leftsemi").join(
+        F.broadcast(cand), on="doc_id", how="inner"
+    )
+    ev_sh = sh.join(F.broadcast(ev_ids), on="doc_id", how="leftsemi").select(
+        F.col("doc_id").alias("eval_id"), "shingle"
+    )
     inter = (
         tr_sh.join(ev_sh, on=["eval_id", "shingle"], how="inner")
         .groupBy("doc_id", "eval_id")
@@ -1032,10 +1057,10 @@ def fuzzy_decontamination(
     )
     return (
         cand.join(
-            sizes.withColumnRenamed("n", "n_train_shingles"), on="doc_id", how="inner"
+            sizes_tr.withColumnRenamed("n", "n_train_shingles"), on="doc_id", how="inner"
         )
         .join(
-            sizes.select(
+            sizes_ev.select(
                 F.col("doc_id").alias("eval_id"),
                 F.col("n").alias("n_eval_shingles"),
             ),
