@@ -16,9 +16,11 @@ regression. Sections:
   aggs). This is the number to compare across rounds. Self-healing under
   ambient throttle (VERDICT-r11 #1): if the start->post-headline python
   probe bracket drifts past 1.15, the tier re-runs ONCE in the same
-  invocation and the compact line reports whichever attempt ran in the
-  cleaner bracket (both attempts preserved in BENCH_DETAIL's
-  headline_retry section; `headline_retried` marks the line).
+  invocation and the compact line reports the attempt with the lower
+  window total — noise only inflates, and the 3x46 query samples beat a
+  2-point probe bracket at spotting a mid-window burst (both attempts
+  preserved in BENCH_DETAIL's headline_retry section; `headline_retried`
+  marks the line).
 - verifier — the quadratic-by-design audit tier (exact brute-force ANN:
   O(N*Q) full-precision scan). It exists to grade the approximate tiers'
   recall, never to run at corpus scale, so its time is reported separately
@@ -828,14 +830,28 @@ def main() -> None:
             "queries": timings2,
             "runs": dispersion2,
         }
-        retry_chosen = bool(drift2 is not None and drift2 < drift1)
+        # Pick the attempt by WINDOW TOTAL, not by probe bracket: the
+        # bracket is two point-probes and can miss a mid-window noise
+        # burst entirely (observed r12: attempt2's probes read clean while
+        # five consecutive mid-pass queries ran 2-3x their attempt1 and
+        # baseline readings with [6.5, 9.9, 15.2]-style spreads, and the
+        # bracket rule shipped that window). Ambient contention only ever
+        # ADDS time, so across two identical-code warm passes the lower
+        # total is strictly the cleaner window; it also aggregates 3x46
+        # samples against the bracket's 2. The throttled flag still keys
+        # on the chosen attempt's own bracket, and both attempts stay
+        # recorded here.
+        retry_chosen = bool(attempt2["total"] < attempt1["total"])
         headline_retry = {
             "note": (
                 "the first headline pass ran inside a flagged probe "
                 "bracket (py_drift > 1.15), so the tier was re-run once "
                 "in this invocation; the compact line and the sections "
-                "above report the attempt with the cleaner bracket, and "
-                "the other attempt is preserved here (VERDICT-r11 #1)"
+                "above report the attempt with the lower window total "
+                "(point-probe brackets can miss a mid-window noise burst; "
+                "noise only ever inflates, so lower total = cleaner "
+                "window), and the other attempt is preserved here "
+                "(VERDICT-r11 #1)"
             ),
             "attempt1": attempt1,
             "attempt2": attempt2,
@@ -1014,9 +1030,11 @@ def main() -> None:
                 "LATER tiers drifted past 1.15 even though the headline "
                 "bracket was clean — ADVICE-r11). When the headline "
                 "bracket flags, the tier is re-run once in the same "
-                "invocation and the cleaner bracket is reported "
-                "(headline_retried; both attempts preserved in the "
-                "headline_retry section — VERDICT-r11 #1). The jvm probe "
+                "invocation and the attempt with the lower window total "
+                "is reported — point probes can miss a mid-window burst "
+                "that the 3x46 query samples catch (headline_retried; "
+                "both attempts preserved in the headline_retry section — "
+                "VERDICT-r11 #1). The jvm probe "
                 "is recorded as informational only — its value improves "
                 "with JVM age across a session (measured 5.2s -> 0.073s "
                 "start to end), so its drift reflects JIT maturity, not "
