@@ -389,3 +389,27 @@ def test_versioned_read_keeps_pushdown_and_pruning(spark, tmp_path):
     read_schema = ex.split("ReadSchema:")[1].splitlines()[0]
     assert "w" not in read_schema  # projection pruned at the scan
     assert {r.v for r in q.collect()} == {14}
+
+
+def test_fuzzy_decon_verification_is_candidate_bounded(spark):
+    """After banding proposes candidates, every corpus-side branch of the
+    verification stage must be pruned to the candidate ids BEFORE the
+    shingle explode, and the pair join must broadcast the tiny candidate
+    table, never a shingle stream: the r12 before-plan built the hash
+    relation from the corpus-side shingles and probed with cand
+    (BuildLeft), which inverts to a corpus broadcast/shuffle at scale."""
+    from airdatapipeline_spark.operators import dedup
+
+    df = dedup.fuzzy_decontamination(spark, SF_SMALL)
+    plan = _plan(df)
+    # no build-side inversion anywhere: the broadcast side is always the
+    # candidate-derived table (checkpointed RDD or its projections)
+    assert "BuildLeft" not in plan
+    # all four corpus branches (two size aggs, pair-join stream, eval
+    # side) are LeftSemi-pruned below the shingle Generate
+    assert plan.count("LeftSemi, BuildRight") >= 4
+    for gen_chunk in plan.split("Generate explode")[1:]:
+        # each explode's child subtree (printed after it) reaches a
+        # LeftSemi prune before the parquet scan
+        head = gen_chunk[:2000]
+        assert "LeftSemi" in head
