@@ -601,8 +601,12 @@ def _clustered_truth(corpus: DataFrame, n_queries: int, k: int) -> DataFrame:
     reference truth 2-4 times (per-tier hit joins + the query spine), and
     without the checkpoint each reference re-executes the corpus-wide
     scoring pass — 3 redundant full scans inside the very queries the
-    bench times (r9 review finding)."""
-    return _clustered_truth_plan(corpus, n_queries, k).localCheckpoint(eager=True)
+    bench times (r9 review finding). LAZY (r12 merge pass): nothing
+    overlaps this materialization — eager just serializes a separate
+    driver job before the serve job; lazy, the truth branch runs as
+    independent stages of the final job (computed once, block-level
+    get-or-compute) concurrently with the candidate branches."""
+    return _clustered_truth_plan(corpus, n_queries, k).localCheckpoint(eager=False)
 
 
 def _clustered_truth_plan(corpus: DataFrame, n_queries: int, k: int) -> DataFrame:
