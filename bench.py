@@ -16,11 +16,13 @@ regression. Sections:
   aggs). This is the number to compare across rounds. Self-healing under
   ambient throttle (VERDICT-r11 #1): if the start->post-headline python
   probe bracket drifts past 1.15, the tier re-runs ONCE in the same
-  invocation and the compact line reports the attempt with the lower
-  window total — noise only inflates, and the 3x46 query samples beat a
-  2-point probe bracket at spotting a mid-window burst (both attempts
-  preserved in BENCH_DETAIL's headline_retry section; `headline_retried`
-  marks the line).
+  invocation and the compact line reports the attempt whose OWN bracket
+  is clean (gate; the retry runs in a warmer process, so a bare
+  min-of-two would bias downward — ADVICE-r12), with the lower window
+  total as the tiebreaker when both or neither bracket is clean (both
+  attempts preserved in BENCH_DETAIL's headline_retry section;
+  `headline_retried`, `headline_attempt_totals` and `headline_reported`
+  mark the line — VERDICT-r12 #3).
 - verifier — the quadratic-by-design audit tier (exact brute-force ANN:
   O(N*Q) full-precision scan). It exists to grade the approximate tiers'
   recall, never to run at corpus scale, so its time is reported separately
@@ -361,6 +363,22 @@ def _median(samples: list[float]) -> float:
     # the SMALLER middle run (steady-state), so one cold outlier cannot
     # become the headline number
     return samples[(len(samples) - 1) // 2]
+
+
+def _pick_retry_attempt(
+    drift1: float | None, drift2: float | None, total1: float, total2: float
+) -> tuple[bool, str]:
+    """Which headline attempt to report after a throttle-flagged retry
+    (ADVICE-r12): the probe bracket is the GATE — if exactly one attempt's
+    own bracket is clean (py_drift <= 1.15), report that attempt — and the
+    lower window total only the TIEBREAKER (both/neither clean). Returns
+    (report_attempt2, rule). Extracted so the rule is unit-testable
+    without running the tier."""
+    clean1 = bool(drift1 is not None and drift1 <= 1.15)
+    clean2 = bool(drift2 is not None and drift2 <= 1.15)
+    if clean1 != clean2:
+        return clean2, "bracket-gate"
+    return bool(total2 < total1), "total-tiebreak"
 
 
 def _calibrate(spark) -> dict[str, float]:
@@ -830,29 +848,39 @@ def main() -> None:
             "queries": timings2,
             "runs": dispersion2,
         }
-        # Pick the attempt by WINDOW TOTAL, not by probe bracket: the
-        # bracket is two point-probes and can miss a mid-window noise
-        # burst entirely (observed r12: attempt2's probes read clean while
-        # five consecutive mid-pass queries ran 2-3x their attempt1 and
-        # baseline readings with [6.5, 9.9, 15.2]-style spreads, and the
-        # bracket rule shipped that window). Ambient contention only ever
-        # ADDS time, so across two identical-code warm passes the lower
-        # total is strictly the cleaner window; it also aggregates 3x46
-        # samples against the bracket's 2. The throttled flag still keys
-        # on the chosen attempt's own bracket, and both attempts stay
-        # recorded here.
-        retry_chosen = bool(attempt2["total"] < attempt1["total"])
+        # Selection rule (r13, ADVICE-r12): the probe BRACKET is the gate,
+        # the window total only the tiebreaker. r12 picked min(total)
+        # outright, but attempt2 always runs in a warmer process (JIT
+        # tiers, OS page cache — the jvm probe improves 5.2s -> 0.073s
+        # over one session), so warm-up deflates attempt2 for reasons
+        # that are NOT ambient noise and min-of-two systematically biased
+        # the flagged-window headline downward. Now: if exactly one
+        # attempt's own bracket is clean (py_drift <= 1.15), report that
+        # attempt regardless of total; if both (or neither) bracket is
+        # clean, fall back to the lower total (ambient contention only
+        # adds time, and 3x46 samples beat a 2-point bracket at spotting
+        # a mid-window burst — the r12 observation). Both attempts stay
+        # recorded here, and the compact line carries both totals plus
+        # which was reported (VERDICT-r12 #3) so the drift is auditable
+        # without opening this file.
+        retry_chosen, rule = _pick_retry_attempt(
+            drift1, drift2, attempt1["total"], attempt2["total"]
+        )
         headline_retry = {
             "note": (
                 "the first headline pass ran inside a flagged probe "
                 "bracket (py_drift > 1.15), so the tier was re-run once "
                 "in this invocation; the compact line and the sections "
-                "above report the attempt with the lower window total "
-                "(point-probe brackets can miss a mid-window noise burst; "
-                "noise only ever inflates, so lower total = cleaner "
-                "window), and the other attempt is preserved here "
-                "(VERDICT-r11 #1)"
+                "above report the attempt whose OWN bracket is clean "
+                "(gate), falling back to the lower window total when "
+                "both or neither bracket is clean (tiebreak). The gate "
+                "exists because attempt2 runs in a warmer process (JIT/"
+                "page cache), so a bare min-of-two would bias the "
+                "flagged-window headline downward (ADVICE-r12); the "
+                "other attempt is preserved here and both totals ride "
+                "the compact line (VERDICT-r11 #1, VERDICT-r12 #3)"
             ),
+            "rule": rule,
             "attempt1": attempt1,
             "attempt2": attempt2,
             "reported": "attempt2" if retry_chosen else "attempt1",
@@ -1008,6 +1036,15 @@ def main() -> None:
         "throttled_late": throttled_late,
         "headline_retried": headline_retry is not None,
     }
+    if headline_retry is not None:
+        # VERDICT-r12 #3: both window totals + the choice ride the compact
+        # line so the retry's drift is auditable without BENCH_DETAIL.
+        calibration_line["headline_attempt_totals"] = [
+            headline_retry["attempt1"]["total"],
+            headline_retry["attempt2"]["total"],
+        ]
+        calibration_line["headline_reported"] = headline_retry["reported"]
+        calibration_line["headline_retry_rule"] = headline_retry["rule"]
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     detail = {
@@ -1030,11 +1067,13 @@ def main() -> None:
                 "LATER tiers drifted past 1.15 even though the headline "
                 "bracket was clean — ADVICE-r11). When the headline "
                 "bracket flags, the tier is re-run once in the same "
-                "invocation and the attempt with the lower window total "
-                "is reported — point probes can miss a mid-window burst "
-                "that the 3x46 query samples catch (headline_retried; "
+                "invocation and the attempt whose own bracket is clean "
+                "is reported (total as tiebreaker when both or neither "
+                "is clean — the retry runs warmer, so min-of-two alone "
+                "would bias downward; ADVICE-r12) (headline_retried + "
+                "headline_attempt_totals on the compact line; "
                 "both attempts preserved in the headline_retry section — "
-                "VERDICT-r11 #1). The jvm probe "
+                "VERDICT-r11 #1, VERDICT-r12 #3). The jvm probe "
                 "is recorded as informational only — its value improves "
                 "with JVM age across a session (measured 5.2s -> 0.073s "
                 "start to end), so its drift reflects JIT maturity, not "

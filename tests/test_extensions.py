@@ -927,8 +927,11 @@ def test_clustered_python_twins_bit_equal_spark_expressions(spark):
             cent_rows,
             s.CLU_N_PROBE,
         )
-        assert sorted(spark_assign[vid]) == sorted(twin)
-        assert set(twin) == set(spark_assign[vid])
+        # ORDER pinned, not just set (VERDICT-r12 #8): _ivf_assign explodes
+        # the ranked slice in rank order, so the collected per-vid list IS
+        # the probe ranking; the twin must reproduce the ranking exactly or
+        # downstream probe-list consumers could silently diverge.
+        assert spark_assign[vid] == twin
 
 
 def test_rpq_refine_reaches_full_recall_and_trained_matches_sampled(spark):

@@ -376,6 +376,32 @@ def test_bench_query_names_exist_in_registry():
     assert set(bench.SCALING) <= set(bench.HEADLINE)
 
 
+def test_bench_retry_selection_gates_on_bracket_then_total():
+    """ADVICE-r12: the headline retry must report the attempt whose OWN
+    probe bracket is clean (the retry runs in a warmer process, so a bare
+    min-of-two biases the flagged-window headline downward); the window
+    total is only the tiebreaker when both or neither bracket is clean."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod2", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    pick = bench._pick_retry_attempt
+
+    # exactly one clean bracket wins regardless of total
+    assert pick(1.30, 1.02, 50.0, 60.0) == (True, "bracket-gate")
+    assert pick(1.05, 1.40, 60.0, 50.0) == (False, "bracket-gate")
+    # both clean / both flagged -> lower total
+    assert pick(1.01, 1.02, 60.0, 50.0) == (True, "total-tiebreak")
+    assert pick(1.30, 1.40, 50.0, 60.0) == (False, "total-tiebreak")
+    # unmeasurable drift counts as not-clean
+    assert pick(None, 1.02, 50.0, 60.0) == (True, "bracket-gate")
+    assert pick(None, None, 50.0, 60.0) == (False, "total-tiebreak")
+
+
 def test_dashboard_html_matches_golden(spark):
     """Golden-file parity for the dashboard export (VERDICT-r7 item 8):
     the full --html render at sf0.001 (fixed 2025-08-02..06 window) is

@@ -404,9 +404,18 @@ def test_fuzzy_decon_verification_is_candidate_bounded(spark):
     plan = _plan(df)
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     try:
-        # no build-side inversion anywhere: the broadcast side is always
-        # the candidate-derived table (checkpointed RDD or projections)
-        assert "BuildLeft" not in plan
+        # no build-side inversion on the SEMI prunes (scoped, ADVICE-r12:
+        # a global `BuildLeft not in plan` also constrained unhinted
+        # stats-driven joins that may legitimately build left): every
+        # LeftSemi broadcast join is one of the candidate prunes, whose
+        # hinted candidate side is always the right, so it must BuildRight
+        semi_heads = [
+            seg.splitlines()[0]
+            for seg in plan.split("BroadcastHashJoin")[1:]
+            if "LeftSemi" in seg.splitlines()[0]
+        ]
+        assert semi_heads, "no LeftSemi broadcast joins in physical plan"
+        assert all("BuildRight" in h for h in semi_heads), semi_heads
         # all four corpus branches (two size aggs, pair-join stream, eval
         # side) are LeftSemi-pruned, and in the OPTIMIZED LOGICAL plan the
         # prune sits BELOW the shingle Generate (only candidate docs are
@@ -418,15 +427,43 @@ def test_fuzzy_decon_verification_is_candidate_bounded(spark):
             "rightHint=(strategy=broadcast)" in seg[:200]
             for seg in opt.split("Join LeftSemi")[1:]
         )
-        # each shingle explode is adjacent to a LeftSemi prune: BELOW it
-        # when the scan is raw (prune pushed under Generate — only
-        # candidate docs tokenized), ABOVE it when another test/session
-        # consumer has cached the shingle frame and Spark substituted the
-        # InMemoryRelation (pruning above an existing cache is the
-        # correct placement there)
-        parts = opt.split("Generate explode")
-        for before, after in zip(parts[:-1], parts[1:]):
-            assert "LeftSemi" in before[-2000:] or "LeftSemi" in after[:2000]
+        # each shingle explode is adjacent to a LeftSemi prune, asserted
+        # PER-EXPLODE on its own indented subtree (ADVICE-r12: a windowed
+        # OR let one unpruned explode hide behind a neighbor's semi):
+        # the prune is BELOW the Generate when the scan is raw (only
+        # candidate docs tokenized); when another session consumer has
+        # cached the shingle frame and Spark substituted the
+        # InMemoryRelation, the subtree is the cache leaf and the prune
+        # must sit ABOVE the Generate instead (the correct placement
+        # over an existing cache)
+        lines = opt.splitlines()
+
+        def _offset(ln: str) -> int:
+            i = 0
+            while i < len(ln) and ln[i] in ":+- ":
+                i += 1
+            return i
+
+        for n, ln in enumerate(lines):
+            if "Generate explode" not in ln:
+                continue
+            off = _offset(ln)
+            subtree = []
+            for nxt in lines[n + 1:]:
+                if _offset(nxt) <= off:
+                    break
+                subtree.append(nxt)
+            sub = "\n".join(subtree)
+            if "Join LeftSemi" in sub:
+                continue
+            above = "\n".join(lines[max(0, n - 40):n])
+            assert "InMemoryRelation" in sub or "InMemoryRelation" in above, (
+                f"raw explode at line {n} has no LeftSemi prune in its own "
+                f"subtree:\n{sub[:1500]}"
+            )
+            assert "Join LeftSemi" in above, (
+                f"cached explode at line {n} lacks a LeftSemi prune above it"
+            )
     except AssertionError:
         with open("/tmp/fuzzy_decon_plan_fail.txt", "w") as fh:
             fh.write(plan + "\n==== optimized ====\n" + opt)
